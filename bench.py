@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <dir>}
+
+Each query is forced end-to-end with the ``noop`` sink (full execution,
+no driver collect). An ingest-rate micro-benchmark (events/s through the
+batch write path, BASELINE.md bulk-write analogue) is included under the
+"ingest_events_per_s" key of "extras".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.session import get_spark
+    from zombi_spark.sources.tables import load_table
+    from zombi_spark.table.event_table import EventTable
+
+    spark = get_spark("zombi-spark-bench")
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(entrymod.queries().items()):
+        df = q(spark, sf_dir)
+        df.count()  # warm: plan + scan metadata
+        t0 = time.perf_counter()
+        _force(q(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    # Ingest rate: events table → full zombi write path → partitioned table.
+    extras: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="zombi-bench-")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        raw = ev.select(
+            F.lit("bench").alias("topic"),
+            (F.col("user_id") % 8).cast("int").alias("partition"),
+            F.col("props").cast("binary").alias("payload"),
+            F.expr("ts DIV 1000000").alias("timestamp_ms"),
+            F.lit(None).cast("string").alias("idempotency_key"),
+            F.col("event_id").alias("ingest_order"),
+        )
+        n = raw.count()
+        table = EventTable(spark, tmp, "bench")
+        t0 = time.perf_counter()
+        table.append(prepare_events(raw))
+        dt = time.perf_counter() - t0
+        extras["ingest_events_per_s"] = round(n / dt, 1)
+        extras["ingest_sec"] = round(dt, 4)
+        extras["ingest_rows"] = n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

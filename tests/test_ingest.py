@@ -1,0 +1,122 @@
+"""Ingest-path invariants (reference INV-1..INV-9, SPEC.md:746-758,
+tests/property_tests.rs:14-215) re-checked against the Spark write path."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from zombi_spark.ingest.batch import (
+    RAW_EVENT_SCHEMA,
+    assign_sequences,
+    dedup_idempotency,
+    prepare_events,
+    validate_table_name,
+)
+from zombi_spark.table.event_table import EventTable
+
+
+def _raw(spark, rows):
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def _mk_rows(n, topic="t1", partitions=2, key_every=None):
+    rows = []
+    for i in range(n):
+        key = f"k{i % key_every}" if key_every else None
+        rows.append(
+            (topic, i % partitions, f"payload-{i}".encode(), 1700000000000 + i * 1000, key, i)
+        )
+    return rows
+
+
+def test_table_name_validation():
+    validate_table_name("events-1_A")
+    for bad in ["", "1abc", "a" * 129, "has space", "dash$"]:
+        with pytest.raises(ValueError):
+            validate_table_name(bad)
+
+
+def test_sequences_monotonic_per_partition(spark):
+    """INV-1: sequences monotonic, gapless, starting at 1 per partition."""
+    out = prepare_events(_raw(spark, _mk_rows(20, partitions=3))).collect()
+    by_part = {}
+    for r in sorted(out, key=lambda r: (r.partition, r.sequence)):
+        by_part.setdefault(r.partition, []).append(r.sequence)
+    for seqs in by_part.values():
+        assert seqs == list(range(1, len(seqs) + 1))
+
+
+def test_sequences_continue_from_existing(spark):
+    """Sequence assignment continues from the table high watermark (A2)."""
+    first = prepare_events(_raw(spark, _mk_rows(10, partitions=2)))
+    second = assign_sequences(_raw(spark, _mk_rows(6, partitions=2)), existing=first)
+    seqs = {(r.partition, r.sequence) for r in second.collect()}
+    # partitions 0,1 each had 5 rows → new sequences 6,7,8
+    assert {(0, 6), (0, 7), (0, 8), (1, 6), (1, 7), (1, 8)} == seqs
+
+
+def test_idempotency_first_wins(spark):
+    """INV-4: duplicate idempotency keys keep only the first occurrence."""
+    out = dedup_idempotency(_raw(spark, _mk_rows(12, partitions=1, key_every=4))).collect()
+    assert len(out) == 4
+    assert {r.ingest_order for r in out} == {0, 1, 2, 3}
+
+
+def test_idempotency_against_history(spark):
+    batch1 = prepare_events(_raw(spark, _mk_rows(4, partitions=1, key_every=4)))
+    batch2_raw = _raw(spark, _mk_rows(8, partitions=1, key_every=8))  # k0..k7
+    out = dedup_idempotency(batch2_raw, existing=batch1).collect()
+    assert sorted(r.idempotency_key for r in out) == ["k4", "k5", "k6", "k7"]
+
+
+def test_null_keys_never_deduped(spark):
+    out = dedup_idempotency(_raw(spark, _mk_rows(10, partitions=1))).collect()
+    assert len(out) == 10
+
+
+def test_partition_columns_derived_utc(spark):
+    rows = [("t", 0, b"x", 1704112496789, None, 0), ("t", 0, b"y", -5, None, 1)]
+    out = {r.timestamp_ms: r for r in prepare_events(_raw(spark, rows)).collect()}
+    assert str(out[1704112496789].event_date) == "2024-01-01"
+    assert out[1704112496789].event_hour == 12
+    # negative ts clamps to epoch (parquet.rs:44-48)
+    assert str(out[-5].event_date) == "1970-01-01"
+    assert out[-5].event_hour == 0
+
+
+def test_default_timestamp_applied(spark):
+    rows = [("t", 0, b"x", None, None, 0)]
+    out = prepare_events(_raw(spark, rows), server_time_ms=1704067200123).collect()
+    assert out[0].timestamp_ms == 1704067200123
+
+
+def test_event_table_roundtrip(spark, tmp_path):
+    """INV-2/INV-6: ACKed (committed) data survives; layout is partitioned."""
+    t = EventTable(spark, str(tmp_path), "events")
+    events = prepare_events(_raw(spark, _mk_rows(50, partitions=4)))
+    snap = t.append(events)
+    assert snap["operation"] == "append"
+    assert snap["watermarks"]["zombi.watermark.t1/0"] >= 1
+    back = t.read()
+    assert back.count() == 50
+    assert back.where(F.col("event_date").isNull()).count() == 0
+    # hive partition dirs exist
+    assert any("event_date=" in f["partition_dir"] for f in t.files())
+    # watermarks
+    hwm = {(r.topic, r.partition): r.high_watermark for r in t.high_watermarks().collect()}
+    assert hwm[("t1", 0)] == 13  # 50 rows over 4 partitions → 13 in partition 0
+
+
+def test_compaction_preserves_data(spark, tmp_path):
+    """INV-6: compaction preserves all data; file count drops."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for _ in range(4):  # 4 small appends → many small files per partition
+        t.append(prepare_events(_raw(spark, _mk_rows(8, partitions=1)), existing=None))
+    before = t.read().count()
+    files_before = len(t.files())
+    snap = t.compact(min_input_files=2)
+    assert snap["files_rewritten"] > 0
+    assert len(t.files()) < files_before
+    after = t.read()
+    assert after.count() == before
+    # sort order within partitions maintained
+    assert after.orderBy("timestamp_ms", "sequence").count() == before

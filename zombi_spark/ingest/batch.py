@@ -1,0 +1,161 @@
+"""Batch ingest: raw events → canonical zombi event rows.
+
+Implements the write-path semantics of the reference
+(api/handlers.rs:467-707, storage/rocksdb.rs:637-806) as declarative
+DataFrame transforms:
+
+  1. table-name validation      — handlers.rs:447-460 regex
+  2. timestamp default          — handlers.rs:709-714 server time
+  3. idempotency-key dedup      — rocksdb.rs:645-654 point lookup ⇒
+                                  here a semi-join against the existing
+                                  table + first-wins within the batch
+                                  (INV-4, SPEC.md:752)
+  4. per-(topic,partition) monotonic sequence assignment
+                                — sequence.rs:60-66 atomic counters ⇒
+                                  row_number() + broadcast of per-partition
+                                  high watermarks (INV-1, SPEC.md:746)
+  5. partition-column derivation — parquet.rs:40-49
+
+Scale notes: step 4's window partitions by (topic, partition) — the same
+key the data is later stored under, so the shuffle is reused by the
+partitioned write. The watermark frame (A2: max sequence per partition) is
+tiny (one row per producer partition) and is broadcast, never shuffled.
+Dedup against history (step 3) is a left_anti join on
+(topic, partition, idempotency_key); on a real deployment that history
+probe reads only the idempotency columns (column pruning) within the
+retention window (partition pruning) — not the whole table.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zombi_spark.functions.events import derive_partition_columns
+
+# ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$ — handlers.rs:447-460, SPEC.md:454-460
+_TABLE_NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
+
+# BulkWriteEvent (contracts/storage.rs:253-259): pre-sequence-assignment form.
+RAW_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("timestamp_ms", T.LongType(), True),
+        T.StructField("idempotency_key", T.StringType(), True),
+        # arrival order within the batch — drives first-wins dedup and
+        # deterministic sequence assignment (combiner.rs preserves FIFO)
+        T.StructField("ingest_order", T.LongType(), False),
+    ]
+)
+
+# StoredEvent + derived partition cols (contracts/storage.rs:204-211,
+# iceberg.rs:126-184) — the 8-field canonical schema.
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("sequence", T.LongType(), False),
+        T.StructField("topic", T.StringType(), False),
+        T.StructField("partition", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("timestamp_ms", T.LongType(), False),
+        T.StructField("idempotency_key", T.StringType(), True),
+        T.StructField("event_date", T.DateType(), False),
+        T.StructField("event_hour", T.IntegerType(), False),
+    ]
+)
+
+
+def validate_table_name(name: str) -> str:
+    """Raise ValueError unless ``name`` matches the reference's regex."""
+    if not _TABLE_NAME_RE.match(name or ""):
+        raise ValueError(
+            f"invalid table name {name!r}: must match ^[a-zA-Z][a-zA-Z0-9_-]{{0,127}}$"
+        )
+    return name
+
+
+def dedup_idempotency(batch: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """Drop events whose (topic, partition, idempotency_key) already exists.
+
+    Within the batch, the FIRST occurrence (by ingest_order) wins — the
+    reference processes writes FIFO and returns the existing offset for
+    replays (rocksdb.rs:645-654, 683-688). NULL keys are never deduped.
+    """
+    keyed = batch.where(F.col("idempotency_key").isNotNull())
+    keyless = batch.where(F.col("idempotency_key").isNull())
+
+    w = Window.partitionBy("topic", "partition", "idempotency_key").orderBy("ingest_order")
+    first_wins = (
+        keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+    if existing is not None:
+        history = existing.where(F.col("idempotency_key").isNotNull()).select(
+            "topic", "partition", "idempotency_key"
+        )
+        first_wins = first_wins.join(
+            history, on=["topic", "partition", "idempotency_key"], how="left_anti"
+        )
+    return first_wins.unionByName(keyless)
+
+
+def assign_sequences(batch: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """Assign per-(topic, partition) monotonic sequences starting at 1.
+
+    Continues from the existing table's high watermark (A2:
+    ``max(sequence) GROUP BY topic, partition`` — rocksdb.rs:851-853).
+    The watermark frame is one row per producer partition → broadcast.
+    """
+    w = Window.partitionBy("topic", "partition").orderBy("ingest_order")
+    seq_in_batch = batch.withColumn("_seq_in_batch", F.row_number().over(w))
+
+    if existing is not None:
+        watermarks = existing.groupBy("topic", "partition").agg(
+            F.max("sequence").alias("_base_seq")
+        )
+        seq_in_batch = seq_in_batch.join(
+            F.broadcast(watermarks), on=["topic", "partition"], how="left"
+        )
+    else:
+        seq_in_batch = seq_in_batch.withColumn("_base_seq", F.lit(None).cast("long"))
+
+    return (
+        seq_in_batch.withColumn(
+            "sequence", F.coalesce(F.col("_base_seq"), F.lit(0)) + F.col("_seq_in_batch")
+        )
+        .drop("_seq_in_batch", "_base_seq")
+    )
+
+
+def prepare_events(
+    batch: DataFrame,
+    existing: DataFrame | None = None,
+    server_time_ms: int | None = None,
+) -> DataFrame:
+    """Full write-path transform: defaults → dedup → sequences → partitions.
+
+    Returns rows in EVENT_SCHEMA column order. ``server_time_ms`` pins the
+    default timestamp for reproducibility (tests); None = current time.
+    """
+    now = (
+        F.unix_millis(F.current_timestamp())
+        if server_time_ms is None
+        else F.lit(server_time_ms).cast("long")
+    )
+    batch = batch.withColumn("timestamp_ms", F.coalesce(F.col("timestamp_ms"), now))
+    batch = dedup_idempotency(batch, existing)
+    batch = assign_sequences(batch, existing)
+    event_date, event_hour = derive_partition_columns(F.col("timestamp_ms"))
+    return batch.select(
+        "sequence",
+        "topic",
+        "partition",
+        "payload",
+        "timestamp_ms",
+        "idempotency_key",
+        event_date,
+        event_hour,
+    )

@@ -1,0 +1,188 @@
+"""Event-model queries over the driver's ``events`` table.
+
+The driver's synthetic ``events`` table (event_id, ts, user_id, event_type,
+value, props) stands in for a zombi-produced event table. We map it onto
+the zombi model deterministically so every ingest-path operator (sequence
+assignment, dedup, partition derivation, tail reads, range scans) has a
+DuckDB-checkable query:
+
+  topic        = 'events'
+  partition    = user_id % 8            (producer-chosen shard)
+  payload      = props                  (JSON bytes)
+  timestamp_ms = epoch millis of ts     (ts read as epoch-nanos long;
+                                         floor-divide by 1e6 == DuckDB epoch_ms)
+  arrival      = event_id               (ingest order)
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names/aliases match the oracle SQL in ``__spark_entry__.py`` exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zombi_spark.sources.tables import load_table
+
+N_PARTITIONS = 8
+
+
+def zombi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic events→zombi mapping used by all event queries."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("arrival"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
+        F.col("props").alias("payload_str"),
+        F.expr("ts DIV 1000000").alias("timestamp_ms"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("user_id"),
+    )
+
+
+def q_sequence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(topic, partition) monotonic sequence assignment (INV-1; §7 step 3).
+
+    Window row_number over arrival order — the batch form of
+    sequence.rs:60-66's atomic counters.
+    """
+    ev = zombi_events(spark, sf_dir)
+    w = Window.partitionBy("topic", "partition").orderBy("arrival")
+    return ev.select(
+        "topic",
+        "partition",
+        "arrival",
+        F.row_number().over(w).cast("long").alias("sequence"),
+        "timestamp_ms",
+    )
+
+
+def q_partition_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: event_date/event_hour derivation from timestamp_ms (UTC)."""
+    ev = zombi_events(spark, sf_dir)
+    ts = F.timestamp_millis(F.greatest(F.col("timestamp_ms"), F.lit(0).cast("long")))
+    return ev.select(
+        "arrival",
+        "timestamp_ms",
+        F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("event_date"),
+        F.hour(ts).cast("int").alias("event_hour"),
+    )
+
+
+def q_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/P2/P3/O2/O4: default-projection tail read with since + limit.
+
+    Compiles to TakeOrderedAndProject (top-k, no global sort).
+    """
+    ev = zombi_events(spark, sf_dir)
+    since_ms = 1704067200000 + 14 * 24 * 3600 * 1000  # 2024-01-15T00:00Z
+    return (
+        ev.where(F.col("timestamp_ms") >= since_ms)
+        .orderBy("timestamp_ms", "arrival")
+        .select(F.col("payload_str").alias("payload"), "timestamp_ms", "arrival")
+        .limit(101)
+    )
+
+
+def q_sequence_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P5/P6: single-partition scan from a sequence offset."""
+    seq = q_sequence_assign(spark, sf_dir)
+    return (
+        seq.where((F.col("partition") == 3) & (F.col("sequence") >= 20))
+        .orderBy("sequence")
+        .select("partition", "sequence", "arrival")
+        .limit(50)
+    )
+
+
+def q_timestamp_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P4: half-open [since, until) time-range scan, merged ordering."""
+    ev = zombi_events(spark, sf_dir)
+    since_ms = 1704067200000 + 7 * 24 * 3600 * 1000  # 2024-01-08
+    until_ms = 1704067200000 + 9 * 24 * 3600 * 1000  # 2024-01-10
+    return (
+        ev.where((F.col("timestamp_ms") >= since_ms) & (F.col("timestamp_ms") < until_ms))
+        .orderBy("timestamp_ms", "arrival")
+        .select("arrival", "partition", "timestamp_ms", "event_type")
+    )
+
+
+def q_idempotent_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: first-wins idempotency dedup (INV-4).
+
+    Synthetic idempotency_key = user_id:event_type — replays collapse to
+    the earliest arrival, exactly the reference's return-existing-offset
+    semantics (rocksdb.rs:645-654).
+    """
+    ev = zombi_events(spark, sf_dir)
+    keyed = ev.withColumn(
+        "idempotency_key",
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type")),
+    )
+    w = Window.partitionBy("topic", "partition", "idempotency_key").orderBy("arrival")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("partition", "idempotency_key", F.col("arrival").alias("first_arrival"))
+    )
+
+
+def q_high_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3: high + low watermark per (topic, partition)."""
+    seq = q_sequence_assign(spark, sf_dir)
+    return (
+        seq.groupBy("topic", "partition")
+        .agg(
+            F.max("sequence").alias("high_watermark"),
+            F.min("sequence").alias("low_watermark"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("partition")
+    )
+
+
+def q_hour_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T4: flush batch grouping by (event_date, event_hour) — the
+    hour-boundary split invariant (flusher/mod.rs:398-437)."""
+    ev = zombi_events(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    return (
+        ev.select(
+            F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("event_date"),
+            F.hour(ts).cast("int").alias("event_hour"),
+            "partition",
+        )
+        .groupBy("event_date", "event_hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("partition").alias("n_partitions"),
+        )
+        .orderBy("event_date", "event_hour")
+    )
+
+
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/F5: typed dot-path extraction from the JSON payload; type
+    mismatch ⇒ NULL (payload_extractor.rs:113-133)."""
+    ev = zombi_events(spark, sf_dir)
+    return ev.select(
+        "arrival",
+        F.get_json_object(F.col("payload_str"), "$.k").try_cast("long").alias("k_int64"),
+        F.get_json_object(F.col("payload_str"), "$.k").alias("k_utf8"),
+        F.get_json_object(F.col("payload_str"), "$.missing").try_cast("long").alias(
+            "missing_field"
+        ),
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 flagship window query: latest event per user via row_number."""
+    ev = zombi_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("timestamp_ms").desc(), F.col("arrival").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "timestamp_ms", "event_type", "arrival")
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings are
+what we would ship as cluster defaults (AQE on, skew-join handling on,
+shuffle partitions sized explicitly rather than the 200 default, UTC
+session time, Arrow transfers for the pandas-UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "zombi-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale notes: on a real cluster only ``master`` and memory sizing change;
+    every query in this repo expresses its plan declaratively so Catalyst +
+    AQE re-plan at 1000-executor scale without code changes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # zombi sorts files by (timestamp_ms, sequence) for locality
+        # (reference parquet.rs:347-364); we preserve ordering on write.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # the driver's events.parquet stores TIMESTAMP(NANOS); read as long
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

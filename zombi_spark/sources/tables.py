@@ -1,0 +1,43 @@
+"""Parquet table loaders for the driver's synthetic datasets (TESTDATA.md).
+
+These scans are the engine's cold-read path (reference: cold Parquet scan,
+iceberg_storage.rs:1389-1476). With Spark, predicate pushdown, column
+pruning and partition pruning come from Catalyst — verified in
+tests/test_plans.py by inspecting PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark rejects
+        # unless read as a long of epoch-nanos. Set at runtime so it also
+        # holds when the caller (the driver) built its own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view (for spark.sql plans)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

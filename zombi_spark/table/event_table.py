@@ -1,0 +1,191 @@
+"""EventTable — the cold tier: partitioned, sorted Parquet with a snapshot log.
+
+The reference's cold tier is Iceberg on S3 (iceberg_storage.rs). This
+container ships no Iceberg Spark runtime jar, so the table layer writes the
+same *physical layout* directly — hive-partitioned
+``event_date=YYYY-MM-DD/event_hour=H`` Zstd Parquet, rows sorted by
+``(timestamp_ms, sequence)`` within each file (SPEC.md:320-333,
+parquet.rs:347-364) — plus a minimal JSON snapshot log giving atomic,
+versioned commits with per-partition watermark summaries
+(``zombi.watermark.{p}`` — iceberg_storage.rs:285-300). Swapping the sink
+for Iceberg is a writer-format change, not a redesign: every reader goes
+through :meth:`read`, every writer through :meth:`append`.
+
+Scale notes:
+  - append() repartitions by the storage partition key before writing, so
+    each (event_date, event_hour) lands in few large files instead of
+    shuffle_partitions small ones — the small-file problem compaction (M1)
+    otherwise has to fix.
+  - reads rely on partition pruning (event_date/event_hour dirs) +
+    parquet min/max row-group stats on (timestamp_ms, sequence) — the same
+    two-level skip as Iceberg partition pruning + DataFile bounds
+    (SPEC.md:311-333).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zombi_spark.ingest.batch import EVENT_SCHEMA, validate_table_name
+
+_META_DIR = "_zombi_meta"
+_DATA_DIR = "data"
+
+
+class EventTable:
+    """A zombi event table rooted at ``{root}/{name}``."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str):
+        self.spark = spark
+        self.name = validate_table_name(name)
+        self.path = os.path.join(root, name)
+        self.data_path = os.path.join(self.path, _DATA_DIR)
+        self.meta_path = os.path.join(self.path, _META_DIR)
+
+    # ---------------------------------------------------------------- meta
+    def _snapshot_files(self) -> list[str]:
+        if not os.path.isdir(self.meta_path):
+            return []
+        return sorted(
+            f for f in os.listdir(self.meta_path) if f.startswith("snap-") and f.endswith(".json")
+        )
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot log, oldest first (analogue of Iceberg ``t.snapshots``)."""
+        out = []
+        for f in self._snapshot_files():
+            with open(os.path.join(self.meta_path, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def _commit_snapshot(self, summary: dict) -> dict:
+        os.makedirs(self.meta_path, exist_ok=True)
+        version = len(self._snapshot_files())
+        snap = {
+            "version": version,
+            "snapshot_id": uuid.uuid4().hex,
+            "committed_at_ms": int(time.time() * 1000),
+            **summary,
+        }
+        tmp = os.path.join(self.meta_path, f".snap-{version:08d}.json.tmp")
+        final = os.path.join(self.meta_path, f"snap-{version:08d}.json")
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh, indent=1)
+        os.rename(tmp, final)  # atomic commit point
+        return snap
+
+    # --------------------------------------------------------------- write
+    def append(self, events: DataFrame) -> dict:
+        """Append canonical event rows; returns the committed snapshot.
+
+        Physical layout = zombi's flusher output: one shuffle on the storage
+        partition key (A7/T4 hour grouping, flusher/mod.rs:398-437), sorted
+        runs within files (O1), Zstd Parquet (X12), hive dirs (X1).
+        """
+        cols = [f.name for f in EVENT_SCHEMA.fields]
+        (
+            events.select(*cols)
+            .repartition("event_date", "event_hour")
+            .sortWithinPartitions("timestamp_ms", "sequence")
+            .write.mode("append")
+            .partitionBy("event_date", "event_hour")
+            .parquet(self.data_path)
+        )
+        wm = {
+            f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"]
+            for r in self.read()
+            .groupBy("topic", "partition")
+            .agg(F.max("sequence").alias("hwm"))
+            .collect()
+        }
+        return self._commit_snapshot({"operation": "append", "watermarks": wm})
+
+    # ---------------------------------------------------------------- read
+    def read(self) -> DataFrame:
+        """Scan the table (partition-pruned + stats-skipped by Catalyst)."""
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.data_path)
+            .parquet(self.data_path)
+        )
+
+    def high_watermarks(self) -> DataFrame:
+        """A2: max committed sequence per (topic, partition)
+        (rocksdb.rs:851-853; committed recovery iceberg_storage.rs:1602-1652)."""
+        return self.read().groupBy("topic", "partition").agg(F.max("sequence").alias("high_watermark"))
+
+    def low_watermarks(self) -> DataFrame:
+        """A3: min surviving sequence per (topic, partition) (rocksdb.rs:855-884)."""
+        return self.read().groupBy("topic", "partition").agg(F.min("sequence").alias("low_watermark"))
+
+    def files(self) -> list[dict]:
+        """Data-file listing with sizes (analogue of Iceberg ``t.files`` / S11)."""
+        out = []
+        for dirpath, _dirs, files in os.walk(self.data_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    out.append(
+                        {
+                            "file_path": p,
+                            "partition_dir": os.path.relpath(dirpath, self.data_path),
+                            "file_size_bytes": os.path.getsize(p),
+                        }
+                    )
+        return sorted(out, key=lambda d: d["file_path"])
+
+    # --------------------------------------------------------- maintenance
+    def compact(
+        self,
+        small_file_bytes: int = 64 * 1024 * 1024,
+        min_input_files: int = 3,
+        target_files_per_partition: int = 1,
+    ) -> dict:
+        """M1 small-file compaction (compaction.rs:128-396).
+
+        Candidates = storage partitions holding ≥ ``min_input_files`` files
+        smaller than ``small_file_bytes``; each is rewritten as
+        ``target_files_per_partition`` sorted file(s). Equivalent to
+        Iceberg's ``rewrite_data_files`` with min-input-files/target-size.
+        Rewrite preserves every row (INV-6) and the (timestamp_ms, sequence)
+        sort; commit then swaps files per partition directory.
+        """
+        by_partition: dict[str, list[dict]] = {}
+        for f in self.files():
+            if f["file_size_bytes"] < small_file_bytes:
+                by_partition.setdefault(f["partition_dir"], []).append(f)
+        candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}
+        rewritten = 0
+        for part_dir, fs in candidates.items():
+            paths = [f["file_path"] for f in fs]
+            df = self.spark.read.parquet(*paths)
+            tmp_dir = os.path.join(self.data_path, part_dir, f".compact-{uuid.uuid4().hex}")
+            (
+                df.coalesce(target_files_per_partition)
+                .sortWithinPartitions("timestamp_ms", "sequence")
+                .write.mode("overwrite")
+                .parquet(tmp_dir)
+            )
+            # commit: move new files in, drop the old ones
+            for new_f in os.listdir(tmp_dir):
+                if new_f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp_dir, new_f),
+                        os.path.join(self.data_path, part_dir, f"compacted-{uuid.uuid4().hex}.parquet"),
+                    )
+            for p in paths:
+                os.remove(p)
+            for leftover in os.listdir(tmp_dir):
+                os.remove(os.path.join(tmp_dir, leftover))
+            os.rmdir(tmp_dir)
+            rewritten += len(paths)
+        snap = self._commit_snapshot(
+            {"operation": "compact", "partitions": sorted(candidates), "files_rewritten": rewritten}
+        )
+        return snap
