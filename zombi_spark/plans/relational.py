@@ -1,0 +1,375 @@
+"""The [delegated] query surface (SURVEY.md §2.4-2.9).
+
+Zombi routes all relational analytics to the external Iceberg engine
+(SPEC.md:229-234, 343-352, 767); in this engine these ARE the product,
+served by Spark SQL over the tables we produce. The driver's TPC-H-ish
+tables stand in for zombi-produced tables (FIXTURES.md §3).
+
+Cross-engine determinism: money aggregates quantize per row to integer
+cents (IEEE per-row arithmetic is identical in Spark and DuckDB; only
+aggregation ORDER differs, and integer sums are order-exact). Every top-k
+ORDER BY carries a unique tiebreaker.
+
+Scale notes per operator are inline; the common ones:
+  - dimension joins (nation/region/supplier) are broadcast — no shuffle
+    of the fact side (J2);
+  - aggregations are expressed so Catalyst plans partial (map-side)
+    aggregation before the exchange (A11);
+  - top-k compiles to TakeOrderedAndProject, never a global sort (O2/O4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zombi_spark.sources.tables import load_table
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Quantize a money double to integer cents, per row (order-exact sums)."""
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------- aggs
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A11 flagship (TPC-H Q1 shape): grouped sums/avgs/counts with a
+    pushed-down date predicate. Partial aggregation happens map-side; the
+    exchange carries one row per (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ROLLUP over (orderstatus, orderpriority) with subtotal rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
+        )
+    )
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: CUBE over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").cast("long").alias("qty"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: exact distinct counts per group (approx_count_distinct is
+    exercised in q_approx_distinct, rows-only — HLL sketches are
+    engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (approx): HLL approx_count_distinct — rows-only check (no oracle:
+    sketch estimates differ across engines by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+# -------------------------------------------------------------------- joins
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J3: large equi-join orders ⋈ customer (sort-merge/shuffled-hash —
+    Catalyst + AQE pick), then grouped revenue per market segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explicit broadcast of the dimension chain nation→region; the
+    customer fact never shuffles for the join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+    )
+    return (
+        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .groupBy("region_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+        .orderBy("region_name")
+    )
+
+
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2 composed (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region with broadcast dims and a date predicate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue_cents"), F.count("*").alias("n_lineitems"))
+        .orderBy("n_name")
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left_semi + left_anti — customers with vs without orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("with_orders").alias("bucket"), "c_custkey"
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("without_orders").alias("bucket"), "c_custkey"
+    )
+    return (
+        with_orders.unionByName(without)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("c_custkey").alias("min_key"))
+        .orderBy("bucket")
+    )
+
+
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left outer join keeping order-less customers with NULL counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: non-equi range join — parts priced within a size-derived band.
+
+    Broadcast nested-loop on a small build side; at scale the band table
+    stays tiny (one row per band) so this never becomes a cartesian blowup.
+    """
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(1, 0.0, 500.0), (2, 500.0, 1000.0), (3, 1000.0, 1500.0), (4, 1500.0, 1e9)],
+        "band int, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), F.min("p_partkey").alias("min_part"))
+        .orderBy("band")
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: as-of join — each 'purchase' event enriched with the latest
+    'signup'-or-earlier event of the same user at or before its time.
+
+    Spark lacks ASOF JOIN; the scalable composition is union + last_value
+    over a time-ordered window partitioned by user — one shuffle on user_id,
+    no range self-join blowup. (DuckDB oracle uses native ASOF JOIN.)
+    """
+    from zombi_spark.plans.event_queries import zombi_events
+
+    ev = zombi_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("timestamp_ms").alias("p_ts"), F.col("arrival").alias("p_arrival")
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("timestamp_ms").alias("s_ts")
+    )
+    # union tagged streams; signup rows carry their own ts forward
+    tagged = purchases.select(
+        "user_id", F.col("p_ts").alias("t"), F.col("p_arrival").alias("p_arrival"),
+        F.lit(None).cast("long").alias("s_ts"), F.lit(1).alias("is_p")
+    ).unionByName(
+        signups.select(
+            "user_id", F.col("s_ts").alias("t"), F.lit(None).cast("long").alias("p_arrival"),
+            F.col("s_ts").alias("s_ts"), F.lit(0).alias("is_p")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t"), F.col("is_p"))  # signup sorts before purchase at equal ts
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn("last_signup_ts", F.last("s_ts", ignorenulls=True).over(w))
+    return (
+        enriched.where(F.col("is_p") == 1)
+        .select("user_id", F.col("t").alias("purchase_ts"), "p_arrival", "last_signup_ts")
+    )
+
+
+# ------------------------------------------------------------------ windows
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ranking: row_number/rank/dense_rank/ntile per customer by price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 analytic: lag/lead/first/last over customer order history."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(frame).alias("first_order"),
+        F.last("o_orderkey").over(frame).alias("last_order"),
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 aggregate-over-frame: running totals + moving average (3-row)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = _cents(F.col("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_cents"),
+        F.sum(cents).over(w.rowsBetween(-2, 0)).alias("moving3_cents"),
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("n_so_far"),
+    )
+
+
+# ------------------------------------------------------------------ set ops
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: union / intersect / except composed over customer key ranges."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    custs = c.select(F.col("c_custkey").alias("k"))
+    buyers = o.select(F.col("o_custkey").alias("k")).distinct()
+    union_all = custs.unionByName(buyers)
+    inter = custs.intersect(buyers)
+    minus = custs.exceptAll(buyers)
+    return (
+        union_all.select(F.lit("union_all").alias("op"), "k")
+        .unionByName(inter.select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(minus.select(F.lit("except_all").alias("op"), "k"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n"), F.countDistinct("k").alias("n_distinct"))
+        .orderBy("op")
+    )
+
+
+def q_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: dropDuplicates on a projected key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .dropDuplicates()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------------------------- sorts / topk
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O4: global top-k (TakeOrderedAndProject — per-partition top-k then
+    driver merge; no global sort at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("price_cents"))
+        .limit(25)
+    )
+
+
+# ------------------------------------------------------------------ scalars
+def q_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: representative scalar surface — string/date/math/conditional —
+    chosen for identical cross-engine semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        # floor before cast: Spark's double→long cast truncates while
+        # DuckDB's rounds, so make the rounding explicit and portable
+        F.floor(F.abs(F.col("o_totalprice") - 1000)).cast("long").alias("abs_diff_floor"),
+        F.when(F.col("o_totalprice") > 1000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+    )
+
+
+def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 array/lateral: split+explode document text into tokens (UDTF-style
+    expansion via built-in generator, §2.12) with per-token positions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.col("doc_id") < 100).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(40)
+    )
