@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from zombi_spark.plans import event_queries as EQ
+from zombi_spark.plans import pipeline_queries as PQ
 from zombi_spark.plans import relational as RQ
 
 
@@ -78,6 +79,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": RQ.q_topk_orders,
         "scalar_library": RQ.q_scalar_library,
         "explode_tokens": RQ.q_explode_array,
+        # LLM-data-pipeline operators (SURVEY.md §7 step 9)
+        "exact_dedup": PQ.q_exact_dedup,
+        "fingerprint_dedup": PQ.q_fingerprint_dedup,
+        "minhash_signatures": PQ.q_minhash_signatures,
+        "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,
+        "simhash": PQ.q_simhash,
+        "ngram_jaccard": PQ.q_ngram_jaccard,
+        "brute_force_ann": PQ.q_brute_force_ann,
+        "lsh_ann": PQ.q_lsh_ann,
+        "embedding_near_dup": PQ.q_embedding_near_dup,
+        "lang_id": PQ.q_lang_id,
+        "quality_features": PQ.q_quality_features,
+        "token_counts": PQ.q_token_counts,
+        "doc_fingerprint": PQ.q_doc_fingerprint,
+        "media_features": PQ.q_media_features,  # rows-only (stubbed codec)
+        "media_dedup": PQ.q_media_dedup,  # rows-only (stubbed codec)
     }
 
 
@@ -345,5 +362,281 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, unnest(string_split(text, ' ')) AS token
           FROM documents WHERE doc_id < 100
         ) GROUP BY token ORDER BY n DESC, token LIMIT 40
+        """,
+        # ------------------------------------ LLM-pipeline operators
+        "exact_dedup": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+        """,
+        "fingerprint_dedup": """
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY fingerprint
+        """,
+        "minhash_signatures": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 200
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
+          FROM d WHERE len(t) >= 2
+        ), hashed AS (
+          SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+                 ('0x' || substr(md5(s.seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
+          FROM sh, range(0, 8) s(seed)
+        )
+        SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
+        """,
+        "minhash_lsh_pairs": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), shl AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                   ELSE [] END) AS sh
+          FROM d
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shl
+        ), hashed AS (
+          SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+                 ('0x' || substr(md5(s.seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
+          FROM ex, range(0, 8) s(seed)
+        ), sigs AS (
+          SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
+        ), bands AS (
+          SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+                 string_agg(min_hash::VARCHAR, ',' ORDER BY seed) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shl
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN ex ea ON ea.doc_id = c.id_a
+          JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b, i.n_inter,
+               sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+               CAST(floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_pm
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) >= 500
+        ORDER BY id_a, id_b
+        """,
+        "simhash": """
+        WITH d AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 200
+        ), tk AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h FROM d
+        ), votes AS (
+          SELECT doc_id, b.bit,
+                 CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+          FROM tk, range(0, 16) b(bit)
+        ), bitsum AS (
+          SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bitsum GROUP BY doc_id
+        """,
+        "ngram_jaccard": """
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        ), shl0 AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                   ELSE [] END) AS sh
+          FROM d
+        ), mh AS (
+          SELECT doc_id,
+                 min(('0x' || substr(md5('a:' || shingle), 1, 15))::BIGINT)::VARCHAR || ',' ||
+                 min(('0x' || substr(md5('b:' || shingle), 1, 15))::BIGINT)::VARCHAR AS block
+          FROM (SELECT doc_id, unnest(sh) AS shingle FROM shl0) s GROUP BY doc_id
+        ), cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM mh a JOIN mh b ON a.block = b.block AND a.doc_id < b.doc_id
+        ), shl AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                   ELSE [] END) AS sh
+          FROM d
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shl
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shl
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN ex ea ON ea.doc_id = c.id_a
+          JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+          GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b, i.n_inter,
+               sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+               CAST(floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_pm
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) >= 300
+        ORDER BY id_a, id_b
+        """,
+        "brute_force_ann": """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+        ), c AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+        ), terms AS (
+          SELECT query_id, neighbor_id, i,
+                 CAST(round(qv[i] * 1e6) AS BIGINT) AS qi,
+                 CAST(round(cv[i] * 1e6) AS BIGINT) AS ci
+          FROM c CROSS JOIN q, range(1, 65) r(i)
+          WHERE neighbor_id != query_id
+        ), dots AS (
+          SELECT query_id, neighbor_id,
+                 sum(qi * ci) AS dot, sum(qi * qi) AS nq, sum(ci * ci) AS nc
+          FROM terms GROUP BY 1, 2
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 CAST(floor(dot / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT) AS cos_e6
+          FROM dots
+        )
+        SELECT query_id, rank, neighbor_id, cos_e6 FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "lsh_ann": """
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv, bucket FROM v WHERE vec_id < 8
+        ), c AS (
+          SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM v
+        ), terms AS (
+          SELECT query_id, c.bucket, neighbor_id, i,
+                 CAST(round(qv[i] * 1e6) AS BIGINT) AS qi,
+                 CAST(round(cv[i] * 1e6) AS BIGINT) AS ci
+          FROM c JOIN q ON c.bucket = q.bucket AND neighbor_id != query_id,
+               range(1, 65) r(i)
+        ), dots AS (
+          SELECT query_id, bucket, neighbor_id,
+                 sum(qi * ci) AS dot, sum(qi * qi) AS nq, sum(ci * ci) AS nc
+          FROM terms GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT query_id, bucket, neighbor_id,
+                 CAST(floor(dot / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT) AS cos_e6
+          FROM dots
+        )
+        SELECT query_id, bucket, rank, neighbor_id, cos_e6 FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "embedding_near_dup": """
+        WITH v AS (
+          SELECT vec_id, embedding,
+                 CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS va, b.embedding AS vb
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), terms AS (
+          SELECT bucket, id_a, id_b, i,
+                 CAST(round(va[i] * 1e6) AS BIGINT) AS ai,
+                 CAST(round(vb[i] * 1e6) AS BIGINT) AS bi
+          FROM pairs, range(1, 65) r(i)
+        ), dots AS (
+          SELECT bucket, id_a, id_b,
+                 sum(ai * bi) AS dot, sum(ai * ai) AS na, sum(bi * bi) AS nb
+          FROM terms GROUP BY 1, 2, 3
+        )
+        SELECT bucket, id_a, id_b,
+               CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS cos_e6
+        FROM dots
+        WHERE floor(dot / (sqrt(na) * sqrt(nb)) * 1e6) >= 350000
+        ORDER BY id_a, id_b
+        """,
+        "lang_id": """
+        WITH scored AS (
+          SELECT doc_id,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','of','and','to'))) AS s_en,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('data','table','column','row','value'))) AS s_data,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x IN ('query','join','filter','scan','sort'))) AS s_query
+          FROM documents
+        ), labeled AS (
+          SELECT CASE
+            WHEN s_en > 0 AND s_en >= s_data AND s_en >= s_query THEN 'en'
+            WHEN s_data > 0 AND s_data >= s_query THEN 'data'
+            WHEN s_query > 0 THEN 'query'
+            ELSE 'und' END AS lang_guess
+          FROM scored
+        )
+        SELECT lang_guess, count(*) AS n_docs FROM labeled
+        GROUP BY lang_guess ORDER BY lang_guess
+        """,
+        "quality_features": """
+        WITH d AS (
+          SELECT doc_id, text, string_split(text, ' ') AS t,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents
+        ), f AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+                 CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stopword_count
+          FROM d
+        )
+        SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+               CAST(floor(1000 * (n_chars - (n_tokens - 1)) / n_tokens) AS BIGINT) AS avg_token_len_pm,
+               stopword_count,
+               CAST(floor(1000 * n_distinct_tokens / n_tokens) AS BIGINT) AS distinct_ratio_pm,
+               CASE WHEN n_tokens < 10 THEN 'too_short'
+                    WHEN floor(1000 * n_distinct_tokens / n_tokens) < 300 THEN 'repetitive'
+                    WHEN stopword_count = 0 THEN 'no_function_words'
+                    ELSE 'ok' END AS quality_class
+        FROM f
+        """,
+        "token_counts": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS piece_tokens
+        FROM documents
+        """,
+        "doc_fingerprint": """
+        WITH tk AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM tk
+        ), x AS (
+          SELECT doc_id, bit_xor(th) AS token_xor_hash FROM h GROUP BY doc_id
+        )
+        SELECT x.doc_id, x.token_xor_hash,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM x JOIN documents d ON d.doc_id = x.doc_id
         """,
     }

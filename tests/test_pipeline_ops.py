@@ -1,0 +1,149 @@
+"""Unit tests for the LLM-pipeline operators (dedup, similarity, text,
+multimodal) — edge cases the oracle-parity suite doesn't isolate."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zombi_spark.operators import dedup as D
+from zombi_spark.operators import multimodal as M
+from zombi_spark.operators import similarity as S
+from zombi_spark.operators import text_analysis as TA
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "a"),
+        (1, "the quick brown fox jumps over the lazy cat", "a"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "b"),  # exact dup of 0
+        (3, "completely different content here entirely", "a"),
+        (4, "single", "a"),  # shorter than shingle width
+        (5, "data table column row value data table", "a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_shingles_edge_cases(spark, docs):
+    out = {r.doc_id: r.shingles for r in D.with_shingles(docs, n=2).collect()}
+    assert out[4] == []  # 1-token doc: no 2-shingles, not a crash
+    assert out[0][0] == "the quick" and len(out[0]) == 8
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.content_hash: r for r in D.exact_dedup(docs).collect()}
+    groups = {(r.keep_id, r.n_copies) for r in out.values()}
+    assert (0, 2) in groups  # docs 0 and 2 collapse, keep lowest id
+    assert len(out) == 5  # 6 docs, one duplicate pair
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    # 8 hashes per doc that has shingles (doc 4 has none)
+    assert sigs.groupBy("doc_id").count().where("count != 8").count() == 0
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 2) in got  # exact dups always collide on every band
+    verified = D.jaccard_verify(docs, pairs, shingle_n=2)
+    jm = {(r.id_a, r.id_b): r.jaccard_pm for r in verified.collect()}
+    assert jm[(0, 2)] == 1000  # identical sets
+    if (0, 1) in jm:  # near-dup: 7 of 9 shingles shared → 7/11
+        assert 500 < jm[(0, 1)] < 1000
+
+
+def test_simhash_close_for_near_dups(spark, docs):
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs, bits=16).collect()}
+    assert sh[0] == sh[2]  # identical docs → identical simhash
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near <= ham_far  # near-dup at most as far as unrelated doc
+    assert all(0 <= v < (1 << 16) for v in sh.values())
+
+
+def test_quantized_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=16).astype("float32")
+    b = rng.normal(size=16).astype("float32")
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "va array<float>, vb array<float>"
+    )
+    got = df.select(S.cosine_e6(F.col("va"), F.col("vb")).alias("c")).collect()[0].c
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got / 1e6 - want) < 1e-4  # quantization error only
+
+
+def test_brute_force_topk_ranks(spark):
+    # vectors engineered so neighbor order is known for query 0
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest
+        (2, [0.5, 0.5, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.brute_force_topk(emb, emb.where("vec_id = 0"), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.5] * 32), (1, [-0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    got = emb.select(S.sign_lsh_bucket(F.col("embedding"), (1, 9, 17, 25)).alias("b")).collect()
+    assert [r.b for r in got] == [15, 0]
+
+
+def test_quality_features_exact(spark, docs):
+    out = {r.doc_id: r for r in TA.quality_features(docs).collect()}
+    r0 = out[0]
+    assert r0.n_tokens == 9
+    assert r0.n_distinct_tokens == 8  # 'the' twice
+    assert r0.stopword_count == 2
+    assert r0.quality_class == "too_short"  # < 10 tokens
+    assert out[4].quality_class == "too_short"
+    # avg token length: (43 chars - 8 spaces) / 9 tokens = 3.888 → 3888
+    assert r0.avg_token_len_pm == math.floor(1000 * (len(docs.collect()[0].text) - 8) / 9)
+
+
+def test_lang_id_rules(spark):
+    rows = [
+        (0, "the cat and the hat"),          # en markers
+        (1, "data table row value stream"),  # data markers
+        (2, "xyzzy plugh foobar"),           # none → und
+        (3, "the data"),                     # tie en=1, data=1 → en wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select("doc_id", TA.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {0: "en", 1: "data", 2: "und", 3: "en"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma alpha beta"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.token_xor_hash for r in TA.doc_fingerprint(df).collect()}
+    assert fp[0] == fp[1]  # order-insensitive
+    assert fp[0] != fp[2]
+
+
+def test_media_pipeline_stub(spark, docs):
+    media = M.documents_as_media(docs)
+    feats = M.extract_media_features(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 6
+    img = rows[0]  # doc_id 0 % 3 == 0 → image
+    assert img.media_type == "image" and img.width and img.height and img.duration_ms is None
+    aud = rows[1]
+    assert aud.media_type == "audio" and aud.width is None and aud.duration_ms >= 1000
+    # dedup over content sha: docs 0 and 2 share text bytes
+    dd = {r.content_sha: r.n_copies for r in M.media_exact_dedup(feats).collect()}
+    assert 2 in dd.values()
+
+
+def test_decode_stub_rejects_unknown_type():
+    with pytest.raises(NotImplementedError):
+        M.decode_stub(b"bytes", "hologram")

@@ -1,0 +1,81 @@
+"""Streaming ingest tests: T1/T2/T5/T7/T11 semantics + crash-recovery
+analogue (checkpoint restart without duplicate flush — reference
+tests/crash_recovery_tests.rs:998-1078)."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from zombi_spark.streaming.ingest import StreamingIngest
+from zombi_spark.table.event_table import EventTable
+
+
+def _drop_files(landing, name, events):
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, f"{name}.json"), "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+def _mk_events(start, n, topic="t1", partitions=2, key=None):
+    return [
+        {
+            "topic": topic,
+            "partition": i % partitions,
+            "payload": f"p-{i}",
+            "timestamp_ms": 1700000000000 + i * 60000,
+            "idempotency_key": (f"{key}{i}" if key else None),
+            "ingest_order": i,
+        }
+        for i in range(start, start + n)
+    ]
+
+
+def test_streaming_drain_and_resume(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-events")
+    ckpt = str(tmp_path / "ckpt")
+    ing = StreamingIngest(spark, landing, table, ckpt)
+
+    # batch 1: drain landing zone (T11 availableNow)
+    _drop_files(landing, "b1", _mk_events(0, 20))
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    assert table.read().count() == 20
+    hwm1 = {(r.topic, r.partition): r.high_watermark for r in table.high_watermarks().collect()}
+    assert hwm1[("t1", 0)] == 10 and hwm1[("t1", 1)] == 10
+
+    # batch 2 after 'restart': new query instance, same checkpoint —
+    # already-processed file NOT re-flushed (T7), sequences continue (INV-1)
+    _drop_files(landing, "b2", _mk_events(20, 10))
+    ing2 = StreamingIngest(spark, landing, table, ckpt)
+    q2 = ing2.start(available_now=True)
+    q2.awaitTermination(120)
+    assert table.read().count() == 30
+    hwm2 = {(r.topic, r.partition): r.high_watermark for r in table.high_watermarks().collect()}
+    assert hwm2[("t1", 0)] == 15 and hwm2[("t1", 1)] == 15
+    # gapless per partition
+    for p in (0, 1):
+        seqs = sorted(
+            r.sequence for r in table.read().where(F.col("partition") == p).collect()
+        )
+        assert seqs == list(range(1, 16))
+    # one snapshot per non-empty micro-batch (T5)
+    assert len([s for s in table.snapshots() if s["operation"] == "append"]) == 2
+
+
+def test_streaming_idempotency_across_batches(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-idem")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+
+    _drop_files(landing, "b1", _mk_events(0, 8, partitions=1, key="k"))
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    # replay the same idempotency keys in a new file (client retry, INV-4)
+    _drop_files(landing, "b2", _mk_events(0, 8, partitions=1, key="k"))
+    q2 = ing.start(available_now=True)
+    q2.awaitTermination(120)
+    assert table.read().count() == 8  # replays suppressed
+    assert table.read().select(F.max("sequence")).collect()[0][0] == 8

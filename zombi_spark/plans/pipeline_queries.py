@@ -1,0 +1,145 @@
+"""LLM-data-pipeline queries (SURVEY.md §7 step 9) bound to the driver's
+``documents`` and ``embeddings`` tables. Thin wrappers over
+zombi_spark.operators.{dedup, similarity, text_analysis, multimodal}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zombi_spark.operators import dedup as D
+from zombi_spark.operators import multimodal as M
+from zombi_spark.operators import similarity as S
+from zombi_spark.operators import text_analysis as TA
+from zombi_spark.sources.tables import load_table
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).orderBy("content_hash")
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.fingerprint_dedup(docs).orderBy("fingerprint")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures for a deterministic slice (keeps the oracle fast)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→Jaccard-verify pipeline; near-dup pairs ≥ 0.5."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    verified = D.jaccard_verify(docs, pairs, shingle_n=2)
+    return verified.where(F.col("jaccard_pm") >= 500).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.simhash(docs, bits=16)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup with composite min-shingle blocking:
+    candidates = documents agreeing on BOTH independently-seeded minimum
+    shingle hashes, verified with exact Jaccard ≥ 0.3.
+
+    Scale note: a single min-shingle block skews toward globally common
+    bigrams (measured: 315k candidate pairs / max bucket 275 docs at
+    sf0.1); the composite 2-seed key cuts that to 10.7k pairs / max
+    bucket 23 and keeps bucket growth near-linear in corpus size. The
+    verification join only ever touches in-bucket pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.with_shingles(docs, n=2).select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
+    )
+    from zombi_spark.functions.hashing import md5_long
+
+    min_sh = shingled.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.min(md5_long(F.concat(F.lit("a:"), F.col("shingle")))).cast("string"),
+            F.min(md5_long(F.concat(F.lit("b:"), F.col("shingle")))).cast("string"),
+        ).alias("block")
+    )
+    a = min_sh.select(F.col("doc_id").alias("id_a"), "block")
+    b = min_sh.select(F.col("doc_id").alias("id_b"), "block")
+    pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return (
+        D.jaccard_verify(docs, pairs, shingle_n=2)
+        .where(F.col("jaccard_pm") >= 300)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_brute_force_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.35: above the corpus's random-pair band (~N(0, 0.12)),
+    # low enough to return real near-neighbor pairs on the synthetic data
+    return S.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold_e6=350000
+    ).orderBy("id_a", "id_b")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TA.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.quality_features(docs)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("ws_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("piece_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.doc_fingerprint(docs)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check: the decode is a stub, and
+    mapInPandas has no SQL equivalent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.extract_media_features(M.documents_as_media(docs))
+    return feats.select(
+        "media_id", "media_type", "n_bytes", "content_sha", "width", "height", "duration_ms"
+    )
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content dedup over extracted media features (rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.extract_media_features(M.documents_as_media(docs))
+    return M.media_exact_dedup(feats).orderBy("content_sha")

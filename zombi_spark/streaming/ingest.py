@@ -1,0 +1,95 @@
+"""Streaming ingest: zombi's hot path on Structured Streaming.
+
+Reference semantics → Spark mechanism (SURVEY.md §2.10):
+  T1 flush watermark        → streaming checkpoint offsets (checkpointLocation)
+  T2 micro-batch trigger    → trigger(processingTime=...) / availableNow
+  T4 hour-boundary split    → partitioned write by (event_date, event_hour)
+  T5 snapshot commit        → one EventTable snapshot per micro-batch
+  T6 two-phase watermark    → checkpoint commits after sink success (built in)
+  T7 startup reconciliation → foreachBatch re-reads table high watermarks,
+                              so sequences continue correctly after restart
+  T8 retention/cleanup      → source files are the 'hot buffer'; they stay
+                              until the caller removes them (retention=0s
+                              analogue); dedup state lives in the table
+  T11 graceful drain        → Trigger.AvailableNow + query.awaitTermination
+
+Exactly-once discussion (the honest deviation from SPEC.md INV-1/INV-4,
+flagged in SURVEY.md §7): sequences are assigned deterministically inside
+``foreachBatch`` from (existing table watermark + arrival order), and the
+batch is deduplicated against the table by idempotency key before append.
+If a batch retries *after* a partially-visible append, keyed events are
+suppressed by the idempotency anti-join (exactly-once for keyed events);
+unkeyed events would duplicate — the same contract zombi documents for
+clients that don't send idempotency keys (SPEC.md:752).
+
+Scale notes: each micro-batch does ONE shuffle keyed by
+(topic, partition) for sequence assignment, reused by the partitioned
+write's repartition on (event_date, event_hour) only when hour boundaries
+actually split the batch. The watermark lookup aggregates table *metadata*
+scope (partition column stats limit the scan) and is broadcast.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.event_table import EventTable
+
+
+class StreamingIngest:
+    """File-landing-zone streaming source → EventTable sink.
+
+    The landing zone stands in for zombi's HTTP edge (S1-S3): producers
+    drop JSON files ``{topic, partition, payload, timestamp_ms,
+    idempotency_key, ingest_order}``; the stream ingests them with
+    zombi's write-path semantics. A Kafka source swaps in by replacing
+    ``readStream`` options only.
+    """
+
+    def __init__(self, spark: SparkSession, landing_dir: str, table: EventTable, checkpoint_dir: str):
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.table = table
+        self.checkpoint_dir = checkpoint_dir
+
+    def _raw_stream(self) -> DataFrame:
+        json_schema = (
+            "topic string, partition int, payload string, timestamp_ms long, "
+            "idempotency_key string, ingest_order long"
+        )
+        raw = self.spark.readStream.schema(json_schema).json(self.landing_dir)
+        return raw.select(
+            "topic",
+            "partition",
+            F.col("payload").cast("binary").alias("payload"),
+            "timestamp_ms",
+            "idempotency_key",
+            "ingest_order",
+        )
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        existing = self.table.read() if os.path.isdir(self.table.data_path) else None
+        events = prepare_events(batch_df, existing=existing)
+        self.table.append(events)
+
+    def start(self, available_now: bool = True, processing_time: str = "5 seconds"):
+        """Run the ingest query. ``available_now=True`` drains the landing
+        zone and stops (T11 graceful-drain analogue); otherwise runs a
+        continuous micro-batch loop at ``processing_time`` (T2)."""
+        writer = (
+            self._raw_stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+        else:
+            q = writer.trigger(processingTime=processing_time).start()
+        return q

@@ -97,13 +97,17 @@ class EventTable:
             .partitionBy("event_date", "event_hour")
             .parquet(self.data_path)
         )
-        wm = {
-            f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"]
-            for r in self.read()
-            .groupBy("topic", "partition")
-            .agg(F.max("sequence").alias("hwm"))
-            .collect()
-        }
+        # watermarks: aggregate the BATCH (tiny frame: one row per producer
+        # partition) and merge with the prior snapshot — never a re-scan of
+        # the whole table (iceberg_storage.rs:285-300 does the same:
+        # summary carries forward).
+        snaps = self.snapshots()
+        wm: dict[str, int] = dict(snaps[-1]["watermarks"]) if snaps and "watermarks" in snaps[-1] else {}
+        for r in (
+            events.groupBy("topic", "partition").agg(F.max("sequence").alias("hwm")).collect()
+        ):
+            key = f"zombi.watermark.{r['topic']}/{r['partition']}"
+            wm[key] = max(wm.get(key, 0), r["hwm"])
         return self._commit_snapshot({"operation": "append", "watermarks": wm})
 
     # ---------------------------------------------------------------- read
