@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermarks": EQ.q_high_watermarks,
         "hour_grouping": EQ.q_hour_grouping,
         "json_extraction": EQ.q_json_extraction,
+        "payload_overflow": EQ.q_payload_overflow,
+        "sessionization": EQ.q_sessionization,
         "latest_per_key": EQ.q_latest_per_key,
         # [delegated] relational surface (SURVEY.md §2.4-2.9)
         "pricing_summary": RQ.q_pricing_summary,
@@ -180,6 +182,33 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(payload_str, '$.k') AS k_utf8,
                TRY_CAST(json_extract_string(payload_str, '$.missing') AS BIGINT) AS missing_field
         FROM ev
+        """,
+        "payload_overflow": _EV
+        + """
+        SELECT arrival,
+               TRY_CAST(json_extract_string(payload_str, '$.k') AS BIGINT) AS k,
+               '{"etype":"' || event_type || '"}' AS overflow_json
+        FROM ev
+        """,
+        "sessionization": _EV
+        + """
+        , g AS (
+          SELECT user_id, timestamp_ms, arrival,
+                 CASE WHEN timestamp_ms - lag(timestamp_ms) OVER w IS NULL
+                        OR timestamp_ms - lag(timestamp_ms) OVER w > 1800000
+                      THEN 1 ELSE 0 END AS is_new_session
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY timestamp_ms, arrival)
+        ), s AS (
+          SELECT user_id, timestamp_ms,
+                 sum(is_new_session) OVER (PARTITION BY user_id ORDER BY timestamp_ms, arrival
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(timestamp_ms) AS session_start_ms,
+               max(timestamp_ms) - min(timestamp_ms) AS duration_ms
+        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         "latest_per_key": _EV
         + """

@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the plan shape that survives a 100× scale-up.
+
+Checks Catalyst actually produces what the operator docstrings promise:
+filters pushed into the parquet scan, column pruning, broadcast joins for
+dims, TakeOrderedAndProject for top-k, partial aggregation, partition
+pruning on the EventTable layout (reference analogues X1-X4, SURVEY §4).
+"""
+
+import pyspark.sql.functions as F
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.plans import relational as RQ
+from zombi_spark.sources.tables import load_table
+from zombi_spark.table.event_table import EventTable
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _plan(li.select("l_orderkey", "l_extendedprice"))
+    # ReadSchema carries only the projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark, sf_dir):
+    plan = _plan(RQ.q_join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big (customer) side must not be exchanged for the join
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(RQ.q_topk_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort operator
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = _plan(RQ.q_pricing_summary(spark, sf_dir))
+    # partial (map-side) then final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        RQ.q_pricing_summary(spark, sf_dir).explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+
+
+def test_event_table_partition_pruning(spark, tmp_path):
+    """Predicates on event_date prune hive partitions at the scan."""
+    rows = [
+        ("t", 0, b"x", 1704067200000 + i * 3600_000, None, i) for i in range(48)
+    ]  # 2 days × 24 hours
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    pruned = t.read().where(F.col("event_date") == "2024-01-01")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    # only day-1 files are scanned: 24 of 48 rows
+    assert pruned.count() == 24
+
+
+def test_sequence_stats_skipping(spark, tmp_path):
+    """Sequence-range predicates reach the parquet scan as pushed filters
+    (row-group min/max stats then skip — the Iceberg DataFile-bounds
+    analogue, X2)."""
+    rows = [("t", 0, b"x", 1704067200000, None, i) for i in range(100)]
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    df = t.read().where(F.col("sequence") >= 90)
+    assert "GreaterThanOrEqual(sequence,90)" in _plan(df)
+    assert df.count() == 11
+
+
+def test_streaming_dedup_is_single_shuffle_per_key_family(spark, sf_dir):
+    """prepare_events plans exactly two exchanges (dedup window + sequence
+    window) — both hash-partitioned on the same (topic, partition) family,
+    no extra repartitions sneak in."""
+    raw = spark.createDataFrame(
+        [("t", i % 4, b"x", 1704067200000 + i, f"k{i}", i) for i in range(100)],
+        RAW_EVENT_SCHEMA,
+    )
+    plan = _plan(prepare_events(raw))
+    # exchanges: dedup window, sequence window, and the broadcast-less
+    # union path; we assert no more than 3 shuffle exchanges total
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -177,6 +177,66 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_payload_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: schema-on-write extraction with ``_payload_overflow``.
+
+    Builds a two-key JSON payload (props' k + the event_type), extracts
+    ``k`` as a typed column via TableSchemaConfig, and keeps the remainder
+    as compact JSON overflow — the reference's leftover-JSON semantics
+    (payload_extractor.rs:74-96,145-179).
+    """
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig, extract_payload
+
+    ev = zombi_events(spark, sf_dir)
+    enriched = ev.select(
+        "arrival",
+        F.concat(
+            F.lit('{"k": '),
+            F.get_json_object(F.col("payload_str"), "$.k"),
+            F.lit(', "etype": "'),
+            F.col("event_type"),
+            F.lit('"}'),
+        )
+        .cast("binary")
+        .alias("payload"),
+    )
+    config = TableSchemaConfig(
+        payload_format="json", fields=[FieldSpec(name="k", json_path="k", data_type="int64")]
+    )
+    out = extract_payload(enriched, config)
+    return out.select(
+        "arrival", "k", F.col("_payload_overflow").cast("string").alias("overflow_json")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session ids
+    via lag + cumulative sum — the classic streaming-analytics window
+    pattern, one shuffle on user_id."""
+    ev = zombi_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("timestamp_ms", "arrival")
+    gap = F.col("timestamp_ms") - F.lag("timestamp_ms").over(w)
+    with_breaks = ev.select(
+        "user_id",
+        "timestamp_ms",
+        "arrival",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0).alias("is_new_session"),
+    )
+    sessioned = with_breaks.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("timestamp_ms").alias("session_start_ms"),
+            (F.max("timestamp_ms") - F.min("timestamp_ms")).alias("duration_ms"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 flagship window query: latest event per user via row_number."""
     ev = zombi_events(spark, sf_dir)

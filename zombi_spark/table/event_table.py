@@ -89,9 +89,12 @@ class EventTable:
         runs within files (O1), Zstd Parquet (X12), hive dirs (X1).
         """
         cols = [f.name for f in EVENT_SCHEMA.fields]
+        # cache: the batch is consumed twice (write + watermark aggregate);
+        # without it the whole prepare_events lineage (two window shuffles)
+        # would recompute for the tiny watermark frame
+        events = events.select(*cols).persist()
         (
-            events.select(*cols)
-            .repartition("event_date", "event_hour")
+            events.repartition("event_date", "event_hour")
             .sortWithinPartitions("timestamp_ms", "sequence")
             .write.mode("append")
             .partitionBy("event_date", "event_hour")
@@ -108,6 +111,7 @@ class EventTable:
         ):
             key = f"zombi.watermark.{r['topic']}/{r['partition']}"
             wm[key] = max(wm.get(key, 0), r["hwm"])
+        events.unpersist()
         return self._commit_snapshot({"operation": "append", "watermarks": wm})
 
     # ---------------------------------------------------------------- read
