@@ -409,10 +409,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT doc_id,
                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
           FROM d WHERE len(t) >= 2
+        ), based AS (
+          SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 1073741824 AS base
+          FROM sh
         ), hashed AS (
           SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
-                 ('0x' || substr(md5(s.seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
-          FROM sh, range(0, 8) s(seed)
+                 ((((s.seed * 1103515245 + 12345) % 1073741824) | 1)::BIGINT * base
+                  + ((s.seed * 22695477 + 1) % 1073741824)::BIGINT) % 1073741789 AS h
+          FROM based, range(0, 8) s(seed)
         )
         SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
         """,
@@ -427,14 +431,18 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         ), ex AS (
           SELECT doc_id, unnest(sh) AS shingle FROM shl
+        ), based AS (
+          SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 1073741824 AS base
+          FROM ex
         ), hashed AS (
           SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
-                 ('0x' || substr(md5(s.seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT AS h
-          FROM ex, range(0, 8) s(seed)
+                 ((((s.seed * 1103515245 + 12345) % 1073741824) | 1)::BIGINT * base
+                  + ((s.seed * 22695477 + 1) % 1073741824)::BIGINT) % 1073741789 AS h
+          FROM based, range(0, 12) s(seed)
         ), sigs AS (
           SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
         ), bands AS (
-          SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+          SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
                  string_agg(min_hash::VARCHAR, ',' ORDER BY seed) AS band_sig
           FROM sigs GROUP BY 1, 2
         ), cand AS (
@@ -487,9 +495,15 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         ), mh AS (
           SELECT doc_id,
-                 min(('0x' || substr(md5('a:' || shingle), 1, 15))::BIGINT)::VARCHAR || ',' ||
-                 min(('0x' || substr(md5('b:' || shingle), 1, 15))::BIGINT)::VARCHAR AS block
-          FROM (SELECT doc_id, unnest(sh) AS shingle FROM shl0) s GROUP BY doc_id
+                 min(((((101::BIGINT * 1103515245 + 12345) % 1073741824) | 1) * base
+                      + (101::BIGINT * 22695477 + 1) % 1073741824) % 1073741789)::VARCHAR
+                 || ',' ||
+                 min(((((102::BIGINT * 1103515245 + 12345) % 1073741824) | 1) * base
+                      + (102::BIGINT * 22695477 + 1) % 1073741824) % 1073741789)::VARCHAR AS block
+          FROM (
+            SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 1073741824 AS base
+            FROM (SELECT doc_id, unnest(sh) AS shingle FROM shl0) s0
+          ) s GROUP BY doc_id
         ), cand AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b
           FROM mh a JOIN mh b ON a.block = b.block AND a.doc_id < b.doc_id

@@ -84,27 +84,49 @@ def fingerprint_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 # -------------------------------------------------------------- minhash-lsh
 
+# affine MinHash family over a 30-bit base hash: one md5 per shingle, then
+# h_s = (a(s)·base + b(s)) mod P with a,b derived from the seed by LCG
+# constants — exact int64 arithmetic (product < 2^60), portable to SQL.
+MINHASH_P = 1073741789  # largest prime < 2^30
+_BASE_MOD = 1 << 30
+
+
+def affine_hash(base: F.Column, seed: F.Column) -> F.Column:
+    s = seed.cast("long")  # int seed × LCG constant overflows int32
+    a = F.pmod(s * F.lit(1103515245) + F.lit(12345), F.lit(_BASE_MOD)).bitwiseOR(F.lit(1).cast("long"))
+    b = F.pmod(s * F.lit(22695477) + F.lit(1), F.lit(_BASE_MOD))
+    return F.pmod(a * base + b, F.lit(MINHASH_P))
+
+
+def minhash_affine_sql(base_expr: str, seed_expr: str) -> str:
+    """DuckDB fragment mirroring :func:`affine_hash` (for oracles)."""
+    a = f"((({seed_expr}) * 1103515245 + 12345) % 1073741824) | 1"
+    b = f"(({seed_expr}) * 22695477 + 1) % 1073741824"
+    return f"((({a})::BIGINT * ({base_expr}) + ({b})::BIGINT) % {MINHASH_P})"
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, shingle_n: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:
     """MinHash signature per document: k seeded min-hashes over the
     distinct shingle set. Output: (id, seed, min_hash), k rows per doc.
 
-    explode(distinct shingles) × k seeds, then min per (doc, seed) —
-    partial min runs map-side, so the shuffle is k rows per document.
+    One md5 per distinct shingle (base hash, folded to 30 bits), k affine
+    rehashes per shingle — integer-only after the single md5. The min per
+    (doc, seed) aggregates map-side, so the shuffle carries k rows per doc.
     """
-    shingled = with_shingles(docs, n=shingle_n)
+    # a single parquet file scans as ONE input partition; rebalance before
+    # the explode so hashing parallelizes (at cluster scale the scan already
+    # has many splits and this coalesces to the same width)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    shingled = with_shingles(docs.repartition(par), n=shingle_n)
     exploded = shingled.select(
         F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("shingle")
-    )
+    ).select(F.col(id_col), F.pmod(md5_long(F.col("shingle")), F.lit(_BASE_MOD)).alias("base"))
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     per_seed = exploded.select(
-        F.col(id_col), F.explode(seeds).alias("seed"), F.col("shingle")
-    ).select(
-        F.col(id_col),
-        "seed",
-        md5_long(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-    )
+        F.col(id_col), F.explode(seeds).alias("seed"), F.col("base")
+    ).select(F.col(id_col), "seed", affine_hash(F.col("base"), F.col("seed")).alias("h"))
     return per_seed.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
 
 
@@ -156,7 +178,8 @@ def jaccard_verify(
     Output: (id_a, id_b, inter, union, jaccard_pm) with jaccard in
     per-mille (integer — exact cross-engine).
     """
-    shingled = with_shingles(docs, n=shingle_n).select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    shingled = with_shingles(docs.repartition(par), n=shingle_n).select(
         F.col(id_col), F.array_distinct("shingles").alias("sh")
     )
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
@@ -200,7 +223,8 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     folded into a single aggregate over bit positions via shiftright), one
     groupBy per doc.
     """
-    toks = docs.select(
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.repartition(par).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
     ).withColumn("h", md5_long(F.col("token")))
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")

@@ -1,0 +1,66 @@
+"""Skew-mitigation utilities for hot join keys at scale.
+
+AQE's skew-join splitting (enabled in session.py) handles most cases at
+runtime; explicit salting remains necessary when a *single* key dominates
+(e.g. one topic receiving half the events — the shape zombi's per-
+partition sharding is designed around, SPEC.md:658-661) or when the skew
+is in an aggregation rather than a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted and the small side replicated.
+
+    big rows get a random-but-deterministic salt (hash of all columns mod
+    buckets — no RNG, so retries/speculative tasks agree); small rows are
+    exploded ×salt_buckets. The shuffle key becomes (key..., salt), so one
+    hot key spreads over ``salt_buckets`` reducers. Cost: small side is
+    replicated — use only when small is dimension-sized.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    big_salted = big.withColumn("_salt", salt)
+    small_rep = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_salted.join(small_rep, on=[*on, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (keys, salt), then final on keys. Only decomposable aggregates
+    (sum/count/min/max) — the same split Catalyst does automatically for
+    partial aggregation, made explicit to also split the *reduce* side.
+
+    aggs: {column: fn} with fn ∈ {sum, count, min, max}.
+    """
+    fns = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    refine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in fns:
+            raise ValueError(f"non-decomposable aggregate {fn!r}")
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(*[fns[fn](c).alias(f"{fn}_{c}") for c, fn in aggs.items()])
+    )
+    return partial.groupBy(*keys).agg(
+        *[refine[fn](f"{fn}_{c}").alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )

@@ -32,10 +32,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash→LSH→Jaccard-verify pipeline; near-dup pairs ≥ 0.5."""
+    """Full MinHash→LSH→Jaccard-verify pipeline; near-dup pairs ≥ 0.5.
+
+    4 bands × 3 rows (12 hashes): S-curve threshold (1/b)^(1/r) ≈ 0.63,
+    which keeps random-collision candidates near zero at corpus scale
+    (2-row bands produced 45k mostly-random candidates at sf0.1; 3-row
+    bands cut that to the true near-dup neighborhood)."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
-    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
     verified = D.jaccard_verify(docs, pairs, shingle_n=2)
     return verified.where(F.col("jaccard_pm") >= 500).orderBy("id_a", "id_b")
 
@@ -57,16 +62,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification join only ever touches in-bucket pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingled = D.with_shingles(docs, n=2).select(
-        "doc_id", F.explode(F.array_distinct("shingles")).alias("shingle")
-    )
     from zombi_spark.functions.hashing import md5_long
 
+    shingled = (
+        D.with_shingles(docs, n=2)
+        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("shingle"))
+        .select("doc_id", F.pmod(md5_long(F.col("shingle")), F.lit(1 << 30)).alias("base"))
+    )
     min_sh = shingled.groupBy("doc_id").agg(
         F.concat_ws(
             ",",
-            F.min(md5_long(F.concat(F.lit("a:"), F.col("shingle")))).cast("string"),
-            F.min(md5_long(F.concat(F.lit("b:"), F.col("shingle")))).cast("string"),
+            F.min(D.affine_hash(F.col("base"), F.lit(101))).cast("string"),
+            F.min(D.affine_hash(F.col("base"), F.lit(102))).cast("string"),
         ).alias("block")
     )
     a = min_sh.select(F.col("doc_id").alias("id_a"), "block")

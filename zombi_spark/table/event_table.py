@@ -98,6 +98,10 @@ class EventTable:
             .sortWithinPartitions("timestamp_ms", "sequence")
             .write.mode("append")
             .partitionBy("event_date", "event_hour")
+            # X5 analogue: parquet bloom filter on idempotency_key makes the
+            # dedup-history anti-join probe skip row groups (the reference
+            # keeps an in-memory bloom per partition, rocksdb.rs:39-88)
+            .option("parquet.bloom.filter.enabled#idempotency_key", "true")
             .parquet(self.data_path)
         )
         # watermarks: aggregate the BATCH (tiny frame: one row per producer
