@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": EQ.q_json_extraction,
         "payload_overflow": EQ.q_payload_overflow,
         "sessionization": EQ.q_sessionization,
+        "hex_keys": EQ.q_hex_keys,
+        "date_functions": EQ.q_date_functions,
+        "pivot": RQ.q_pivot,
+        "grouping_sets": RQ.q_grouping_sets,
         "latest_per_key": EQ.q_latest_per_key,
         # [delegated] relational surface (SURVEY.md §2.4-2.9)
         "pricing_summary": RQ.q_pricing_summary,
@@ -182,6 +186,46 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(payload_str, '$.k') AS k_utf8,
                TRY_CAST(json_extract_string(payload_str, '$.missing') AS BIGINT) AS missing_field
         FROM ev
+        """,
+        "hex_keys": _EV
+        + """
+        , seq AS (
+          SELECT topic, partition, arrival,
+                 CAST(row_number() OVER (PARTITION BY topic, partition ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT arrival,
+               'evt:' || topic || ':' || partition::VARCHAR || ':' || printf('%016x', sequence) AS event_key,
+               printf('%016x', sequence) AS seq_hex
+        FROM seq
+        """,
+        "date_functions": _EV
+        + """
+        , d AS (
+          SELECT arrival, CAST(make_timestamp(timestamp_ms * 1000) AS DATE) AS dt FROM ev
+        )
+        SELECT arrival,
+               strftime(dt, '%Y-%m-%d') AS event_date,
+               CAST(year(dt) AS INTEGER) AS y,
+               CAST(month(dt) AS INTEGER) AS m,
+               CAST(day(dt) AS INTEGER) AS dom,
+               strftime(dt + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
+               strftime(last_day(dt), '%Y-%m-%d') AS month_end,
+               CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
+               CAST(quarter(dt) AS INTEGER) AS q
+        FROM d
+        """,
+        "pivot": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS qty_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
         "payload_overflow": _EV
         + """

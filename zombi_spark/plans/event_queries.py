@@ -237,6 +237,46 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: the reference's RocksDB key rendering —
+    ``evt:{topic}:{partition}:{seq:016x}`` (rocksdb.rs:14-27,386-420) as a
+    pure column expression."""
+    from zombi_spark.functions.events import hex_sequence
+
+    seq = q_sequence_assign(spark, sf_dir)
+    return seq.select(
+        "arrival",
+        F.concat_ws(
+            ":",
+            F.lit("evt"),
+            F.col("topic"),
+            F.col("partition").cast("string"),
+            hex_sequence(F.col("sequence")),
+        ).alias("event_key"),
+        hex_sequence(F.col("sequence")).alias("seq_hex"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F11 date surface: truncation, arithmetic, extraction — chosen
+    for identical cross-engine semantics (no dayofweek: numbering differs
+    between engines)."""
+    ev = zombi_events(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    d = F.to_date(ts)
+    return ev.select(
+        "arrival",
+        F.date_format(d, "yyyy-MM-dd").alias("event_date"),
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("plus_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_y24"),
+        F.quarter(d).alias("q"),
+    )
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 flagship window query: latest event per user via row_number."""
     ev = zombi_events(spark, sf_dir)

@@ -339,6 +339,32 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10-adjacent: pivot linestatus into columns (explicit value list so
+    the plan needs no discovery pass; oracle uses CASE sums)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity").cast("long"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: explicit GROUPING SETS via SQL (finer than rollup/cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
 # ------------------------------------------------------------------ scalars
 def q_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: representative scalar surface — string/date/math/conditional —
