@@ -1,0 +1,57 @@
+"""Maintenance helpers: orphan cleanup (M4) and landing-zone retention (T8)."""
+
+import json
+import os
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.streaming.ingest import StreamingIngest
+from zombi_spark.table.event_table import EventTable
+
+
+def test_remove_orphans_only_touches_temporaries(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(10)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    n_before = t.read().count()
+
+    # plant a fake crashed-compaction temp dir inside a partition dir
+    part_dir = os.path.dirname(t.files()[0]["file_path"])
+    orphan_dir = os.path.join(part_dir, ".compact-deadbeef")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-0.parquet"), "w") as fh:
+        fh.write("junk")
+
+    removed = t.remove_orphans()
+    assert any("deadbeef" in p for p in removed)
+    assert not os.path.exists(orphan_dir)
+    assert t.read().count() == n_before  # committed data untouched
+
+
+def test_landing_zone_retention(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "events")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+    os.makedirs(landing)
+    with open(os.path.join(landing, "b1.json"), "w") as fh:
+        for i in range(5):
+            fh.write(
+                json.dumps(
+                    {
+                        "topic": "t",
+                        "partition": 0,
+                        "payload": f"p{i}",
+                        "timestamp_ms": 1704067200000 + i,
+                        "idempotency_key": None,
+                        "ingest_order": i,
+                    }
+                )
+                + "\n"
+            )
+    # unprocessed file must never be deleted
+    assert ing.cleanup_landing_zone() == []
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    assert table.read().count() == 5
+    # processed + past retention → removed
+    removed = ing.cleanup_landing_zone(retention_ms=0)
+    assert len(removed) == 1 and not os.listdir(landing)

@@ -93,3 +93,44 @@ class StreamingIngest:
         else:
             q = writer.trigger(processingTime=processing_time).start()
         return q
+
+    def cleanup_landing_zone(self, retention_ms: int = 0) -> list[str]:
+        """T8: hot-buffer retention — remove landing files older than the
+        retention window whose contents are already committed (the stream
+        checkpoint guarantees processed-once; files are the 'hot tier' and
+        this is the ``delete_range ≤ watermark`` analogue,
+        rocksdb.rs:1150-1237). Returns removed paths."""
+        import time
+
+        removed = []
+        if not os.path.isdir(self.landing_dir):
+            return removed
+        # only files the checkpoint has seen are eligible: Spark's file
+        # source tracks them in <ckpt>/sources/0 as JSON logs
+        seen: set[str] = set()
+        src_log = os.path.join(self.checkpoint_dir, "sources", "0")
+        if os.path.isdir(src_log):
+            import json as _json
+
+            for logf in os.listdir(src_log):
+                p = os.path.join(src_log, logf)
+                if not os.path.isfile(p):
+                    continue
+                # log dirs also hold non-text artifacts (.crc) — skip bad bytes
+                with open(p, errors="ignore") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            try:
+                                entry = _json.loads(line)
+                                if "path" in entry:
+                                    seen.add(entry["path"].replace("file://", ""))
+                            except ValueError:
+                                pass
+        cutoff = time.time() - retention_ms / 1000.0
+        for f in os.listdir(self.landing_dir):
+            full = os.path.join(self.landing_dir, f)
+            if os.path.isfile(full) and full in seen and os.path.getmtime(full) <= cutoff:
+                os.remove(full)
+                removed.append(full)
+        return removed

@@ -153,6 +153,28 @@ class EventTable:
         return sorted(out, key=lambda d: d["file_path"])
 
     # --------------------------------------------------------- maintenance
+    def remove_orphans(self) -> list[str]:
+        """M4: delete leftover temp artifacts from failed rewrites/appends
+        (``.compact-*`` dirs, spark staging markers) — the
+        ``remove_orphan_files`` analogue (compaction.rs:350-364,
+        iceberg_storage.rs:1587-1600). Committed data files are never
+        touched: only dot-prefixed temporaries qualify."""
+        removed: list[str] = []
+        for dirpath, dirs, files in os.walk(self.data_path, topdown=False):
+            for d in list(dirs):
+                if d.startswith(".compact-") or d == "_temporary":
+                    full = os.path.join(dirpath, d)
+                    for sub, _ds, fs in os.walk(full, topdown=False):
+                        for f in fs:
+                            os.remove(os.path.join(sub, f))
+                            removed.append(os.path.join(sub, f))
+                        os.rmdir(sub)
+            for f in files:
+                if f.startswith(".") and f.endswith(".tmp"):
+                    os.remove(os.path.join(dirpath, f))
+                    removed.append(os.path.join(dirpath, f))
+        return removed
+
     def compact(
         self,
         small_file_bytes: int = 64 * 1024 * 1024,
