@@ -1,0 +1,113 @@
+"""Snapshot reads (time travel), SQL view surface, and source rate limiting."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.streaming.ingest import StreamingIngest
+from zombi_spark.table.event_table import EventTable
+
+
+def _batch(spark, start, n):
+    rows = [("t", 0, f"p{i}".encode(), 1704067200000 + i * 1000, None, i) for i in range(start, start + n)]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 10)))
+    t.append(prepare_events(_batch(spark, 10, 5), ))
+    assert t.read().count() == 15
+    assert t.read(version=0).count() == 10  # as-of first snapshot
+    assert t.read(version=1).count() == 15
+    # partition columns still materialize from the dir layout
+    assert t.read(version=0).where(F.col("event_date").isNull()).count() == 0
+    with pytest.raises(ValueError):
+        t.read(version=7)
+
+
+def test_time_travel_across_compaction(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(3):
+        t.append(prepare_events(_batch(spark, s * 5, 5)))
+    pre_compact_rows = t.read(version=1).count()
+    t.compact(min_input_files=2)
+    # post-compaction snapshot sees all data; the old snapshot's files are
+    # gone (compaction deletes inputs), so as-of reads before it now fail —
+    # the documented single-writer/no-snapshot-retention tradeoff
+    assert t.read().count() == 15
+    assert pre_compact_rows == 10
+    latest = len(t.snapshots()) - 1
+    assert t.read(version=latest).count() == 15
+
+
+def test_sql_view_surface(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "sql-events")
+    t.append(prepare_events(_batch(spark, 0, 12)))
+    view = t.create_view()
+    got = spark.sql(
+        f"SELECT partition, max(sequence) AS hwm FROM {view} GROUP BY partition"
+    ).collect()
+    assert got[0].hwm == 12
+
+
+def test_max_files_per_trigger_rate_limit(spark, tmp_path):
+    """T3/T10: maxFilesPerTrigger bounds per-batch work; each file becomes
+    its own micro-batch + snapshot."""
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for b in range(3):
+        with open(os.path.join(landing, f"b{b}.json"), "w") as fh:
+            for i in range(4):
+                fh.write(
+                    json.dumps(
+                        {
+                            "topic": "t",
+                            "partition": 0,
+                            "payload": f"p{b}-{i}",
+                            "timestamp_ms": 1704067200000 + (b * 4 + i) * 1000,
+                            "idempotency_key": None,
+                            "ingest_order": b * 4 + i,
+                        }
+                    )
+                    + "\n"
+                )
+    table = EventTable(spark, str(tmp_path), "rate-events")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+    # patch the source with a maxFilesPerTrigger rate limit
+    orig = StreamingIngest._raw_stream
+
+    def _limited_stream(self):
+        json_schema = (
+            "topic string, partition int, payload string, timestamp_ms long, "
+            "idempotency_key string, ingest_order long"
+        )
+        r = (
+            self.spark.readStream.schema(json_schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(self.landing_dir)
+        )
+        return r.select(
+            "topic",
+            "partition",
+            F.col("payload").cast("binary").alias("payload"),
+            "timestamp_ms",
+            "idempotency_key",
+            "ingest_order",
+        )
+
+    StreamingIngest._raw_stream = _limited_stream
+    try:
+        q = ing.start(available_now=True)
+        q.awaitTermination(120)
+    finally:
+        StreamingIngest._raw_stream = orig
+    assert table.read().count() == 12
+    snaps = [s for s in table.snapshots() if s["operation"] == "append"]
+    assert len(snaps) == 3  # one snapshot per rate-limited micro-batch
+    # sequences remain gapless across the 3 batches
+    seqs = sorted(r.sequence for r in table.read().collect())
+    assert seqs == list(range(1, 13))

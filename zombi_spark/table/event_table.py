@@ -116,16 +116,50 @@ class EventTable:
             key = f"zombi.watermark.{r['topic']}/{r['partition']}"
             wm[key] = max(wm.get(key, 0), r["hwm"])
         events.unpersist()
-        return self._commit_snapshot({"operation": "append", "watermarks": wm})
+        return self._commit_snapshot(
+            {
+                "operation": "append",
+                "watermarks": wm,
+                # manifest-list analogue (iceberg_storage.rs:1087-1110):
+                # every snapshot records the full active file set, enabling
+                # snapshot reads (time travel) and compaction swaps
+                "files": [f["file_path"] for f in self.files()],
+            }
+        )
 
     # ---------------------------------------------------------------- read
-    def read(self) -> DataFrame:
-        """Scan the table (partition-pruned + stats-skipped by Catalyst)."""
+    def read(self, version: int | None = None) -> DataFrame:
+        """Scan the table (partition-pruned + stats-skipped by Catalyst).
+
+        ``version`` reads the table AS OF that snapshot (time travel): the
+        scan is restricted to the snapshot's recorded file set, partition
+        columns still derive from the directory layout via basePath.
+        Snapshots older than file-list tracking raise.
+        """
+        if version is None:
+            return (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .option("basePath", self.data_path)
+                .parquet(self.data_path)
+            )
+        snaps = self.snapshots()
+        if not 0 <= version < len(snaps):
+            raise ValueError(f"no snapshot version {version}; have 0..{len(snaps) - 1}")
+        files = snaps[version].get("files")
+        if files is None:
+            raise ValueError(f"snapshot {version} predates file-list tracking")
         return (
             self.spark.read.schema(EVENT_SCHEMA)
             .option("basePath", self.data_path)
-            .parquet(self.data_path)
+            .parquet(*files)
         )
+
+    def create_view(self, view_name: str | None = None) -> str:
+        """Register the table as a temp view for spark.sql (S13-lite: the
+        catalog surface an external engine would see)."""
+        name = view_name or self.name.replace("-", "_")
+        self.read().createOrReplaceTempView(name)
+        return name
 
     def high_watermarks(self) -> DataFrame:
         """A2: max committed sequence per (topic, partition)
@@ -220,6 +254,11 @@ class EventTable:
             os.rmdir(tmp_dir)
             rewritten += len(paths)
         snap = self._commit_snapshot(
-            {"operation": "compact", "partitions": sorted(candidates), "files_rewritten": rewritten}
+            {
+                "operation": "compact",
+                "partitions": sorted(candidates),
+                "files_rewritten": rewritten,
+                "files": [f["file_path"] for f in self.files()],
+            }
         )
         return snap
