@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": EQ.q_sessionization,
         "hex_keys": EQ.q_hex_keys,
         "date_functions": EQ.q_date_functions,
+        "percentiles": RQ.q_percentiles,
         "pivot": RQ.q_pivot,
         "grouping_sets": RQ.q_grouping_sets,
         "latest_per_key": EQ.q_latest_per_key,
@@ -214,6 +215,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
                CAST(quarter(dt) AS INTEGER) AS q
         FROM d
+        """,
+        "percentiles": """
+        SELECT o_orderstatus,
+               CAST(floor(quantile_cont(o_totalprice, 0.5) * 1000) AS BIGINT) AS p50_pm,
+               CAST(floor(quantile_cont(o_totalprice, 0.95) * 1000) AS BIGINT) AS p95_pm,
+               CAST(floor(quantile_cont(o_totalprice, 0.99) * 1000) AS BIGINT) AS p99_pm,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "pivot": """
         SELECT l_returnflag,

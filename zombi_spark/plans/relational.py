@@ -339,6 +339,26 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-adjacent: exact interpolated percentiles per group (the
+    reference's histogram/percentile metrics surface,
+    metrics/histogram.rs:1-220, computed exactly instead of from buckets).
+    Quantized to integer cents per mille to stay hash-comparable: the
+    interpolation formula is the same in both engines, and inputs are
+    2-decimal doubles, so the per-mille floor is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    pcts = [0.5, 0.95, 0.99]
+    exprs = [
+        F.floor(F.expr(f"percentile(o_totalprice, {p})") * 1000).cast("long").alias(f"p{int(p * 100)}_pm")
+        for p in pcts
+    ]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(*exprs, F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10-adjacent: pivot linestatus into columns (explicit value list so
     the plan needs no discovery pass; oracle uses CASE sums)."""

@@ -194,7 +194,9 @@ class EventTable:
         iceberg_storage.rs:1587-1600). Committed data files are never
         touched: only dot-prefixed temporaries qualify."""
         removed: list[str] = []
-        for dirpath, dirs, files in os.walk(self.data_path, topdown=False):
+        # walk the table root: crashed compactions stage under {path}/.compact-*
+        # and interrupted meta commits leave .snap-*.json.tmp
+        for dirpath, dirs, files in os.walk(self.path, topdown=False):
             for d in list(dirs):
                 if d.startswith(".compact-") or d == "_temporary":
                     full = os.path.join(dirpath, d)
@@ -230,29 +232,48 @@ class EventTable:
                 by_partition.setdefault(f["partition_dir"], []).append(f)
         candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}
         rewritten = 0
-        for part_dir, fs in candidates.items():
-            paths = [f["file_path"] for f in fs]
-            df = self.spark.read.parquet(*paths)
-            tmp_dir = os.path.join(self.data_path, part_dir, f".compact-{uuid.uuid4().hex}")
+        if candidates:
+            # ONE Spark job rewrites every candidate partition (a per-
+            # partition loop of jobs would serialize at scale): read all
+            # inputs with partition columns from the layout, shuffle once
+            # on the storage key, write sorted into a staging tree, then
+            # swap files per partition directory.
+            all_paths = [f["file_path"] for fs in candidates.values() for f in fs]
+            df = (
+                self.spark.read.schema(EVENT_SCHEMA)
+                .option("basePath", self.data_path)
+                .parquet(*all_paths)
+            )
+            staging = os.path.join(self.path, f".compact-{uuid.uuid4().hex}")
             (
-                df.coalesce(target_files_per_partition)
+                df.repartition(
+                    max(len(candidates) * target_files_per_partition, 1),
+                    "event_date",
+                    "event_hour",
+                )
                 .sortWithinPartitions("timestamp_ms", "sequence")
                 .write.mode("overwrite")
-                .parquet(tmp_dir)
+                .partitionBy("event_date", "event_hour")
+                .parquet(staging)
             )
-            # commit: move new files in, drop the old ones
-            for new_f in os.listdir(tmp_dir):
-                if new_f.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(tmp_dir, new_f),
-                        os.path.join(self.data_path, part_dir, f"compacted-{uuid.uuid4().hex}.parquet"),
-                    )
-            for p in paths:
+            # commit: move rewritten files in, drop the inputs
+            for dirpath, _dirs, files in os.walk(staging):
+                rel = os.path.relpath(dirpath, staging)
+                for nf in files:
+                    if nf.endswith(".parquet"):
+                        dest_dir = os.path.join(self.data_path, rel)
+                        os.makedirs(dest_dir, exist_ok=True)
+                        os.rename(
+                            os.path.join(dirpath, nf),
+                            os.path.join(dest_dir, f"compacted-{uuid.uuid4().hex}.parquet"),
+                        )
+            for p in all_paths:
                 os.remove(p)
-            for leftover in os.listdir(tmp_dir):
-                os.remove(os.path.join(tmp_dir, leftover))
-            os.rmdir(tmp_dir)
-            rewritten += len(paths)
+            for dirpath, dirs, files in os.walk(staging, topdown=False):
+                for f in files:
+                    os.remove(os.path.join(dirpath, f))
+                os.rmdir(dirpath)
+            rewritten = len(all_paths)
         snap = self._commit_snapshot(
             {
                 "operation": "compact",
