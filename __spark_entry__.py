@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": EQ.q_json_extraction,
         "payload_overflow": EQ.q_payload_overflow,
         "sessionization": EQ.q_sessionization,
+        "sliding_window": EQ.q_sliding_window,
         "hex_keys": EQ.q_hex_keys,
         "date_functions": EQ.q_date_functions,
         "percentiles": RQ.q_percentiles,
@@ -187,6 +188,18 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(payload_str, '$.k') AS k_utf8,
                TRY_CAST(json_extract_string(payload_str, '$.missing') AS BIGINT) AS missing_field
         FROM ev
+        """,
+        "sliding_window": _EV
+        + """
+        , assigned AS (
+          SELECT timestamp_ms, value,
+                 (timestamp_ms // 3600000) * 3600000 - off.o AS window_start_ms
+          FROM ev, (VALUES (0), (3600000)) off(o)
+        )
+        SELECT window_start_ms, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM assigned
+        GROUP BY window_start_ms ORDER BY window_start_ms
         """,
         "hex_keys": _EV
         + """

@@ -277,6 +277,29 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/§2.6 time windows: sliding 2h window, 1h slide, per-window event
+    counts + value sums. Uses Spark's window() generator; each event lands
+    in exactly width/slide windows (the oracle unions the two shifted
+    tumbling assignments — same definition)."""
+    ev = zombi_events(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    win = F.window(ts, "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("window_start_ms")
+    )
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 flagship window query: latest event per user via row_number."""
     ev = zombi_events(spark, sf_dir)
