@@ -42,11 +42,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(entrymod.queries().items()):
-        df = q(spark, sf_dir)
-        df.count()  # warm: plan + scan metadata
-        t0 = time.perf_counter()
-        _force(q(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # two timed end-to-end executions, report the min: the first warms
+        # scan metadata/codegen, and min() shields the number from
+        # transient co-tenant load spikes
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(q(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     # Ingest rate: events table → full zombi write path → partitioned table.
     extras: dict[str, float] = {}
