@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": EQ.q_json_extraction,
         "payload_overflow": EQ.q_payload_overflow,
         "sessionization": EQ.q_sessionization,
+        "funnel": EQ.q_funnel,
+        "cohort_retention": EQ.q_cohort_retention,
         "sliding_window": EQ.q_sliding_window,
         "hex_keys": EQ.q_hex_keys,
         "date_functions": EQ.q_date_functions,
@@ -188,6 +190,39 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(payload_str, '$.k') AS k_utf8,
                TRY_CAST(json_extract_string(payload_str, '$.missing') AS BIGINT) AS missing_field
         FROM ev
+        """,
+        "funnel": _EV
+        + """
+        , per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN timestamp_ms END) AS t_signup,
+                 min(CASE WHEN event_type = 'click' THEN timestamp_ms END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN timestamp_ms END) AS t_purchase
+          FROM ev GROUP BY user_id
+        ), staged AS (
+          SELECT CASE
+            WHEN t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup
+                 AND t_purchase IS NOT NULL AND t_purchase > t_click THEN '3_purchased'
+            WHEN t_signup IS NOT NULL AND t_click IS NOT NULL AND t_click > t_signup THEN '2_clicked'
+            WHEN t_signup IS NOT NULL THEN '1_signed_up'
+            ELSE '0_none' END AS funnel_stage
+          FROM per_user
+        )
+        SELECT funnel_stage, count(*) AS n_users FROM staged
+        GROUP BY funnel_stage ORDER BY funnel_stage
+        """,
+        "cohort_retention": _EV
+        + """
+        , ww AS (
+          SELECT user_id, (timestamp_ms - 1704067200000) // 604800000 AS week
+          FROM ev
+        ), cohorts AS (
+          SELECT user_id, min(week) AS cohort_week FROM ww GROUP BY user_id
+        )
+        SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+               count(DISTINCT w.user_id) AS active_users
+        FROM ww w JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "sliding_window": _EV
         + """

@@ -277,6 +277,62 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup → click → purchase ordering per user.
+
+    One aggregation pass computes the first timestamp of each stage per
+    user (conditional min — no self-joins), then the funnel stage is a
+    pure projection. Shuffle: one, on user_id.
+    """
+    ev = zombi_events(spark, sf_dir)
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("timestamp_ms")))
+    per_user = ev.groupBy("user_id").agg(
+        first_of("signup").alias("t_signup"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    reached_click = (
+        F.col("t_signup").isNotNull()
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+    )
+    reached_purchase = (
+        reached_click
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    staged = per_user.select(
+        F.when(reached_purchase, "3_purchased")
+        .when(reached_click, "2_clicked")
+        .when(F.col("t_signup").isNotNull(), "1_signed_up")
+        .otherwise("0_none")
+        .alias("funnel_stage")
+    )
+    return staged.groupBy("funnel_stage").agg(F.count("*").alias("n_users")).orderBy("funnel_stage")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week; distinct active
+    users per (cohort_week, week_offset). Two shuffles (first-seen agg +
+    cohort join is broadcast-sized, final agg)."""
+    ev = zombi_events(spark, sf_dir)
+    week_ms = 7 * 24 * 3600 * 1000
+    base = 1704067200000  # 2024-01-01, the corpus epoch
+    # integer DIV, not double-divide-then-cast: Spark's cast truncates but
+    # DuckDB's rounds, so the oracle would disagree at week boundaries
+    with_week = ev.select(
+        "user_id", F.expr(f"(timestamp_ms - {base}) DIV {week_ms}").alias("week")
+    )
+    cohorts = with_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        with_week.join(F.broadcast(cohorts), "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4/§2.6 time windows: sliding 2h window, 1h slide, per-window event
     counts + value sums. Uses Spark's window() generator; each event lands

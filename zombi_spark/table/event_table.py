@@ -93,8 +93,14 @@ class EventTable:
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
         events = events.select(*cols).persist()
+        # explicit partition count: with bare repartition(cols), AQE
+        # coalesces a small batch's shuffle to ~1 partition and ONE task
+        # then writes every hour directory serially (measured 11s for 744
+        # dirs at sf0.1; ~32 tasks cut it to ~2s). At cluster scale the
+        # batch is big enough that the count is the task width anyway.
+        par = self.spark.sparkContext.defaultParallelism
         (
-            events.repartition("event_date", "event_hour")
+            events.repartition(par, "event_date", "event_hour")
             .sortWithinPartitions("timestamp_ms", "sequence")
             .write.mode("append")
             .partitionBy("event_date", "event_hour")
