@@ -73,6 +73,18 @@ def main() -> None:
         extras["ingest_events_per_s"] = round(n / dt, 1)
         extras["ingest_sec"] = round(dt, 4)
         extras["ingest_rows"] = n
+        # maintenance: small-file compaction wall-clock (M1 — the
+        # rewrite_data_files analogue; BASELINE.md "Our benchmark plan" #3)
+        half = raw.where(F.col("ingest_order") % 2 == 0)
+        table2 = EventTable(spark, tmp, "bench2")
+        table2.append(prepare_events(half))
+        table2.append(prepare_events(half.withColumn("ingest_order", F.col("ingest_order") + n)))
+        files_before = len(table2.files())
+        t0 = time.perf_counter()
+        table2.compact(min_input_files=2)
+        extras["compact_sec"] = round(time.perf_counter() - t0, 4)
+        extras["compact_files_before"] = files_before
+        extras["compact_files_after"] = len(table2.files())
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -13,6 +13,13 @@ Reference semantics → Spark mechanism (SURVEY.md §2.10):
                               analogue); dedup state lives in the table
   T11 graceful drain        → Trigger.AvailableNow + query.awaitTermination
 
+Why foreachBatch and not transformWithStateInPandas: the arbitrary-state
+API would hold the per-(topic, partition) sequence counter in the state
+store directly, but its Python worker requires the ``protobuf`` package,
+which this container does not ship (verified: the state server crashes on
+``google.protobuf`` import). foreachBatch + table-watermark lookup gives
+the same sequences with checkpointed exactly-once batch boundaries.
+
 Exactly-once discussion (the honest deviation from SPEC.md INV-1/INV-4,
 flagged in SURVEY.md §7): sequences are assigned deterministically inside
 ``foreachBatch`` from (existing table watermark + arrival order), and the
