@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": PQ.q_ngram_jaccard,
         "brute_force_ann": PQ.q_brute_force_ann,
         "lsh_ann": PQ.q_lsh_ann,
+        "ivf_ann": PQ.q_ivf_ann,
         "embedding_near_dup": PQ.q_embedding_near_dup,
         "lang_id": PQ.q_lang_id,
         "quality_features": PQ.q_quality_features,
@@ -688,6 +689,54 @@ def oracle_sql() -> dict[str, str]:
           FROM dots
         )
         SELECT query_id, bucket, rank, neighbor_id, cos_e6 FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ivf_ann": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 108
+        ), aterms AS (
+          SELECT b.vec_id, c.centroid_id, i,
+                 CAST(round(b.embedding[i] * 1e6) AS BIGINT) AS bi,
+                 CAST(round(c.cv[i] * 1e6) AS BIGINT) AS ci
+          FROM embeddings b CROSS JOIN cent c, range(1, 65) r(i)
+        ), adots AS (
+          SELECT vec_id, centroid_id, sum(bi*ci) AS dot, sum(bi*bi) AS nb, sum(ci*ci) AS nc
+          FROM aterms GROUP BY 1, 2
+        ), ascore AS (
+          SELECT vec_id, centroid_id,
+                 CAST(floor(dot / (sqrt(nb) * sqrt(nc)) * 1e6) AS BIGINT) AS c_cos
+          FROM adots
+        ), assigned AS (
+          SELECT vec_id, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ), q AS (
+          SELECT vec_id AS query_id, cell FROM assigned WHERE vec_id < 8
+        ), c2 AS (
+          SELECT vec_id AS neighbor_id, cell FROM assigned
+        ), sterms AS (
+          SELECT q.query_id, c2.cell, c2.neighbor_id, i,
+                 CAST(round(eq.embedding[i] * 1e6) AS BIGINT) AS qi,
+                 CAST(round(ec.embedding[i] * 1e6) AS BIGINT) AS ci
+          FROM c2 JOIN q ON c2.cell = q.cell AND c2.neighbor_id != q.query_id
+          JOIN embeddings eq ON eq.vec_id = q.query_id
+          JOIN embeddings ec ON ec.vec_id = c2.neighbor_id,
+          range(1, 65) r(i)
+        ), sdots AS (
+          SELECT query_id, cell, neighbor_id,
+                 sum(qi*ci) AS dot, sum(qi*qi) AS nq, sum(ci*ci) AS nc
+          FROM sterms GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT query_id, cell, neighbor_id,
+                 CAST(floor(dot / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT) AS cos_e6
+          FROM sdots
+        )
+        SELECT query_id, cell, rank, neighbor_id, cos_e6 FROM (
           SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
           FROM scored

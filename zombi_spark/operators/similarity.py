@@ -158,6 +158,95 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector goes to its max-cosine centroid.
+
+    Centroids are a small frame (id, vector) — broadcast; assignment is a
+    per-row argmax over C quantized-cosine scores (ties → lowest centroid
+    id), one narrow pass over the corpus. At 100 TB the centroid set comes
+    from a sampled k-means; the assignment plan is identical.
+    """
+    from pyspark.sql import Window
+
+    c = with_quantized(centroids, vec_col).select(
+        F.col(id_col).alias("centroid_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    )
+    v = with_quantized(corpus, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("qvec"), F.col("vnorm")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "qvec",
+        "vnorm",
+        "centroid_id",
+        cosine_e6_prequantized(F.col("qvec"), F.col("c_q"), F.col("vnorm"), F.col("c_n")).alias(
+            "c_cos"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), "qvec", "vnorm", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the query's cell (nprobe=1).
+
+    Both sides share one assignment pass; the search join is an equi-join
+    on the cell id — candidates per query scale with corpus/C, not corpus.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = assigned.join(
+        queries.select(F.col(id_col)), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("vnorm").alias("q_n"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("vnorm").alias("c_n"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            cosine_e6_prequantized(F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")).alias(
+                "cos_e6"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cell", "rank", "neighbor_id", "cos_e6")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold_e6: int = 950000,

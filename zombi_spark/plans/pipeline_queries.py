@@ -98,6 +98,15 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): centroids = vectors with vec_id in [100, 108)
+    (a deterministic sample standing in for k-means output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    queries = emb.where(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, queries, centroids, k=5).orderBy("query_id", "rank")
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.35: above the corpus's random-pair band (~N(0, 0.12)),
     # low enough to return real near-neighbor pairs on the synthetic data
