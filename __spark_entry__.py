@@ -46,6 +46,58 @@ WITH ev AS (
 """
 
 
+# Shared oracle prefix: MinHash → LSH → Jaccard-verified near-dup pairs
+# (mirrors operators/dedup.py with 12 affine hashes, 4 bands × 3 rows).
+# WITH RECURSIVE so downstream oracles can append recursive CTEs.
+_MINHASH_VERIFIED_SQL = """
+        WITH RECURSIVE d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), shl AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) >= 2
+                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                   ELSE [] END) AS sh
+          FROM d
+        ), ex AS (
+          SELECT doc_id, unnest(sh) AS shingle FROM shl
+        ), based AS (
+          SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 1073741824 AS base
+          FROM ex
+        ), hashed AS (
+          SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
+                 ((((s.seed * 1103515245 + 12345) % 1073741824) | 1)::BIGINT * base
+                  + ((s.seed * 22695477 + 1) % 1073741824)::BIGINT) % 1073741789 AS h
+          FROM based, range(0, 12) s(seed)
+        ), sigs AS (
+          SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
+        ), bands AS (
+          SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
+                 string_agg(min_hash::VARCHAR, ',' ORDER BY seed) AS band_sig
+          FROM sigs GROUP BY 1, 2
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        ), sizes AS (
+          SELECT doc_id, len(sh) AS n_sh FROM shl
+        ), inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN ex ea ON ea.doc_id = c.id_a
+          JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
+          GROUP BY 1, 2
+        ), verified AS (
+          SELECT i.id_a, i.id_b, i.n_inter,
+                 sa.n_sh + sb.n_sh - i.n_inter AS n_union,
+                 CAST(floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_pm
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.id_a
+          JOIN sizes sb ON sb.doc_id = i.id_b
+          WHERE floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) >= 500
+        )
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "seq_assign": EQ.q_sequence_assign,
@@ -94,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": PQ.q_fingerprint_dedup,
         "minhash_signatures": PQ.q_minhash_signatures,
         "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,
+        "dedup_clusters": PQ.q_dedup_clusters,
         "simhash": PQ.q_simhash,
         "ngram_jaccard": PQ.q_ngram_jaccard,
         "brute_force_ann": PQ.q_brute_force_ann,
@@ -522,52 +575,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
         """,
-        "minhash_lsh_pairs": """
-        WITH d AS (
-          SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ), shl AS (
-          SELECT doc_id,
-                 list_distinct(CASE WHEN len(t) >= 2
-                   THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-                   ELSE [] END) AS sh
-          FROM d
-        ), ex AS (
-          SELECT doc_id, unnest(sh) AS shingle FROM shl
-        ), based AS (
-          SELECT doc_id, (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % 1073741824 AS base
-          FROM ex
-        ), hashed AS (
-          SELECT doc_id, CAST(s.seed AS INTEGER) AS seed,
-                 ((((s.seed * 1103515245 + 12345) % 1073741824) | 1)::BIGINT * base
-                  + ((s.seed * 22695477 + 1) % 1073741824)::BIGINT) % 1073741789 AS h
-          FROM based, range(0, 12) s(seed)
-        ), sigs AS (
-          SELECT doc_id, seed, min(h) AS min_hash FROM hashed GROUP BY 1, 2
-        ), bands AS (
-          SELECT doc_id, CAST(seed // 3 AS INTEGER) AS band,
-                 string_agg(min_hash::VARCHAR, ',' ORDER BY seed) AS band_sig
-          FROM sigs GROUP BY 1, 2
-        ), cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-        ), sizes AS (
-          SELECT doc_id, len(sh) AS n_sh FROM shl
-        ), inter AS (
-          SELECT c.id_a, c.id_b, count(*) AS n_inter
-          FROM cand c
-          JOIN ex ea ON ea.doc_id = c.id_a
-          JOIN ex eb ON eb.doc_id = c.id_b AND eb.shingle = ea.shingle
-          GROUP BY 1, 2
-        )
-        SELECT i.id_a, i.id_b, i.n_inter,
-               sa.n_sh + sb.n_sh - i.n_inter AS n_union,
-               CAST(floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT) AS jaccard_pm
-        FROM inter i
-        JOIN sizes sa ON sa.doc_id = i.id_a
-        JOIN sizes sb ON sb.doc_id = i.id_b
-        WHERE floor(1000 * i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter)) >= 500
+        "minhash_lsh_pairs": _MINHASH_VERIFIED_SQL
+        + """
+        SELECT id_a, id_b, n_inter, n_union, jaccard_pm FROM verified
         ORDER BY id_a, id_b
+        """,
+        "dedup_clusters": _MINHASH_VERIFIED_SQL
+        + """
+        , undirected AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ), reach AS (
+          SELECT src AS a, dst AS b FROM undirected
+          UNION
+          SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
+        ), comp AS (
+          SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+        )
+        SELECT component, count(*) AS n_docs FROM comp
+        GROUP BY component ORDER BY component
         """,
         "simhash": """
         WITH d AS (

@@ -247,6 +247,59 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over near-dup pairs: (node, component) where
+    component = min node id in the component — the canonical-representative
+    rule every dedup stage here uses.
+
+    Min-label propagation with alternating small joins; each iteration is
+    one shuffle on node id and converges in O(component diameter) rounds
+    (near-dup components are short chains in practice). The driver reads
+    ONE scalar per round (did anything change) — not the data. At graph
+    scale this swaps for GraphFrames/Pregel; the output contract stays.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    caches = []
+    for _ in range(50):  # diameter bound; loop exits on convergence
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+            .persist()
+        )
+        caches.append(updated)
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.select("node", "component")
+        if changed == 0:
+            break
+    result = labels.select("node", "component")
+    # materialize the final labels before releasing the iteration caches
+    result = result.persist()
+    result.count()
+    for c in caches:
+        c.unpersist()
+    return result
+
+
 def simhash_dup_groups(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
     """Group documents by exact simhash (hamming distance 0 buckets)."""
     sh = simhash(docs, bits=bits, id_col=id_col)

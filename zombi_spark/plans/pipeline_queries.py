@@ -45,6 +45,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("jaccard_pm") >= 500).orderBy("id_a", "id_b")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation: MinHash-LSH verified pairs → connected
+    components → cluster size per representative (keep-lowest-id rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    verified = D.jaccard_verify(docs, pairs, shingle_n=2).where(F.col("jaccard_pm") >= 500)
+    comps = D.connected_components(verified.select("id_a", "id_b"))
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("component")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.simhash(docs, bits=16)
