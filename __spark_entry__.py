@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,
         "dedup_clusters": PQ.q_dedup_clusters,
         "simhash": PQ.q_simhash,
+        "simhash_near_dup": PQ.q_simhash_near_dup,
         "ngram_jaccard": PQ.q_ngram_jaccard,
         "brute_force_ann": PQ.q_brute_force_ann,
         "lsh_ann": PQ.q_lsh_ann,
@@ -611,6 +612,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsum GROUP BY doc_id
+        """,
+        "simhash_near_dup": """
+        WITH d AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM documents WHERE doc_id < 300
+        ), tk AS (
+          SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h FROM d
+        ), votes AS (
+          SELECT doc_id, b.bit,
+                 CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+          FROM tk, range(0, 16) b(bit)
+        ), bitsum AS (
+          SELECT doc_id, bit, sum(vote) AS v FROM votes GROUP BY 1, 2
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bitsum GROUP BY doc_id
+        ), chunked AS (
+          SELECT doc_id, simhash, c.chunk,
+                 (simhash >> (c.chunk * 4)) & 15 AS chunk_val
+          FROM sh, range(0, 4) c(chunk)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM chunked a JOIN chunked b
+          ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
         """,
         "ngram_jaccard": """
         WITH d AS (

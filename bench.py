@@ -88,6 +88,14 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # explicit BASELINE.md comparison rows (the reference publishes
+    # ingest-path numbers only; see README.md "Performance vs BASELINE.md")
+    extras["baseline_flush_events_per_s"] = 800  # PERFORMANCE_BOTTLENECK_ANALYSIS.md:495
+    extras["baseline_design_target_events_per_s"] = 50000  # SPEC.md:649
+    extras["ingest_vs_baseline_flush"] = round(
+        extras["ingest_events_per_s"] / 800, 1
+    )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

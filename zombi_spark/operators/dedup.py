@@ -300,6 +300,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return result
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius, pigeonhole-blocked.
+
+    Split the b-bit simhash into (max_hamming + 1) chunks: any pair within
+    the radius agrees on at least one chunk, so candidates come from
+    equi-joins on (chunk_index, chunk_value) — never all pairs. Exact
+    hamming (bit_count of xor) then filters. Chunk buckets are the shuffle
+    key; radius and bits are parameters, not rewrites.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
+    chunked = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {(1 << chunk_bits) - 1}"),
+    )
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_dup_groups(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") -> DataFrame:
     """Group documents by exact simhash (hamming distance 0 buckets)."""
     sh = simhash(docs, bits=bits, id_col=id_col)

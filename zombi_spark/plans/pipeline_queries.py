@@ -65,6 +65,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(docs, bits=16)
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 near-dup pairs over a deterministic slice."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return D.simhash_near_dup(docs, bits=16, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup with composite min-shingle blocking:
     candidates = documents agreeing on BOTH independently-seeded minimum
