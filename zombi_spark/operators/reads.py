@@ -104,6 +104,34 @@ def timestamp_range_scan(
     return df.orderBy("timestamp_ms", "sequence")
 
 
+def negotiate_output_format(accept: str | None) -> str:
+    """F9/S12: Accept-header q-value negotiation (handlers.rs:906-932) —
+    picks 'arrow' or 'json' by highest q; ties and unknown types fall back
+    to json (the reference's default content type)."""
+    ARROW = "application/vnd.apache.arrow.stream"
+    if not accept:
+        return "json"
+    best, best_q = "json", -1.0
+    for part in accept.split(","):
+        bits = part.strip().split(";")
+        mtype = bits[0].strip().lower()
+        q = 1.0
+        for p in bits[1:]:
+            p = p.strip()
+            if p.startswith("q="):
+                try:
+                    q = float(p[2:])
+                except ValueError:
+                    q = 0.0
+        if q <= 0:  # q=0 (or unparsable) means "not acceptable"
+            continue
+        if mtype == ARROW and q > best_q:
+            best, best_q = "arrow", q
+        elif mtype in ("application/json", "*/*") and q > best_q:
+            best, best_q = "json", q
+    return best
+
+
 def to_arrow_batches(df: DataFrame):
     """S12: Arrow IPC output format (handlers.rs:819-895) — Spark's native
     Arrow collect path replaces the hand-rolled encoder."""

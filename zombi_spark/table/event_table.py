@@ -142,13 +142,27 @@ class EventTable:
         columns still derive from the directory layout via basePath.
         Snapshots older than file-list tracking raise.
         """
+        snaps = self.snapshots()
         if version is None:
+            # serve the LATEST SNAPSHOT's file list, not the directory:
+            # files written by an in-flight (or crashed) append are
+            # invisible until their snapshot commits — the Iceberg
+            # atomicity contract (INV-5, SPEC.md:754). Directory scan only
+            # for pre-snapshot tables (empty log).
+            if snaps and "files" in snaps[-1]:
+                files = snaps[-1]["files"]
+                if not files:
+                    return self.spark.createDataFrame([], EVENT_SCHEMA)
+                return (
+                    self.spark.read.schema(EVENT_SCHEMA)
+                    .option("basePath", self.data_path)
+                    .parquet(*files)
+                )
             return (
                 self.spark.read.schema(EVENT_SCHEMA)
                 .option("basePath", self.data_path)
                 .parquet(self.data_path)
             )
-        snaps = self.snapshots()
         if not 0 <= version < len(snaps):
             raise ValueError(f"no snapshot version {version}; have 0..{len(snaps) - 1}")
         files = snaps[version].get("files")
@@ -159,6 +173,12 @@ class EventTable:
             .option("basePath", self.data_path)
             .parquet(*files)
         )
+
+    def export_json(self, out_dir: str) -> None:
+        """S6 legacy JSON segment sink (s3.rs:136-185): dump the committed
+        table as JSON-lines segments. Kept for parity; parquet is the
+        standard format."""
+        self.read().write.mode("overwrite").json(out_dir)
 
     def create_view(self, view_name: str | None = None) -> str:
         """Register the table as a temp view for spark.sql (S13-lite: the
@@ -200,8 +220,19 @@ class EventTable:
         iceberg_storage.rs:1587-1600). Committed data files are never
         touched: only dot-prefixed temporaries qualify."""
         removed: list[str] = []
-        # walk the table root: crashed compactions stage under {path}/.compact-*
-        # and interrupted meta commits leave .snap-*.json.tmp
+        # 1) uncommitted data files: parquet present on disk but absent
+        #    from the latest snapshot's file list (a crashed append wrote
+        #    them before its commit) — invisible to read(), safe to drop
+        snaps = self.snapshots()
+        if snaps and "files" in snaps[-1]:
+            active = set(snaps[-1]["files"])
+            for f in self.files():
+                if f["file_path"] not in active:
+                    os.remove(f["file_path"])
+                    removed.append(f["file_path"])
+        # 2) walk the table root: crashed compactions stage under
+        #    {path}/.compact-* and interrupted meta commits leave
+        #    .snap-*.json.tmp
         for dirpath, dirs, files in os.walk(self.path, topdown=False):
             for d in list(dirs):
                 if d.startswith(".compact-") or d == "_temporary":
