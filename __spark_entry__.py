@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": PQ.q_quality_features,
         "token_counts": PQ.q_token_counts,
         "doc_fingerprint": PQ.q_doc_fingerprint,
+        "tfidf": PQ.q_tfidf,
         "media_features": PQ.q_media_features,  # rows-only (stubbed codec)
         "media_dedup": PQ.q_media_dedup,  # rows-only (stubbed codec)
     }
@@ -873,6 +874,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS piece_tokens
         FROM documents
+        """,
+        "tfidf": """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+        ), df AS (
+          SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+          GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                 CAST(floor(1000 * tf.tf * n.n_docs / df.df) AS BIGINT) AS score_pm
+          FROM tf JOIN df USING (term), n
+          WHERE tf.doc_id < 20
+        )
+        SELECT doc_id, rnk, term, tf, df, score_pm FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_pm DESC, term) AS INTEGER) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5 ORDER BY doc_id, rnk
         """,
         "doc_fingerprint": """
         WITH tk AS (

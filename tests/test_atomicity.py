@@ -43,6 +43,29 @@ def test_export_json_legacy_sink(spark, tmp_path):
     assert back.count() == 6 and "sequence" in back.columns
 
 
+def test_bloom_filter_written_for_idempotency_key(spark, tmp_path):
+    """D2/X5: the parquet writer emits a bloom filter for idempotency_key
+    (pyarrow 16 can't expose the footer offset, so assert via the size
+    delta against the identical write without the option)."""
+    rows = [("t", 0, b"x", 1704067200000, f"key-{i:05d}", i) for i in range(2000)]
+    events = prepare_events(_batchify(spark, rows))
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(events)
+    with_bloom = sum(f["file_size_bytes"] for f in t.files())
+    plain_dir = str(tmp_path / "plain")
+    events.coalesce(1).write.parquet(plain_dir)
+    plain = sum(
+        os.path.getsize(os.path.join(plain_dir, f))
+        for f in os.listdir(plain_dir)
+        if f.endswith(".parquet")
+    )
+    assert with_bloom > plain + 1000  # bloom bytes present
+
+
+def _batchify(spark, rows):
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
 def test_accept_header_negotiation():
     arrow = "application/vnd.apache.arrow.stream"
     assert negotiate_output_format(None) == "json"

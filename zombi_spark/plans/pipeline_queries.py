@@ -165,6 +165,41 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.doc_fingerprint(docs)
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term ranking with exact rational scoring.
+
+    score_pm = floor(1000 · tf · N / df): same ordering family as
+    tf·log(N/df) but integer-exact, so the oracle hash-matches (log's
+    last-ulp behavior is libm-dependent; the rational surrogate isn't).
+    Two aggregations: (doc, term) tf and term df — both shuffle on term.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar for the scoring expression
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(df_, "term").where(F.col("doc_id") < 20).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.floor(F.lit(1000) * F.col("tf") * F.lit(n_docs) / F.col("df")).cast("long").alias("score_pm"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_pm").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_pm")
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check: the decode is a stub, and
     mapInPandas has no SQL equivalent)."""

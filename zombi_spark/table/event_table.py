@@ -106,8 +106,10 @@ class EventTable:
             .partitionBy("event_date", "event_hour")
             # X5 analogue: parquet bloom filter on idempotency_key makes the
             # dedup-history anti-join probe skip row groups (the reference
-            # keeps an in-memory bloom per partition, rocksdb.rs:39-88)
+            # keeps an in-memory bloom per partition, rocksdb.rs:39-88).
+            # max.bytes bounds the per-file overhead (default is 1 MiB).
             .option("parquet.bloom.filter.enabled#idempotency_key", "true")
+            .option("parquet.bloom.filter.max.bytes", str(64 * 1024))
             .parquet(self.data_path)
         )
         # watermarks: aggregate the BATCH (tiny frame: one row per producer
