@@ -62,6 +62,23 @@ def test_simhash_close_for_near_dups(spark, docs):
     assert all(0 <= v < (1 << 16) for v in sh.values())
 
 
+def test_connected_components_both_paths_agree(spark):
+    # chain 0-1-2-3, pair {10,11}, triangle {20,21,22}, isolated pair {30,31}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id_a long, id_b long",
+    )
+    fast = {(r.node, r.component) for r in D.connected_components(pairs).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in D.connected_components(pairs, driver_edge_threshold=0).collect()
+    }
+    want = {(0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20), (30, 30), (31, 30)}
+    assert fast == want
+    assert dist == want
+
+
 def test_quantized_cosine_matches_numpy(spark):
     rng = np.random.default_rng(7)
     a = rng.normal(size=16).astype("float32")

@@ -247,56 +247,103 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     )
 
 
-def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    driver_edge_threshold: int = 100_000,
+) -> DataFrame:
     """Connected components over near-dup pairs: (node, component) where
     component = min node id in the component — the canonical-representative
     rule every dedup stage here uses.
 
-    Min-label propagation with alternating small joins; each iteration is
-    one shuffle on node id and converges in O(component diameter) rounds
-    (near-dup components are short chains in practice). The driver reads
-    ONE scalar per round (did anything change) — not the data. At graph
-    scale this swaps for GraphFrames/Pregel; the output contract stays.
+    Two paths, picked by edge count (the broadcast-threshold pattern):
+      - ≤ ``driver_edge_threshold`` edges: union-find on the driver —
+        near-dup edge sets are metadata-scale relative to the corpus
+        (pairs survived LSH + verification), and one collect beats ten
+        distributed rounds;
+      - larger: distributed min-label propagation with pointer jumping
+        (component ← component-of-component each round), one shuffle per
+        round and O(log diameter) rounds. The driver reads one scalar per
+        round. At graph scale this swaps for GraphFrames/Pregel; the
+        output contract stays.
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
+    n_edges = edges.count()  # materialize once: iterations re-read the
+    # edge set, and without the cache the (possibly expensive) upstream
+    # pair pipeline would re-execute per round
+
+    if n_edges <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                # union by min: smaller id becomes the root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = sorted({(n, find(n)) for n in parent} | {(n, n) for n in parent.values() if find(n) == n})
+        edges.unpersist()
+        return spark.createDataFrame(rows, "node long, component long")
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
     caches = []
-    for _ in range(50):  # diameter bound; loop exits on convergence
+    prev_sum = None
+    for _ in range(50):  # converges in O(log diameter) with jumping
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        updated = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← component(component)
+        reps = updated.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
+        jumped = (
+            updated.join(reps, updated.component == reps.c_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+                F.least(F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))).alias(
+                    "component"
+                ),
             )
             .persist()
         )
-        caches.append(updated)
-        changed = updated.where(F.col("_changed")).limit(1).count()
-        labels = updated.select("node", "component")
-        if changed == 0:
+        caches.append(jumped)
+        cur_sum = jumped.agg(F.sum("component")).collect()[0][0]
+        labels = jumped
+        if cur_sum == prev_sum:  # min-labels only decrease; fixpoint reached
             break
-    result = labels.select("node", "component")
-    # materialize the final labels before releasing the iteration caches
-    result = result.persist()
-    result.count()
+        prev_sum = cur_sum
+    result = labels.select("node", "component").persist()
+    result.count()  # materialize before releasing the iteration caches
     for c in caches:
         c.unpersist()
+    edges.unpersist()
     return result
 
 
