@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_keys": EQ.q_hex_keys,
         "date_functions": EQ.q_date_functions,
         "percentiles": RQ.q_percentiles,
+        "small_qty_revenue": RQ.q_small_quantity_revenue,
+        "unshipped_topk": RQ.q_unshipped_topk,
         "pivot": RQ.q_pivot,
         "grouping_sets": RQ.q_grouping_sets,
         "latest_per_key": EQ.q_latest_per_key,
@@ -319,6 +321,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
                CAST(quarter(dt) AS INTEGER) AS q
         FROM d
+        """,
+        "small_qty_revenue": """
+        WITH aq AS (
+          SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+        )
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem JOIN aq USING (l_partkey)
+        WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "unshipped_topk": """
+        SELECT o_orderkey, o_orderpriority,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate > TIMESTAMP '1997-06-01'
+        GROUP BY o_orderkey, o_orderpriority
+        ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
         """,
         "percentiles": """
         SELECT o_orderstatus,

@@ -339,6 +339,46 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
+    of their part's average — a correlated aggregate expressed as a
+    self-aggregation join (Catalyst decorrelates the subquery form into
+    exactly this plan). avg is exact here: integer-valued double
+    quantities sum exactly, and the division is deterministic IEEE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 orders by pending revenue for one market
+    segment — join + agg + top-k (TakeOrderedAndProject over the agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-06-01").cast("timestamp")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < cutoff)
+            & (F.col("l_shipdate") > cutoff)
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6-adjacent: exact interpolated percentiles per group (the
     reference's histogram/percentile metrics surface,
