@@ -64,7 +64,9 @@ def tail_read(
     df = events
     if since_ms is not None:
         df = df.where(F.col("timestamp_ms") >= F.lit(since_ms))  # P3
-    return df.orderBy("timestamp_ms").select(*cols).limit(limit + 1)
+    # sequence tiebreak keeps the page content deterministic under equal
+    # timestamps (the reference's merge sorts (ts, seq), rocksdb.rs:1054-1059)
+    return df.orderBy("timestamp_ms", "sequence").select(*cols).limit(limit + 1)
 
 
 def has_more(page: list, limit: int) -> tuple[list, bool]:
