@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": PQ.q_token_counts,
         "doc_fingerprint": PQ.q_doc_fingerprint,
         "tfidf": PQ.q_tfidf,
+        "deterministic_sample": PQ.q_deterministic_sample,
+        "column_profile": PQ.q_column_profile,
         "media_features": PQ.q_media_features,  # rows-only (stubbed codec)
         "media_dedup": PQ.q_media_dedup,  # rows-only (stubbed codec)
     }
@@ -897,6 +899,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
                CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS piece_tokens
         FROM documents
+        """,
+        "deterministic_sample": """
+        WITH gated AS (
+          SELECT lang, doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS g,
+                 CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END AS rate
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        FROM gated WHERE g < rate GROUP BY lang ORDER BY lang
+        """,
+        "column_profile": """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_qty,
+               count(DISTINCT l_partkey) AS distinct_partkey,
+               count(DISTINCT l_returnflag) AS distinct_returnflag,
+               CAST(min(l_quantity) AS BIGINT) AS min_qty,
+               CAST(max(l_quantity) AS BIGINT) AS max_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+        FROM lineitem
         """,
         "tfidf": """
         WITH terms AS (

@@ -165,6 +165,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.doc_fingerprint(docs)
 
 
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling for training-data pipelines: hash-gate
+    per row (md5-based, no RNG — identical on retries/re-runs and across
+    engines) at 10% overall plus per-language stratified rates.
+    Returns per-stratum sampled counts; the sampled SET itself is
+    deterministic, which is the property exactness of the count proves."""
+    from zombi_spark.functions.hashing import md5_long
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.pmod(md5_long(F.col("doc_id").cast("string")), F.lit(1000))
+    rate = (
+        F.when(F.col("lang") == "en", 500)  # oversample en 50%
+        .when(F.col("lang") == "zh", 200)
+        .otherwise(100)  # default 10%
+    )
+    return (
+        docs.withColumn("_gate", gate)
+        .withColumn("_rate", rate)
+        .where(F.col("_gate") < F.col("_rate"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: one aggregation pass computing null counts,
+    distinct counts and bounds for every profiled column (the ANALYZE-ish
+    sweep a pipeline runs before training) — unpivoted to rows so the
+    shape survives adding columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_qty"),
+        F.countDistinct("l_partkey").alias("distinct_partkey"),
+        F.countDistinct("l_returnflag").alias("distinct_returnflag"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+        F.sum(_stack_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+    )
+    return prof
+
+
+def _stack_cents(col: F.Column) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style term ranking with exact rational scoring.
 
