@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": PQ.q_minhash_signatures,
         "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,
         "dedup_clusters": PQ.q_dedup_clusters,
+        "dedup_keep": PQ.q_dedup_keep,
         "simhash": PQ.q_simhash,
         "simhash_near_dup": PQ.q_simhash_near_dup,
         "ngram_jaccard": PQ.q_ngram_jaccard,
@@ -606,6 +607,25 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT id_a, id_b, n_inter, n_union, jaccard_pm FROM verified
         ORDER BY id_a, id_b
+        """,
+        "dedup_keep": _MINHASH_VERIFIED_SQL
+        + """
+        , undirected AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ), reach AS (
+          SELECT src AS a, dst AS b FROM undirected
+          UNION
+          SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
+        ), comp AS (
+          SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+        ), losers AS (
+          SELECT node AS doc_id FROM comp WHERE node != component
+        )
+        SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_doc
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY d.lang ORDER BY d.lang
         """,
         "dedup_clusters": _MINHASH_VERIFIED_SQL
         + """

@@ -60,6 +60,24 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: the cleaned corpus. Drops every cluster
+    member except its representative (min doc_id) via a left-anti join on
+    the loser set, and reports surviving docs per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    verified = D.jaccard_verify(docs, pairs, shingle_n=2).where(F.col("jaccard_pm") >= 500)
+    comps = D.connected_components(verified.select("id_a", "id_b"))
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc")
+    ).orderBy("lang")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.simhash(docs, bits=16)
