@@ -293,7 +293,7 @@ def oracle_sql() -> dict[str, str]:
           FROM ev, (VALUES (0), (3600000)) off(o)
         )
         SELECT window_start_ms, count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM assigned
         GROUP BY window_start_ms ORDER BY window_start_ms
         """,
@@ -329,14 +329,14 @@ def oracle_sql() -> dict[str, str]:
         WITH aq AS (
           SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
         )
-        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_items
         FROM lineitem JOIN aq USING (l_partkey)
         WHERE l_quantity < 0.2 * avg_qty
         """,
         "unshipped_topk": """
         SELECT o_orderkey, o_orderpriority,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -384,8 +384,8 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY timestamp_ms, arrival)
         ), s AS (
           SELECT user_id, timestamp_ms,
-                 sum(is_new_session) OVER (PARTITION BY user_id ORDER BY timestamp_ms, arrival
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY timestamp_ms, arrival
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM g
         )
         SELECT user_id, session_id, count(*) AS n_events,
@@ -405,9 +405,9 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -417,7 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -437,13 +437,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_inner": """
         SELECT c_mktsegment, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "join_broadcast": """
         SELECT r_name AS region_name, count(*) AS n_customers,
-               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -451,7 +451,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_multiway": """
         SELECT n_name,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -524,8 +524,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_running": """
         SELECT o_custkey, o_orderkey,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wr AS running_cents,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wm AS moving3_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wr AS BIGINT) AS running_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wm AS BIGINT) AS moving3_cents,
                count(*) OVER wr AS n_so_far
         FROM orders
         WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -932,12 +932,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "column_profile": """
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_qty,
+               CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_qty,
                count(DISTINCT l_partkey) AS distinct_partkey,
                count(DISTINCT l_returnflag) AS distinct_returnflag,
                CAST(min(l_quantity) AS BIGINT) AS min_qty,
                CAST(max(l_quantity) AS BIGINT) AS max_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem
         """,
         "tfidf": """

@@ -1,13 +1,22 @@
 """Replicates the driver's correctness gate locally: run every
 ``__spark_entry__.queries()`` entry on Spark at sf0.01 and compare to the
 matching ``oracle_sql()`` on DuckDB — row count, column names, and an
-order-insensitive value comparison."""
+order-insensitive value comparison.
+
+IMPORTANT (round-1 lesson): the driver normalizes BOTH result sets through
+pandas, so engine-native integer widths leak into the hash. DuckDB
+``sum(<integer>)`` returns HUGEINT which pandas coerces to float64
+("609.0" vs Spark int64's "609") even when values are identical. This
+suite therefore goes through ``.df()`` / ``toPandas()`` (NOT ``fetchall``)
+and compares pandas-rendered values, replicating the driver's coercion.
+"""
 
 import math
 import os
 import sys
 
 import duckdb
+import pandas as pd
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,19 +38,24 @@ def _duck(oracle_dir):
 
 
 def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
+    # Mirrors the driver: pandas-rendered values. float64 123.0 renders
+    # "123.0" — intentionally DIFFERENT from int64's "123" so dtype
+    # divergence between engines is caught locally.
+    try:
+        if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays don't reduce to a truth value
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def _canon(rows, colnames):
-    """Sort columns by name, then rows — order-insensitive canonical form."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+def _canon_pdf(pdf):
+    """Sort columns by name, then rows — order-insensitive canonical form
+    over a pandas frame (the driver's unit of comparison)."""
+    pdf = pdf[sorted(pdf.columns)]
+    out = [tuple(_norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
     return sorted(out)
 
 
@@ -58,21 +72,18 @@ def test_query_matches_oracle(spark, oracle_dir, duck_con, name):
     q = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
     sdf = q(spark, oracle_dir)
-    spark_rows = sdf.collect()
-    spark_cols = sdf.columns
+    spark_pdf = sdf.toPandas()
 
     if name not in oracles:
-        pytest.skip(f"{name}: no oracle (rows-only check); rows={len(spark_rows)}")
+        pytest.skip(f"{name}: no oracle (rows-only check); rows={len(spark_pdf)}")
 
-    rel = duck_con.execute(oracles[name])
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    duck_pdf = duck_con.execute(oracles[name]).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
-    assert len(spark_rows) == len(duck_rows), f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: column names differ"
+    assert len(spark_pdf) == len(duck_pdf), f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
 
-    s = _canon([tuple(r) for r in spark_rows], spark_cols)
-    d = _canon(duck_rows, duck_cols)
+    s = _canon_pdf(spark_pdf)
+    d = _canon_pdf(duck_pdf)
     mism = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
     assert s == d, f"{name}: value mismatch at sorted rows {mism}: " + "; ".join(
         f"spark={s[i]} duck={d[i]}" for i in mism
