@@ -66,8 +66,9 @@ def lang_id(text: Column) -> Column:
 
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass quality feature projection:
-      n_chars, n_tokens, n_distinct_tokens, avg token length (per-mille),
-      stopword count, distinct-token ratio (per-mille), quality_class.
+      n_chars, n_tokens (whitespace), piece_tokens (BPE-ish pre-tokenizer
+      count), n_distinct_tokens, avg token length (per-mille), stopword
+      count, distinct-token ratio (per-mille), quality_class.
     """
     text = F.col(text_col)
     toks = _tokens(text)
@@ -88,6 +89,7 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("piece_tokens"),
         n_distinct.alias("n_distinct_tokens"),
         avg_tok_len_pm.alias("avg_token_len_pm"),
         stop_ct.alias("stopword_count"),

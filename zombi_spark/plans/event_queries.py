@@ -43,28 +43,22 @@ def zombi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sequence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(topic, partition) monotonic sequence assignment (INV-1; §7 step 3).
+    """Per-(topic, partition) monotonic sequence assignment (INV-1; §7 step 3)
+    plus F1 partition-column derivation (event_date/event_hour, UTC) — the
+    two projections a write path applies to every accepted event, in one
+    pass.
 
     Window row_number over arrival order — the batch form of
     sequence.rs:60-66's atomic counters.
     """
     ev = zombi_events(spark, sf_dir)
     w = Window.partitionBy("topic", "partition").orderBy("arrival")
+    ts = F.timestamp_millis(F.greatest(F.col("timestamp_ms"), F.lit(0).cast("long")))
     return ev.select(
         "topic",
         "partition",
         "arrival",
         F.row_number().over(w).cast("long").alias("sequence"),
-        "timestamp_ms",
-    )
-
-
-def q_partition_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1: event_date/event_hour derivation from timestamp_ms (UTC)."""
-    ev = zombi_events(spark, sf_dir)
-    ts = F.timestamp_millis(F.greatest(F.col("timestamp_ms"), F.lit(0).cast("long")))
-    return ev.select(
-        "arrival",
         "timestamp_ms",
         F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("event_date"),
         F.hour(ts).cast("int").alias("event_hour"),
@@ -164,32 +158,19 @@ def q_hour_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7/F5: typed dot-path extraction from the JSON payload; type
-    mismatch ⇒ NULL (payload_extractor.rs:113-133)."""
-    ev = zombi_events(spark, sf_dir)
-    return ev.select(
-        "arrival",
-        F.get_json_object(F.col("payload_str"), "$.k").try_cast("long").alias("k_int64"),
-        F.get_json_object(F.col("payload_str"), "$.k").alias("k_utf8"),
-        F.get_json_object(F.col("payload_str"), "$.missing").try_cast("long").alias(
-            "missing_field"
-        ),
-    )
-
-
-def q_payload_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8: schema-on-write extraction with ``_payload_overflow``.
-
-    Builds a two-key JSON payload (props' k + the event_type), extracts
-    ``k`` as a typed column via TableSchemaConfig, and keeps the remainder
-    as compact JSON overflow — the reference's leftover-JSON semantics
-    (payload_extractor.rs:74-96,145-179).
-    """
+    """P7/F5/P8: typed dot-path extraction from the JSON payload (type
+    mismatch ⇒ NULL, payload_extractor.rs:113-133) plus schema-on-write
+    extraction with ``_payload_overflow`` — builds a two-key JSON payload
+    (props' k + the event_type), extracts ``k`` as a typed column via
+    TableSchemaConfig, and keeps the remainder as compact JSON overflow
+    (the reference's leftover-JSON semantics,
+    payload_extractor.rs:74-96,145-179)."""
     from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig, extract_payload
 
     ev = zombi_events(spark, sf_dir)
     enriched = ev.select(
         "arrival",
+        "payload_str",
         F.concat(
             F.lit('{"k": '),
             F.get_json_object(F.col("payload_str"), "$.k"),
@@ -205,7 +186,14 @@ def q_payload_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = extract_payload(enriched, config)
     return out.select(
-        "arrival", "k", F.col("_payload_overflow").cast("string").alias("overflow_json")
+        "arrival",
+        F.get_json_object(F.col("payload_str"), "$.k").try_cast("long").alias("k_int64"),
+        F.get_json_object(F.col("payload_str"), "$.k").alias("k_utf8"),
+        F.get_json_object(F.col("payload_str"), "$.missing").try_cast("long").alias(
+            "missing_field"
+        ),
+        "k",
+        F.col("_payload_overflow").cast("string").alias("overflow_json"),
     )
 
 
@@ -237,13 +225,20 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_hex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: the reference's RocksDB key rendering —
-    ``evt:{topic}:{partition}:{seq:016x}`` (rocksdb.rs:14-27,386-420) as a
-    pure column expression."""
+def q_hex_keys_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + F1/F2/F11 scalar surface in one projection:
+
+    - the reference's RocksDB key rendering
+      ``evt:{topic}:{partition}:{seq:016x}`` (rocksdb.rs:14-27,386-420);
+    - the date library — truncation, arithmetic, extraction — chosen for
+      identical cross-engine semantics (no dayofweek: numbering differs
+      between engines).
+    """
     from zombi_spark.functions.events import hex_sequence
 
     seq = q_sequence_assign(spark, sf_dir)
+    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    d = F.to_date(ts)
     return seq.select(
         "arrival",
         F.concat_ws(
@@ -254,19 +249,6 @@ def q_hex_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             hex_sequence(F.col("sequence")),
         ).alias("event_key"),
         hex_sequence(F.col("sequence")).alias("seq_hex"),
-    )
-
-
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F2/F11 date surface: truncation, arithmetic, extraction — chosen
-    for identical cross-engine semantics (no dayofweek: numbering differs
-    between engines)."""
-    ev = zombi_events(spark, sf_dir)
-    ts = F.timestamp_millis(F.col("timestamp_ms"))
-    d = F.to_date(ts)
-    return ev.select(
-        "arrival",
-        F.date_format(d, "yyyy-MM-dd").alias("event_date"),
         F.year(d).alias("y"),
         F.month(d).alias("m"),
         F.dayofmonth(d).alias("dom"),
@@ -275,6 +257,36 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("2024-01-01").cast("date")).alias("days_since_y24"),
         F.quarter(d).alias("q"),
     )
+
+
+def q_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/M6: the reference's metrics-registry aggregations
+    (metrics/registry.rs, `/stats` handlers.rs:1414-1691) re-expressed as a
+    query over the events table: per (topic, partition) event counts,
+    payload bytes, time span and integer events-per-hour rate — the
+    ingest-observability surface, computed from data instead of counters.
+
+    Integer rate math (count·3600000 DIV span) keeps it hash-exact
+    cross-engine. One aggregation pass, partial aggregation map-side."""
+    ev = zombi_events(spark, sf_dir)
+    agg = ev.groupBy("topic", "partition").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.octet_length("payload_str").cast("long")).alias("payload_bytes"),
+        F.min("timestamp_ms").alias("first_event_ms"),
+        F.max("timestamp_ms").alias("last_event_ms"),
+    )
+    span = F.col("last_event_ms") - F.col("first_event_ms")
+    return agg.select(
+        "topic",
+        "partition",
+        "n_events",
+        "payload_bytes",
+        (span).alias("span_ms"),
+        F.when(span > 0, F.expr("n_events * 3600000 DIV (last_event_ms - first_event_ms)"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("events_per_hour"),
+        "last_event_ms",
+    ).orderBy("partition")
 
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

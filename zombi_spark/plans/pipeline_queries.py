@@ -15,20 +15,23 @@ from zombi_spark.operators import text_analysis as TA
 from zombi_spark.sources.tables import load_table
 
 
-def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (full-content md5) and fingerprint (order-insensitive token
+    set) dedup in one tagged result — the two hash-groupBy dedup modes."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup(docs).orderBy("content_hash")
-
-
-def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return D.fingerprint_dedup(docs).orderBy("fingerprint")
-
-
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures for a deterministic slice (keeps the oracle fast)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    exact = D.exact_dedup(docs).select(
+        F.lit("exact").alias("method"),
+        F.col("content_hash").alias("content_key"),
+        "keep_id",
+        F.col("n_copies").alias("n_docs"),
+    )
+    fp = D.fingerprint_dedup(docs).select(
+        F.lit("fingerprint").alias("method"),
+        F.col("fingerprint").alias("content_key"),
+        "keep_id",
+        "n_docs",
+    )
+    return exact.unionByName(fp).orderBy("method", "content_key")
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,11 +81,6 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return D.simhash(docs, bits=16)
-
-
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-≤3 near-dup pairs over a deterministic slice."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
@@ -125,16 +123,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_brute_force_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k, both strategies tagged in one result: brute-force cosine
+    (the exact baseline — broadcast queries, TakeOrderedAndProject) and
+    sign-LSH bucketed search (the scale path — candidate set restricted to
+    the query's hyperplane-sign bucket)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
-    return S.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
-
-
-def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 8)
-    return S.lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    brute = S.brute_force_topk(emb, queries, k=5).select(
+        F.lit("brute").alias("method"),
+        "query_id",
+        F.lit(-1).cast("int").alias("bucket"),
+        "rank",
+        "neighbor_id",
+        "cos_e6",
+    )
+    lsh = S.lsh_topk(emb, queries, k=5).select(
+        F.lit("lsh").alias("method"), "query_id", "bucket", "rank", "neighbor_id", "cos_e6"
+    )
+    return brute.unionByName(lsh).orderBy("method", "query_id", "rank")
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,17 +172,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + token counts (whitespace and BPE-ish
+    piece counts) — the full one-pass per-document feature projection."""
     docs = load_table(spark, sf_dir, "documents")
     return TA.quality_features(docs)
-
-
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TA.token_count(F.col("text")).alias("ws_tokens"),
-        TA.bpe_ish_token_count(F.col("text")).alias("piece_tokens"),
-    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,18 +265,29 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check: the decode is a stub, and
-    mapInPandas has no SQL equivalent)."""
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary media column → Arrow-batched
+    mapInPandas feature extraction (stub codec with deterministic fake
+    decode) → binary-content exact dedup joined back per media row.
+
+    Fully oracle-checked: the stub's fake dimensions are pure functions of
+    the sha256 digest, which DuckDB can recompute — so even the stubbed
+    codec path is hash-verified, not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.extract_media_features(M.documents_as_media(docs))
-    return feats.select(
-        "media_id", "media_type", "n_bytes", "content_sha", "width", "height", "duration_ms"
+    dedup = M.media_exact_dedup(feats)
+    return (
+        feats.join(dedup, "content_sha")
+        .select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            "content_sha",
+            "width",
+            "height",
+            "duration_ms",
+            "keep_id",
+            "n_copies",
+        )
+        .orderBy("media_id")
     )
-
-
-def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-content dedup over extracted media features (rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = M.extract_media_features(M.documents_as_media(docs))
-    return M.media_exact_dedup(feats).orderBy("content_sha")

@@ -53,25 +53,36 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: ROLLUP over (orderstatus, orderpriority) with subtotal rows."""
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 in one query: ROLLUP + CUBE (DataFrame API) + explicit GROUPING
+    SETS (SQL) over (orderstatus, orderpriority), tagged by mode. Each
+    branch is one hash aggregate with Catalyst's Expand; the union is
+    plan-level, not a self-join."""
     o = load_table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first()
-        )
+    aggs = [
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+    ]
+    ro = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("rollup").alias("mode"), "o_orderstatus", "o_orderpriority", "n_orders", "total_cents"
     )
-
-
-def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: CUBE over (returnflag, linestatus)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.sum("l_quantity").cast("long").alias("qty"))
-        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    cu = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs).select(
+        F.lit("cube").alias("mode"), "o_orderstatus", "o_orderpriority", "n_orders", "total_cents"
+    )
+    o.createOrReplaceTempView("orders_gs")
+    gs = spark.sql(
+        """
+        SELECT 'sets' AS mode, o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS LONG)) AS total_cents
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return ro.unionByName(cu).unionByName(gs).orderBy(
+        "mode",
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
     )
 
 
@@ -91,46 +102,44 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 (approx): HLL approx_count_distinct — rows-only check (no oracle:
-    sketch estimates differ across engines by design)."""
+    """A9 (approx): HLL approx_count_distinct. Sketch estimates are
+    engine-specific, so the oracle-checkable output is the invariant: the
+    exact count plus a boolean asserting the HLL estimate landed within its
+    documented 5% error bound (the oracle emits `true` — a drifting sketch
+    would flip the column and fail the hash)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    return agg.select(
+        "exact_orders",
+        (
+            F.abs(F.col("approx") - F.col("exact_orders"))
+            <= F.lit(0.05) * F.col("exact_orders")
+        ).alias("approx_within_5pct"),
     )
 
 
 # -------------------------------------------------------------------- joins
-def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/J3: large equi-join orders ⋈ customer (sort-merge/shuffled-hash —
-    Catalyst + AQE pick), then grouped revenue per market segment."""
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2/J3 in one plan: the large equi-join orders ⋈ customer
+    (sort-merge/shuffled-hash — Catalyst + AQE pick) composed with an
+    explicit broadcast of the nation→region dimension chain; the fact side
+    never shuffles for the dimension join."""
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "inner")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents"))
-        .orderBy("c_mktsegment")
-    )
-
-
-def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: explicit broadcast of the dimension chain nation→region; the
-    customer fact never shuffles for the join."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     dim = n.join(r, n.n_regionkey == r.r_regionkey).select(
-        "n_nationkey", "n_name", F.col("r_name").alias("region_name")
+        "n_nationkey", F.col("r_name").alias("region_name")
     )
     return (
-        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
-        .groupBy("region_name")
-        .agg(
-            F.count("*").alias("n_customers"),
-            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
-        )
-        .orderBy("region_name")
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .groupBy("region_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents"))
+        .orderBy("region_name", "c_mktsegment")
     )
 
 
@@ -249,35 +258,31 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ windows
-def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 ranking: row_number/rank/dense_rank/ntile per customer by price."""
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 ranking + analytic in one pass: row_number/rank/dense_rank/ntile
+    per customer by price, plus lag/lead/first/last over the order-date
+    history. Two window specs, one shuffle on o_custkey (the two sorts
+    reuse the same partitioning)."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_hist = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w_hist.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w_price).alias("rn"),
+            F.rank().over(w_price).alias("rnk"),
+            F.dense_rank().over(w_price).alias("drnk"),
+            F.ntile(4).over(w_price).alias("quartile"),
+            F.lag("o_orderkey").over(w_hist).alias("prev_order"),
+            F.lead("o_orderkey").over(w_hist).alias("next_order"),
+            F.first("o_orderkey").over(frame).alias("first_order"),
+            F.last("o_orderkey").over(frame).alias("last_order"),
         )
         .where(F.col("rn") <= 3)
-    )
-
-
-def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6 analytic: lag/lead/first/last over customer order history."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_orderkey").over(w).alias("prev_order"),
-        F.lead("o_orderkey").over(w).alias("next_order"),
-        F.first("o_orderkey").over(frame).alias("first_order"),
-        F.last("o_orderkey").over(frame).alias("last_order"),
     )
 
 
@@ -297,33 +302,36 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ set ops
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8: union / intersect / except composed over customer key ranges."""
+    """§2.8: union / intersect / except composed over customer key ranges,
+    plus dropDuplicates on a projected lineitem key set — every set
+    operator, tagged by op."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
     custs = c.select(F.col("c_custkey").alias("k"))
     buyers = o.select(F.col("o_custkey").alias("k")).distinct()
     union_all = custs.unionByName(buyers)
     inter = custs.intersect(buyers)
     minus = custs.exceptAll(buyers)
+    dd = (
+        li.select("l_orderkey", "l_returnflag")
+        .dropDuplicates()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(F.lit("distinct_pairs_"), F.col("l_returnflag")).alias("op"),
+            "n",
+            F.col("n").alias("n_distinct"),
+        )
+    )
     return (
         union_all.select(F.lit("union_all").alias("op"), "k")
         .unionByName(inter.select(F.lit("intersect").alias("op"), "k"))
         .unionByName(minus.select(F.lit("except_all").alias("op"), "k"))
         .groupBy("op")
         .agg(F.count("*").alias("n"), F.countDistinct("k").alias("n_distinct"))
+        .unionByName(dd)
         .orderBy("op")
-    )
-
-
-def q_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8: dropDuplicates on a projected key set."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_orderkey", "l_returnflag")
-        .dropDuplicates()
-        .groupBy("l_returnflag")
-        .agg(F.count("*").alias("n_pairs"))
-        .orderBy("l_returnflag")
     )
 
 
@@ -385,18 +393,31 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics/histogram.rs:1-220, computed exactly instead of from buckets).
     Quantized to integer cents per mille to stay hash-comparable: the
     interpolation formula is the same in both engines, and inputs are
-    2-decimal doubles, so the per-mille floor is stable."""
+    2-decimal doubles, so the per-mille floor is stable.
+
+    The scale-safe product twin is approx_percentile (quantile sketch, no
+    full sort per group); its estimate is engine-specific, so the checkable
+    output is the invariant column `approx_within_2pct` asserting the
+    sketch landed within 2% of the exact value (the oracle emits `true`).
+    """
     o = load_table(spark, sf_dir, "orders")
     pcts = [0.5, 0.95, 0.99]
     exprs = [
         F.floor(F.expr(f"percentile(o_totalprice, {p})") * 1000).cast("long").alias(f"p{int(p * 100)}_pm")
         for p in pcts
     ]
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(*exprs, F.count("*").alias("n"))
-        .orderBy("o_orderstatus")
-    )
+    approx = F.expr("approx_percentile(o_totalprice, 0.95, 10000)").alias("approx95")
+    agg = o.groupBy("o_orderstatus").agg(*exprs, approx, F.count("*").alias("n"))
+    return agg.select(
+        "o_orderstatus",
+        "p50_pm",
+        "p95_pm",
+        "p99_pm",
+        (
+            F.abs(F.col("approx95") * 1000 - F.col("p95_pm")) <= F.lit(0.02) * F.col("p95_pm")
+        ).alias("approx_within_2pct"),
+        "n",
+    ).orderBy("o_orderstatus")
 
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,19 +430,6 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("long"))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
         .orderBy("l_returnflag")
-    )
-
-
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: explicit GROUPING SETS via SQL (finer than rollup/cube)."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-        """
     )
 
 
