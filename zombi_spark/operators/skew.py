@@ -27,7 +27,17 @@ def salted_join(
     exploded ×salt_buckets. The shuffle key becomes (key..., salt), so one
     hot key spreads over ``salt_buckets`` reducers. Cost: small side is
     replicated — use only when small is dimension-sized.
+
+    Only big-side-preserving join types are allowed: under right/full
+    outer, an unmatched small row would surface once per salt replica
+    (``salt_buckets`` phantom rows). Use AQE skew-join for those.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} (big-side preserving); "
+            f"got how={how!r} — replica rows would duplicate unmatched small-side rows"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_salted = big.withColumn("_salt", salt)
     small_rep = small.withColumn(

@@ -325,8 +325,10 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen week; distinct active
-    users per (cohort_week, week_offset). Two shuffles (first-seen agg +
-    cohort join is broadcast-sized, final agg)."""
+    users per (cohort_week, week_offset). The cohort frame is one row per
+    user — it grows with the corpus, so the join strategy is left to
+    AQE/Catalyst (broadcast when small, shuffle when not); a forced
+    broadcast hint would OOM the build side at 100×."""
     ev = zombi_events(spark, sf_dir)
     week_ms = 7 * 24 * 3600 * 1000
     base = 1704067200000  # 2024-01-01, the corpus epoch
@@ -337,7 +339,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohorts = with_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        with_week.join(F.broadcast(cohorts), "user_id")
+        with_week.join(cohorts, "user_id")
         .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))

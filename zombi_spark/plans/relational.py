@@ -336,17 +336,6 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- sorts / topk
-def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2/O4: global top-k (TakeOrderedAndProject — per-partition top-k then
-    driver merge; no global sort at any scale)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("price_cents"))
-        .limit(25)
-    )
-
-
 def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below 20%
     of their part's average — a correlated aggregate expressed as a
