@@ -66,10 +66,15 @@ def main() -> None:
             F.col("event_id").alias("ingest_order"),
         )
         n = raw.count()
-        table = EventTable(spark, tmp, "bench")
-        t0 = time.perf_counter()
-        table.append(prepare_events(raw))
-        dt = time.perf_counter() - t0
+        # min-of-two like the queries: run the identical append into two
+        # fresh tables; the first also pays one-time codegen/scan warmup
+        runs = []
+        for i in range(2):
+            table = EventTable(spark, tmp, f"bench-{i}")
+            t0 = time.perf_counter()
+            table.append(prepare_events(raw))
+            runs.append(time.perf_counter() - t0)
+        dt = min(runs)
         extras["ingest_events_per_s"] = round(n / dt, 1)
         extras["ingest_sec"] = round(dt, 4)
         extras["ingest_rows"] = n

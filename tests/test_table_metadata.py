@@ -1,0 +1,143 @@
+"""Manifest-delta snapshot metadata (iceberg_storage.rs:1087-1110 shape):
+O(new files) commits, stats-based scan planning, bounded streaming probe,
+table-level metadata, snapshot expiration."""
+
+import json
+import os
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.event_table import EventTable
+
+
+def _batch(spark, start, n, ts_base=1704067200000):
+    rows = [
+        ("t", 0, f"p{i}".encode(), ts_base + i * 1000, f"k-{i}", i)
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_commit_is_delta_not_full_listing(spark, tmp_path):
+    """Commit cost is O(files added by THIS commit): non-rebase snapshots
+    carry only their own added files; the full active set reconstructs
+    from the delta chain and matches the physical tree."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(4):
+        t.append(prepare_events(_batch(spark, s * 5, 5)))
+    snaps = t.snapshots()
+    assert len(snaps) == 4
+    # v0 is a rebase point (full list); v1..v3 are pure deltas
+    assert "files" in snaps[0]
+    for s in snaps[1:]:
+        assert "files" not in s
+        assert s["added"] and s["removed"] == []
+        assert s["parent_version"] == s["version"] - 1
+    # the manifest view equals the physical tree (nothing lost, nothing
+    # adopted) and every entry carries footer stats
+    manifest = {f["file_path"] for f in t.files()}
+    physical = {f["file_path"] for f in t._walk_data_files()}
+    assert manifest == physical
+    for e in t.scan_files():
+        assert e["row_count"] > 0
+        assert e["min_ts"] <= e["max_ts"]
+        assert e["min_seq"] <= e["max_seq"]
+
+
+def test_table_metadata_file(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5)))
+    meta = t.table_metadata()
+    assert meta["partition_spec"] == ["event_date", "event_hour"]
+    assert meta["sort_order"] == ["timestamp_ms", "sequence"]
+    field_names = [f["name"] for f in meta["schema"]["fields"]]
+    assert "sequence" in field_names and "idempotency_key" in field_names
+
+
+def test_scan_files_stats_pruning(spark, tmp_path):
+    """Iceberg-style scan planning: files outside the (ts_min, ts_max)
+    window are pruned from the candidate list before Spark opens a single
+    footer."""
+    day_ms = 86_400_000
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5, ts_base=1704067200000)))
+    t.append(prepare_events(_batch(spark, 5, 5, ts_base=1704067200000 + 100 * day_ms)))
+    all_files = t.scan_files()
+    recent = t.scan_files(ts_min=1704067200000 + 99 * day_ms)
+    old = t.scan_files(ts_max=1704067200000 + day_ms)
+    assert 0 < len(recent) < len(all_files)
+    assert 0 < len(old) < len(all_files)
+    assert {e["file_path"] for e in recent}.isdisjoint({e["file_path"] for e in old})
+
+
+def test_idempotency_history_bounded_probe(spark, tmp_path):
+    """The streaming dedup probe touches only retention-window files
+    (snapshot-stats pruning) and reads only the 3 key columns — the
+    rocksdb.rs:1150-1237 retention-delete analogue. This is the per-batch
+    scan bound that makes ingest O(window), not O(history)."""
+    day_ms = 86_400_000
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5, ts_base=1704067200000)))
+    t.append(prepare_events(_batch(spark, 5, 5, ts_base=1704067200000 + 100 * day_ms)))
+
+    probe = t.idempotency_history(retention_hours=48)
+    # file pruning: only the recent append's files are scanned
+    recent_files = {e["file_path"] for e in t.scan_files(ts_min=1704067200000 + 99 * day_ms)}
+    scanned = {p.replace("file://", "").replace("file:", "") for p in probe.inputFiles()}
+    assert scanned == recent_files
+    # column pruning reaches the parquet scan
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "idempotency_key" in plan
+    assert "payload" not in plan
+    # unbounded form still prunes columns but scans every file
+    full = t.idempotency_history()
+    assert len(full.inputFiles()) == len(t.files())
+
+
+def test_watermark_map_matches_data(spark, tmp_path):
+    """A4: the snapshot-summary watermarks equal the true per-partition
+    max(sequence) — the write path can trust metadata over a scan."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 7)))
+    t.append(prepare_events(_batch(spark, 7, 6), existing=t.read()))
+    wm = t.watermark_map()
+    truth = {
+        (r.topic, r.partition): r.high_watermark for r in t.high_watermarks().collect()
+    }
+    assert wm == truth
+
+
+def test_expire_snapshots_materializes_base(spark, tmp_path):
+    """Expiration rewrites the oldest survivor with a full file list, so
+    delta replay never dangles off an expired parent."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(5):
+        t.append(prepare_events(_batch(spark, s * 3, 3)))
+    assert t.expire_snapshots(keep_last=2) == [0, 1, 2]
+    snaps = t.snapshots()
+    assert [s["version"] for s in snaps] == [3, 4]
+    assert "files" in snaps[0]  # materialized base
+    assert t.read().count() == 15
+    assert t.read(version=3).count() == 12  # time travel within retention
+    # snapshot json on disk for the survivors only
+    names = sorted(os.listdir(t.meta_path))
+    assert [n for n in names if n.startswith("snap-")] == [
+        "snap-00000003.json",
+        "snap-00000004.json",
+    ]
+
+
+def test_rebase_snapshot_every_32_commits(spark, tmp_path):
+    """The 32nd commit materializes a full list so reconstruction replays
+    a bounded chain (manifest-list rebase)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    # cheap commits: empty-delta snapshots via the internal API
+    t.append(prepare_events(_batch(spark, 0, 3)))
+    for v in range(1, 33):
+        t._commit_snapshot(
+            {"operation": "append", "watermarks": {}}, expected_parent=v - 1
+        )
+    snap32 = json.load(open(os.path.join(t.meta_path, "snap-00000032.json")))
+    assert "files" in snap32  # rebase point
+    snap31 = json.load(open(os.path.join(t.meta_path, "snap-00000031.json")))
+    assert "files" not in snap31
+    assert t.read().count() == 3

@@ -35,13 +35,22 @@ def test_time_travel_across_compaction(spark, tmp_path):
         t.append(prepare_events(_batch(spark, s * 5, 5)))
     pre_compact_rows = t.read(version=1).count()
     t.compact(min_input_files=2)
-    # post-compaction snapshot sees all data; the old snapshot's files are
-    # gone (compaction deletes inputs), so as-of reads before it now fail —
-    # the documented single-writer/no-snapshot-retention tradeoff
+    # post-compaction snapshot sees all data AND old snapshots stay
+    # readable: compaction commits a manifest delta (inputs removed, new
+    # files added) and leaves the input files on disk for time travel
+    # until expire_snapshots releases them
     assert t.read().count() == 15
     assert pre_compact_rows == 10
+    assert t.read(version=1).count() == 10  # time travel ACROSS compaction
     latest = len(t.snapshots()) - 1
     assert t.read(version=latest).count() == 15
+    # expiration releases the pre-compact snapshots; orphan sweep then
+    # reclaims the compacted-away inputs, and the latest read still serves
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [0, 1, 2]
+    removed = t.remove_orphans()
+    assert len(removed) > 0
+    assert t.read().count() == 15
 
 
 def test_sql_view_surface(spark, tmp_path):

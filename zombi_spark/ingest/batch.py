@@ -21,9 +21,10 @@ key the data is later stored under, so the shuffle is reused by the
 partitioned write. The watermark frame (A2: max sequence per partition) is
 tiny (one row per producer partition) and is broadcast, never shuffled.
 Dedup against history (step 3) is a left_anti join on
-(topic, partition, idempotency_key); on a real deployment that history
-probe reads only the idempotency columns (column pruning) within the
-retention window (partition pruning) — not the whole table.
+(topic, partition, idempotency_key); the streaming path passes
+``EventTable.idempotency_history`` — only those 3 columns are read
+(column pruning) and only files inside the retention window are scanned
+(snapshot-stats file pruning) — never the whole table.
 """
 
 from __future__ import annotations
@@ -78,12 +79,22 @@ def validate_table_name(name: str) -> str:
     return name
 
 
-def dedup_idempotency(batch: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+def dedup_idempotency(
+    batch: DataFrame,
+    existing: DataFrame | None = None,
+    history: DataFrame | None = None,
+) -> DataFrame:
     """Drop events whose (topic, partition, idempotency_key) already exists.
 
     Within the batch, the FIRST occurrence (by ingest_order) wins — the
     reference processes writes FIFO and returns the existing offset for
     replays (rocksdb.rs:645-654, 683-688). NULL keys are never deduped.
+
+    ``history`` is the preferred probe set: a pre-pruned
+    (topic, partition, idempotency_key) frame (e.g.
+    ``EventTable.idempotency_history`` — retention-window file pruning +
+    column pruning). ``existing`` is the legacy full-table form, kept for
+    callers that already hold a scan.
     """
     keyed = batch.where(F.col("idempotency_key").isNotNull())
     keyless = batch.where(F.col("idempotency_key").isNull())
@@ -92,30 +103,40 @@ def dedup_idempotency(batch: DataFrame, existing: DataFrame | None = None) -> Da
     first_wins = (
         keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
     )
-    if existing is not None:
-        history = existing.where(F.col("idempotency_key").isNotNull()).select(
+    if history is None and existing is not None:
+        history = existing.select("topic", "partition", "idempotency_key")
+    if history is not None:
+        probe = history.where(F.col("idempotency_key").isNotNull()).select(
             "topic", "partition", "idempotency_key"
         )
         first_wins = first_wins.join(
-            history, on=["topic", "partition", "idempotency_key"], how="left_anti"
+            probe, on=["topic", "partition", "idempotency_key"], how="left_anti"
         )
     return first_wins.unionByName(keyless)
 
 
-def assign_sequences(batch: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+def assign_sequences(
+    batch: DataFrame,
+    existing: DataFrame | None = None,
+    watermarks: DataFrame | None = None,
+) -> DataFrame:
     """Assign per-(topic, partition) monotonic sequences starting at 1.
 
-    Continues from the existing table's high watermark (A2:
-    ``max(sequence) GROUP BY topic, partition`` — rocksdb.rs:851-853).
-    The watermark frame is one row per producer partition → broadcast.
+    Continues from the committed high watermark (A2 — rocksdb.rs:851-853).
+    ``watermarks`` is the preferred base: a (topic, partition, _base_seq)
+    frame built from the snapshot summary (``EventTable.watermark_map`` —
+    zero data files read). ``existing`` is the legacy form that derives
+    the same frame with a full-table aggregate. Either way the frame is
+    one row per producer partition → broadcast.
     """
     w = Window.partitionBy("topic", "partition").orderBy("ingest_order")
     seq_in_batch = batch.withColumn("_seq_in_batch", F.row_number().over(w))
 
-    if existing is not None:
+    if watermarks is None and existing is not None:
         watermarks = existing.groupBy("topic", "partition").agg(
             F.max("sequence").alias("_base_seq")
         )
+    if watermarks is not None:
         seq_in_batch = seq_in_batch.join(
             F.broadcast(watermarks), on=["topic", "partition"], how="left"
         )
@@ -134,11 +155,16 @@ def prepare_events(
     batch: DataFrame,
     existing: DataFrame | None = None,
     server_time_ms: int | None = None,
+    history: DataFrame | None = None,
+    watermarks: DataFrame | None = None,
 ) -> DataFrame:
     """Full write-path transform: defaults → dedup → sequences → partitions.
 
     Returns rows in EVENT_SCHEMA column order. ``server_time_ms`` pins the
     default timestamp for reproducibility (tests); None = current time.
+    ``history``/``watermarks`` are the bounded metadata-driven inputs (see
+    :func:`dedup_idempotency` / :func:`assign_sequences`); ``existing``
+    derives both from a full scan when they're absent.
     """
     now = (
         F.unix_millis(F.current_timestamp())
@@ -146,8 +172,8 @@ def prepare_events(
         else F.lit(server_time_ms).cast("long")
     )
     batch = batch.withColumn("timestamp_ms", F.coalesce(F.col("timestamp_ms"), now))
-    batch = dedup_idempotency(batch, existing)
-    batch = assign_sequences(batch, existing)
+    batch = dedup_idempotency(batch, existing, history=history)
+    batch = assign_sequences(batch, existing, watermarks=watermarks)
     event_date, event_hour = derive_partition_columns(F.col("timestamp_ms"))
     return batch.select(
         "sequence",

@@ -6,8 +6,10 @@ Reference semantics → Spark mechanism (SURVEY.md §2.10):
   T4 hour-boundary split    → partitioned write by (event_date, event_hour)
   T5 snapshot commit        → one EventTable snapshot per micro-batch
   T6 two-phase watermark    → checkpoint commits after sink success (built in)
-  T7 startup reconciliation → foreachBatch re-reads table high watermarks,
-                              so sequences continue correctly after restart
+  T7 startup reconciliation → foreachBatch reloads the committed high
+                              watermarks from the latest snapshot summary
+                              (no data files read), so sequences continue
+                              correctly after restart
   T8 retention/cleanup      → source files are the 'hot buffer'; they stay
                               until the caller removes them (retention=0s
                               analogue); dedup state lives in the table
@@ -32,8 +34,12 @@ clients that don't send idempotency keys (SPEC.md:752).
 Scale notes: each micro-batch does ONE shuffle keyed by
 (topic, partition) for sequence assignment, reused by the partitioned
 write's repartition on (event_date, event_hour) only when hour boundaries
-actually split the batch. The watermark lookup aggregates table *metadata*
-scope (partition column stats limit the scan) and is broadcast.
+actually split the batch. Per-batch table access is metadata-bounded: the
+sequence-base lookup is a dict from the snapshot summary (zero file
+reads), and the idempotency probe is a left-anti join against only the
+retention window's files (snapshot-stats pruning) with only
+(topic, partition, idempotency_key) read — at 100 TB the probe cost
+tracks the retention window, not table history.
 """
 
 from __future__ import annotations
@@ -57,11 +63,22 @@ class StreamingIngest:
     ``readStream`` options only.
     """
 
-    def __init__(self, spark: SparkSession, landing_dir: str, table: EventTable, checkpoint_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        table: EventTable,
+        checkpoint_dir: str,
+        retention_hours: int = 48,
+    ):
         self.spark = spark
         self.landing_dir = landing_dir
         self.table = table
         self.checkpoint_dir = checkpoint_dir
+        # idempotency keys older than this are forgotten — the reference's
+        # post-flush retention delete (rocksdb.rs:1150-1237); bounds the
+        # per-batch dedup probe to a window instead of the whole table
+        self.retention_hours = retention_hours
 
     def _raw_stream(self) -> DataFrame:
         json_schema = (
@@ -81,8 +98,26 @@ class StreamingIngest:
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        existing = self.table.read() if os.path.isdir(self.table.data_path) else None
-        events = prepare_events(batch_df, existing=existing)
+        # Bounded metadata-driven write path — NEVER a full-table rescan:
+        #  - sequence bases come from the snapshot summary's carried
+        #    watermarks (zero data files read, A4 committed recovery)
+        #  - the idempotency probe scans only retention-window files
+        #    (snapshot-stats file pruning) and only 3 columns
+        wm_map = self.table.watermark_map()
+        watermarks = (
+            self.spark.createDataFrame(
+                [(t, p, s) for (t, p), s in wm_map.items()],
+                "topic string, partition int, _base_seq long",
+            )
+            if wm_map
+            else None
+        )
+        history = (
+            self.table.idempotency_history(retention_hours=self.retention_hours)
+            if self.table.latest_version() is not None
+            else None
+        )
+        events = prepare_events(batch_df, history=history, watermarks=watermarks)
         self.table.append(events)
 
     def start(self, available_now: bool = True, processing_time: str = "5 seconds"):

@@ -5,21 +5,54 @@ container ships no Iceberg Spark runtime jar, so the table layer writes the
 same *physical layout* directly — hive-partitioned
 ``event_date=YYYY-MM-DD/event_hour=H`` Zstd Parquet, rows sorted by
 ``(timestamp_ms, sequence)`` within each file (SPEC.md:320-333,
-parquet.rs:347-364) — plus a minimal JSON snapshot log giving atomic,
-versioned commits with per-partition watermark summaries
-(``zombi.watermark.{p}`` — iceberg_storage.rs:285-300). Swapping the sink
-for Iceberg is a writer-format change, not a redesign: every reader goes
-through :meth:`read`, every writer through :meth:`append`.
+parquet.rs:347-364) — plus a JSON snapshot log giving atomic, versioned
+commits with Iceberg-shaped metadata:
+
+  - **manifest deltas** (iceberg_storage.rs:1087-1110): each snapshot
+    records only the files it ADDED (with per-file row counts and
+    (timestamp_ms, sequence) min/max bounds — the DataFile stats Iceberg
+    keeps) and the files it REMOVED, plus a parent pointer. Commit cost is
+    O(files touched by this commit), never O(total files). Every 32nd
+    snapshot also materializes the full active list (a manifest-list
+    "rebase") so reconstruction replays a bounded chain.
+  - **optimistic concurrency** (M3 — compaction.rs:98-137,
+    iceberg_storage.rs:360-374): a commit names the parent version it was
+    planned against; if another commit landed first the version file
+    already exists and the commit raises :class:`CommitConflictError`
+    instead of silently last-write-winning.
+  - **table metadata** (``table.json``): schema, partition spec, sort
+    order — the ``v{N}.metadata.json`` analogue.
+  - **snapshot expiration** (:meth:`expire_snapshots`): drops old
+    snapshots after materializing the survivor chain's base, after which
+    :meth:`remove_orphans` can reclaim files only those snapshots held.
+
+Crash-safety contract (INV-5/INV-6, SPEC.md:754):
+  - ``append`` stages its output under a dot-prefixed directory and moves
+    files into the data tree *before* committing — a crash at any point
+    leaves either (a) staging junk, or (b) moved-but-uncommitted files:
+    both invisible to :meth:`read` (which serves only committed file
+    lists) and both reclaimed by :meth:`remove_orphans`. The next
+    successful append never adopts them, because snapshots record exactly
+    the files their own commit moved in — never a directory listing.
+  - ``compact`` commits the swapped snapshot FIRST and deletes its input
+    files only after the commit point (compaction.rs:282-396 order). A
+    crash in between leaves the inputs on disk, still referenced by older
+    snapshots — time travel keeps working and nothing is lost.
 
 Scale notes:
   - append() repartitions by the storage partition key before writing, so
     each (event_date, event_hour) lands in few large files instead of
     shuffle_partitions small ones — the small-file problem compaction (M1)
     otherwise has to fix.
-  - reads rely on partition pruning (event_date/event_hour dirs) +
-    parquet min/max row-group stats on (timestamp_ms, sequence) — the same
-    two-level skip as Iceberg partition pruning + DataFile bounds
-    (SPEC.md:311-333).
+  - reads rely on three skip levels: snapshot-level file pruning on the
+    recorded (min,max) bounds (:meth:`scan_files` — Iceberg scan
+    planning), hive partition pruning (event_date/event_hour dirs), and
+    parquet min/max row-group stats (SPEC.md:311-333).
+  - the per-(topic, partition) high watermarks ride in every snapshot
+    summary (``zombi.watermark.*`` — iceberg_storage.rs:285-300), so
+    sequence assignment on the write path reads ZERO data files
+    (:meth:`watermark_map`), and the idempotency-dedup probe scans only a
+    retention window of 3 pruned columns (:meth:`idempotency_history`).
 """
 
 from __future__ import annotations
@@ -36,6 +69,51 @@ from zombi_spark.ingest.batch import EVENT_SCHEMA, validate_table_name
 
 _META_DIR = "_zombi_meta"
 _DATA_DIR = "data"
+# a full active-file list ("base") is materialized at least this often so
+# delta replay is bounded: reconstruction reads ≤ _REBASE_EVERY snapshots
+_REBASE_EVERY = 32
+
+
+class CommitConflictError(RuntimeError):
+    """Another commit reached this snapshot version first (M3 guard)."""
+
+
+def _parquet_file_entry(path: str, data_path: str) -> dict:
+    """Per-file manifest entry: size + row count + (ts, seq) bounds read
+    from the parquet footer — O(1) metadata reads, no data scan (the
+    DataFile stats Iceberg records at commit, iceberg.rs:126-184)."""
+    import pyarrow.parquet as pq
+
+    entry = {
+        "file_path": path,
+        "partition_dir": os.path.relpath(os.path.dirname(path), data_path),
+        "file_size_bytes": os.path.getsize(path),
+    }
+    try:
+        md = pq.ParquetFile(path).metadata
+        entry["row_count"] = md.num_rows
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col, lo_key, hi_key in (
+            ("timestamp_ms", "min_ts", "max_ts"),
+            ("sequence", "min_seq", "max_seq"),
+        ):
+            if col in idx:
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    if st is None or not st.has_min_max:
+                        break
+                    los.append(st.min)
+                    his.append(st.max)
+                else:
+                    if los:
+                        entry[lo_key] = min(los)
+                        entry[hi_key] = max(his)
+    except Exception:
+        # stats are an optimization — a file with no footer stats is
+        # still correct, it just never gets skipped
+        pass
+    return entry
 
 
 class EventTable:
@@ -47,6 +125,9 @@ class EventTable:
         self.path = os.path.join(root, name)
         self.data_path = os.path.join(self.path, _DATA_DIR)
         self.meta_path = os.path.join(self.path, _META_DIR)
+        # version -> list[file entry dict]; snapshots are immutable once
+        # committed, so the cache never invalidates
+        self._active_cache: dict[int, list[dict]] = {}
 
     # ---------------------------------------------------------------- meta
     def _snapshot_files(self) -> list[str]:
@@ -56,68 +137,265 @@ class EventTable:
             f for f in os.listdir(self.meta_path) if f.startswith("snap-") and f.endswith(".json")
         )
 
+    def _read_snapshot(self, fname: str) -> dict:
+        with open(os.path.join(self.meta_path, fname)) as fh:
+            return json.load(fh)
+
     def snapshots(self) -> list[dict]:
         """Snapshot log, oldest first (analogue of Iceberg ``t.snapshots``)."""
-        out = []
-        for f in self._snapshot_files():
-            with open(os.path.join(self.meta_path, f)) as fh:
-                out.append(json.load(fh))
-        return out
+        return [self._read_snapshot(f) for f in self._snapshot_files()]
 
-    def _commit_snapshot(self, summary: dict) -> dict:
+    def latest_version(self) -> int | None:
+        names = self._snapshot_files()
+        return int(names[-1][5:13]) if names else None
+
+    def latest_snapshot(self) -> dict | None:
+        names = self._snapshot_files()
+        return self._read_snapshot(names[-1]) if names else None
+
+    def table_metadata(self) -> dict | None:
+        """Table-level metadata (schema / partition spec / sort order) —
+        the ``v{N}.metadata.json`` analogue (iceberg_storage.rs:1000-1161)."""
+        p = os.path.join(self.meta_path, "table.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_table_metadata(self) -> None:
+        p = os.path.join(self.meta_path, "table.json")
+        if os.path.isfile(p):
+            return
+        meta = {
+            "format_version": 2,
+            "table_name": self.name,
+            "schema": json.loads(EVENT_SCHEMA.json()),
+            "partition_spec": ["event_date", "event_hour"],
+            "sort_order": ["timestamp_ms", "sequence"],
+        }
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, p)
+
+    def _commit_snapshot(
+        self,
+        summary: dict,
+        added: list[dict] | None = None,
+        removed: list[str] | None = None,
+        expected_parent: int | None = None,
+    ) -> dict:
+        """Atomic versioned commit of a manifest delta.
+
+        ``expected_parent`` is the version this commit was planned against
+        (None = table expected empty). If a different version is current,
+        or another writer races us to the same version file, raise
+        :class:`CommitConflictError` — the caller rebases or aborts; a
+        stale commit is never silently dropped (M3, compaction.rs:98-137).
+        """
         os.makedirs(self.meta_path, exist_ok=True)
-        version = len(self._snapshot_files())
+        self._write_table_metadata()
+        current = self.latest_version()
+        if current != expected_parent:
+            raise CommitConflictError(
+                f"snapshot conflict: planned against version {expected_parent}, "
+                f"but current is {current}"
+            )
+        version = 0 if current is None else current + 1
+        added = added or []
+        removed = removed or []
         snap = {
             "version": version,
+            "parent_version": current,
             "snapshot_id": uuid.uuid4().hex,
             "committed_at_ms": int(time.time() * 1000),
             **summary,
+            "added": added,
+            "removed": removed,
         }
-        tmp = os.path.join(self.meta_path, f".snap-{version:08d}.json.tmp")
+        if version % _REBASE_EVERY == 0:
+            # materialize the full list (manifest-list rebase): replay the
+            # parent chain once, apply this delta — O(active files), paid
+            # every _REBASE_EVERY commits
+            parent_files = self._active_files(current) if current is not None else []
+            removed_set = set(removed)
+            snap["files"] = [
+                f for f in parent_files if f["file_path"] not in removed_set
+            ] + added
+        tmp = os.path.join(self.meta_path, f".snap-{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp")
         final = os.path.join(self.meta_path, f"snap-{version:08d}.json")
         with open(tmp, "w") as fh:
             json.dump(snap, fh, indent=1)
-        os.rename(tmp, final)  # atomic commit point
+        try:
+            # link(2) fails with EEXIST if a concurrent writer committed
+            # this version first — unlike rename(2), which overwrites
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot conflict: version {version} was committed concurrently"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return snap
 
+    # ------------------------------------------------------- file manifests
+    def _snapshot_base_and_deltas(self, version: int) -> tuple[list[dict], list[dict]]:
+        """Find the nearest ancestor ≤ version carrying a full file list,
+        plus the delta snapshots after it (replay chain, newest last)."""
+        deltas: list[dict] = []
+        v = version
+        while v >= 0:
+            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            if "files" in snap:
+                return snap["files"], list(reversed(deltas))
+            deltas.append(snap)
+            parent = snap.get("parent_version")
+            v = -1 if parent is None else parent
+        return [], list(reversed(deltas))
+
+    @staticmethod
+    def _norm_entry(e) -> dict:
+        # legacy snapshots recorded bare path strings; normalize to entries
+        return e if isinstance(e, dict) else {"file_path": e}
+
+    def _active_files(self, version: int) -> list[dict]:
+        """Active file entries AS OF ``version`` (manifest replay, cached)."""
+        if version in self._active_cache:
+            return self._active_cache[version]
+        base, deltas = self._snapshot_base_and_deltas(version)
+        files = {self._norm_entry(e)["file_path"]: self._norm_entry(e) for e in base}
+        for snap in deltas:
+            for p in snap.get("removed", []):
+                files.pop(p, None)
+            for e in snap.get("added", []):
+                e = self._norm_entry(e)
+                files[e["file_path"]] = e
+        out = sorted(files.values(), key=lambda d: d["file_path"])
+        self._active_cache[version] = out
+        return out
+
+    def scan_files(
+        self,
+        version: int | None = None,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+    ) -> list[dict]:
+        """Scan planning: the snapshot's file entries, pruned by the
+        recorded (timestamp_ms) bounds — Iceberg-style file skipping
+        before Spark ever opens a footer. Files without stats are kept
+        (skipping is an optimization, never a correctness gate)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        out = []
+        for e in self._active_files(version):
+            if ts_min is not None and "max_ts" in e and e["max_ts"] < ts_min:
+                continue
+            if ts_max is not None and "min_ts" in e and e["min_ts"] > ts_max:
+                continue
+            out.append(e)
+        return out
+
     # --------------------------------------------------------------- write
+    def _stage_and_move(self, events: DataFrame, staging: str) -> list[dict]:
+        """Write ``events`` into ``staging`` (hive layout), then move every
+        parquet file into the data tree under a fresh unique name. Returns
+        the manifest entries (with footer stats) of the moved files.
+
+        The move happens BEFORE the snapshot commit; a crash mid-move
+        leaves some files in the data tree but referenced by no snapshot —
+        invisible to read() and reclaimed by remove_orphans()."""
+        par = self.spark.sparkContext.defaultParallelism
+        (
+            events.repartition(par, "event_date", "event_hour")
+            .sortWithinPartitions("timestamp_ms", "sequence")
+            .write.mode("overwrite")
+            .partitionBy("event_date", "event_hour")
+            # X5 analogue: parquet bloom filter on idempotency_key makes the
+            # dedup-history anti-join probe skip row groups (the reference
+            # keeps an in-memory bloom per partition, rocksdb.rs:39-88).
+            .option("parquet.bloom.filter.enabled#idempotency_key", "true")
+            .option("parquet.bloom.filter.max.bytes", str(64 * 1024))
+            .parquet(staging)
+        )
+        moved = self._move_staged_in(staging, prefix="")
+        self._rmtree(staging)
+        return moved
+
+    def _move_staged_in(self, staging: str, prefix: str) -> list[dict]:
+        """Move every staged parquet into the data tree under a fresh
+        unique name and return manifest entries with footer stats.
+
+        rename + footer-stat runs on a thread pool: with hour partitioning
+        a batch easily spans hundreds of directories, and a serial loop of
+        open-footer calls dominates small-batch commit latency (measured
+        720 files: ~2s serial → ~0.3s at 16 threads). Pure I/O, no Spark
+        involvement — safe to parallelize."""
+        plan: list[tuple[str, str]] = []
+        for dirpath, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for nf in files:
+                if not nf.endswith(".parquet"):
+                    continue
+                dest_dir = os.path.join(self.data_path, rel)
+                os.makedirs(dest_dir, exist_ok=True)
+                plan.append(
+                    (
+                        os.path.join(dirpath, nf),
+                        os.path.join(dest_dir, f"{prefix}{uuid.uuid4().hex}.parquet"),
+                    )
+                )
+
+        def _move(src_dest: tuple[str, str]) -> dict:
+            src, dest = src_dest
+            os.rename(src, dest)
+            return _parquet_file_entry(dest, self.data_path)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(plan) > 4:
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                return list(pool.map(_move, plan))
+        return [_move(p) for p in plan]
+
+    @staticmethod
+    def _rmtree(root: str) -> None:
+        for dirpath, _dirs, files in os.walk(root, topdown=False):
+            for f in files:
+                os.remove(os.path.join(dirpath, f))
+            os.rmdir(dirpath)
+
     def append(self, events: DataFrame) -> dict:
         """Append canonical event rows; returns the committed snapshot.
 
         Physical layout = zombi's flusher output: one shuffle on the storage
         partition key (A7/T4 hour grouping, flusher/mod.rs:398-437), sorted
         runs within files (O1), Zstd Parquet (X12), hive dirs (X1).
+
+        The snapshot records exactly the files THIS append staged and moved
+        — never a directory listing — so parquet left by a crashed append
+        is not adopted (the exactly-once contract for keyed events,
+        SPEC.md:752, survives retries).
         """
         cols = [f.name for f in EVENT_SCHEMA.fields]
         # cache: the batch is consumed twice (write + watermark aggregate);
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
         events = events.select(*cols).persist()
-        # explicit partition count: with bare repartition(cols), AQE
-        # coalesces a small batch's shuffle to ~1 partition and ONE task
-        # then writes every hour directory serially (measured 11s for 744
-        # dirs at sf0.1; ~32 tasks cut it to ~2s). At cluster scale the
-        # batch is big enough that the count is the task width anyway.
-        par = self.spark.sparkContext.defaultParallelism
-        (
-            events.repartition(par, "event_date", "event_hour")
-            .sortWithinPartitions("timestamp_ms", "sequence")
-            .write.mode("append")
-            .partitionBy("event_date", "event_hour")
-            # X5 analogue: parquet bloom filter on idempotency_key makes the
-            # dedup-history anti-join probe skip row groups (the reference
-            # keeps an in-memory bloom per partition, rocksdb.rs:39-88).
-            # max.bytes bounds the per-file overhead (default is 1 MiB).
-            .option("parquet.bloom.filter.enabled#idempotency_key", "true")
-            .option("parquet.bloom.filter.max.bytes", str(64 * 1024))
-            .parquet(self.data_path)
-        )
+        expected_parent = self.latest_version()
+        staging = os.path.join(self.path, f".append-{uuid.uuid4().hex}")
+        # explicit partition count inside _stage_and_move: with bare
+        # repartition(cols), AQE coalesces a small batch's shuffle to ~1
+        # partition and ONE task then writes every hour directory serially
+        # (measured 11s for 744 dirs at sf0.1; ~32 tasks cut it to ~2s).
+        added = self._stage_and_move(events, staging)
         # watermarks: aggregate the BATCH (tiny frame: one row per producer
         # partition) and merge with the prior snapshot — never a re-scan of
         # the whole table (iceberg_storage.rs:285-300 does the same:
         # summary carries forward).
-        snaps = self.snapshots()
-        wm: dict[str, int] = dict(snaps[-1]["watermarks"]) if snaps and "watermarks" in snaps[-1] else {}
+        prior = self.latest_snapshot()
+        wm: dict[str, int] = dict(prior["watermarks"]) if prior and "watermarks" in prior else {}
         for r in (
             events.groupBy("topic", "partition").agg(F.max("sequence").alias("hwm")).collect()
         ):
@@ -128,11 +406,10 @@ class EventTable:
             {
                 "operation": "append",
                 "watermarks": wm,
-                # manifest-list analogue (iceberg_storage.rs:1087-1110):
-                # every snapshot records the full active file set, enabling
-                # snapshot reads (time travel) and compaction swaps
-                "files": [f["file_path"] for f in self.files()],
-            }
+                "added_rows": sum(e.get("row_count", 0) for e in added),
+            },
+            added=added,
+            expected_parent=expected_parent,
         )
 
     # ---------------------------------------------------------------- read
@@ -140,36 +417,31 @@ class EventTable:
         """Scan the table (partition-pruned + stats-skipped by Catalyst).
 
         ``version`` reads the table AS OF that snapshot (time travel): the
-        scan is restricted to the snapshot's recorded file set, partition
-        columns still derive from the directory layout via basePath.
-        Snapshots older than file-list tracking raise.
+        scan is restricted to the snapshot's recorded file set —
+        reconstructed from manifest deltas — with partition columns still
+        derived from the directory layout via basePath. Works across
+        compaction: old snapshots keep referencing the pre-compact files,
+        which stay on disk until :meth:`expire_snapshots` +
+        :meth:`remove_orphans` reclaim them.
         """
-        snaps = self.snapshots()
+        latest = self.latest_version()
         if version is None:
-            # serve the LATEST SNAPSHOT's file list, not the directory:
-            # files written by an in-flight (or crashed) append are
-            # invisible until their snapshot commits — the Iceberg
-            # atomicity contract (INV-5, SPEC.md:754). Directory scan only
-            # for pre-snapshot tables (empty log).
-            if snaps and "files" in snaps[-1]:
-                files = snaps[-1]["files"]
-                if not files:
+            if latest is None:
+                # pre-snapshot table (no log yet): directory scan
+                if not os.path.isdir(self.data_path):
                     return self.spark.createDataFrame([], EVENT_SCHEMA)
                 return (
                     self.spark.read.schema(EVENT_SCHEMA)
                     .option("basePath", self.data_path)
-                    .parquet(*files)
+                    .parquet(self.data_path)
                 )
-            return (
-                self.spark.read.schema(EVENT_SCHEMA)
-                .option("basePath", self.data_path)
-                .parquet(self.data_path)
-            )
-        if not 0 <= version < len(snaps):
-            raise ValueError(f"no snapshot version {version}; have 0..{len(snaps) - 1}")
-        files = snaps[version].get("files")
-        if files is None:
-            raise ValueError(f"snapshot {version} predates file-list tracking")
+            version = latest
+        if latest is None or not 0 <= version <= latest:
+            have = "none" if latest is None else f"0..{latest}"
+            raise ValueError(f"no snapshot version {version}; have {have}")
+        files = [e["file_path"] for e in self._active_files(version)]
+        if not files:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
         return (
             self.spark.read.schema(EVENT_SCHEMA)
             .option("basePath", self.data_path)
@@ -189,6 +461,44 @@ class EventTable:
         self.read().createOrReplaceTempView(name)
         return name
 
+    def watermark_map(self) -> dict[tuple[str, int], int]:
+        """Committed high watermarks per (topic, partition), straight from
+        the latest snapshot summary — ZERO data files read. This is the
+        write path's sequence base (A4 committed recovery,
+        iceberg_storage.rs:1602-1652)."""
+        snap = self.latest_snapshot()
+        out: dict[tuple[str, int], int] = {}
+        if snap:
+            for key, hwm in snap.get("watermarks", {}).items():
+                topic, _, part = key.removeprefix("zombi.watermark.").rpartition("/")
+                out[(topic, int(part))] = hwm
+        return out
+
+    def idempotency_history(self, retention_hours: int | None = None) -> DataFrame:
+        """The dedup probe set: (topic, partition, idempotency_key) only —
+        columns pruned at the scan — restricted to files whose recorded
+        max_ts falls inside the retention window (snapshot-level file
+        pruning; the reference deletes idem keys past retention,
+        rocksdb.rs:1150-1237, so a bounded probe matches its contract).
+
+        The window anchors on the table's max committed event time (not
+        wall clock) so replays are deterministic."""
+        entries = self.scan_files()
+        if not entries:
+            return self.read().select("topic", "partition", "idempotency_key").limit(0)
+        if retention_hours is not None:
+            known = [e["max_ts"] for e in entries if "max_ts" in e]
+            if known:
+                cutoff = max(known) - retention_hours * 3_600_000
+                entries = self.scan_files(ts_min=cutoff)
+        files = [e["file_path"] for e in entries]
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.data_path)
+            .parquet(*files)
+            .select("topic", "partition", "idempotency_key")
+        )
+
     def high_watermarks(self) -> DataFrame:
         """A2: max committed sequence per (topic, partition)
         (rocksdb.rs:851-853; committed recovery iceberg_storage.rs:1602-1652)."""
@@ -199,7 +509,27 @@ class EventTable:
         return self.read().groupBy("topic", "partition").agg(F.min("sequence").alias("low_watermark"))
 
     def files(self) -> list[dict]:
-        """Data-file listing with sizes (analogue of Iceberg ``t.files`` / S11)."""
+        """ACTIVE data files with sizes (analogue of Iceberg ``t.files`` /
+        S11) — the latest snapshot's manifest, not a directory walk, so
+        uncommitted junk never appears and the call is O(manifest)."""
+        latest = self.latest_version()
+        if latest is not None:
+            return [
+                {
+                    "file_path": e["file_path"],
+                    "partition_dir": e.get(
+                        "partition_dir",
+                        os.path.relpath(os.path.dirname(e["file_path"]), self.data_path),
+                    ),
+                    "file_size_bytes": e.get("file_size_bytes", os.path.getsize(e["file_path"])),
+                    **{k: e[k] for k in ("row_count", "min_ts", "max_ts", "min_seq", "max_seq") if k in e},
+                }
+                for e in self._active_files(latest)
+            ]
+        return self._walk_data_files()
+
+    def _walk_data_files(self) -> list[dict]:
+        """Physical directory listing (pre-snapshot tables, orphan sweep)."""
         out = []
         for dirpath, _dirs, files in os.walk(self.data_path):
             for f in files:
@@ -215,29 +545,40 @@ class EventTable:
         return sorted(out, key=lambda d: d["file_path"])
 
     # --------------------------------------------------------- maintenance
+    def _referenced_files(self) -> set[str]:
+        """Every file referenced by ANY retained snapshot (base lists +
+        added deltas) — the live set for orphan collection. A file removed
+        by compaction stays live while any retained snapshot can still
+        time-travel to it."""
+        live: set[str] = set()
+        for fname in self._snapshot_files():
+            snap = self._read_snapshot(fname)
+            for e in snap.get("files", []):
+                live.add(self._norm_entry(e)["file_path"])
+            for e in snap.get("added", []):
+                live.add(self._norm_entry(e)["file_path"])
+        return live
+
     def remove_orphans(self) -> list[str]:
-        """M4: delete leftover temp artifacts from failed rewrites/appends
-        (``.compact-*`` dirs, spark staging markers) — the
-        ``remove_orphan_files`` analogue (compaction.rs:350-364,
-        iceberg_storage.rs:1587-1600). Committed data files are never
-        touched: only dot-prefixed temporaries qualify."""
+        """M4: delete artifacts no retained snapshot references — crashed
+        appends' moved-but-uncommitted parquet, staging trees, interrupted
+        meta commits (``remove_orphan_files`` analogue, compaction.rs:350-364,
+        iceberg_storage.rs:1587-1600). Files referenced by *any* retained
+        snapshot are live (time travel), not just the latest."""
         removed: list[str] = []
-        # 1) uncommitted data files: parquet present on disk but absent
-        #    from the latest snapshot's file list (a crashed append wrote
-        #    them before its commit) — invisible to read(), safe to drop
-        snaps = self.snapshots()
-        if snaps and "files" in snaps[-1]:
-            active = set(snaps[-1]["files"])
-            for f in self.files():
-                if f["file_path"] not in active:
+        # 1) data files referenced by no retained snapshot
+        if self._snapshot_files():
+            live = self._referenced_files()
+            for f in self._walk_data_files():
+                if f["file_path"] not in live:
                     os.remove(f["file_path"])
                     removed.append(f["file_path"])
-        # 2) walk the table root: crashed compactions stage under
-        #    {path}/.compact-* and interrupted meta commits leave
-        #    .snap-*.json.tmp
+        # 2) walk the table root: crashed stage-and-move trees
+        #    ({path}/.append-* and {path}/.compact-*) and interrupted meta
+        #    commits (.snap-*.json.tmp)
         for dirpath, dirs, files in os.walk(self.path, topdown=False):
             for d in list(dirs):
-                if d.startswith(".compact-") or d == "_temporary":
+                if d.startswith((".compact-", ".append-")) or d == "_temporary":
                     full = os.path.join(dirpath, d)
                     for sub, _ds, fs in os.walk(full, topdown=False):
                         for f in fs:
@@ -249,6 +590,32 @@ class EventTable:
                     os.remove(os.path.join(dirpath, f))
                     removed.append(os.path.join(dirpath, f))
         return removed
+
+    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (Iceberg
+        ``expire_snapshots``). The oldest survivor is rewritten with a
+        materialized full file list first, so delta replay never dangles.
+        Returns the expired version numbers; follow with
+        :meth:`remove_orphans` to reclaim the files only they referenced."""
+        names = self._snapshot_files()
+        if len(names) <= keep_last:
+            return []
+        keep_last = max(keep_last, 1)
+        cut = len(names) - keep_last
+        oldest_kept = names[cut]
+        snap = self._read_snapshot(oldest_kept)
+        if "files" not in snap:
+            snap["files"] = self._active_files(snap["version"])
+            tmp = os.path.join(self.meta_path, f".{oldest_kept}.{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(snap, fh, indent=1)
+            os.replace(tmp, os.path.join(self.meta_path, oldest_kept))  # atomic rewrite
+        expired = []
+        for fname in names[:cut]:
+            expired.append(int(fname[5:13]))
+            os.remove(os.path.join(self.meta_path, fname))
+        self._active_cache.clear()
+        return expired
 
     def compact(
         self,
@@ -263,20 +630,34 @@ class EventTable:
         ``target_files_per_partition`` sorted file(s). Equivalent to
         Iceberg's ``rewrite_data_files`` with min-input-files/target-size.
         Rewrite preserves every row (INV-6) and the (timestamp_ms, sequence)
-        sort; commit then swaps files per partition directory.
+        sort.
+
+        Commit order is the crash-safe one (compaction.rs:282-396): move
+        rewritten files in → commit the swap snapshot → only THEN delete
+        the inputs. A crash before the commit leaves the table serving the
+        pre-compact snapshot with all inputs intact; a crash after it
+        leaves the inputs on disk for older snapshots until expiration.
+
+        If an append commits concurrently, the commit raises
+        :class:`CommitConflictError` and this method REBASES once: inputs
+        are immutable and the append only added files, so re-committing
+        the same (added, removed) delta against the new parent is sound —
+        exactly Iceberg's optimistic-retry path (iceberg_storage.rs:360-374).
         """
+        expected_parent = self.latest_version()
         by_partition: dict[str, list[dict]] = {}
         for f in self.files():
             if f["file_size_bytes"] < small_file_bytes:
                 by_partition.setdefault(f["partition_dir"], []).append(f)
         candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}
-        rewritten = 0
+        added: list[dict] = []
+        all_paths: list[str] = []
         if candidates:
             # ONE Spark job rewrites every candidate partition (a per-
             # partition loop of jobs would serialize at scale): read all
             # inputs with partition columns from the layout, shuffle once
             # on the storage key, write sorted into a staging tree, then
-            # swap files per partition directory.
+            # move the rewritten files in.
             all_paths = [f["file_path"] for fs in candidates.values() for f in fs]
             df = (
                 self.spark.read.schema(EVENT_SCHEMA)
@@ -295,30 +676,36 @@ class EventTable:
                 .partitionBy("event_date", "event_hour")
                 .parquet(staging)
             )
-            # commit: move rewritten files in, drop the inputs
-            for dirpath, _dirs, files in os.walk(staging):
-                rel = os.path.relpath(dirpath, staging)
-                for nf in files:
-                    if nf.endswith(".parquet"):
-                        dest_dir = os.path.join(self.data_path, rel)
-                        os.makedirs(dest_dir, exist_ok=True)
-                        os.rename(
-                            os.path.join(dirpath, nf),
-                            os.path.join(dest_dir, f"compacted-{uuid.uuid4().hex}.parquet"),
-                        )
-            for p in all_paths:
-                os.remove(p)
-            for dirpath, dirs, files in os.walk(staging, topdown=False):
-                for f in files:
-                    os.remove(os.path.join(dirpath, f))
-                os.rmdir(dirpath)
-            rewritten = len(all_paths)
-        snap = self._commit_snapshot(
-            {
-                "operation": "compact",
-                "partitions": sorted(candidates),
-                "files_rewritten": rewritten,
-                "files": [f["file_path"] for f in self.files()],
-            }
-        )
+            added = self._move_staged_in(staging, prefix="compacted-")
+            self._rmtree(staging)
+        prior = self.latest_snapshot()
+        summary = {
+            "operation": "compact",
+            "watermarks": dict(prior.get("watermarks", {})) if prior else {},
+            "partitions": sorted(candidates),
+            "files_rewritten": len(all_paths),
+        }
+        try:
+            snap = self._commit_snapshot(
+                summary, added=added, removed=all_paths, expected_parent=expected_parent
+            )
+        except CommitConflictError:
+            # rebase once: inputs are immutable, so the delta re-applies
+            # cleanly on the new parent — unless another compact already
+            # removed one of our inputs, in which case abort (our rewrite
+            # files become orphans for remove_orphans to reap)
+            new_parent = self.latest_version()
+            active = {e["file_path"] for e in self._active_files(new_parent)}
+            if not set(all_paths) <= active:
+                raise
+            prior = self.latest_snapshot()
+            summary["watermarks"] = dict(prior.get("watermarks", {})) if prior else {}
+            snap = self._commit_snapshot(
+                summary, added=added, removed=all_paths, expected_parent=new_parent
+            )
+        # ---- commit point passed: NOW the inputs may be physically
+        # deleted. They remain referenced by older snapshots, so delete
+        # only what expiration has already released; until then they stay
+        # for time travel. (Physical delete is deferred to
+        # expire_snapshots + remove_orphans — the Iceberg model.)
         return snap
