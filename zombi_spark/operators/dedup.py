@@ -185,7 +185,11 @@ def jaccard_verify(
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b"))
     ).distinct()
-    cand = shingled.join(ids, id_col, "left_semi")
+    # persist: cand feeds BOTH the size frame and the exploded-shingle
+    # intersection below — without it the whole shingle pipeline (and the
+    # semi-join) recomputes once per consumer. The frame is bounded by the
+    # candidate set (LSH output), not the corpus.
+    cand = shingled.join(ids, id_col, "left_semi").persist()
     sizes = cand.select(F.col(id_col), F.size("sh").alias("n_sh"))
     expl = cand.select(F.col(id_col), F.explode("sh").alias("shingle"))
 
