@@ -1,0 +1,159 @@
+"""Table stats / health / metrics — the M6 observability surface.
+
+The reference exposes ``/stats`` (per-table rollups, handlers.rs:1414-1523),
+``/health[/live|/ready]`` (handlers.rs:1035-1041) and a Prometheus
+``/metrics`` exposition (handlers.rs:1532-1691, metrics/registry.rs). Here
+the same numbers derive from the snapshot log + manifest stats — every
+value is O(metadata) driver-side work; no data file is opened:
+
+  - totals (files / bytes / rows) come from the manifest entries' footer
+    stats recorded at commit time
+  - per-(topic, partition) high watermarks come from the snapshot summary
+  - freshness lag = commit wall-clock minus the newest event timestamp in
+    the committed files — the committed-vs-arrived gap the reference
+    derives from its flush watermarks
+  - ingest rate = rows added over the commit-time span of the append
+    snapshots (the ``events_per_sec`` rollup of handlers.rs:1444-1460)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from zombi_spark.table.event_table import EventTable
+
+
+def table_stats(table: EventTable) -> dict:
+    """The ``/stats`` rollup for one table (handlers.rs:1414-1523 shape)."""
+    snaps = table.snapshots()
+    files = table.scan_files() if snaps else []
+    ops: dict[str, int] = {}
+    appends = []
+    files_rewritten = 0
+    for s in snaps:
+        ops[s.get("operation", "unknown")] = ops.get(s.get("operation", "unknown"), 0) + 1
+        if s.get("operation") == "append":
+            appends.append(s)
+        files_rewritten += s.get("files_rewritten", 0)
+
+    total_rows = sum(e.get("row_count", 0) for e in files)
+    max_event_ts = max((e["max_ts"] for e in files if "max_ts" in e), default=None)
+    latest = snaps[-1] if snaps else None
+
+    # ingest rate over the append history: rows committed / wall-clock span
+    # between the first and last append commit (≥1s floor so a single
+    # append doesn't divide by zero)
+    rate = None
+    if len(appends) >= 2:
+        span_s = max((appends[-1]["committed_at_ms"] - appends[0]["committed_at_ms"]) / 1000.0, 1.0)
+        rows_after_first = sum(s.get("added_rows", 0) for s in appends[1:])
+        rate = round(rows_after_first / span_s, 1)
+
+    return {
+        "table": table.name,
+        "current_version": None if latest is None else latest["version"],
+        "snapshot_count": len(snaps),
+        "operations": ops,
+        "file_count": len(files),
+        "total_bytes": sum(e.get("file_size_bytes", 0) for e in files),
+        "total_rows": total_rows,
+        "files_rewritten_total": files_rewritten,
+        "watermarks": {} if latest is None else dict(latest.get("watermarks", {})),
+        "partition_count": len(latest.get("watermarks", {})) if latest else 0,
+        "last_commit_at_ms": None if latest is None else latest["committed_at_ms"],
+        "max_event_timestamp_ms": max_event_ts,
+        # committed-vs-arrived gap at the last commit: how far event time
+        # trailed the commit clock (negative = future-dated events)
+        "freshness_lag_ms": (
+            None
+            if latest is None or max_event_ts is None
+            else latest["committed_at_ms"] - max_event_ts
+        ),
+        "ingest_rows_per_sec": rate,
+    }
+
+
+def health(table: EventTable) -> dict:
+    """``/health`` ``live``/``ready`` semantics: live = process up (always
+    true in-library); ready = the snapshot log is readable and internally
+    consistent (latest snapshot parses and its manifest resolves)."""
+    live = True
+    ready = True
+    detail = "ok"
+    try:
+        snap = table.latest_snapshot()
+        if snap is not None:
+            table.scan_files()  # manifest replay must resolve
+        elif not os.path.isdir(table.path):
+            ready = False
+            detail = "table root missing"
+    except Exception as exc:  # unreadable/corrupt metadata → not ready
+        ready = False
+        detail = f"metadata error: {exc}"
+    return {"live": live, "ready": ready, "detail": detail}
+
+
+def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
+    """Prometheus text exposition over one or more tables — the
+    ``/metrics`` surface (handlers.rs:1532-1691). Gauges only: every
+    number is a property of the current snapshot, recomputed per scrape,
+    so there is no counter state to persist."""
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    out: list[str] = []
+
+    def gauge(name: str, help_: str, rows: list[tuple[str, float]]) -> None:
+        if not rows:
+            return
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} gauge")
+        out.extend(f"{name}{labels} {value}" for labels, value in rows)
+
+    stats = [(t, table_stats(t)) for t in tables]
+    gauge(
+        "zombi_table_files",
+        "Active data files in the current snapshot",
+        [(f'{{table="{t.name}"}}', s["file_count"]) for t, s in stats],
+    )
+    gauge(
+        "zombi_table_bytes",
+        "Active data bytes in the current snapshot",
+        [(f'{{table="{t.name}"}}', s["total_bytes"]) for t, s in stats],
+    )
+    gauge(
+        "zombi_table_rows",
+        "Committed rows in the current snapshot",
+        [(f'{{table="{t.name}"}}', s["total_rows"]) for t, s in stats],
+    )
+    gauge(
+        "zombi_table_snapshots",
+        "Snapshots retained in the log",
+        [(f'{{table="{t.name}"}}', s["snapshot_count"]) for t, s in stats],
+    )
+    wm_rows = []
+    for t, s in stats:
+        for key, hwm in s["watermarks"].items():
+            topic, _, part = key.removeprefix("zombi.watermark.").rpartition("/")
+            wm_rows.append(
+                (f'{{table="{t.name}",topic="{topic}",partition="{part}"}}', hwm)
+            )
+    gauge("zombi_high_watermark", "Committed high watermark per producer partition", wm_rows)
+    gauge(
+        "zombi_commit_age_ms",
+        "Milliseconds since the last snapshot commit",
+        [
+            (f'{{table="{t.name}"}}', now_ms - s["last_commit_at_ms"])
+            for t, s in stats
+            if s["last_commit_at_ms"] is not None
+        ],
+    )
+    gauge(
+        "zombi_freshness_lag_ms",
+        "Commit wall-clock minus newest committed event timestamp",
+        [
+            (f'{{table="{t.name}"}}', s["freshness_lag_ms"])
+            for t, s in stats
+            if s["freshness_lag_ms"] is not None
+        ],
+    )
+    return "\n".join(out) + "\n"
