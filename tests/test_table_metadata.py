@@ -141,3 +141,25 @@ def test_rebase_snapshot_every_32_commits(spark, tmp_path):
     snap31 = json.load(open(os.path.join(t.meta_path, "snap-00000031.json")))
     assert "files" not in snap31
     assert t.read().count() == 3
+
+
+def test_byte_target_file_sizing(spark, tmp_path):
+    """T3: once the table knows its bytes/row, a tiny target splits a hot
+    hour into multiple files instead of one arbitrarily large one."""
+    # 2000 rows, ALL in one (event_date, event_hour) storage partition
+    rows = [("t", 0, b"x" * 64, 1704067200000 + i, f"k-{i}", i) for i in range(2000)]
+    batch = spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(batch))  # first append: no history, 1 file
+    assert len(t.files()) == 1
+
+    cap = t._target_records_per_file(4 * 1024)  # ~4 KB target
+    assert cap is not None and cap >= 1000
+
+    rows2 = [("t", 0, b"x" * 64, 1704067200000 + i, f"j-{i}", i) for i in range(8000)]
+    t.append(prepare_events(spark.createDataFrame(rows2, RAW_EVENT_SCHEMA)), target_file_bytes=4 * 1024)
+    snap = t.latest_snapshot()
+    # the hot hour split: >1 file added for the single storage partition
+    assert len(snap["added"]) > 1
+    assert all(e["row_count"] <= cap for e in snap["added"])
+    assert t.read().count() == 10000

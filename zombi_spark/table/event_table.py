@@ -298,7 +298,27 @@ class EventTable:
         return out
 
     # --------------------------------------------------------------- write
-    def _stage_and_move(self, events: DataFrame, staging: str) -> list[dict]:
+    def _target_records_per_file(self, target_file_bytes: int) -> int | None:
+        """T3 byte-target file sizing (flusher/mod.rs:362-390, the
+        ``write.target-file-size-bytes`` analogue): convert the byte
+        target into a row cap using the table's OWN observed bytes/row
+        from manifest stats — no sampling job, no guess. None until the
+        table has history (a first append takes the layout as-is;
+        compaction fixes any small-file debris it leaves)."""
+        latest = self.latest_version()
+        if latest is None:
+            return None
+        files = self._active_files(latest)
+        rows = sum(e.get("row_count", 0) for e in files)
+        size = sum(e.get("file_size_bytes", 0) for e in files)
+        if rows == 0 or size == 0:
+            return None
+        avg_row_bytes = max(size / rows, 1.0)
+        return max(int(target_file_bytes / avg_row_bytes), 1000)
+
+    def _stage_and_move(
+        self, events: DataFrame, staging: str, target_file_bytes: int | None = None
+    ) -> list[dict]:
         """Write ``events`` into ``staging`` (hive layout), then move every
         parquet file into the data tree under a fresh unique name. Returns
         the manifest entries (with footer stats) of the moved files.
@@ -307,7 +327,7 @@ class EventTable:
         leaves some files in the data tree but referenced by no snapshot —
         invisible to read() and reclaimed by remove_orphans()."""
         par = self.spark.sparkContext.defaultParallelism
-        (
+        writer = (
             events.repartition(par, "event_date", "event_hour")
             .sortWithinPartitions("timestamp_ms", "sequence")
             .write.mode("overwrite")
@@ -317,8 +337,15 @@ class EventTable:
             # keeps an in-memory bloom per partition, rocksdb.rs:39-88).
             .option("parquet.bloom.filter.enabled#idempotency_key", "true")
             .option("parquet.bloom.filter.max.bytes", str(64 * 1024))
-            .parquet(staging)
         )
+        if target_file_bytes is not None:
+            cap = self._target_records_per_file(target_file_bytes)
+            if cap is not None:
+                # a single hot hour inside one task would otherwise become
+                # ONE arbitrarily large file; maxRecordsPerFile rolls the
+                # writer over at the byte-derived row cap
+                writer = writer.option("maxRecordsPerFile", cap)
+        writer.parquet(staging)
         moved = self._move_staged_in(staging, prefix="")
         self._rmtree(staging)
         return moved
@@ -366,12 +393,14 @@ class EventTable:
                 os.remove(os.path.join(dirpath, f))
             os.rmdir(dirpath)
 
-    def append(self, events: DataFrame) -> dict:
+    def append(self, events: DataFrame, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
         """Append canonical event rows; returns the committed snapshot.
 
         Physical layout = zombi's flusher output: one shuffle on the storage
         partition key (A7/T4 hour grouping, flusher/mod.rs:398-437), sorted
-        runs within files (O1), Zstd Parquet (X12), hive dirs (X1).
+        runs within files (O1), Zstd Parquet (X12), hive dirs (X1), files
+        capped near ``target_file_bytes`` (T3, flusher/mod.rs:362-390) via
+        a row cap derived from the table's observed bytes/row.
 
         The snapshot records exactly the files THIS append staged and moved
         — never a directory listing — so parquet left by a crashed append
@@ -389,7 +418,7 @@ class EventTable:
         # repartition(cols), AQE coalesces a small batch's shuffle to ~1
         # partition and ONE task then writes every hour directory serially
         # (measured 11s for 744 dirs at sf0.1; ~32 tasks cut it to ~2s).
-        added = self._stage_and_move(events, staging)
+        added = self._stage_and_move(events, staging, target_file_bytes=target_file_bytes)
         # watermarks: aggregate the BATCH (tiny frame: one row per producer
         # partition) and merge with the prior snapshot — never a re-scan of
         # the whole table (iceberg_storage.rs:285-300 does the same:
