@@ -105,26 +105,45 @@ def minhash_affine_sql(base_expr: str, seed_expr: str) -> str:
     return f"((({a})::BIGINT * ({base_expr}) + ({b})::BIGINT) % {MINHASH_P})"
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 8, shingle_n: int = 2, id_col: str = "doc_id"
-) -> DataFrame:
-    """MinHash signature per document: k seeded min-hashes over the
-    distinct shingle set. Output: (id, seed, min_hash), k rows per doc.
+def shingle_index(docs: DataFrame, n: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """The shared shingle stage: (id, shingle, base) — one row per DISTINCT
+    word n-gram per document, with its md5→30-bit base hash.
 
-    One md5 per distinct shingle (base hash, folded to 30 bits), k affine
-    rehashes per shingle — integer-only after the single md5. The min per
-    (doc, seed) aggregates map-side, so the shuffle carries k rows per doc.
+    Every shingle consumer (MinHash signatures, Jaccard verification,
+    min-shingle blocking) derives from this one frame, so a pipeline that
+    persists it shingles the corpus exactly once. One md5 per distinct
+    shingle; everything downstream is integer-only.
     """
     # a single parquet file scans as ONE input partition; rebalance before
     # the explode so hashing parallelizes (at cluster scale the scan already
     # has many splits and this coalesces to the same width)
     par = docs.sparkSession.sparkContext.defaultParallelism
-    shingled = with_shingles(docs.repartition(par), n=shingle_n)
-    exploded = shingled.select(
-        F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("shingle")
-    ).select(F.col(id_col), F.pmod(md5_long(F.col("shingle")), F.lit(_BASE_MOD)).alias("base"))
+    return (
+        with_shingles(docs.repartition(par), n=n)
+        .select(F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("shingle"))
+        .withColumn("base", F.pmod(md5_long(F.col("shingle")), F.lit(_BASE_MOD)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signature per document: k seeded min-hashes over the
+    distinct shingle set. Output: (id, seed, min_hash), k rows per doc.
+
+    ``shingles`` accepts a precomputed (ideally persisted)
+    :func:`shingle_index` so a multi-consumer pipeline shingles once.
+    The min per (doc, seed) aggregates map-side, so the shuffle carries
+    k rows per doc.
+    """
+    if shingles is None:
+        shingles = shingle_index(docs, n=shingle_n, id_col=id_col)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    per_seed = exploded.select(
+    per_seed = shingles.select(
         F.col(id_col), F.explode(seeds).alias("seed"), F.col("base")
     ).select(F.col(id_col), "seed", affine_hash(F.col("base"), F.col("seed")).alias("h"))
     return per_seed.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
@@ -168,30 +187,34 @@ def lsh_candidate_pairs(
 
 
 def jaccard_verify(
-    docs: DataFrame, pairs: DataFrame, shingle_n: int = 2, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = 2,
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over distinct shingle sets.
 
     Set sizes are precomputed per doc (broadcastable — one row per doc in
     the candidate set); the intersection is an equi-join on shingle of the
     exploded candidate docs only (semi-joined first), not the whole corpus.
-    Output: (id_a, id_b, inter, union, jaccard_pm) with jaccard in
-    per-mille (integer — exact cross-engine).
+    ``shingles`` accepts a precomputed :func:`shingle_index` so the corpus
+    is shingled once across the pipeline. Output: (id_a, id_b, inter,
+    union, jaccard_pm) with jaccard in per-mille (integer — exact
+    cross-engine).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    shingled = with_shingles(docs.repartition(par), n=shingle_n).select(
-        F.col(id_col), F.array_distinct("shingles").alias("sh")
-    )
+    if shingles is None:
+        shingles = shingle_index(docs, n=shingle_n, id_col=id_col)
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b"))
     ).distinct()
-    # persist: cand feeds BOTH the size frame and the exploded-shingle
-    # intersection below — without it the whole shingle pipeline (and the
-    # semi-join) recomputes once per consumer. The frame is bounded by the
-    # candidate set (LSH output), not the corpus.
-    cand = shingled.join(ids, id_col, "left_semi").persist()
-    sizes = cand.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    expl = cand.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # persist: cand feeds BOTH the size frame and the shingle-intersection
+    # join below — without it the shingle stage (and the semi-join)
+    # recomputes once per consumer. The frame is bounded by the candidate
+    # set (LSH output), not the corpus.
+    cand = shingles.join(ids, id_col, "left_semi").persist()
+    sizes = cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    expl = cand.select(F.col(id_col), "shingle")
 
     ia = expl.select(F.col(id_col).alias("id_a"), "shingle")
     ib = expl.select(F.col(id_col).alias("id_b"), "shingle")

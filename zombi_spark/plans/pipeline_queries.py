@@ -25,6 +25,20 @@ from zombi_spark.sources.tables import load_table
 # pipeline makes: materialize verified pairs once, then derive pair
 # reports, clusters, and the cleaned corpus from it.
 _VERIFIED_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_INDEX_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """The corpus shingle index — (doc_id, shingle, base) per distinct
+    word n-gram — persisted once per (session, sf_dir, n). MinHash
+    signatures, Jaccard verification, and min-shingle blocking all derive
+    from this frame, so the corpus is tokenized+hashed exactly once per
+    pipeline no matter how many dedup queries run."""
+    key = (id(spark), sf_dir, n)
+    if key not in _SHINGLE_INDEX_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_INDEX_CACHE[key] = D.shingle_index(docs, n=n).persist()
+    return _SHINGLE_INDEX_CACHE[key]
 
 
 def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,10 +48,11 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _VERIFIED_PAIRS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2)
+        idx = shingle_index(spark, sf_dir, n=2)
+        sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
         pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
         verified = (
-            D.jaccard_verify(docs, pairs, shingle_n=2)
+            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx)
             .where(F.col("jaccard_pm") >= 500)
             .persist()
         )
@@ -120,13 +135,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification join only ever touches in-bucket pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from zombi_spark.functions.hashing import md5_long
-
-    shingled = (
-        D.with_shingles(docs, n=2)
-        .select("doc_id", F.explode(F.array_distinct("shingles")).alias("shingle"))
-        .select("doc_id", F.pmod(md5_long(F.col("shingle")), F.lit(1 << 30)).alias("base"))
-    )
+    shingled = shingle_index(spark, sf_dir, n=2).select("doc_id", "base")
     min_sh = shingled.groupBy("doc_id").agg(
         F.concat_ws(
             ",",
@@ -138,7 +147,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = min_sh.select(F.col("doc_id").alias("id_b"), "block")
     pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return (
-        D.jaccard_verify(docs, pairs, shingle_n=2)
+        D.jaccard_verify(docs, pairs, shingle_n=2, shingles=shingle_index(spark, sf_dir, n=2))
         .where(F.col("jaccard_pm") >= 300)
         .orderBy("id_a", "id_b")
     )
