@@ -1,0 +1,69 @@
+"""Consumer offset commit/get (T12 — deprecated upstream, kept for parity).
+
+The reference stores consumer-group read positions as a tiny KV surface:
+``off:{topic}:{group}:{partition}`` → sequence (rocksdb.rs:896-917) behind
+``PUT/GET /tables/{t}/offsets/{group}`` (handlers.rs:1144-1188), deprecated
+in favor of client-side checkpoints.  Spark's own analogue is the
+Structured Streaming checkpoint; this module exists so a reference client
+that still calls the offsets API has somewhere to land.
+
+Storage is one JSON file per table root (atomic tmp+rename, like the
+catalog registry) — offsets are driver-side metadata, O(groups×partitions),
+never touching data files; at any scale this stays a few KB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import uuid
+
+_OFFSETS_FILE = "_zombi_offsets.json"
+
+
+class ConsumerOffsets:
+    """Per-table consumer-group offset store."""
+
+    def __init__(self, table_root: str):
+        self.path = os.path.join(table_root, _OFFSETS_FILE)
+        self._lock = threading.Lock()
+
+    def _read(self) -> dict:
+        if not os.path.isfile(self.path):
+            return {}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def _write(self, data: dict) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    @staticmethod
+    def _key(group: str, partition: int) -> str:
+        return f"{group}:{partition}"
+
+    def commit(self, group: str, partition: int, offset: int) -> None:
+        """``PUT /offsets/{group}`` (handlers.rs:1144-1165): last-write-wins,
+        like the reference's unconditional KV put."""
+        with self._lock:
+            data = self._read()
+            data[self._key(group, partition)] = int(offset)
+            self._write(data)
+
+    def get(self, group: str, partition: int) -> int | None:
+        """``GET /offsets/{group}`` (handlers.rs:1167-1188): None when the
+        group has no committed position (new consumer starts at the low
+        watermark)."""
+        return self._read().get(self._key(group, partition))
+
+    def all_for_group(self, group: str) -> dict[int, int]:
+        prefix = f"{group}:"
+        return {
+            int(k.split(":", 1)[1]): v
+            for k, v in self._read().items()
+            if k.startswith(prefix)
+        }
