@@ -137,16 +137,29 @@ def minhash_signatures(
 
     ``shingles`` accepts a precomputed (ideally persisted)
     :func:`shingle_index` so a multi-consumer pipeline shingles once.
-    The min per (doc, seed) aggregates map-side, so the shuffle carries
-    k rows per doc.
+
+    All k min-hashes are computed in ONE aggregation over the shingle
+    index — k min() expressions evaluated per shingle row, partially
+    aggregated map-side — instead of exploding the index k× and grouping
+    by (doc, seed): the shuffle carries one k-column row per doc rather
+    than k·|shingles| rows (at 100 TB the explode form shuffles the
+    token stream ×k; this form never does). The (id, seed, min_hash)
+    long-format contract is preserved via an unpivot of the k columns,
+    which is |docs|·k rows of integers.
     """
     if shingles is None:
         shingles = shingle_index(docs, n=shingle_n, id_col=id_col)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    per_seed = shingles.select(
-        F.col(id_col), F.explode(seeds).alias("seed"), F.col("base")
-    ).select(F.col(id_col), "seed", affine_hash(F.col("base"), F.col("seed")).alias("h"))
-    return per_seed.groupBy(id_col, "seed").agg(F.min("h").alias("min_hash"))
+    wide = shingles.groupBy(id_col).agg(
+        *[
+            F.min(affine_hash(F.col("base"), F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    stack = ", ".join(f"{s}, h{s}" for s in range(num_hashes))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({num_hashes}, {stack}) AS (seed, min_hash)"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -296,17 +309,14 @@ def connected_components(
         output contract stays.
     """
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
-    )
-    n_edges = edges.count()  # materialize once: iterations re-read the
-    # edge set, and without the cache the (possibly expensive) upstream
-    # pair pipeline would re-execute per round
+    # ONE probing job decides the path: collect up to threshold+1 edges.
+    # If everything fit, run union-find on what we already hold — no
+    # second pass over the (possibly expensive) upstream pair pipeline.
+    # Union-find needs neither distinct nor reversed edges, so the probe
+    # reads the pairs as-is.
+    sample = pairs.select(F.col(id_a), F.col(id_b)).limit(driver_edge_threshold + 1).collect()
 
-    if n_edges <= driver_edge_threshold:
+    if len(sample) <= driver_edge_threshold:
         parent: dict = {}
 
         def find(x):
@@ -317,15 +327,22 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for r in edges.collect():
-            ra, rb = find(r.src), find(r.dst)
+        for r in sample:
+            ra, rb = find(r[0]), find(r[1])
             if ra != rb:
                 # union by min: smaller id becomes the root
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = sorted({(n, find(n)) for n in parent} | {(n, n) for n in parent.values() if find(n) == n})
-        edges.unpersist()
         return spark.createDataFrame(rows, "node long, component long")
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    edges.count()  # materialize once: iterations re-read the edge set
 
     labels = (
         edges.select(F.col("src").alias("node"))
