@@ -477,6 +477,44 @@ class EventTable:
             .parquet(*files)
         )
 
+    def added_files(self, from_version: int | None, to_version: int | None = None) -> list[dict]:
+        """Manifest entries of files carrying data APPENDED in versions
+        ``(from_version, to_version]`` (``from_version=None`` = since table
+        creation). Only ``append`` snapshots contribute: compaction rewrites
+        existing rows into new files, so counting its outputs would
+        double-deliver — the same rule Iceberg's incremental scan applies
+        (append snapshots only). O(snapshots in range) metadata reads."""
+        latest = self.latest_version()
+        if to_version is None:
+            to_version = latest
+        if to_version is None or (from_version is not None and from_version >= to_version):
+            return []
+        if latest is None or not 0 <= to_version <= latest:
+            raise ValueError(f"no snapshot version {to_version}; have 0..{latest}")
+        out: list[dict] = []
+        start = 0 if from_version is None else from_version + 1
+        for v in range(start, to_version + 1):
+            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            if snap.get("operation") == "append":
+                out.extend(self._norm_entry(e) for e in snap.get("added", []))
+        return out
+
+    def read_changes(self, from_version: int | None, to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows appended in ``(from_version, to_version]``
+        — the Iceberg changelog/incremental-scan analogue. A downstream
+        pipeline that checkpoints the last version it processed re-reads
+        ONLY the new files, never the table (at 100 TB: the day's appends,
+        not the history). Files stay readable across compaction because
+        physical deletion is deferred to snapshot expiration."""
+        files = [e["file_path"] for e in self.added_files(from_version, to_version)]
+        if not files:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.data_path)
+            .parquet(*files)
+        )
+
     def export_json(self, out_dir: str) -> None:
         """S6 legacy JSON segment sink (s3.rs:136-185): dump the committed
         table as JSON-lines segments. Kept for parity; parquet is the
