@@ -6,7 +6,7 @@ import os
 
 from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
 from zombi_spark.table.event_table import EventTable
-from zombi_spark.table.stats import health, prometheus_text, table_stats
+from zombi_spark.table.stats import health, pending_stats, prometheus_text, table_stats
 
 
 def _batch(spark, start, n):
@@ -44,6 +44,36 @@ def test_stats_empty_table(spark, tmp_path):
     s = table_stats(t)
     assert s["snapshot_count"] == 0 and s["total_rows"] == 0
     assert s["current_version"] is None and s["freshness_lag_ms"] is None
+
+
+def test_pending_stats(spark, tmp_path):
+    """A5: staged + moved-but-uncommitted parquet shows up as pending;
+    a clean committed table reports zero."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 10)))
+    assert pending_stats(t)["pending_files"] == 0
+
+    # simulate a crashed append: a staging tree with one parquet...
+    stage = os.path.join(t.path, ".append-deadbeef", "event_date=2024-01-01", "event_hour=0")
+    os.makedirs(stage)
+    committed = t.files()[0]["file_path"]
+    with open(committed, "rb") as src, open(os.path.join(stage, "part-0.parquet"), "wb") as dst:
+        dst.write(src.read())
+    # ...and a moved-but-uncommitted data file
+    orphan = os.path.join(os.path.dirname(committed), "orphan.parquet")
+    with open(committed, "rb") as src, open(orphan, "wb") as dst:
+        dst.write(src.read())
+
+    s = pending_stats(t)
+    assert s["pending_files"] == 2
+    assert s["staging_files"] == 1
+    assert s["uncommitted_data_files"] == 1
+    assert s["pending_bytes"] > 0
+    assert sum(p["files"] for p in s["per_partition"].values()) == 2
+
+    # the orphan sweep reclaims exactly that pending set
+    t.remove_orphans()
+    assert pending_stats(t)["pending_files"] == 0
 
 
 def test_health_ready_and_corrupt_metadata(spark, tmp_path):

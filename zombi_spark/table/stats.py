@@ -74,6 +74,50 @@ def table_stats(table: EventTable) -> dict:
     }
 
 
+def pending_stats(table: EventTable) -> dict:
+    """A5: files/bytes awaiting commit (iceberg_storage.rs:1654-1706 —
+    count + size of pending data files, totals and per partition dir).
+
+    "Pending" here = parquet visible on disk but referenced by no
+    snapshot: in-flight staging trees (``.append-*``/``.compact-*``) and
+    moved-but-uncommitted data files (a crashed append's leftovers, the
+    exact set :meth:`EventTable.remove_orphans` would reclaim). Pure
+    filesystem metadata — no data file is opened."""
+    staged: list[tuple[str, int]] = []
+    if os.path.isdir(table.path):
+        for entry in os.listdir(table.path):
+            if entry.startswith((".append-", ".compact-")):
+                stage_root = os.path.join(table.path, entry)
+                for dirpath, _dirs, files in os.walk(stage_root):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            p = os.path.join(dirpath, f)
+                            staged.append(
+                                (os.path.relpath(dirpath, stage_root), os.path.getsize(p))
+                            )
+    uncommitted: list[tuple[str, int]] = []
+    if table._snapshot_files():
+        live = table._referenced_files()
+        uncommitted = [
+            (f["partition_dir"], f["file_size_bytes"])
+            for f in table._walk_data_files()
+            if f["file_path"] not in live
+        ]
+    per_partition: dict[str, dict[str, int]] = {}
+    for part, size in staged + uncommitted:
+        slot = per_partition.setdefault(part, {"files": 0, "bytes": 0})
+        slot["files"] += 1
+        slot["bytes"] += size
+    return {
+        "table": table.name,
+        "pending_files": len(staged) + len(uncommitted),
+        "pending_bytes": sum(s for _, s in staged) + sum(s for _, s in uncommitted),
+        "staging_files": len(staged),
+        "uncommitted_data_files": len(uncommitted),
+        "per_partition": per_partition,
+    }
+
+
 def health(table: EventTable) -> dict:
     """``/health`` ``live``/``ready`` semantics: live = process up (always
     true in-library); ready = the snapshot log is readable and internally
