@@ -98,6 +98,31 @@ def test_sequence_stats_skipping(spark, tmp_path):
     assert df.count() == 11
 
 
+def test_minhash_signatures_single_aggregation_no_explode(spark, sf_dir):
+    """MinHash signatures are ONE partial-aggregated groupBy over the
+    shingle index: the plan must show no Generate (explode) on the
+    signature path — the k seeds are k min() expressions, not k copies of
+    the index — and exactly one shuffle (the doc-keyed aggregate). At
+    100 TB the difference is shuffling k·|shingles| rows vs |docs| rows."""
+    from zombi_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = D.shingle_index(docs, n=2)
+    sigs = D.minhash_signatures(docs, num_hashes=12, shingles=idx)
+    plan = _plan(sigs)
+    # partial+final HashAggregate pair with all 12 partial_min expressions
+    # evaluated map-side in one pass
+    assert plan.count("partial_min") == 12
+    # exactly one explode — the index's shingle Generate; the signature
+    # stage must not multiply the index again (the only other Generate is
+    # the k-rows-per-doc stack unpivot AFTER the aggregate)
+    assert plan.count("Arguments: explode") == 1
+    assert "stack" in plan
+    # exactly one shuffle: the doc-keyed aggregate exchange (the index's
+    # own round-robin repartition is not hash-keyed)
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
 def test_streaming_dedup_is_single_shuffle_per_key_family(spark, sf_dir):
     """prepare_events plans exactly two exchanges (dedup window + sequence
     window) — both hash-partitioned on the same (topic, partition) family,
