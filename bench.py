@@ -85,6 +85,16 @@ def main() -> None:
         table2.append(prepare_events(half))
         table2.append(prepare_events(half.withColumn("ingest_order", F.col("ingest_order") + n)))
         files_before = len(table2.files())
+        # incremental read (read_changes): a consumer checkpointed at the
+        # first append reads ONLY the second append's files — compare with
+        # the full-table scan cost at the same point
+        t0 = time.perf_counter()
+        inc_rows = table2.read_changes(0).count()
+        extras["incremental_read_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        table2.read().count()
+        extras["full_read_sec"] = round(time.perf_counter() - t0, 4)
+        extras["incremental_read_rows"] = inc_rows
         t0 = time.perf_counter()
         table2.compact(min_input_files=2)
         extras["compact_sec"] = round(time.perf_counter() - t0, 4)
