@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": PQ.q_deterministic_sample,
         "column_profile": PQ.q_column_profile,
         "media_pipeline": PQ.q_media_pipeline,  # mapInPandas features + dedup
+        "media_frames": PQ.q_media_frames,  # mapInPandas row expansion (frame sampling)
     }
 
 
@@ -924,6 +925,27 @@ def oracle_sql() -> dict[str, str]:
                f.width, f.height, f.duration_ms, d.keep_id, d.n_copies
         FROM feats f JOIN dedup d USING (content_sha)
         ORDER BY f.media_id
+        """,
+        # Frame sampling: one row per 500ms frame per video; frame count
+        # and per-frame hash derive from the stub codec's sha256-based
+        # duration (multimodal.py sample_frames), so the row EXPANSION is
+        # hash-verified, not just counted.
+        "media_frames": """
+        WITH vids AS (
+          SELECT doc_id AS media_id, text,
+                 CAST(1000 + ('0x' || substr(sha256(text), 5, 4))::BIGINT AS BIGINT) AS duration_ms
+          FROM documents WHERE doc_id % 3 = 2
+        ), frames AS (
+          SELECT media_id, text,
+                 unnest(generate_series(0, duration_ms // 500)) AS i
+          FROM vids
+        )
+        SELECT media_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * 500 AS BIGINT) AS frame_ts_ms,
+               sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_sha
+        FROM frames
+        ORDER BY media_id, frame_idx
         """,
         "tfidf": """
         WITH terms AS (

@@ -164,3 +164,40 @@ def test_media_pipeline_stub(spark, docs):
 def test_decode_stub_rejects_unknown_type():
     with pytest.raises(NotImplementedError):
         M.decode_stub(b"bytes", "hologram")
+
+
+def test_sample_frames_expansion(spark, docs):
+    """Frame sampling: videos expand to duration//every + 1 rows with
+    deterministic per-frame hashes; non-video rows yield nothing."""
+    import hashlib
+
+    media = M.documents_as_media(docs)  # doc_ids 2,5 → video
+    frames = M.sample_frames(media, every_ms=500).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {2, 5}  # only videos
+    texts = {2: "the quick brown fox jumps over the lazy dog", 5: "data table column row value data table"}
+    for mid, rows in by_id.items():
+        raw = texts[mid].encode()
+        duration = M.decode_stub(raw, "video")["duration_ms"]
+        assert len(rows) == duration // 500 + 1
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        assert rows[3].frame_ts_ms == 1500
+        assert rows[3].frame_sha == hashlib.sha256(raw + b":3").hexdigest()
+
+
+def test_resize_media_aspect_preserving(spark, docs):
+    media = M.documents_as_media(docs)  # doc_ids 0,3 → image
+    out = {r.media_id: r for r in M.resize_media(media, max_dim=100).collect()}
+    assert set(out) == {0, 3}
+    for r in out.values():
+        assert max(r.resized_width, r.resized_height) <= 100
+        # aspect preserved within integer truncation
+        if max(r.width, r.height) > 100:
+            assert abs(r.resized_width * r.height - r.resized_height * r.width) <= max(r.width, r.height)
+        else:
+            assert (r.resized_width, r.resized_height) == (r.width, r.height)
+    assert M.resize_stub(200, 100, 100) == (100, 50)
+    assert M.resize_stub(80, 50, 100) == (80, 50)

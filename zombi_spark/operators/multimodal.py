@@ -92,6 +92,96 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_sha", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Frame sampling: one output row per sampled frame of each video —
+    the UDTF-style row expansion of the multimodal spec, as Arrow-batched
+    ``mapInPandas`` (a real decoder yields frame buffers here; the stub
+    yields per-frame content hashes derived from (content, frame_idx), so
+    even the expansion path is oracle-checkable).
+
+    Frames land at 0, every_ms, 2·every_ms, … ≤ duration (count =
+    duration // every_ms + 1, duration from the stub codec). Non-video
+    rows produce no frames. Expansion happens inside the pandas batch —
+    no shuffle, no Python row boundary; output size is rows × frames,
+    which a real pipeline bounds with every_ms.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_sha": []}
+            for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+                if mtype != "video":
+                    continue
+                raw = bytes(content)
+                duration = decode_stub(raw, mtype)["duration_ms"]
+                for i in range(duration // every_ms + 1):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_sha"].append(
+                        hashlib.sha256(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def resize_stub(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """STUB resize: integer aspect-preserving scale-to-fit (the arithmetic
+    a real thumbnailer applies; only the pixel work is absent). Exact
+    integer math so results are engine-portable."""
+    longest = max(width, height)
+    if longest <= max_dim:
+        return width, height
+    return (width * max_dim) // longest, (height * max_dim) // longest
+
+
+def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Resize pass over image rows: original + resized dimensions per
+    image (Arrow-batched; a real implementation would also emit the
+    resized bytes — the plumbing is identical)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized_width", T.IntegerType(), False),
+            T.StructField("resized_height", T.IntegerType(), False),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, mtype in zip(pdf["media_id"], pdf["content"], pdf["media_type"]):
+                if mtype != "image":
+                    continue
+                d = decode_stub(bytes(content), mtype)
+                rw, rh = resize_stub(d["width"], d["height"], max_dim)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "resized_width": rw,
+                        "resized_height": rh,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(_resize, schema)
+
+
 def media_exact_dedup(features: DataFrame) -> DataFrame:
     """Binary-content exact dedup on the extracted sha (groupBy, min id)."""
     return features.groupBy("content_sha").agg(

@@ -295,6 +295,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video rows — mapInPandas row EXPANSION
+    (UDTF shape: one video → duration//500ms + 1 frame rows), with
+    per-frame content hashes the oracle recomputes from (text, frame_idx).
+    Demonstrates the multimodal spec's frame-sample stage with the same
+    honest-stub contract as q_media_pipeline: the codec is fake, the
+    schema/batching/expansion plumbing is exactly what a real decoder
+    uses."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    frames = M.sample_frames(M.documents_as_media(docs), every_ms=500)
+    return frames.orderBy("media_id", "frame_idx")
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary media column → Arrow-batched
     mapInPandas feature extraction (stub codec with deterministic fake
