@@ -131,6 +131,81 @@ def test_concurrent_append_compact_no_lost_commit(spark, tmp_path):
     assert "zombi.watermark.race/0" in t.latest_snapshot()["watermarks"]
 
 
+def test_parallel_disjoint_appends_all_commit(spark, tmp_path):
+    """CP-E: N writers appending DISTINCT topics in parallel — every
+    commit survives via optimistic rebase (no mutex), versions are
+    contiguous, and no rows are lost. The lock-free equivalent of the
+    reference's per-topic commit mutex (iceberg_storage.rs:360-374)."""
+    import threading
+
+    t = EventTable(spark, str(tmp_path), "events")
+    n_writers = 4
+    errors: list[Exception] = []
+
+    def _write(i: int) -> None:
+        try:
+            # each writer its own handle (no shared Python state)
+            w = EventTable(spark, str(tmp_path), "events")
+            w.append(prepare_events(_batch(spark, i * 10, 10, topic=f"topic{i}")))
+        except Exception as exc:  # pragma: no cover - surfaced in assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=_write, args=(i,)) for i in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+
+    assert errors == []
+    assert t.read().count() == n_writers * 10
+    versions = [s["version"] for s in t.snapshots()]
+    assert versions == list(range(n_writers))  # contiguous, none lost
+    # every writer's watermark landed in the final summary
+    wm = t.latest_snapshot()["watermarks"]
+    assert {f"zombi.watermark.topic{i}/0" for i in range(n_writers)} <= set(wm)
+
+
+def test_same_partition_append_race_refuses(spark, tmp_path):
+    """CP-F: a concurrent commit advancing the SAME producer partition
+    means both writers assigned sequences from one base — rebasing would
+    commit the INV-1 violation, so append raises instead."""
+    import unittest.mock as mock
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5)))
+
+    def _wm_df(table):
+        wmm = table.watermark_map()
+        if not wmm:
+            return None
+        return spark.createDataFrame(
+            [(tp, p, s) for (tp, p), s in wmm.items()],
+            "topic string, partition int, _base_seq long",
+        )
+
+    raced = {"done": False}
+    real_commit = EventTable._commit_snapshot
+
+    def _racing_commit(self, summary, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            t2 = EventTable(spark, str(tmp_path), "events")
+            # same topic 't', same partition 0 → same watermark key; seeds
+            # sequences from the SAME committed base the outer writer used
+            t2.append(prepare_events(_batch(spark, 100, 3), watermarks=_wm_df(t2)))
+        return real_commit(self, summary, **kw)
+
+    outer = prepare_events(_batch(spark, 5, 5), watermarks=_wm_df(t))
+    with mock.patch.object(EventTable, "_commit_snapshot", _racing_commit):
+        with pytest.raises(CommitConflictError, match="sequences would collide"):
+            t.append(outer)
+    # the raced writer's commit is intact; the refused writer's files are
+    # orphans the sweep reclaims
+    assert t.read().count() == 8
+    t.remove_orphans()
+    assert t.read().count() == 8
+
+
 def test_stale_parent_commit_raises(spark, tmp_path):
     """M3 unit form: committing against a stale expected parent raises
     instead of last-write-winning."""

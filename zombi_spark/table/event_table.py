@@ -412,7 +412,11 @@ class EventTable:
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
         events = events.select(*cols).persist()
-        expected_parent = self.latest_version()
+        # baseline AT APPEND START: the same moment a caller reads
+        # watermark_map() to seed sequences — any commit after this point
+        # is a concurrent writer the retry loop must reason about
+        base = self.latest_snapshot()
+        base_wm: dict[str, int] = dict(base.get("watermarks", {})) if base else {}
         staging = os.path.join(self.path, f".append-{uuid.uuid4().hex}")
         # explicit partition count inside _stage_and_move: with bare
         # repartition(cols), AQE coalesces a small batch's shuffle to ~1
@@ -423,23 +427,44 @@ class EventTable:
         # partition) and merge with the prior snapshot — never a re-scan of
         # the whole table (iceberg_storage.rs:285-300 does the same:
         # summary carries forward).
-        prior = self.latest_snapshot()
-        wm: dict[str, int] = dict(prior["watermarks"]) if prior and "watermarks" in prior else {}
-        for r in (
-            events.groupBy("topic", "partition").agg(F.max("sequence").alias("hwm")).collect()
-        ):
-            key = f"zombi.watermark.{r['topic']}/{r['partition']}"
-            wm[key] = max(wm.get(key, 0), r["hwm"])
+        batch_wm = {
+            f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"]
+            for r in events.groupBy("topic", "partition")
+            .agg(F.max("sequence").alias("hwm"))
+            .collect()
+        }
         events.unpersist()
-        return self._commit_snapshot(
-            {
-                "operation": "append",
-                "watermarks": wm,
-                "added_rows": sum(e.get("row_count", 0) for e in added),
-            },
-            added=added,
-            expected_parent=expected_parent,
-        )
+        # Commit with bounded optimistic retry (the reference serializes
+        # flush commits per topic with a mutex, iceberg_storage.rs:360-374;
+        # optimistic rebase is the lock-free equivalent). Rebasing is only
+        # SOUND when no concurrent commit advanced the same producer
+        # partitions — otherwise both writers assigned overlapping
+        # sequences from the same base and retrying would commit the
+        # violation (INV-1), so that case raises instead.
+        for _attempt in range(5):
+            prior = self.latest_snapshot()
+            wm = dict(prior.get("watermarks", {})) if prior else {}
+            for key, hwm in batch_wm.items():
+                if wm.get(key, 0) != base_wm.get(key, 0):
+                    raise CommitConflictError(
+                        f"concurrent append advanced {key} (planned from "
+                        f"{base_wm.get(key, 0)}, now {wm.get(key, 0)}): assigned "
+                        "sequences would collide — re-prepare the batch"
+                    )
+                wm[key] = max(wm.get(key, 0), hwm)
+            try:
+                return self._commit_snapshot(
+                    {
+                        "operation": "append",
+                        "watermarks": wm,
+                        "added_rows": sum(e.get("row_count", 0) for e in added),
+                    },
+                    added=added,
+                    expected_parent=None if prior is None else prior["version"],
+                )
+            except CommitConflictError:
+                continue  # disjoint-partition race: rebase and retry
+        raise CommitConflictError("append could not commit after 5 rebases")
 
     # ---------------------------------------------------------------- read
     def read(self, version: int | None = None) -> DataFrame:
