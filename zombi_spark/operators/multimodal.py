@@ -124,13 +124,17 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                     continue
                 raw = bytes(content)
                 duration = decode_stub(raw, mtype)["duration_ms"]
+                # Hash the blob once, fork per frame: copy() + update(":i")
+                # yields sha256(raw || ":" || i) in O(bytes + frames) per
+                # video instead of O(frames × bytes) — same digests.
+                base = hashlib.sha256(raw + b":")
                 for i in range(duration // every_ms + 1):
+                    h = base.copy()
+                    h.update(str(i).encode())
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["frame_ts_ms"].append(i * every_ms)
-                    out["frame_sha"].append(
-                        hashlib.sha256(raw + b":" + str(i).encode()).hexdigest()
-                    )
+                    out["frame_sha"].append(h.hexdigest())
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_frames, FRAME_SCHEMA)
@@ -186,6 +190,20 @@ def media_exact_dedup(features: DataFrame) -> DataFrame:
     """Binary-content exact dedup on the extracted sha (groupBy, min id)."""
     return features.groupBy("content_sha").agg(
         F.min("media_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def media_dedup_annotate(features: DataFrame) -> DataFrame:
+    """Per-row dedup annotation (keep_id, n_copies) via a window over
+    content_sha — ONE shuffle of the feature rows, versus the
+    aggregate-then-join-back shape which recomputes the (expensive)
+    extraction stage for both join sides. Same output contract as
+    ``features.join(media_exact_dedup(features), "content_sha")``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_sha")
+    return features.withColumn("keep_id", F.min("media_id").over(w)).withColumn(
+        "n_copies", F.count(F.lit(1)).over(w)
     )
 
 

@@ -26,6 +26,7 @@ from zombi_spark.sources.tables import load_table
 # reports, clusters, and the cleaned corpus from it.
 _VERIFIED_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SHINGLE_INDEX_CACHE: dict[tuple[int, str, int], DataFrame] = {}
+_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def shingle_index(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
@@ -89,11 +90,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_near_dup_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs, persisted
+    once per (session, sf_dir): cluster reports (q_dedup_clusters) and the
+    cleaned corpus (q_dedup_keep) both consume the SAME component map, and
+    the component computation (driver union-find fast path / distributed
+    pointer-jumping) is the most expensive step after verification. The
+    frame is one row per near-dup doc — bounded by the pair set."""
+    key = (id(spark), sf_dir)
+    if key not in _COMPONENTS_CACHE:
+        verified = verified_near_dup_pairs(spark, sf_dir)
+        _COMPONENTS_CACHE[key] = D.connected_components(
+            verified.select("id_a", "id_b")
+        ).persist()
+    return _COMPONENTS_CACHE[key]
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster formation: MinHash-LSH verified pairs → connected
     components → cluster size per representative (keep-lowest-id rule)."""
-    verified = verified_near_dup_pairs(spark, sf_dir)
-    comps = D.connected_components(verified.select("id_a", "id_b"))
+    comps = near_dup_components(spark, sf_dir)
     return (
         comps.groupBy("component")
         .agg(F.count("*").alias("n_docs"))
@@ -106,8 +122,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     member except its representative (min doc_id) via a left-anti join on
     the loser set, and reports surviving docs per language."""
     docs = load_table(spark, sf_dir, "documents")
-    verified = verified_near_dup_pairs(spark, sf_dir)
-    comps = D.connected_components(verified.select("id_a", "id_b"))
+    comps = near_dup_components(spark, sf_dir)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -311,16 +326,16 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary media column → Arrow-batched
     mapInPandas feature extraction (stub codec with deterministic fake
-    decode) → binary-content exact dedup joined back per media row.
+    decode) → binary-content exact dedup annotated per media row (window
+    over content_sha: one shuffle, extraction runs once).
 
     Fully oracle-checked: the stub's fake dimensions are pure functions of
     the sha256 digest, which DuckDB can recompute — so even the stubbed
     codec path is hash-verified, not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.extract_media_features(M.documents_as_media(docs))
-    dedup = M.media_exact_dedup(feats)
     return (
-        feats.join(dedup, "content_sha")
+        M.media_dedup_annotate(feats)
         .select(
             "media_id",
             "media_type",
