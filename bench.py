@@ -41,27 +41,34 @@ def main() -> None:
     spark = get_spark("zombi-spark-bench")
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in sorted(entrymod.queries().items()):
         # two timed end-to-end executions, report the min: the first warms
         # scan metadata/codegen, and min() shields the number from
-        # transient co-tenant load spikes
+        # transient co-tenant load spikes. A broken query is recorded in
+        # `errors` and must not zero the whole artifact.
         runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(q(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _force(q(spark, sf_dir))
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 4)
+        except Exception as exc:  # noqa: BLE001 — keep benching the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # Ingest rate: events table → full zombi write path → partitioned table.
     extras: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="zombi-bench-")
-    try:
+    try:  # noqa: SIM105 — same fault isolation as the query loop
+        from zombi_spark.plans.event_queries import _ts_to_millis
+
         ev = load_table(spark, sf_dir, "events")
         raw = ev.select(
             F.lit("bench").alias("topic"),
             (F.col("user_id") % 8).cast("int").alias("partition"),
             F.col("props").cast("binary").alias("payload"),
-            F.expr("ts DIV 1000000").alias("timestamp_ms"),
+            _ts_to_millis(ev).alias("timestamp_ms"),
             F.lit(None).cast("string").alias("idempotency_key"),
             F.col("event_id").alias("ingest_order"),
         )
@@ -100,6 +107,8 @@ def main() -> None:
         extras["compact_sec"] = round(time.perf_counter() - t0, 4)
         extras["compact_files_before"] = files_before
         extras["compact_files_after"] = len(table2.files())
+    except Exception as exc:  # noqa: BLE001
+        errors["_ingest_extras"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -107,23 +116,23 @@ def main() -> None:
     # ingest-path numbers only; see README.md "Performance vs BASELINE.md")
     extras["baseline_flush_events_per_s"] = 800  # PERFORMANCE_BOTTLENECK_ANALYSIS.md:495
     extras["baseline_design_target_events_per_s"] = 50000  # SPEC.md:649
-    extras["ingest_vs_baseline_flush"] = round(
-        extras["ingest_events_per_s"] / 800, 1
-    )
+    if "ingest_events_per_s" in extras:
+        extras["ingest_vs_baseline_flush"] = round(
+            extras["ingest_events_per_s"] / 800, 1
+        )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "extras": extras,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extras": extras,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -166,6 +166,9 @@ def decode_proto_events(raw: DataFrame) -> DataFrame:
     ``decode_error`` instead of failing the batch (the reference 400s the
     single request; in a batch engine the poison row must not kill the
     job)."""
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

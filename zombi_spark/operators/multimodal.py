@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from zombi_spark.shipping import ensure_package_on_workers
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -69,6 +71,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     batch; the loop below is per-batch vectorizable work (hashing +
     decode), not a per-row Spark boundary.
     """
+    ensure_package_on_workers(media.sparkSession)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,6 +118,7 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     no shuffle, no Python row boundary; output size is rows × frames,
     which a real pipeline bounds with every_ms.
     """
+    ensure_package_on_workers(media.sparkSession)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,6 +158,7 @@ def resize_media(media: DataFrame, max_dim: int = 128) -> DataFrame:
     """Resize pass over image rows: original + resized dimensions per
     image (Arrow-batched; a real implementation would also emit the
     resized bytes — the plumbing is identical)."""
+    ensure_package_on_workers(media.sparkSession)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -27,6 +27,21 @@ from zombi_spark.sources.tables import load_table
 N_PARTITIONS = 8
 
 
+def _ts_to_millis(ev: DataFrame):
+    """epoch-millis of ``ts`` regardless of how the parquet shipped it.
+
+    The driver's events.parquet has carried ts as TIMESTAMP(NANOS) (read as
+    a bigint of epoch-nanos under nanosAsLong) and as timestamp[us]
+    (TIMESTAMP_NTZ). Under a UTC session timezone (set in load_table),
+    unix_millis(cast(ts as timestamp_ltz)) equals DuckDB's epoch_ms(ts)
+    bit-exactly for the NTZ case; the bigint case is a floor-divide.
+    """
+    dtype = dict(ev.dtypes)["ts"]
+    if dtype == "bigint":
+        return F.expr("ts DIV 1000000")
+    return F.unix_millis(F.col("ts").cast("timestamp_ltz"))
+
+
 def zombi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic events→zombi mapping used by all event queries."""
     ev = load_table(spark, sf_dir, "events")
@@ -35,7 +50,7 @@ def zombi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("events").alias("topic"),
         (F.col("user_id") % N_PARTITIONS).cast("int").alias("partition"),
         F.col("props").alias("payload_str"),
-        F.expr("ts DIV 1000000").alias("timestamp_ms"),
+        _ts_to_millis(ev).alias("timestamp_ms"),
         F.col("event_type"),
         F.col("value"),
         F.col("user_id"),

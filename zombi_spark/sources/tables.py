@@ -30,10 +30,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS,false), which Spark rejects
-        # unless read as a long of epoch-nanos. Set at runtime so it also
-        # holds when the caller (the driver) built its own session.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS,false) —
+        # which Spark only reads as a long of epoch-nanos — and as
+        # timestamp[us] (TIMESTAMP_NTZ). Enable nanosAsLong for the former;
+        # the NTZ case reads natively and zombi_events() branches on the
+        # resulting dtype. Pin the session timezone to UTC so NTZ→LTZ casts
+        # (unix_millis path) match DuckDB's epoch_ms exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
