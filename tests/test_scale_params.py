@@ -1,0 +1,83 @@
+"""Scale-parameterized LSH/simhash defaults: bucket sizing derived from
+corpus size, not demo constants (the 100×-scale knobs the fixed defaults
+were hiding — sign-LSH 16 buckets, simhash 4-bit chunks)."""
+
+import pyspark.sql.functions as F
+
+from zombi_spark.operators.dedup import simhash_bits_for, simhash_near_dup
+from zombi_spark.operators.similarity import (
+    derive_lsh_dims,
+    lsh_planes_for,
+    sign_lsh_bucket,
+)
+from zombi_spark.sources.tables import load_table
+
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_lsh_planes_scale_with_corpus():
+    # demo corpus → the 4-plane floor; growth is logarithmic; capped at 30
+    assert len(lsh_planes_for(1_000, 64)) == 4
+    assert len(lsh_planes_for(1_000_000, 64)) == 10
+    assert len(lsh_planes_for(1_000_000_000, 64)) == 20
+    assert len(lsh_planes_for(10**15, 64)) == 30
+    # bucket count keeps expected population ≤ ~target for any corpus
+    for n in (10**4, 10**6, 10**9):
+        planes = lsh_planes_for(n, 64, target_bucket_size=1024)
+        assert n / 2 ** len(planes) <= 1024
+    # planes are valid 1-based indices into the vector, unique
+    planes = lsh_planes_for(10**9, 64)
+    assert all(1 <= d <= 64 for d in planes) and len(set(planes)) == len(planes)
+
+
+def test_simhash_bits_scale_with_corpus():
+    assert simhash_bits_for(500) == 16  # 4-bit chunks × 4 — old default
+    assert simhash_bits_for(1_000_000) == 40  # 10-bit chunks
+    assert simhash_bits_for(10**12) == 60  # capped: stays inside a long
+    for n in (10**4, 10**6, 10**9):
+        bits = simhash_bits_for(n, max_hamming=3, target_bucket_size=1024)
+        chunk_bits = bits // 4
+        assert n / 2**chunk_bits <= 1024 or chunk_bits == 15
+
+
+def test_derived_lsh_buckets_bound_pairgen_at_sf01(spark):
+    """At sf0.1, auto-derived planes must keep every sign-LSH bucket small
+    enough that within-bucket pair generation is far below all-pairs."""
+    emb = load_table(spark, SF01, "embeddings")
+    n = emb.count()
+    dims = derive_lsh_dims(emb, "embedding")
+    sizes = (
+        emb.select(sign_lsh_bucket(F.col("embedding"), dims).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    max_bucket = max(r["count"] for r in sizes)
+    # real embeddings are not uniform across sign patterns; assert the
+    # useful property: within-bucket pairs ≪ all pairs (≥8× reduction)
+    pairs_bucketed = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+    pairs_all = n * (n - 1) // 2
+    assert pairs_bucketed * 8 <= pairs_all
+    assert max_bucket < n
+
+
+def test_auto_bits_simhash_matches_fixed_at_demo_scale(spark):
+    """bits=None derives 16 at sf0.001 (≤ target corpus) — identical
+    output to the fixed default, so the auto path is a superset."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fixed = simhash_near_dup(docs, bits=16).orderBy("id_a", "id_b").collect()
+    auto = simhash_near_dup(docs, bits=None).orderBy("id_a", "id_b").collect()
+    assert fixed == auto
+
+
+def test_bits_monotone_nondecreasing():
+    prev = 0
+    for exp in range(3, 13):
+        b = simhash_bits_for(10**exp)
+        assert b >= prev
+        prev = b
+    prev = 0
+    for exp in range(3, 13):
+        p = len(lsh_planes_for(10**exp, 64))
+        assert p >= prev
+        prev = p

@@ -65,6 +65,35 @@ def test_streaming_drain_and_resume(spark, tmp_path):
     assert len([s for s in table.snapshots() if s["operation"] == "append"]) == 2
 
 
+def test_streaming_backpressure_max_files_per_trigger(spark, tmp_path):
+    """T10 admission control: a 100-file dump with maxFilesPerTrigger=25
+    drains as ≥4 bounded micro-batches (one append snapshot each), not one
+    unbounded batch — the streaming analogue of the reference edge's
+    permit/byte semaphore (handlers.rs:64-232)."""
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-bp")
+    ing = StreamingIngest(
+        spark,
+        landing,
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=25,
+    )
+    for i in range(100):
+        _drop_files(landing, f"f{i:03d}", _mk_events(i * 2, 2))
+    q = ing.start(available_now=True)
+    q.awaitTermination(300)
+    assert table.read().count() == 200
+    appends = [s for s in table.snapshots() if s["operation"] == "append"]
+    assert len(appends) >= 4  # 100 files / 25 per trigger
+    # sequences still gapless across the batch boundaries (INV-1)
+    for p in (0, 1):
+        seqs = sorted(
+            r.sequence for r in table.read().where(F.col("partition") == p).collect()
+        )
+        assert seqs == list(range(1, 101))
+
+
 def test_streaming_idempotency_across_batches(spark, tmp_path):
     landing = str(tmp_path / "landing")
     table = EventTable(spark, str(tmp_path), "stream-idem")

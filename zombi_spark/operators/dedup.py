@@ -391,9 +391,31 @@ def connected_components(
     return result
 
 
+def simhash_bits_for(
+    n_rows: int, max_hamming: int = 3, target_bucket_size: int = 1024
+) -> int:
+    """Derive the simhash width from corpus size instead of a constant.
+
+    Pigeonhole blocking joins on (chunk_index, chunk_value); with
+    ``c = max_hamming + 1`` chunks of ``b`` bits each, a chunk key takes
+    2^b values, so expected bucket population is n / 2^b. Scale b with the
+    corpus: b = clamp(ceil(log2(n / target_bucket_size)), 4, 15) keeps
+    buckets ~target-sized from demo corpora (500 docs → 4-bit chunks, the
+    old fixed default) up to billions of rows (15-bit chunks → 32k buckets
+    per chunk index), and c·b ≤ 60 keeps the hash inside a long.
+    """
+    import math
+
+    chunk_bits = 4
+    if n_rows > target_bucket_size:
+        chunk_bits = max(4, math.ceil(math.log2(n_rows / target_bucket_size)))
+    chunk_bits = min(chunk_bits, 15)
+    return chunk_bits * (max_hamming + 1)
+
+
 def simhash_near_dup(
     docs: DataFrame,
-    bits: int = 16,
+    bits: int | None = 16,
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -404,8 +426,12 @@ def simhash_near_dup(
     the radius agrees on at least one chunk, so candidates come from
     equi-joins on (chunk_index, chunk_value) — never all pairs. Exact
     hamming (bit_count of xor) then filters. Chunk buckets are the shuffle
-    key; radius and bits are parameters, not rewrites.
+    key; radius and bits are parameters, not rewrites — ``bits=None``
+    derives the width from the corpus row count (:func:`simhash_bits_for`)
+    so the blocking survives a 100× corpus without a code change.
     """
+    if bits is None:
+        bits = simhash_bits_for(docs.count(), max_hamming=max_hamming)
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)

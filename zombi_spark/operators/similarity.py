@@ -104,6 +104,41 @@ def brute_force_topk(
     )
 
 
+def lsh_planes_for(
+    n_rows: int, vec_dims: int, target_bucket_size: int = 1024
+) -> tuple[int, ...]:
+    """Derive the sign-LSH plane set from corpus size instead of a constant.
+
+    plane count = clamp(ceil(log2(n / target_bucket_size)), 4, 30), so the
+    expected bucket population stays ~``target_bucket_size`` as the corpus
+    grows: 1k rows → 16 buckets, 1M → 1024, 1B → ~2^20 — within-bucket
+    pair generation stays O(n · target) at any scale instead of O(n²/16)
+    with the fixed 4-plane demo default. Planes are evenly spaced 1-based
+    vector indices (portable to DuckDB list indexing); 30 planes caps the
+    bucket id inside a 32-bit int up to ~10^12-row corpora.
+    """
+    import math
+
+    n_planes = 4
+    if n_rows > target_bucket_size:
+        n_planes = max(4, math.ceil(math.log2(n_rows / target_bucket_size)))
+    n_planes = min(n_planes, 30, vec_dims)
+    step = vec_dims / n_planes
+    return tuple(dict.fromkeys(1 + int(i * step) for i in range(n_planes)))
+
+
+def derive_lsh_dims(
+    corpus: DataFrame, vec_col: str = "embedding", target_bucket_size: int = 1024
+) -> tuple[int, ...]:
+    """Plan-time statistics pass (the CBO analogue): one count + one
+    first() derive the plane set for this corpus. Both are cheap metadata
+    reads against parquet sources; call once per corpus, then pass the
+    returned dims to the bucketed operators."""
+    n = corpus.count()
+    vec_dims = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    return lsh_planes_for(n, vec_dims, target_bucket_size)
+
+
 def sign_lsh_bucket(vec: F.Column, dims: tuple[int, ...] = (1, 9, 17, 25)) -> F.Column:
     """Deterministic sign-LSH bucket id: bit i set iff vec[dims[i]] > 0
     (1-based indices, portable to DuckDB list indexing)."""
@@ -117,7 +152,7 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    dims: tuple[int, ...] = (1, 9, 17, 25),
+    dims: tuple[int, ...] | None = (1, 9, 17, 25),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -125,8 +160,12 @@ def lsh_topk(
 
     Recall is approximate by design (bucket boundary misses); the operator
     itself is deterministic, so it still oracle-checks exactly.
+    ``dims=None`` derives the plane count from corpus size.
     """
     from pyspark.sql import Window
+
+    if dims is None:
+        dims = derive_lsh_dims(corpus, vec_col)
 
     q = with_quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
@@ -250,12 +289,16 @@ def ivf_topk(
 def embedding_near_dup(
     corpus: DataFrame,
     threshold_e6: int = 950000,
-    dims: tuple[int, ...] = (1, 9, 17, 25),
+    dims: tuple[int, ...] | None = (1, 9, 17, 25),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold, bucketed by
-    sign-LSH so the pair generation is within-bucket only."""
+    sign-LSH so the pair generation is within-bucket only. ``dims=None``
+    derives the plane count from the corpus size (:func:`lsh_planes_for`)
+    so bucket population stays bounded as the corpus grows."""
+    if dims is None:
+        dims = derive_lsh_dims(corpus, vec_col)
     v = with_quantized(corpus, vec_col).select(
         F.col(id_col),
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),

@@ -133,7 +133,17 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-≤3 near-dup pairs over a deterministic slice."""
+    """SimHash hamming-≤3 near-dup pairs over a deterministic slice.
+
+    Why the slice: the synthetic corpus is template-generated, so most
+    documents land within hamming ≤3 of each other and the TRUE near-dup
+    pair set is Θ(n²) — 25k pairs from 300 docs at sf0.01. The slice
+    bounds the oracle-compared *output*, not the algorithm: candidate
+    generation is the same pigeonhole chunk blocking at any n, and
+    :func:`zombi_spark.operators.dedup.simhash_bits_for` (exercised in
+    tests/test_scale_params.py) derives the hash width that keeps those
+    chunk buckets ~target-sized on real, non-degenerate corpora.
+    """
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     return D.simhash_near_dup(docs, bits=16, max_hamming=3).orderBy("id_a", "id_b")
 
@@ -282,9 +292,11 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf·log(N/df) but integer-exact, so the oracle hash-matches (log's
     last-ulp behavior is libm-dependent; the rational surrogate isn't).
     Two aggregations: (doc, term) tf and term df — both shuffle on term.
+    N enters the plan as a broadcast one-row scalar aggregate (no
+    driver-side .count() action — the plan stays fully lazy end-to-end).
     """
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar for the scoring expression
+    n_docs = docs.agg(F.count("*").alias("n_docs"))  # 1-row frame, broadcast
     terms = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -292,12 +304,19 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count("*").alias("df")
     )
-    scored = tf.join(df_, "term").where(F.col("doc_id") < 20).select(
-        "doc_id",
-        "term",
-        "tf",
-        "df",
-        F.floor(F.lit(1000) * F.col("tf") * F.lit(n_docs) / F.col("df")).cast("long").alias("score_pm"),
+    scored = (
+        tf.join(df_, "term")
+        .where(F.col("doc_id") < 20)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(F.lit(1000) * F.col("tf") * F.col("n_docs") / F.col("df"))
+            .cast("long")
+            .alias("score_pm"),
+        )
     )
     from pyspark.sql import Window
 

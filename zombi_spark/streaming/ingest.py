@@ -70,6 +70,8 @@ class StreamingIngest:
         table: EventTable,
         checkpoint_dir: str,
         retention_hours: int = 48,
+        max_files_per_trigger: int | None = None,
+        max_bytes_per_trigger: int | None = None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -79,13 +81,27 @@ class StreamingIngest:
         # post-flush retention delete (rocksdb.rs:1150-1237); bounds the
         # per-batch dedup probe to a window instead of the whole table
         self.retention_hours = retention_hours
+        # T10 backpressure / admission control: the reference's edge bounds
+        # in-flight work with a 10k-permit + 64 MB semaphore and 503s the
+        # excess (handlers.rs:64-232). The streaming analogue caps how much
+        # of the landing zone each micro-batch admits, so a burst drains as
+        # several bounded batches (bounded shuffle + bounded memory per
+        # batch) instead of one unbounded one. AvailableNow honors these
+        # caps while draining.
+        self.max_files_per_trigger = max_files_per_trigger
+        self.max_bytes_per_trigger = max_bytes_per_trigger
 
     def _raw_stream(self) -> DataFrame:
         json_schema = (
             "topic string, partition int, payload string, timestamp_ms long, "
             "idempotency_key string, ingest_order long"
         )
-        raw = self.spark.readStream.schema(json_schema).json(self.landing_dir)
+        reader = self.spark.readStream.schema(json_schema)
+        if self.max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+        if self.max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger", str(self.max_bytes_per_trigger))
+        raw = reader.json(self.landing_dir)
         return raw.select(
             "topic",
             "partition",

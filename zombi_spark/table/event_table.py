@@ -236,6 +236,26 @@ class EventTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # Iceberg-v2 interop metadata: one v{N}.metadata.json per commit
+        # (iceberg_storage.rs:1000-1161 contract; manifests stay JSON —
+        # see table/iceberg_meta.py module docstring for the deviation)
+        try:
+            from zombi_spark.table.iceberg_meta import write_metadata_for_commit
+
+            if current is not None:
+                snap_for_meta = dict(snap)
+                snap_for_meta["parent_snapshot_hex"] = self._read_snapshot(
+                    f"snap-{current:08d}.json"
+                )["snapshot_id"]
+            else:
+                snap_for_meta = snap
+            write_metadata_for_commit(self.path, self.name, snap_for_meta)
+        except Exception as exc:
+            # interop metadata is derived state — never fail the commit,
+            # but don't hide the writer bug either
+            import logging
+
+            logging.getLogger(__name__).warning("iceberg metadata write failed: %s", exc)
         return snap
 
     # ------------------------------------------------------- file manifests
@@ -317,11 +337,18 @@ class EventTable:
         return max(int(target_file_bytes / avg_row_bytes), 1000)
 
     def _stage_and_move(
-        self, events: DataFrame, staging: str, target_file_bytes: int | None = None
+        self,
+        events: DataFrame,
+        staging: str,
+        target_file_bytes: int | None = None,
+        key_ndv: int | None = None,
     ) -> list[dict]:
         """Write ``events`` into ``staging`` (hive layout), then move every
         parquet file into the data tree under a fresh unique name. Returns
         the manifest entries (with footer stats) of the moved files.
+
+        ``key_ndv`` is the batch's per-file idempotency-key NDV estimate
+        (0 = unkeyed batch → no bloom at all).
 
         The move happens BEFORE the snapshot commit; a crash mid-move
         leaves some files in the data tree but referenced by no snapshot —
@@ -337,7 +364,7 @@ class EventTable:
             .sortWithinPartitions("timestamp_ms", "sequence")
             .write.mode("overwrite")
             .partitionBy("event_date", "event_hour"),
-            expected_ndv=cap,
+            expected_ndv=key_ndv if key_ndv is not None else cap,
         )
         if cap is not None:
             # a single hot hour inside one task would otherwise become
@@ -359,7 +386,12 @@ class EventTable:
         it the parquet writer maintains a ladder of candidate bloom
         filters per column chunk and inserts into all of them — measured
         2-3× total write time on a many-small-file batch. With the hint it
-        allocates one right-sized filter (measured: bloom becomes free)."""
+        allocates one right-sized filter. ``expected_ndv == 0`` means the
+        batch carries no idempotency keys at all — skip the bloom
+        entirely (measured 6.0s → 4.7s on a 100k-row unkeyed append whose
+        720 hour-files each paid a 1M-NDV filter for zero keys)."""
+        if expected_ndv == 0:
+            return writer
         ndv = expected_ndv if expected_ndv is not None else 1_000_000
         return (
             writer.option("parquet.bloom.filter.enabled#idempotency_key", "true")
@@ -435,21 +467,42 @@ class EventTable:
         base = self.latest_snapshot()
         base_wm: dict[str, int] = dict(base.get("watermarks", {})) if base else {}
         staging = os.path.join(self.path, f".append-{uuid.uuid4().hex}")
+        # ONE stats job before the write does double duty (it also
+        # materializes the cache the write then reads from):
+        #  - per-(topic, partition) high watermarks — the tiny frame the
+        #    snapshot summary carries forward (iceberg_storage.rs:285-300);
+        #    never a re-scan of the whole table
+        #  - idempotency-key + storage-partition NDV estimates (HLL — no
+        #    Expand, unlike countDistinct) that size the per-file bloom to
+        #    the batch's REAL key density; an unkeyed batch skips the bloom
+        #    entirely — the write-time CBO the reference gets from its
+        #    in-memory per-partition bloom (rocksdb.rs:39-88)
+        pstats = (
+            events.groupBy("topic", "partition")
+            .agg(
+                F.max("sequence").alias("hwm"),
+                F.approx_count_distinct("idempotency_key").alias("kndv"),
+                F.approx_count_distinct(F.struct("event_date", "event_hour")).alias("nparts"),
+            )
+            .collect()
+        )
+        batch_wm = {
+            f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"] for r in pstats
+        }
+        kndv_total = sum(r["kndv"] for r in pstats)
+        n_storage_parts = max((r["nparts"] for r in pstats), default=1)
+        key_ndv = (
+            0
+            if kndv_total == 0
+            else max(1024, 2 * kndv_total // max(n_storage_parts, 1))
+        )
         # explicit partition count inside _stage_and_move: with bare
         # repartition(cols), AQE coalesces a small batch's shuffle to ~1
         # partition and ONE task then writes every hour directory serially
         # (measured 11s for 744 dirs at sf0.1; ~32 tasks cut it to ~2s).
-        added = self._stage_and_move(events, staging, target_file_bytes=target_file_bytes)
-        # watermarks: aggregate the BATCH (tiny frame: one row per producer
-        # partition) and merge with the prior snapshot — never a re-scan of
-        # the whole table (iceberg_storage.rs:285-300 does the same:
-        # summary carries forward).
-        batch_wm = {
-            f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"]
-            for r in events.groupBy("topic", "partition")
-            .agg(F.max("sequence").alias("hwm"))
-            .collect()
-        }
+        added = self._stage_and_move(
+            events, staging, target_file_bytes=target_file_bytes, key_ndv=key_ndv
+        )
         events.unpersist()
         # Commit with bounded optimistic retry (the reference serializes
         # flush commits per topic with a mutex, iceberg_storage.rs:360-374;
@@ -724,6 +777,14 @@ class EventTable:
             expired.append(int(fname[5:13]))
             os.remove(os.path.join(self.meta_path, fname))
         self._active_cache.clear()
+        try:
+            from zombi_spark.table.iceberg_meta import rewrite_after_expire
+
+            rewrite_after_expire(self.path, self.name, self.snapshots())
+        except Exception as exc:
+            import logging
+
+            logging.getLogger(__name__).warning("iceberg metadata rewrite failed: %s", exc)
         return expired
 
     def compact(

@@ -1,0 +1,205 @@
+"""Iceberg-v2 table metadata (``metadata/v{N}.metadata.json``) for EventTable.
+
+The reference's whole cold-tier contract is "any engine reads the table"
+(SPEC.md:343-352): iceberg_storage.rs:1000-1161 writes real
+``v{N}.metadata.json`` plus Avro manifest lists. This container ships no
+Iceberg jar and no Avro library (fastavro/avro absent — verified), so:
+
+  - the **metadata JSON half is real**: every commit also writes a
+    spec-compliant Iceberg v2 ``v{N}.metadata.json`` (schemas with stable
+    field-ids, identity partition-spec on (event_date, event_hour), sort
+    order (timestamp_ms, sequence), full snapshot list + snapshot-log +
+    metadata-log) and a ``version-hint.text``, exactly the files a
+    filesystem (Hadoop-style) catalog resolves;
+  - the **manifest half is declared, not Avro**: each snapshot's
+    ``manifest-list`` field points at our JSON snapshot delta (which holds
+    the same per-file stats an Iceberg manifest carries: path, size, row
+    count, column bounds). The table property ``zombi.manifest-format`` =
+    ``"json"`` marks the deviation; swapping in an Avro writer changes only
+    :func:`_manifest_list_path`.
+
+Cost per commit is O(metadata size) — the previous metadata JSON is read
+and extended, never the snapshot-file chain — the same rewrite cost Iceberg
+itself pays. At 100 TB this file tracks snapshot *count*, not data size,
+and :meth:`EventTable.expire_snapshots` keeps that bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+# Stable Iceberg field-ids for the canonical 8-column event schema
+# (contracts/storage.rs:204-211). Order matches ingest.batch.EVENT_SCHEMA.
+_FIELDS = [
+    {"id": 1, "name": "sequence", "required": True, "type": "long"},
+    {"id": 2, "name": "topic", "required": True, "type": "string"},
+    {"id": 3, "name": "partition", "required": True, "type": "int"},
+    {"id": 4, "name": "payload", "required": True, "type": "binary"},
+    {"id": 5, "name": "timestamp_ms", "required": True, "type": "long"},
+    {"id": 6, "name": "idempotency_key", "required": False, "type": "string"},
+    {"id": 7, "name": "event_date", "required": True, "type": "date"},
+    {"id": 8, "name": "event_hour", "required": True, "type": "int"},
+]
+
+_SCHEMA = {"schema-id": 0, "type": "struct", "fields": _FIELDS}
+
+_PARTITION_SPEC = {
+    "spec-id": 0,
+    "fields": [
+        {"name": "event_date", "transform": "identity", "source-id": 7, "field-id": 1000},
+        {"name": "event_hour", "transform": "identity", "source-id": 8, "field-id": 1001},
+    ],
+}
+
+_SORT_ORDER = {
+    "order-id": 1,
+    "fields": [
+        {"transform": "identity", "source-id": 5, "direction": "asc", "null-order": "nulls-first"},
+        {"transform": "identity", "source-id": 1, "direction": "asc", "null-order": "nulls-first"},
+    ],
+}
+
+
+def snapshot_id_long(snapshot_hex: str) -> int:
+    """Map our uuid-hex snapshot id onto Iceberg's required long id
+    (60 bits of the hex — deterministic, positive, collision-safe at any
+    realistic snapshot count)."""
+    return int(snapshot_hex[:15], 16)
+
+
+def metadata_dir(table_path: str) -> str:
+    return os.path.join(table_path, "metadata")
+
+
+def current_metadata(table_path: str) -> dict | None:
+    """Load the current metadata via version-hint.text (the filesystem
+    catalog's resolution rule)."""
+    mdir = metadata_dir(table_path)
+    hint = os.path.join(mdir, "version-hint.text")
+    if not os.path.isfile(hint):
+        return None
+    with open(hint) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(mdir, f"v{v}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def _fresh_metadata(table_path: str, table_name: str) -> dict:
+    return {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": os.path.abspath(table_path),
+        "last-sequence-number": 0,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in _FIELDS),
+        "schemas": [_SCHEMA],
+        "current-schema-id": 0,
+        "partition-specs": [_PARTITION_SPEC],
+        "default-spec-id": 0,
+        "last-partition-id": max(f["field-id"] for f in _PARTITION_SPEC["fields"]),
+        "sort-orders": [_SORT_ORDER],
+        "default-sort-order-id": 1,
+        "properties": {
+            "zombi.table-name": table_name,
+            "zombi.manifest-format": "json",
+            "write.parquet.compression-codec": "zstd",
+        },
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+
+
+def write_metadata_for_commit(table_path: str, table_name: str, snap: dict) -> str:
+    """Extend the table's Iceberg metadata with one committed snapshot and
+    write ``v{version+1}.metadata.json`` (+ version-hint). Returns the path.
+
+    ``snap`` is the EventTable snapshot dict just committed (version,
+    snapshot_id, parent_version, committed_at_ms, operation, added/removed).
+    """
+    meta = current_metadata(table_path) or _fresh_metadata(table_path, table_name)
+    mdir = metadata_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+
+    version = snap["version"]
+    sid = snapshot_id_long(snap["snapshot_id"])
+    parent_hex = snap.get("parent_snapshot_hex")
+    ice_snap = {
+        "snapshot-id": sid,
+        "sequence-number": version + 1,
+        "timestamp-ms": snap["committed_at_ms"],
+        "manifest-list": os.path.abspath(
+            os.path.join(table_path, "_zombi_meta", f"snap-{version:08d}.json")
+        ),
+        "summary": {
+            "operation": "append" if snap.get("operation") == "append" else "replace",
+            "added-data-files": str(len(snap.get("added", []))),
+            "removed-data-files": str(len(snap.get("removed", []))),
+        },
+        "schema-id": 0,
+    }
+    if meta["current-snapshot-id"] != -1 and parent_hex is not None:
+        ice_snap["parent-snapshot-id"] = snapshot_id_long(parent_hex)
+
+    prev_file = f"v{version}.metadata.json"  # metadata files are 1-based: v{N}=after snap N-1
+    if os.path.isfile(os.path.join(mdir, prev_file)):
+        meta["metadata-log"] = (
+            meta.get("metadata-log", [])
+            + [
+                {
+                    "timestamp-ms": meta["last-updated-ms"],
+                    "metadata-file": os.path.abspath(os.path.join(mdir, prev_file)),
+                }
+            ]
+        )[-100:]
+
+    meta["snapshots"].append(ice_snap)
+    meta["snapshot-log"] = (
+        meta.get("snapshot-log", [])
+        + [{"timestamp-ms": snap["committed_at_ms"], "snapshot-id": sid}]
+    )[-100:]
+    meta["current-snapshot-id"] = sid
+    meta["last-sequence-number"] = version + 1
+    meta["last-updated-ms"] = snap["committed_at_ms"]
+
+    out = os.path.join(mdir, f"v{version + 1}.metadata.json")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, out)
+    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return out
+
+
+def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict]) -> str:
+    """After snapshot expiration, rewrite metadata keeping only live
+    snapshots (Iceberg's expire_snapshots also rewrites metadata)."""
+    meta = current_metadata(table_path)
+    if meta is None:
+        raise FileNotFoundError("no Iceberg metadata to rewrite")
+    live_ids = {snapshot_id_long(s["snapshot_id"]) for s in live_snaps}
+    meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] in live_ids]
+    meta["snapshot-log"] = [e for e in meta["snapshot-log"] if e["snapshot-id"] in live_ids]
+    now = int(time.time() * 1000)
+    meta["last-updated-ms"] = now
+
+    mdir = metadata_dir(table_path)
+    with open(os.path.join(mdir, "version-hint.text")) as fh:
+        cur = int(fh.read().strip())
+    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, out)
+    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(cur + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return out
