@@ -107,6 +107,12 @@ def main() -> None:
         extras["compact_sec"] = round(time.perf_counter() - t0, 4)
         extras["compact_files_before"] = files_before
         extras["compact_files_after"] = len(table2.files())
+        # M6 ingest metrics rollup over the appends this bench just ran
+        from zombi_spark.table.stats import ingest_metrics
+
+        im = ingest_metrics(table2)
+        extras["append_latency_ms_p50"] = im.get("latency_ms_p50")
+        extras["append_latency_ms_p99"] = im.get("latency_ms_p99")
     except Exception as exc:  # noqa: BLE001
         errors["_ingest_extras"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:

@@ -6,7 +6,13 @@ import os
 
 from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
 from zombi_spark.table.event_table import EventTable
-from zombi_spark.table.stats import health, pending_stats, prometheus_text, table_stats
+from zombi_spark.table.stats import (
+    health,
+    ingest_metrics,
+    pending_stats,
+    prometheus_text,
+    table_stats,
+)
 
 
 def _batch(spark, start, n):
@@ -37,6 +43,24 @@ def test_table_stats_rollup(spark, tmp_path):
     assert s["freshness_lag_ms"] > 0
     assert s["max_event_timestamp_ms"] == 1704067200000 + 15 * 1000
     assert s["ingest_rows_per_sec"] is not None  # two appends → a rate
+
+
+def test_ingest_metrics_rollup(spark, tmp_path):
+    """M6-lite ingest metrics: per-batch commit-latency percentiles + rate
+    from snapshot summaries alone (metrics/registry.rs histogram analogue;
+    percentile_approx is the fleet-scale aggregate)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(3):
+        t.append(prepare_events(_batch(spark, s * 5, 5)))
+    m = ingest_metrics(t)
+    assert m["append_batches"] == 3 and m["batches_with_latency"] == 3
+    assert m["total_rows"] == 15
+    assert 0 < m["latency_ms_p50"] <= m["latency_ms_p90"] <= m["latency_ms_p99"]
+    assert m["latency_ms_max"] >= m["latency_ms_p99"]
+    assert m["rows_per_sec_p50_batch"] > 0
+    # the latency gauges reach the Prometheus exposition
+    text = prometheus_text([t])
+    assert 'zombi_append_latency_ms{table="events",quantile="p99"}' in text
 
 
 def test_stats_empty_table(spark, tmp_path):

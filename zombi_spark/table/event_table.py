@@ -456,6 +456,7 @@ class EventTable:
         is not adopted (the exactly-once contract for keyed events,
         SPEC.md:752, survives retries).
         """
+        t_start = time.perf_counter()
         cols = [f.name for f in EVENT_SCHEMA.fields]
         # cache: the batch is consumed twice (write + watermark aggregate);
         # without it the whole prepare_events lineage (two window shuffles)
@@ -528,6 +529,10 @@ class EventTable:
                         "operation": "append",
                         "watermarks": wm,
                         "added_rows": sum(e.get("row_count", 0) for e in added),
+                        # end-to-end append latency (stage+move+stats+commit)
+                        # — the per-batch sample the M6 ingest-metrics
+                        # rollup aggregates (metrics/registry.rs histogram)
+                        "append_duration_ms": int((time.perf_counter() - t_start) * 1000),
                     },
                     added=added,
                     expected_parent=None if prior is None else prior["version"],

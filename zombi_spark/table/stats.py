@@ -118,6 +118,56 @@ def pending_stats(table: EventTable) -> dict:
     }
 
 
+def ingest_metrics(table: EventTable) -> dict:
+    """M6 ingest-metrics rollup: per-batch rates + commit-latency
+    percentiles over the append history (the histogram surface of
+    metrics/registry.rs / histogram.rs, derived from snapshot summaries —
+    zero data files read).
+
+    Percentiles run through ``percentile_approx`` over a tiny DataFrame of
+    per-append samples: metadata-scale input, but the same aggregate the
+    rollup would use over a metrics *table* at fleet scale.
+    """
+    from pyspark.sql import functions as F
+
+    appends = [s for s in table.snapshots() if s.get("operation") == "append"]
+    samples = [
+        (
+            int(s.get("added_rows", 0)),
+            int(s["append_duration_ms"]),
+        )
+        for s in appends
+        if s.get("append_duration_ms") is not None
+    ]
+    out: dict = {
+        "table": table.name,
+        "append_batches": len(appends),
+        "batches_with_latency": len(samples),
+    }
+    if not samples:
+        return out
+    df = table.spark.createDataFrame(samples, "rows long, latency_ms long")
+    row = df.agg(
+        F.sum("rows").alias("total_rows"),
+        F.percentile_approx("latency_ms", [0.5, 0.9, 0.99]).alias("lat_pcts"),
+        F.max("latency_ms").alias("lat_max"),
+        F.percentile_approx(F.expr("rows / greatest(latency_ms, 1) * 1000"), 0.5).alias(
+            "rate_p50"
+        ),
+    ).first()
+    out.update(
+        {
+            "total_rows": row["total_rows"],
+            "latency_ms_p50": row["lat_pcts"][0],
+            "latency_ms_p90": row["lat_pcts"][1],
+            "latency_ms_p99": row["lat_pcts"][2],
+            "latency_ms_max": row["lat_max"],
+            "rows_per_sec_p50_batch": round(row["rate_p50"], 1),
+        }
+    )
+    return out
+
+
 def health(table: EventTable) -> dict:
     """``/health`` ``live``/``ready`` semantics: live = process up (always
     true in-library); ready = the snapshot log is readable and internally
@@ -199,5 +249,17 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
             for t, s in stats
             if s["freshness_lag_ms"] is not None
         ],
+    )
+    im_rows = []
+    for t in tables:
+        im = ingest_metrics(t)
+        for q in ("p50", "p90", "p99"):
+            v = im.get(f"latency_ms_{q}")
+            if v is not None:
+                im_rows.append((f'{{table="{t.name}",quantile="{q}"}}', v))
+    gauge(
+        "zombi_append_latency_ms",
+        "Append commit latency percentiles over the snapshot history",
+        im_rows,
     )
     return "\n".join(out) + "\n"
