@@ -40,10 +40,17 @@ class FieldSpec:
     json_path: str  # dot path, e.g. "meta.nested.value"
     data_type: str  # key of _TYPE_MAP
 
-    def column(self, payload: Column) -> Column:
+    def column(self, payload: Column, top_map: Column | None = None) -> Column:
         if self.data_type not in _TYPE_MAP:
             raise ValueError(f"unsupported type {self.data_type!r}")
-        raw = F.get_json_object(payload.cast("string"), "$." + self.json_path)
+        if top_map is not None and "." not in self.json_path:
+            # flat key: read from the already-parsed top-level map (one
+            # from_json per row, shared with overflow pruning via codegen
+            # subexpression elimination) instead of re-parsing with
+            # get_json_object per field
+            raw = F.element_at(top_map, self.json_path)
+        else:
+            raw = F.get_json_object(payload.cast("string"), "$." + self.json_path)
         target = _TYPE_MAP[self.data_type]
         if target == "binary":
             return raw.cast("binary").alias(self.name)
@@ -74,7 +81,8 @@ def extract_payload(events: DataFrame, config: TableSchemaConfig) -> DataFrame:
         return events
 
     payload_str = F.col("payload").cast("string")
-    extracted = [spec.column(F.col("payload")) for spec in config.fields]
+    top_map_shared = F.from_json(payload_str, "map<string,string>")
+    extracted = [spec.column(F.col("payload"), top_map=top_map_shared) for spec in config.fields]
 
     # Overflow: parse top level as map<string,string> (values kept as raw
     # JSON text), drop keys whose *entire* top-level object was extracted.

