@@ -94,6 +94,46 @@ def test_streaming_backpressure_max_files_per_trigger(spark, tmp_path):
         assert seqs == list(range(1, 101))
 
 
+def test_hot_cold_tail_read(spark, tmp_path):
+    """Hot-tier mitigation (SPEC L1 analogue): a tail read sees committed
+    rows (cold parquet) AND not-yet-ingested landing files (hot), each
+    event exactly once; after draining, the same events come from cold
+    only — no duplicates across the tier boundary."""
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-hot")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+
+    _drop_files(landing, "b1", _mk_events(0, 10, partitions=1))
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+
+    # 6 more events land but are NOT ingested yet
+    _drop_files(landing, "b2", _mk_events(10, 6, partitions=1))
+
+    tail = ing.tail("t1", partition=0, limit=100).collect()
+    assert len(tail) == 16  # 10 committed + 6 hot, no double count
+    hot = [r for r in tail if not r.committed]
+    cold = [r for r in tail if r.committed]
+    assert len(hot) == 6 and len(cold) == 10
+    assert all(r.sequence is None for r in hot)
+    # newest-first ordering across tiers
+    ts = [r.timestamp_ms for r in tail]
+    assert ts == sorted(ts, reverse=True)
+    assert tail[0].committed is False  # freshest events are the hot ones
+
+    # since_ms bound respected across both tiers
+    since = 1700000000000 + 12 * 60000
+    recent = ing.tail("t1", partition=0, since_ms=since, limit=100).collect()
+    assert len(recent) == 4 and all(r.timestamp_ms >= since for r in recent)
+
+    # drain: the 6 hot events commit; tail now serves them from cold only
+    q2 = ing.start(available_now=True)
+    q2.awaitTermination(120)
+    tail2 = ing.tail("t1", partition=0, limit=100).collect()
+    assert len(tail2) == 16
+    assert all(r.committed for r in tail2)
+
+
 def test_streaming_idempotency_across_batches(spark, tmp_path):
     landing = str(tmp_path / "landing")
     table = EventTable(spark, str(tmp_path), "stream-idem")

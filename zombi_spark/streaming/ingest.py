@@ -152,6 +152,103 @@ class StreamingIngest:
             q = writer.trigger(processingTime=processing_time).start()
         return q
 
+    def _checkpoint_seen_files(self) -> set[str]:
+        """Landing files the streaming checkpoint has committed (Spark's
+        file source logs them under <ckpt>/sources/0 as JSON entries)."""
+        seen: set[str] = set()
+        src_log = os.path.join(self.checkpoint_dir, "sources", "0")
+        if os.path.isdir(src_log):
+            import json as _json
+
+            for logf in os.listdir(src_log):
+                p = os.path.join(src_log, logf)
+                if not os.path.isfile(p):
+                    continue
+                with open(p, errors="ignore") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            try:
+                                entry = _json.loads(line)
+                                if "path" in entry:
+                                    seen.add(entry["path"].replace("file://", ""))
+                            except ValueError:
+                                pass
+        return seen
+
+    def hot_view(self) -> DataFrame:
+        """The hot tier: events in landing files the checkpoint has NOT yet
+        committed — the sub-second-read mitigation for SPEC.md:196-208's L1
+        (RocksDB serves the freshest events in <1 ms; a micro-batch design
+        leaves a visibility gap of up to one trigger). Reading the few
+        pending files is O(uncommitted backlog), independent of table size.
+
+        Columns match the canonical committed schema where derivable;
+        ``sequence`` is NULL (assigned only at commit) and ``committed``
+        is false.
+        """
+        pending = sorted(
+            os.path.join(self.landing_dir, f)
+            for f in (os.listdir(self.landing_dir) if os.path.isdir(self.landing_dir) else [])
+            if os.path.isfile(os.path.join(self.landing_dir, f))
+        )
+        seen = self._checkpoint_seen_files()
+        pending = [p for p in pending if p not in seen]
+        json_schema = (
+            "topic string, partition int, payload string, timestamp_ms long, "
+            "idempotency_key string, ingest_order long"
+        )
+        if pending:
+            raw = self.spark.read.schema(json_schema).json(pending)
+        else:
+            raw = self.spark.createDataFrame([], json_schema)
+        return raw.select(
+            F.lit(None).cast("long").alias("sequence"),
+            "topic",
+            "partition",
+            F.col("payload").cast("binary").alias("payload"),
+            "timestamp_ms",
+            "idempotency_key",
+            F.col("ingest_order").alias("arrival"),
+            F.lit(False).alias("committed"),
+        )
+
+    def tail(
+        self,
+        topic: str,
+        partition: int | None = None,
+        since_ms: int | None = None,
+        limit: int = 100,
+    ) -> DataFrame:
+        """S7 tail read across BOTH tiers: committed parquet (cold) plus
+        not-yet-committed landing files (hot), each event exactly once —
+        the checkpoint's seen-file list is the tier boundary, so a file is
+        either visible as committed rows or as hot rows, never both.
+
+        The cold side is snapshot-stats pruned (``since_ms`` bounds the
+        file list before any footer is opened); the hot side reads only
+        the pending backlog. Compiles to TakeOrderedAndProject over the
+        union — no global sort.
+        """
+        cold = self.table.read(ts_min=since_ms) if since_ms is not None else self.table.read()
+        cold = cold.select(
+            "sequence",
+            "topic",
+            "partition",
+            "payload",
+            "timestamp_ms",
+            "idempotency_key",
+            F.col("sequence").alias("arrival"),
+            F.lit(True).alias("committed"),
+        )
+        both = cold.unionByName(self.hot_view())
+        both = both.where(F.col("topic") == topic)
+        if partition is not None:
+            both = both.where(F.col("partition") == partition)
+        if since_ms is not None:
+            both = both.where(F.col("timestamp_ms") >= since_ms)
+        return both.orderBy(F.col("timestamp_ms").desc(), F.col("arrival").desc()).limit(limit)
+
     def cleanup_landing_zone(self, retention_ms: int = 0) -> list[str]:
         """T8: hot-buffer retention — remove landing files older than the
         retention window whose contents are already committed (the stream
@@ -165,26 +262,7 @@ class StreamingIngest:
             return removed
         # only files the checkpoint has seen are eligible: Spark's file
         # source tracks them in <ckpt>/sources/0 as JSON logs
-        seen: set[str] = set()
-        src_log = os.path.join(self.checkpoint_dir, "sources", "0")
-        if os.path.isdir(src_log):
-            import json as _json
-
-            for logf in os.listdir(src_log):
-                p = os.path.join(src_log, logf)
-                if not os.path.isfile(p):
-                    continue
-                # log dirs also hold non-text artifacts (.crc) — skip bad bytes
-                with open(p, errors="ignore") as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if line.startswith("{"):
-                            try:
-                                entry = _json.loads(line)
-                                if "path" in entry:
-                                    seen.add(entry["path"].replace("file://", ""))
-                            except ValueError:
-                                pass
+        seen = self._checkpoint_seen_files()
         cutoff = time.time() - retention_ms / 1000.0
         for f in os.listdir(self.landing_dir):
             full = os.path.join(self.landing_dir, f)

@@ -542,7 +542,12 @@ class EventTable:
         raise CommitConflictError("append could not commit after 5 rebases")
 
     # ---------------------------------------------------------------- read
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+    ) -> DataFrame:
         """Scan the table (partition-pruned + stats-skipped by Catalyst).
 
         ``version`` reads the table AS OF that snapshot (time travel): the
@@ -552,6 +557,11 @@ class EventTable:
         compaction: old snapshots keep referencing the pre-compact files,
         which stay on disk until :meth:`expire_snapshots` +
         :meth:`remove_orphans` reclaim them.
+
+        ``ts_min``/``ts_max`` additionally prune the file list by the
+        manifest's recorded (timestamp_ms) bounds BEFORE Spark opens a
+        footer (:meth:`scan_files` — Iceberg scan planning); the rows-level
+        predicate is still the caller's job.
         """
         latest = self.latest_version()
         if version is None:
@@ -568,7 +578,10 @@ class EventTable:
         if latest is None or not 0 <= version <= latest:
             have = "none" if latest is None else f"0..{latest}"
             raise ValueError(f"no snapshot version {version}; have {have}")
-        files = [e["file_path"] for e in self._active_files(version)]
+        files = [
+            e["file_path"]
+            for e in self.scan_files(version=version, ts_min=ts_min, ts_max=ts_max)
+        ]
         if not files:
             return self.spark.createDataFrame([], EVENT_SCHEMA)
         return (
