@@ -342,13 +342,20 @@ class EventTable:
         staging: str,
         target_file_bytes: int | None = None,
         key_ndv: int | None = None,
+        rows_per_partition: int | None = None,
     ) -> list[dict]:
         """Write ``events`` into ``staging`` (hive layout), then move every
         parquet file into the data tree under a fresh unique name. Returns
         the manifest entries (with footer stats) of the moved files.
 
         ``key_ndv`` is the batch's per-file idempotency-key NDV estimate
-        (0 = unkeyed batch → no bloom at all).
+        (0 = unkeyed batch → no bloom at all). ``rows_per_partition`` is
+        the batch's estimated rows per (event_date, event_hour) dir: when
+        the batch is spread thin (a wide-time-range backfill at small
+        scale), the parquet writer's default 128 MB row-group buffer is
+        pure per-file allocation overhead, so tiny-file batches drop to a
+        4 MB block size (measured ~10% off a 720-file append; real
+        hour-dense batches keep the big row groups).
 
         The move happens BEFORE the snapshot commit; a crash mid-move
         leaves some files in the data tree but referenced by no snapshot —
@@ -366,6 +373,8 @@ class EventTable:
             .partitionBy("event_date", "event_hour"),
             expected_ndv=key_ndv if key_ndv is not None else cap,
         )
+        if rows_per_partition is not None and rows_per_partition < 100_000:
+            writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
         if cap is not None:
             # a single hot hour inside one task would otherwise become
             # ONE arbitrarily large file; maxRecordsPerFile rolls the
@@ -482,6 +491,7 @@ class EventTable:
             events.groupBy("topic", "partition")
             .agg(
                 F.max("sequence").alias("hwm"),
+                F.count(F.lit(1)).alias("n_rows"),
                 F.approx_count_distinct("idempotency_key").alias("kndv"),
                 F.approx_count_distinct(F.struct("event_date", "event_hour")).alias("nparts"),
             )
@@ -497,12 +507,17 @@ class EventTable:
             if kndv_total == 0
             else max(1024, 2 * kndv_total // max(n_storage_parts, 1))
         )
+        rows_per_partition = sum(r["n_rows"] for r in pstats) // max(n_storage_parts, 1)
         # explicit partition count inside _stage_and_move: with bare
         # repartition(cols), AQE coalesces a small batch's shuffle to ~1
         # partition and ONE task then writes every hour directory serially
         # (measured 11s for 744 dirs at sf0.1; ~32 tasks cut it to ~2s).
         added = self._stage_and_move(
-            events, staging, target_file_bytes=target_file_bytes, key_ndv=key_ndv
+            events,
+            staging,
+            target_file_bytes=target_file_bytes,
+            key_ndv=key_ndv,
+            rows_per_partition=rows_per_partition,
         )
         events.unpersist()
         # Commit with bounded optimistic retry (the reference serializes
