@@ -218,16 +218,33 @@ def ivf_assign(
     )
     if not cents:
         raise ValueError("ivf_assign: empty centroid set")
+    spark = corpus.sparkSession
+    # Quantize each centroid ONCE through Spark's own round path (one tiny
+    # local job) and inline the resulting ints as a literal long array:
+    # the per-row work is then a single HOF dot fold per centroid, instead
+    # of re-quantizing the literal centroid per row (HOFs over literal
+    # arrays are not constant-folded). Integer math identical to the
+    # two-frame formulation. (An explicit 64-term element_at sum was also
+    # tried: the 512-term tree exceeds codegen limits and interprets —
+    # slower than the HOF fold.)
+    qcents = (
+        spark.range(1)
+        .select(
+            *[
+                quantize(F.array(*[F.lit(float(x)) for x in r[1]])).alias(f"q{i}")
+                for i, r in enumerate(cents)
+            ]
+        )
+        .first()
+    )
     v = with_quantized(corpus, vec_col)
-    # Quantization of the literal centroid happens in Spark expressions
-    # (same F.round path as the corpus side), so integer math stays
-    # identical to the two-frame formulation.
     scored = []
-    for r in cents:
-        lit_vec = F.array(*[F.lit(float(x)) for x in r[1]])
-        qc = quantize(lit_vec)
+    for i, r in enumerate(cents):
+        qc_ints = [int(x) for x in qcents[f"q{i}"]]
+        lit_qc = F.array(*[F.lit(c).cast("long") for c in qc_ints])
+        norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
         cos = F.floor(
-            _dot(F.col("qvec"), qc) / (F.col("vnorm") * F.sqrt(_norm2(qc))) * 1e6
+            _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c) * 1e6
         ).cast("long")
         # struct orders lexicographically: highest cosine first, then
         # lowest centroid id (negated so greatest() prefers it)
@@ -252,21 +269,26 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: search only the query's cell (nprobe=1).
 
-    Both sides share one assignment pass; the search join is an equi-join
-    on the cell id — candidates per query scale with corpus/C, not corpus.
+    The corpus pays ONE assignment projection; the query side assigns only
+    the query rows (semi-join restricts the scan BEFORE the projection, so
+    the per-row centroid scoring doesn't run a second full-corpus pass).
+    The search join is an equi-join on the cell id — candidates per query
+    scale with corpus/C, not corpus.
     """
     from pyspark.sql import Window
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q = assigned.join(
-        queries.select(F.col(id_col)), id_col, "left_semi"
+    q = ivf_assign(
+        corpus.join(queries.select(F.col(id_col)), id_col, "left_semi"),
+        centroids,
+        id_col,
+        vec_col,
     ).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_q"),
         F.col("vnorm").alias("q_n"),
         "cell",
     )
-    c = assigned.select(
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("c_q"),
         F.col("vnorm").alias("c_n"),
