@@ -197,50 +197,49 @@ def lsh_topk(
     )
 
 
+def prepare_centroids(
+    centroids: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[int]]]:
+    """Collect + quantize the centroid set in ONE job (quantization runs
+    Spark-side inside the collect, through the same F.round path as the
+    corpus, so integer math stays engine-identical). Centroids are model
+    parameters — a small frame by contract (sampled k-means output at
+    100 TB) — and callers assigning several frames against the same
+    centroids share one prepared list."""
+    rows = centroids.select(
+        F.col(id_col), quantize(F.col(vec_col)).alias("qc")
+    ).collect()
+    if not rows:
+        raise ValueError("prepare_centroids: empty centroid set")
+    return sorted((int(r[0]), [int(x) for x in r["qc"]]) for r in rows)
+
+
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF cell assignment: each vector goes to its max-cosine centroid.
 
-    Centroids are model parameters — a small frame by contract (sampled
-    k-means output at 100 TB), so they are collected once and inlined as
-    literal arrays: assignment becomes a pure per-row projection
-    (greatest over C struct scores, ties → lowest centroid id) with NO
-    crossJoin, NO window, NO shuffle. The previous crossJoin+row_number
-    formulation shuffled corpus×C rows carrying the full vectors twice —
-    measured 9.6s → this projection form at sf0.1; same output bit-exact.
+    The prepared centroids are inlined as literal long arrays, so
+    assignment becomes a pure per-row projection (greatest over C struct
+    scores, ties → lowest centroid id) with NO crossJoin, NO window, NO
+    shuffle — the crossJoin+row_number formulation shuffled corpus×C rows
+    carrying the full vectors twice (measured 9.6s vs ~0.5s at sf0.1),
+    and per-row HOF dots against literal LONG arrays beat both per-row
+    re-quantization (HOFs over literal arrays are not constant-folded)
+    and an explicit 64-term element_at sum (512-term trees exceed codegen
+    limits and fall back to interpretation). Same output bit-exact.
     """
-    cents = sorted(
-        centroids.select(F.col(id_col), F.col(vec_col)).collect(), key=lambda r: r[0]
-    )
-    if not cents:
-        raise ValueError("ivf_assign: empty centroid set")
-    spark = corpus.sparkSession
-    # Quantize each centroid ONCE through Spark's own round path (one tiny
-    # local job) and inline the resulting ints as a literal long array:
-    # the per-row work is then a single HOF dot fold per centroid, instead
-    # of re-quantizing the literal centroid per row (HOFs over literal
-    # arrays are not constant-folded). Integer math identical to the
-    # two-frame formulation. (An explicit 64-term element_at sum was also
-    # tried: the 512-term tree exceeds codegen limits and interprets —
-    # slower than the HOF fold.)
-    qcents = (
-        spark.range(1)
-        .select(
-            *[
-                quantize(F.array(*[F.lit(float(x)) for x in r[1]])).alias(f"q{i}")
-                for i, r in enumerate(cents)
-            ]
-        )
-        .first()
+    cents = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
     )
     v = with_quantized(corpus, vec_col)
     scored = []
-    for i, r in enumerate(cents):
-        qc_ints = [int(x) for x in qcents[f"q{i}"]]
+    for cid, qc_ints in cents:
         lit_qc = F.array(*[F.lit(c).cast("long") for c in qc_ints])
         norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
         cos = F.floor(
@@ -248,7 +247,7 @@ def ivf_assign(
         ).cast("long")
         # struct orders lexicographically: highest cosine first, then
         # lowest centroid id (negated so greatest() prefers it)
-        scored.append(F.struct(cos.alias("c"), F.lit(-int(r[0])).cast("long").alias("n")))
+        scored.append(F.struct(cos.alias("c"), F.lit(-cid).cast("long").alias("n")))
     best = scored[0] if len(scored) == 1 else F.greatest(*scored)
     return v.select(
         F.col(id_col),
@@ -277,9 +276,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    prepared = prepare_centroids(centroids, id_col, vec_col)
     q = ivf_assign(
         corpus.join(queries.select(F.col(id_col)), id_col, "left_semi"),
-        centroids,
+        prepared,
         id_col,
         vec_col,
     ).select(
@@ -288,7 +288,7 @@ def ivf_topk(
         F.col("vnorm").alias("q_n"),
         "cell",
     )
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    c = ivf_assign(corpus, prepared, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("c_q"),
         F.col("vnorm").alias("c_n"),
