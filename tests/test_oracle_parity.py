@@ -95,3 +95,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.schema is not None
+
+
+def test_exactly_50_queries_all_with_oracles():
+    """The driver checks the FIRST 50 queries() entries (observed:
+    CORRECTNESS_r03 silently dropped the registered 51st). Pin the
+    contract: exactly 50 entries, every one with an oracle, so nothing
+    ships driver-unverified."""
+    qs = entrymod.queries()
+    os_ = entrymod.oracle_sql()
+    assert len(qs) == 50, f"driver checks first 50; got {len(qs)}"
+    missing = [k for k in qs if k not in os_]
+    assert not missing, f"queries without oracles: {missing}"
+    assert set(os_) <= set(qs), f"orphan oracles: {set(os_) - set(qs)}"
