@@ -885,6 +885,15 @@ class EventTable:
                 .partitionBy("event_date", "event_hour"),
                 expected_ndv=self._target_records_per_file(128 * 1024 * 1024),
             )
+            # same thin-output heuristic as append, from manifest stats
+            # (no extra job): tiny compacted files shouldn't each allocate
+            # the default 128 MB row-group buffer
+            max_part_rows = max(
+                (sum(f.get("row_count", 0) for f in fs) for fs in candidates.values()),
+                default=0,
+            )
+            if 0 < max_part_rows < 100_000:
+                writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
             if target_files_per_partition > 1:
                 # hash partitioning can never split one storage partition
                 # across tasks — file splitting is the writer's job: roll
