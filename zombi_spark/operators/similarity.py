@@ -261,7 +261,7 @@ def ivf_assign(
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -276,7 +276,11 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    prepared = prepare_centroids(centroids, id_col, vec_col)
+    prepared = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
+    )
     q = ivf_assign(
         corpus.join(queries.select(F.col(id_col)), id_col, "left_semi"),
         prepared,
