@@ -1,0 +1,92 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference computes per-key session/window state inside its native
+engine; the Spark-first form is arbitrary per-key state over micro-batches
+(SURVEY §2.6 W3 / §2.10). ``transformWithStateInPandas`` (the newer API)
+is unusable in this container — its state-server Python worker imports
+``google.protobuf``, which does not ship — but the classic
+``applyInPandasWithState`` path has no such dependency (verified) and
+carries the same semantics: per-group pandas batches + a GroupState that
+survives across micro-batches in the checkpointed state store.
+
+Scale notes: state is per-key O(1) (three longs per open session); the
+only shuffle is the groupBy key exchange Structured Streaming already
+requires for stateful ops; batches arrive Arrow-encoded. At 100 TB the
+state store backend (RocksDB provider) is a config, not a code change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from zombi_spark.shipping import ensure_package_on_workers
+
+SESSION_SCHEMA = "user_id long, session_start long, session_end long, n_events long"
+_STATE_SCHEMA = "session_start long, last_ts long, n_events long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    key_col: str = "user_id",
+    ts_col: str = "timestamp_ms",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming sessionization: one output row per CLOSED session
+    (closed when a same-key event arrives more than ``gap_ms`` after the
+    previous one, or when ``idle_timeout_ms`` of processing time passes
+    with no events for the key).
+
+    The open session rides in GroupState across micro-batches — the
+    batch analogue is q_sessionization's window/gap logic; this is the
+    same computation with O(1) state per key instead of a shuffle over
+    history.
+    """
+    ensure_package_on_workers(events.sparkSession)
+    gap = int(gap_ms)
+    idle = idle_timeout_ms
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user = int(key[0])
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user, start, last, n)], columns=cols)
+            return
+        start = last = None
+        n = 0
+        if state.exists:
+            start, last, n = state.get
+        closed: list[tuple] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf[ts_col])
+        for ts in sorted(ts_all):
+            if last is not None and ts - last > gap:
+                closed.append((user, start, last, n))
+                start, n = None, 0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+        if start is not None:
+            state.update((start, last, n))
+            if idle is not None:
+                state.setTimeoutDuration(idle)
+        yield pd.DataFrame(closed, columns=cols)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        _fn, SESSION_SCHEMA, _STATE_SCHEMA, "append", timeout
+    )
