@@ -135,3 +135,49 @@ def test_streaming_dedup_is_single_shuffle_per_key_family(spark, sf_dir):
     # exchanges: dedup window, sequence window, and the broadcast-less
     # union path; we assert no more than 3 shuffle exchanges total
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ivf_assign_is_pure_projection_no_shuffle(spark, sf_dir):
+    """Round-4 IVF: centroid assignment is a per-row projection over the
+    scan — NO exchange, NO window, NO join before the cell search."""
+    from zombi_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    plan = _plan(S.ivf_assign(emb, centroids))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_embedding_near_dup_single_bucket_exchange(spark, sf_dir):
+    """Per-bucket BLAS pair scoring keeps the shuffle shape of the old
+    self-join: exactly one hash exchange on the bucket id feeding one
+    FlatMapGroupsInPandas — and no self-join materializing pair rows."""
+    from zombi_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(S.embedding_near_dup(emb, threshold_e6=350000))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_hot_cold_tail_is_top_k_not_global_sort(spark, tmp_path):
+    """The hot/cold tail compiles to TakeOrderedAndProject over the
+    union — per-partition top-k, no full sort of either tier."""
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    table = EventTable(spark, str(tmp_path), "events")
+    table.append(
+        prepare_events(
+            spark.createDataFrame(
+                [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(20)],
+                RAW_EVENT_SCHEMA,
+            )
+        )
+    )
+    ing = StreamingIngest(spark, str(tmp_path / "landing"), table, str(tmp_path / "ck"))
+    plan = _plan(ing.tail("t", limit=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
