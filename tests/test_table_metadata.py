@@ -157,6 +157,37 @@ def test_scan_files_stats_pruning(spark, tmp_path):
     assert {e["file_path"] for e in recent}.isdisjoint({e["file_path"] for e in old})
 
 
+def test_latest_n_plans_newest_files_only(spark, tmp_path):
+    """Latest-n planning reads the newest files, not the table: a
+    latest-5 over appends 100 days apart must scan ONLY the recent
+    append's files and still return exactly the full-scan top-5."""
+    day_ms = 86_400_000
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 50, ts_base=1704067200000)))
+    t.append(prepare_events(_batch(spark, 50, 50, ts_base=1704067200000 + 100 * day_ms)))
+
+    planned = {e["file_path"] for e in t.plan_latest_files(5)}
+    recent = {e["file_path"] for e in t.scan_files(ts_min=1704067200000 + 99 * day_ms)}
+    assert planned == recent  # old append never touched
+    assert 0 < len(planned) < len(t.files())
+
+    from pyspark.sql import functions as F
+
+    top = (
+        t.scan_latest(5)
+        .orderBy(F.col("timestamp_ms").desc(), F.col("sequence").desc())
+        .limit(5)
+        .collect()
+    )
+    full = (
+        t.read()
+        .orderBy(F.col("timestamp_ms").desc(), F.col("sequence").desc())
+        .limit(5)
+        .collect()
+    )
+    assert top == full
+
+
 def test_idempotency_history_bounded_probe(spark, tmp_path):
     """The streaming dedup probe touches only retention-window files
     (snapshot-stats pruning) and reads only the 3 key columns — the

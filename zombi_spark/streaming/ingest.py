@@ -226,11 +226,17 @@ class StreamingIngest:
         either visible as committed rows or as hot rows, never both.
 
         The cold side is snapshot-stats pruned (``since_ms`` bounds the
-        file list before any footer is opened); the hot side reads only
+        file list before any footer is opened; without it,
+        ``scan_latest`` plans the smallest stats-provable file set that
+        can contain the newest ``limit`` rows). The hot side reads only
         the pending backlog. Compiles to TakeOrderedAndProject over the
         union — no global sort.
         """
-        cold = self.table.read(ts_min=since_ms) if since_ms is not None else self.table.read()
+        cold = (
+            self.table.read(ts_min=since_ms)
+            if since_ms is not None
+            else self.table.scan_latest(limit)
+        )
         cold = cold.select(
             "sequence",
             "topic",

@@ -317,6 +317,44 @@ class EventTable:
             out.append(e)
         return out
 
+    def plan_latest_files(self, n: int, version: int | None = None) -> list[dict]:
+        """Scan planning for "latest n rows by timestamp": the smallest
+        stats-provable file set containing the top-n — the §7 'reverse
+        partition-ordered scan' realized as manifest planning. Greedily
+        take files by descending max_ts until ≥ n rows are covered, then
+        include every file whose max_ts reaches back to the taken set's
+        min_ts (rows between those bounds could outrank taken rows).
+        With the hour-sorted layout each file's [min_ts, max_ts] is about
+        one hour wide, so a latest-100 over 10⁶ files plans 1-2 files —
+        O(metadata) on the driver, no data touched."""
+        files = self.scan_files(version=version)
+        with_ts = [f for f in files if "max_ts" in f]
+        no_stats = [f for f in files if "max_ts" not in f]  # never skippable
+        taken: list[dict] = []
+        acc = 0
+        for f in sorted(with_ts, key=lambda e: -e["max_ts"]):
+            taken.append(f)
+            acc += f.get("row_count", 0)
+            if acc >= n:
+                break
+        if not taken:
+            return files
+        theta = min(f.get("min_ts", f["max_ts"]) for f in taken)
+        return [f for f in with_ts if f["max_ts"] >= theta] + no_stats
+
+    def scan_latest(self, n: int, version: int | None = None) -> DataFrame:
+        """A scan restricted to :meth:`plan_latest_files`'s file set — the
+        input for a latest-n top-k (the caller applies orderBy/limit, which
+        compiles to TakeOrderedAndProject over just these files)."""
+        files = [e["file_path"] for e in self.plan_latest_files(n, version=version)]
+        if not files:
+            return self.spark.createDataFrame([], EVENT_SCHEMA)
+        return (
+            self.spark.read.schema(EVENT_SCHEMA)
+            .option("basePath", self.data_path)
+            .parquet(*files)
+        )
+
     # --------------------------------------------------------------- write
     def _target_records_per_file(self, target_file_bytes: int) -> int | None:
         """T3 byte-target file sizing (flusher/mod.rs:362-390, the
