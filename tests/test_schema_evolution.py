@@ -1,0 +1,101 @@
+"""Schema-on-write extraction tables + column-add evolution (§1.3;
+iceberg.rs:192-266): configured typed fields replace the payload at
+append time, the JSON remainder lands in _payload_overflow, and a config
+that gains a field widens the table schema — files written before the
+field existed serve NULL for it, exactly Iceberg's add-column rule."""
+
+import json
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+from zombi_spark.table.event_table import EventTable
+
+V1 = TableSchemaConfig(
+    payload_format="json",
+    fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+)
+V2 = TableSchemaConfig(
+    payload_format="json",
+    fields=[
+        FieldSpec(name="k", json_path="k", data_type="int64"),
+        FieldSpec(name="label", json_path="label", data_type="utf8"),
+    ],
+)
+
+
+def _batch(spark, start, n):
+    rows = [
+        (
+            "t",
+            0,
+            json.dumps({"k": i, "label": f"L{i}", "extra": i * 10}).encode(),
+            1704067200000 + i * 1000,
+            None,
+            i,
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_extraction_table_write_and_read(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t.append(prepare_events(_batch(spark, 0, 5)))
+    df = t.read()
+    assert "k" in df.columns and "payload" not in df.columns
+    assert "_payload_overflow" in df.columns
+    rows = {r.sequence: r for r in df.collect()}
+    assert [rows[s].k for s in sorted(rows)] == [0, 1, 2, 3, 4]
+    # overflow holds the NON-extracted keys only
+    ovf = json.loads(bytes(rows[1]._payload_overflow))
+    assert set(ovf) == {"label", "extra"}
+
+
+def test_column_add_evolution_old_files_serve_null(spark, tmp_path):
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t1.append(prepare_events(_batch(spark, 0, 4)))
+
+    # reopen with the widened config: new column 'label'
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=V2)
+    t2.append(prepare_events(_batch(spark, 4, 4), existing=t2.read()))
+
+    df = t2.read()
+    assert "label" in df.columns
+    rows = {r.sequence: r for r in df.collect()}
+    assert len(rows) == 8
+    # v1-era rows: label NULL (file lacks the column); k still extracted
+    assert all(rows[s].label is None for s in (1, 2, 3, 4))
+    assert all(rows[s].k == s - 1 for s in (1, 2, 3, 4))
+    # v2-era rows carry the new column; overflow no longer holds 'label'
+    assert [rows[s].label for s in (5, 6, 7, 8)] == ["L4", "L5", "L6", "L7"]
+    ovf = json.loads(bytes(rows[5]._payload_overflow))
+    assert set(ovf) == {"extra"}
+    # table.json reflects the union schema
+    schema_fields = [f["name"] for f in t2.table_metadata()["schema"]["fields"]]
+    assert schema_fields[-3:] == ["k", "label", "_payload_overflow"]
+    # the old handle (v1 config) ALSO sees the widened schema — evolution
+    # is a table property, not a session property
+    assert "label" in EventTable(spark, str(tmp_path), "events").read().columns
+
+
+def test_type_change_rejected(spark, tmp_path):
+    EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    import pytest
+
+    bad = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="utf8")],
+    )
+    with pytest.raises(ValueError, match="cannot change type"):
+        EventTable(spark, str(tmp_path), "events", schema_config=bad)
+
+
+def test_extraction_table_watermarks_and_dedup_still_work(spark, tmp_path):
+    """The write path's metadata machinery (sequences, watermarks,
+    idempotency probe columns) is payload-independent."""
+    t = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t.append(prepare_events(_batch(spark, 0, 6)))
+    t.append(prepare_events(_batch(spark, 6, 3), existing=t.read()))
+    assert t.watermark_map() == {("t", 0): 9}
+    probe = t.idempotency_history(retention_hours=48)
+    assert set(probe.columns) == {"topic", "partition", "idempotency_key"}

@@ -117,17 +117,98 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
 
 
 class EventTable:
-    """A zombi event table rooted at ``{root}/{name}``."""
+    """A zombi event table rooted at ``{root}/{name}``.
 
-    def __init__(self, spark: SparkSession, root: str, name: str):
+    ``schema_config`` turns on schema-on-WRITE extraction (§1.3,
+    iceberg.rs:192-266): each append extracts the configured typed fields
+    out of the JSON payload, the remainder lands in ``_payload_overflow``,
+    and the raw ``payload`` column is dropped from the stored schema.
+    Column-ADD evolution is supported: reopening the table with a config
+    containing new fields widens ``table.json``'s extracted-field list;
+    reads declare the union schema, so files written before the new field
+    existed serve NULL for it (the parquet reader fills missing columns) —
+    the same add-column evolution Iceberg performs.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        schema_config=None,
+    ):
         self.spark = spark
         self.name = validate_table_name(name)
         self.path = os.path.join(root, name)
         self.data_path = os.path.join(self.path, _DATA_DIR)
         self.meta_path = os.path.join(self.path, _META_DIR)
+        self.schema_config = schema_config
         # version -> list[file entry dict]; snapshots are immutable once
         # committed, so the cache never invalidates
         self._active_cache: dict[int, list[dict]] = {}
+        if schema_config is not None and schema_config.fields:
+            self._merge_extracted_fields(schema_config)
+
+    # ------------------------------------------------- extracted schema
+    def _extracted_fields_path(self) -> str:
+        return os.path.join(self.meta_path, "extracted_fields.json")
+
+    def _merge_extracted_fields(self, config) -> None:
+        """Record (and widen) the table's extracted-field list — the
+        column-add half of schema evolution. Type changes to an existing
+        field are rejected (Iceberg only allows compatible promotions;
+        we allow none)."""
+        os.makedirs(self.meta_path, exist_ok=True)
+        current = {f["name"]: f for f in self.extracted_fields()}
+        for spec in config.fields:
+            prev = current.get(spec.name)
+            if prev is not None and prev["data_type"] != spec.data_type:
+                raise ValueError(
+                    f"extracted field {spec.name!r} cannot change type "
+                    f"{prev['data_type']!r} -> {spec.data_type!r}"
+                )
+            current[spec.name] = {
+                "name": spec.name,
+                "json_path": spec.json_path,
+                "data_type": spec.data_type,
+            }
+        tmp = self._extracted_fields_path() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(list(current.values()), fh, indent=1)
+        os.replace(tmp, self._extracted_fields_path())
+
+    def extracted_fields(self) -> list[dict]:
+        """The union of every extraction config this table has seen."""
+        p = self._extracted_fields_path()
+        if not os.path.isfile(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
+    def table_schema(self):
+        """The table's current read/write schema: the canonical system
+        schema, or — for extraction tables — system columns with payload
+        replaced by the union of extracted fields + _payload_overflow."""
+        fields = self.extracted_fields()
+        if not fields:
+            return EVENT_SCHEMA
+        from pyspark.sql import types as T
+
+        from zombi_spark.ingest.extraction import _TYPE_MAP
+
+        type_of = {
+            "string": T.StringType(),
+            "int": T.IntegerType(),
+            "long": T.LongType(),
+            "double": T.DoubleType(),
+            "boolean": T.BooleanType(),
+            "binary": T.BinaryType(),
+        }
+        out = [f for f in EVENT_SCHEMA.fields if f.name != "payload"]
+        for f in fields:
+            out.append(T.StructField(f["name"], type_of[_TYPE_MAP[f["data_type"]]], True))
+        out.append(T.StructField("_payload_overflow", T.BinaryType(), True))
+        return T.StructType(out)
 
     # ---------------------------------------------------------------- meta
     def _snapshot_files(self) -> list[str]:
@@ -164,12 +245,19 @@ class EventTable:
 
     def _write_table_metadata(self) -> None:
         p = os.path.join(self.meta_path, "table.json")
+        schema = json.loads(self.table_schema().json())
         if os.path.isfile(p):
-            return
+            with open(p) as fh:
+                prev = json.load(fh)
+            if prev.get("schema") == schema:
+                return
+            # column-add evolution: the extracted-field union widened —
+            # rewrite with the new schema (field ORDER is stable: system
+            # cols, then extracted fields in first-seen order)
         meta = {
             "format_version": 2,
             "table_name": self.name,
-            "schema": json.loads(EVENT_SCHEMA.json()),
+            "schema": schema,
             "partition_spec": ["event_date", "event_hour"],
             "sort_order": ["timestamp_ms", "sequence"],
         }
@@ -348,9 +436,9 @@ class EventTable:
         compiles to TakeOrderedAndProject over just these files)."""
         files = [e["file_path"] for e in self.plan_latest_files(n, version=version)]
         if not files:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return self.spark.createDataFrame([], self.table_schema())
         return (
-            self.spark.read.schema(EVENT_SCHEMA)
+            self.spark.read.schema(self.table_schema())
             .option("basePath", self.data_path)
             .parquet(*files)
         )
@@ -504,7 +592,22 @@ class EventTable:
         SPEC.md:752, survives retries).
         """
         t_start = time.perf_counter()
-        cols = [f.name for f in EVENT_SCHEMA.fields]
+        if self.extracted_fields():
+            # schema-on-write extraction (§1.3): typed columns out of the
+            # payload, remainder to _payload_overflow, payload dropped.
+            # Input batches still arrive in the canonical system shape.
+            from zombi_spark.ingest.extraction import (
+                FieldSpec,
+                TableSchemaConfig,
+                extract_payload,
+            )
+
+            cfg = TableSchemaConfig(
+                payload_format="json",
+                fields=[FieldSpec(**f) for f in self.extracted_fields()],
+            )
+            events = extract_payload(events.select(*[f.name for f in EVENT_SCHEMA.fields]), cfg)
+        cols = [f.name for f in self.table_schema().fields]
         # cache: the batch is consumed twice (write + watermark aggregate);
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
@@ -621,9 +724,9 @@ class EventTable:
             if latest is None:
                 # pre-snapshot table (no log yet): directory scan
                 if not os.path.isdir(self.data_path):
-                    return self.spark.createDataFrame([], EVENT_SCHEMA)
+                    return self.spark.createDataFrame([], self.table_schema())
                 return (
-                    self.spark.read.schema(EVENT_SCHEMA)
+                    self.spark.read.schema(self.table_schema())
                     .option("basePath", self.data_path)
                     .parquet(self.data_path)
                 )
@@ -636,9 +739,9 @@ class EventTable:
             for e in self.scan_files(version=version, ts_min=ts_min, ts_max=ts_max)
         ]
         if not files:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return self.spark.createDataFrame([], self.table_schema())
         return (
-            self.spark.read.schema(EVENT_SCHEMA)
+            self.spark.read.schema(self.table_schema())
             .option("basePath", self.data_path)
             .parquet(*files)
         )
@@ -674,9 +777,9 @@ class EventTable:
         physical deletion is deferred to snapshot expiration."""
         files = [e["file_path"] for e in self.added_files(from_version, to_version)]
         if not files:
-            return self.spark.createDataFrame([], EVENT_SCHEMA)
+            return self.spark.createDataFrame([], self.table_schema())
         return (
-            self.spark.read.schema(EVENT_SCHEMA)
+            self.spark.read.schema(self.table_schema())
             .option("basePath", self.data_path)
             .parquet(*files)
         )
@@ -726,7 +829,7 @@ class EventTable:
                 entries = self.scan_files(ts_min=cutoff)
         files = [e["file_path"] for e in entries]
         return (
-            self.spark.read.schema(EVENT_SCHEMA)
+            self.spark.read.schema(self.table_schema())
             .option("basePath", self.data_path)
             .parquet(*files)
             .select("topic", "partition", "idempotency_key")
@@ -901,7 +1004,7 @@ class EventTable:
             # move the rewritten files in.
             all_paths = [f["file_path"] for fs in candidates.values() for f in fs]
             df = (
-                self.spark.read.schema(EVENT_SCHEMA)
+                self.spark.read.schema(self.table_schema())
                 .option("basePath", self.data_path)
                 .parquet(*all_paths)
             )
