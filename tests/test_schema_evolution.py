@@ -90,6 +90,41 @@ def test_type_change_rejected(spark, tmp_path):
         EventTable(spark, str(tmp_path), "events", schema_config=bad)
 
 
+def test_streaming_ingest_into_extraction_table(spark, tmp_path):
+    """The streaming path composes: foreachBatch append applies the
+    table's extraction config per micro-batch."""
+    import os
+
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, "b1.json"), "w") as fh:
+        for i in range(6):
+            fh.write(
+                json.dumps(
+                    {
+                        "topic": "t",
+                        "partition": 0,
+                        "payload": json.dumps({"k": i, "label": f"L{i}"}),
+                        "timestamp_ms": 1704067200000 + i,
+                        "idempotency_key": None,
+                        "ingest_order": i,
+                    }
+                )
+                + "\n"
+            )
+    table = EventTable(spark, str(tmp_path), "stream-ext", schema_config=V1)
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    df = table.read()
+    assert "k" in df.columns and "payload" not in df.columns
+    assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3, 4, 5]
+    ovf = json.loads(bytes(df.where("k = 2").first()._payload_overflow))
+    assert set(ovf) == {"label"}
+
+
 def test_extraction_table_watermarks_and_dedup_still_work(spark, tmp_path):
     """The write path's metadata machinery (sequences, watermarks,
     idempotency probe columns) is payload-independent."""
