@@ -58,6 +58,67 @@ def test_sessionization_state_crosses_micro_batches(spark, tmp_path):
     assert len(rows) == 2
 
 
+def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed counts: a window emits once the watermark
+    (2h) passes its end, and an event arriving AFTER the watermark has
+    moved past its window is dropped — the T9/late-data contract."""
+    from zombi_spark.streaming.stateful import windowed_event_counts
+
+    src = str(tmp_path / "src")
+    H = 3600_000
+    seq = [0]
+
+    def _w(name, rows):
+        os.makedirs(src, exist_ok=True)
+        p = os.path.join(src, name)
+        with open(p, "w") as fh:
+            for topic, ts in rows:
+                fh.write(json.dumps({"topic": topic, "timestamp_ms": ts}) + "\n")
+        # the file source batches by modification time: rapid writes can
+        # tie and reorder batches, so pin strictly increasing mtimes
+        seq[0] += 10
+        os.utime(p, (1_000_000_000 + seq[0], 1_000_000_000 + seq[0]))
+
+    # batch 1: 3 events in hour-0, 1 in hour-1  → watermark = max - 2h
+    _w("f1.json", [("t", T0), ("t", T0 + 1000), ("t", T0 + 2000), ("t", T0 + H)])
+    # batch 2: event at +5h → watermark will pass hour-0 and hour-1 ends
+    _w("f2.json", [("t", T0 + 5 * H)])
+    # batch 3: neutral event — lets the advanced watermark take effect
+    # (Spark applies the updated watermark to input filtering one batch
+    # after the advancing data arrives)
+    _w("f3.json", [("t", T0 + 5 * H + 1000)])
+    # batch 4: LATE event for hour-0, far beyond the watermark → dropped
+    _w("f4.json", [("t", T0 + 10)])
+    # batch 5: advance watermark again so any (wrongly) accepted late row
+    # would have been emitted by now
+    _w("f5.json", [("t", T0 + 9 * H)])
+
+    stream = (
+        spark.readStream.schema("topic string, timestamp_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.window_start_ms, r.n_events)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    W0 = T0 - (T0 % H)  # windows are clock-aligned
+    assert (W0, 3) in rows  # hour-0: exactly the 3 on-time events
+    assert (W0 + H, 1) in rows  # hour-1 emitted once watermark passed
+    # the late hour-0 event neither re-emitted nor updated the count
+    assert (W0, 4) not in rows
+
+
 def test_sessionization_resume_from_checkpoint(spark, tmp_path):
     """The open session survives a full query restart (checkpointed
     state store), then closes from a post-restart event."""
