@@ -214,6 +214,14 @@ def prepare_centroids(
     return sorted((int(r[0]), [int(x) for x in r["qc"]]) for r in rows)
 
 
+def _lit_long_array(values: list[int]):
+    """One-call literal array<long> (F.lit on a list) — building it as
+    array(lit, lit, …) costs one py4j round-trip PER ELEMENT, which at
+    8 centroids × 64 dims made plan CONSTRUCTION the dominant cost of
+    the whole IVF query (~3s of driver time per invocation)."""
+    return F.lit([int(v) for v in values]).cast("array<long>")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame | list[tuple[int, list[int]]],
@@ -240,7 +248,7 @@ def ivf_assign(
     v = with_quantized(corpus, vec_col)
     scored = []
     for cid, qc_ints in cents:
-        lit_qc = F.array(*[F.lit(c).cast("long") for c in qc_ints])
+        lit_qc = _lit_long_array(qc_ints)
         norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
         cos = F.floor(
             _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c) * 1e6
