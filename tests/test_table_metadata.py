@@ -157,6 +157,50 @@ def test_scan_files_stats_pruning(spark, tmp_path):
     assert {e["file_path"] for e in recent}.isdisjoint({e["file_path"] for e in old})
 
 
+def test_external_ddl_duckdb_reads_table(spark, tmp_path):
+    """Cross-engine interop, actually executed: DuckDB runs the generated
+    DDL and sees exactly the committed rows — including time travel (the
+    DDL for an old version serves the old snapshot) and never the
+    uncommitted orphans a directory glob would adopt."""
+    import duckdb
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 7)))
+    t.append(prepare_events(_batch(spark, 7, 5), existing=t.read()))
+    # an orphan parquet in the data tree (crashed append's leftovers)
+    # must NOT leak into the external view
+    orphan_dir = os.path.join(t.data_path, "event_date=2024-01-01", "event_hour=0")
+    t.read().limit(1).write.mode("overwrite").parquet(str(tmp_path / "stray"))
+    stray = next(
+        f
+        for f in os.listdir(str(tmp_path / "stray"))
+        if f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(str(tmp_path / "stray"), stray),
+        os.path.join(orphan_dir, "orphan.parquet"),
+    )
+
+    con = duckdb.connect()
+    con.execute(t.external_ddl(view_name="ev"))
+    assert con.execute("select count(*) from ev").fetchone()[0] == 12
+    # partition columns come through hive partitioning
+    cols = {r[0] for r in con.execute("describe ev").fetchall()}
+    assert {"sequence", "event_date", "event_hour"} <= cols
+    # values agree with Spark row-for-row
+    duck = con.execute(
+        "select sequence, timestamp_ms from ev order by sequence"
+    ).fetchall()
+    spark_rows = [
+        (r.sequence, r.timestamp_ms)
+        for r in t.read().select("sequence", "timestamp_ms").orderBy("sequence").collect()
+    ]
+    assert duck == spark_rows
+    # time travel: version 0's DDL serves only the first append
+    con.execute(t.external_ddl(view_name="ev_v0", version=0))
+    assert con.execute("select count(*) from ev_v0").fetchone()[0] == 7
+
+
 def test_latest_n_plans_newest_files_only(spark, tmp_path):
     """Latest-n planning reads the newest files, not the table: a
     latest-5 over appends 100 days apart must scan ONLY the recent

@@ -405,6 +405,29 @@ class EventTable:
             out.append(e)
         return out
 
+    def external_ddl(self, view_name: str | None = None, version: int | None = None) -> str:
+        """DDL that lets an EXTERNAL engine (DuckDB dialect; Trino/Spark
+        read the same glob) query this table's current snapshot — the
+        "any engine reads the table" contract (SPEC.md:343-352) made
+        concrete without an Iceberg runtime: the snapshot's exact file
+        list goes into ``read_parquet`` with hive partitioning on, so the
+        external engine sees the same committed rows, partition columns
+        included, and never the staging junk or orphans a directory glob
+        would pick up. Cross-engine row parity is tested with the
+        in-container DuckDB (test_external_ddl_duckdb_reads_table).
+        """
+        import json as _json
+
+        view = view_name or self.name.replace("-", "_")
+        files = [e["file_path"] for e in self.scan_files(version=version)]
+        if not files:
+            return f"CREATE OR REPLACE VIEW {view} AS SELECT NULL WHERE false"
+        file_list = ", ".join(_json.dumps(os.path.abspath(f)) for f in sorted(files))
+        return (
+            f"CREATE OR REPLACE VIEW {view} AS "
+            f"SELECT * FROM read_parquet([{file_list}], hive_partitioning = true)"
+        )
+
     def plan_latest_files(self, n: int, version: int | None = None) -> list[dict]:
         """Scan planning for "latest n rows by timestamp": the smallest
         stats-provable file set containing the top-n — the §7 'reverse
