@@ -58,6 +58,60 @@ def test_sessionization_state_crosses_micro_batches(spark, tmp_path):
     assert len(rows) == 2
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """In-stream idempotency dedup: keyed replays within the watermark are
+    suppressed before the sink; unkeyed events pass through untouched."""
+    from zombi_spark.streaming.stateful import dedup_stream_within_watermark
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def _w(name, rows):
+        p = os.path.join(src, name)
+        with open(p, "w") as fh:
+            for key, order in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "topic": "t",
+                            "partition": 0,
+                            "idempotency_key": key,
+                            "timestamp_ms": T0 + order,
+                            "ingest_order": order,
+                        }
+                    )
+                    + "\n"
+                )
+
+    # originals + same-batch replays + unkeyed events
+    _w("f1.json", [("a", 1), ("b", 2), ("a", 3), (None, 4), (None, 5)])
+    # next batch: replay of 'b' (within watermark) + a new key
+    _w("f2.json", [("b", 6), ("c", 7)])
+
+    stream = spark.readStream.schema(
+        "topic string, partition int, idempotency_key string, "
+        "timestamp_ms long, ingest_order long"
+    ).json(src)
+    q = (
+        dedup_stream_within_watermark(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from dedup_out").collect()
+    keyed = sorted(
+        (r.idempotency_key, r.ingest_order) for r in rows if r.idempotency_key
+    )
+    # first-wins: one row per key, the earliest arrival
+    assert keyed == [("a", 1), ("b", 2), ("c", 7)]
+    # both unkeyed events survive
+    assert sorted(r.ingest_order for r in rows if r.idempotency_key is None) == [4, 5]
+
+
 def test_windowed_counts_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed counts: a window emits once the watermark
     (2h) passes its end, and an event arriving AFTER the watermark has

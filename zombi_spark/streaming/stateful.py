@@ -69,6 +69,42 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    key_cols: tuple[str, ...] = ("topic", "partition", "idempotency_key"),
+    ts_col: str = "timestamp_ms",
+) -> DataFrame:
+    """In-STREAM first-wins idempotency dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``) — the streaming first pass of D1:
+    replays that arrive within the watermark are suppressed before the
+    sink ever sees them; the table-side retention-window anti-join
+    (EventTable.idempotency_history) remains the durable second pass for
+    replays that arrive later or across restarts.
+
+    State is one entry per key within the watermark horizon — the same
+    retention-bounded memory contract as the reference's RocksDB dedup
+    index (rocksdb.rs:645-654 + its retention delete).
+
+    Within a single micro-batch the kept row follows Spark's processing
+    order (best-effort arrival order); the DETERMINISTIC first-wins rule
+    is enforced downstream by prepare_events' arrival-ordered window —
+    this stage exists to shed replay volume early, not to define winners.
+    """
+    from pyspark.sql import functions as F
+
+    with_time = events.withColumn(
+        "event_time", F.timestamp_millis(F.col(ts_col))
+    ).withWatermark("event_time", watermark)
+    # unkeyed events must pass through untouched: null keys are not
+    # duplicates of each other (SPEC.md:752 contract)
+    keyed = with_time.where(F.col(key_cols[-1]).isNotNull()).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    unkeyed = with_time.where(F.col(key_cols[-1]).isNull())
+    return keyed.unionByName(unkeyed).drop("event_time")
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_ms: int = 30 * 60 * 1000,
