@@ -49,7 +49,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.ingest.batch import prepare_events
 from zombi_spark.table.event_table import EventTable
 
 
