@@ -38,6 +38,9 @@ def test_config_and_namespaces(served_catalog):
 
 
 def test_list_and_load(served_catalog):
+    import json
+    import os
+
     _, _, client = served_catalog
     assert client.list_tables() == ["wire-a", "wire-b"]
     result = client.load_table("wire-a")
@@ -45,7 +48,14 @@ def test_list_and_load(served_catalog):
     assert meta["current_version"] == 0
     assert meta["total_rows"] == 10
     assert meta["partition_spec"] == ["event_date", "event_hour"]
-    assert result["metadata-location"].endswith("_zombi_meta/table.json")
+    # a committed table serves its Iceberg v2 metadata file (what a real
+    # Iceberg REST catalog returns), and the file parses as v2
+    loc = result["metadata-location"]
+    assert loc.endswith(".metadata.json") and os.path.isfile(loc)
+    assert json.load(open(loc))["format-version"] == 2
+    # a registered-but-empty table falls back to the private table.json
+    empty = client.load_table("wire-b")
+    assert empty["metadata-location"].endswith("_zombi_meta/table.json")
 
 
 def test_head_probe_and_404(served_catalog):

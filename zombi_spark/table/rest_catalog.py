@@ -52,6 +52,20 @@ class CatalogHTTPError(Exception):
         self.status = status
 
 
+def _metadata_location(table_path: str) -> str:
+    """The Iceberg v2 ``v{N}.metadata.json`` when the table has one
+    (resolved via version-hint — what a real Iceberg REST catalog serves),
+    else the private ``table.json``."""
+    import os
+
+    hint = os.path.join(table_path, "metadata", "version-hint.text")
+    if os.path.isfile(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        return os.path.join(table_path, "metadata", f"v{v}.metadata.json")
+    return f"{table_path}/_zombi_meta/table.json"
+
+
 def _error_body(status: int, message: str) -> bytes:
     # the Iceberg REST ErrorModel envelope (api/catalog.rs:320-333 returns
     # the same shape for its 404s)
@@ -131,7 +145,7 @@ class _Handler(BaseHTTPRequestHandler):
             # location + the metadata we track (schema / spec / snapshot)
             self._send_json(
                 {
-                    "metadata-location": f"{info['path']}/_zombi_meta/table.json",
+                    "metadata-location": _metadata_location(info["path"]),
                     "metadata": info,
                     "config": {},
                 }
@@ -166,7 +180,10 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError as exc:  # table-name validation (P9)
                 self._send(400, _error_body(400, str(exc)))
                 return
-            self._send_json({"metadata-location": f"{entry['path']}/_zombi_meta/table.json", "metadata": entry}, status=200)
+            self._send_json(
+                {"metadata-location": _metadata_location(entry["path"]), "metadata": entry},
+                status=200,
+            )
         else:
             self._send(405, _error_body(405, "read-only catalog: only table registration accepts POST"))
 
