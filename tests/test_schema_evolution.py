@@ -125,6 +125,21 @@ def test_streaming_ingest_into_extraction_table(spark, tmp_path):
     assert set(ovf) == {"label"}
 
 
+def test_compaction_preserves_evolved_schema(spark, tmp_path):
+    """Compacting across the evolution boundary materializes the union
+    schema: pre-evolution rows keep NULL for the added column, every row
+    survives (INV-6)."""
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t1.append(prepare_events(_batch(spark, 0, 4)))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=V2)
+    t2.append(prepare_events(_batch(spark, 4, 4), existing=t2.read()))
+
+    before = {(r.sequence, r.k, r.label) for r in t2.read().collect()}
+    t2.compact(min_input_files=1)
+    after = {(r.sequence, r.k, r.label) for r in t2.read().collect()}
+    assert after == before and len(after) == 8
+
+
 def test_extraction_table_watermarks_and_dedup_still_work(spark, tmp_path):
     """The write path's metadata machinery (sequences, watermarks,
     idempotency probe columns) is payload-independent."""

@@ -326,6 +326,81 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: cell assignment + per-row quantized
+    vector/norm, written as parquet hive-partitioned by ``cell``.
+
+    This is the 100 TB ANN shape: the assignment pass runs ONCE over the
+    corpus (pure projection — see :func:`ivf_assign`), and every later
+    search is a partition-PRUNED read of only the probed cells — one cell
+    directory per probe, independent of corpus size. Rebuild cost is one
+    linear pass; incremental corpora append to their cell partitions.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    (
+        assigned.select(F.col(id_col), "qvec", "vnorm", "cell")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a materialized IVF index (nprobe=1): assign
+    the (small) query set, then read ONLY the probed cell partitions —
+    Catalyst partition pruning keeps unprobed cells' files untouched, so
+    search I/O scales with cells probed, not corpus size."""
+    from pyspark.sql import Window
+
+    q = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("vnorm").alias("q_n"),
+        "cell",
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    scored = (
+        index.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("qvec").alias("c_q"),
+            F.col("vnorm").alias("c_n"),
+            "cell",
+        )
+        .join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cell",
+            "neighbor_id",
+            cosine_e6_prequantized(
+                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "cell", "rank", "neighbor_id", "cos_e6")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold_e6: int = 950000,
