@@ -125,6 +125,28 @@ def test_iceberg_v2_metadata_written_per_commit(spark, tmp_path):
     assert meta["metadata-log"] and os.path.isfile(meta["metadata-log"][-1]["metadata-file"])
 
 
+def test_iceberg_metadata_self_heals_after_lost_write(spark, tmp_path):
+    """A lost metadata write (crash between snapshot commit and metadata
+    write) must not silently diverge: the next commit detects the gap and
+    rebuilds the Iceberg metadata from the snapshot log."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 4)))
+    mdir = os.path.join(t.path, "metadata")
+    # simulate the lost write: roll the hint back to v1 (as if commit 1's
+    # metadata write had crashed)
+    t.append(prepare_events(_batch(spark, 4, 4)))
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    # next commit sees 1 recorded snapshot but commits version 2 → rebuild
+    t.append(prepare_events(_batch(spark, 8, 4)))
+    hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+    assert len(meta["snapshots"]) == 3  # full history restored
+    assert meta["snapshots"][-1]["sequence-number"] == 3
+    chain = [s.get("parent-snapshot-id") for s in meta["snapshots"]]
+    assert chain[0] is None and all(c is not None for c in chain[1:])
+
+
 def test_iceberg_metadata_tracks_expiration(spark, tmp_path):
     """expire_snapshots rewrites the interop metadata: expired snapshots
     leave the snapshot list, the current pointer survives."""

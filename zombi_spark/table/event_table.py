@@ -339,11 +339,22 @@ class EventTable:
                 snap_for_meta = snap
             write_metadata_for_commit(self.path, self.name, snap_for_meta)
         except Exception as exc:
-            # interop metadata is derived state — never fail the commit,
-            # but don't hide the writer bug either
+            # interop metadata is derived state — never fail the commit.
+            # A detected gap (lost prior metadata write) self-heals by
+            # regenerating from the authoritative snapshot log.
             import logging
 
-            logging.getLogger(__name__).warning("iceberg metadata write failed: %s", exc)
+            try:
+                from zombi_spark.table.iceberg_meta import rebuild_metadata
+
+                rebuild_metadata(self.path, self.name, self.snapshots())
+                logging.getLogger(__name__).warning(
+                    "iceberg metadata rebuilt after: %s", exc
+                )
+            except Exception as exc2:
+                logging.getLogger(__name__).warning(
+                    "iceberg metadata write failed: %s / rebuild failed: %s", exc, exc2
+                )
         return snap
 
     # ------------------------------------------------------- file manifests

@@ -126,6 +126,15 @@ def write_metadata_for_commit(table_path: str, table_name: str, snap: dict) -> s
     os.makedirs(mdir, exist_ok=True)
 
     version = snap["version"]
+    if len(meta["snapshots"]) != version:
+        # a prior metadata write was lost (crash/failure between snapshot
+        # commit and metadata write): the snapshot list no longer mirrors
+        # the log. Signal the caller to rebuild from the full snapshot
+        # log instead of silently appending over the gap.
+        raise RuntimeError(
+            f"iceberg metadata out of sync: {len(meta['snapshots'])} snapshots "
+            f"recorded, committing version {version} — rebuild required"
+        )
     sid = snapshot_id_long(snap["snapshot_id"])
     parent_hex = snap.get("parent_snapshot_hex")
     ice_snap = {
@@ -175,6 +184,59 @@ def write_metadata_for_commit(table_path: str, table_name: str, snap: dict) -> s
     with open(hint_tmp, "w") as fh:
         fh.write(str(version + 1))
     os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return out
+
+
+def rebuild_metadata(table_path: str, table_name: str, snapshots: list[dict]) -> str:
+    """Regenerate the Iceberg metadata from the authoritative snapshot
+    log (recovery path for a lost/failed metadata write): one fresh
+    metadata carrying every live snapshot, written as the next version."""
+    meta = _fresh_metadata(table_path, table_name)
+    mdir = metadata_dir(table_path)
+    os.makedirs(mdir, exist_ok=True)
+    prev_sid = None
+    for snap in snapshots:
+        sid = snapshot_id_long(snap["snapshot_id"])
+        ice = {
+            "snapshot-id": sid,
+            "sequence-number": snap["version"] + 1,
+            "timestamp-ms": snap["committed_at_ms"],
+            "manifest-list": os.path.abspath(
+                os.path.join(table_path, "_zombi_meta", f"snap-{snap['version']:08d}.json")
+            ),
+            "summary": {
+                "operation": "append" if snap.get("operation") == "append" else "replace",
+                "added-data-files": str(len(snap.get("added", []))),
+                "removed-data-files": str(len(snap.get("removed", []))),
+            },
+            "schema-id": 0,
+        }
+        if prev_sid is not None:
+            ice["parent-snapshot-id"] = prev_sid
+        meta["snapshots"].append(ice)
+        meta["snapshot-log"].append(
+            {"timestamp-ms": snap["committed_at_ms"], "snapshot-id": sid}
+        )
+        meta["current-snapshot-id"] = sid
+        meta["last-sequence-number"] = snap["version"] + 1
+        meta["last-updated-ms"] = snap["committed_at_ms"]
+        prev_sid = sid
+    meta["snapshot-log"] = meta["snapshot-log"][-100:]
+
+    hint_path = os.path.join(mdir, "version-hint.text")
+    cur = 0
+    if os.path.isfile(hint_path):
+        with open(hint_path) as fh:
+            cur = int(fh.read().strip())
+    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, out)
+    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(cur + 1))
+    os.replace(hint_tmp, hint_path)
     return out
 
 
