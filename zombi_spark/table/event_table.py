@@ -992,7 +992,17 @@ class EventTable:
         except Exception as exc:
             import logging
 
-            logging.getLogger(__name__).warning("iceberg metadata rewrite failed: %s", exc)
+            try:
+                from zombi_spark.table.iceberg_meta import rebuild_metadata
+
+                rebuild_metadata(self.path, self.name, self.snapshots())
+                logging.getLogger(__name__).warning(
+                    "iceberg metadata rebuilt after expire: %s", exc
+                )
+            except Exception as exc2:
+                logging.getLogger(__name__).warning(
+                    "iceberg metadata rewrite failed: %s / rebuild failed: %s", exc, exc2
+                )
         return expired
 
     def compact(
