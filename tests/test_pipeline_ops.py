@@ -240,3 +240,34 @@ def test_materialized_ivf_index_partition_pruned_search(spark, tmp_path, sf_dir)
         r.cell for r in spark.read.parquet(idx_path).select("cell").distinct().collect()
     }
     assert probed < all_cells  # something was actually pruned
+
+
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    """nprobe > 1 probes more cells: results are a superset-quality
+    improvement — recall@5 vs brute force is monotonically ≥ nprobe=1,
+    and nprobe=C (all cells) equals brute force exactly."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import similarity as S
+    from zombi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.prepare_centroids(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(emb, queries, cents, k=5, nprobe=nprobe).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r2, r_all = recall(1), recall(2), recall(len(cents))
+    assert r1 <= r2 <= 1.0
+    assert r_all == 1.0  # probing every cell IS brute force

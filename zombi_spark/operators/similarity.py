@@ -266,6 +266,39 @@ def ivf_assign(
     )
 
 
+def ivf_query_cells(
+    queries_assignable: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query probe list: the top-``nprobe`` cells by centroid cosine,
+    one output row per (query, probed cell). nprobe=1 reduces to the
+    argmax assignment; larger nprobe trades candidate volume for recall —
+    the standard IVF knob. reverse(array_sort) over the per-centroid
+    score structs, sliced to nprobe, exploded — still a pure projection
+    over the (small) query set."""
+    v = with_quantized(queries_assignable, vec_col)
+    scored = []
+    for cid, qc_ints in cents:
+        lit_qc = _lit_long_array(qc_ints)
+        norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
+        cos = F.floor(
+            _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c) * 1e6
+        ).cast("long")
+        # struct (c, n) sorts lexicographically: reverse-sorted = highest
+        # cosine first, ties to the lowest centroid id (n = -cid)
+        scored.append(F.struct(cos.alias("c"), F.lit(-cid).cast("long").alias("n")))
+    ranked = F.slice(F.reverse(F.array_sort(F.array(*scored))), 1, nprobe)
+    return v.select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("vnorm").alias("q_n"),
+        F.explode(ranked).alias("probe"),
+    ).select("query_id", "q_q", "q_n", (-F.col("probe.n")).cast("long").alias("cell"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -273,14 +306,15 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: search only the query's cell (nprobe=1).
+    """IVF ANN: search the query's top-``nprobe`` cells.
 
     The corpus pays ONE assignment projection; the query side assigns only
     the query rows (semi-join restricts the scan BEFORE the projection, so
     the per-row centroid scoring doesn't run a second full-corpus pass).
     The search join is an equi-join on the cell id — candidates per query
-    scale with corpus/C, not corpus.
+    scale with nprobe · corpus/C, not corpus.
     """
     from pyspark.sql import Window
 
@@ -289,16 +323,12 @@ def ivf_topk(
         if isinstance(centroids, list)
         else prepare_centroids(centroids, id_col, vec_col)
     )
-    q = ivf_assign(
+    q = ivf_query_cells(
         corpus.join(queries.select(F.col(id_col)), id_col, "left_semi"),
         prepared,
+        nprobe,
         id_col,
         vec_col,
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qvec").alias("q_q"),
-        F.col("vnorm").alias("q_n"),
-        "cell",
     )
     c = ivf_assign(corpus, prepared, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -360,19 +390,20 @@ def search_ivf_index(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Top-k search against a materialized IVF index (nprobe=1): assign
-    the (small) query set, then read ONLY the probed cell partitions —
-    Catalyst partition pruning keeps unprobed cells' files untouched, so
-    search I/O scales with cells probed, not corpus size."""
+    """Top-k search against a materialized IVF index: assign the (small)
+    query set to its top-``nprobe`` cells, then read ONLY the probed cell
+    partitions — Catalyst partition pruning keeps unprobed cells' files
+    untouched, so search I/O scales with cells probed, not corpus size."""
     from pyspark.sql import Window
 
-    q = ivf_assign(queries, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qvec").alias("q_q"),
-        F.col("vnorm").alias("q_n"),
-        "cell",
+    prepared = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
     )
+    q = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col)
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     index = spark.read.parquet(path).where(F.col("cell").isin(probed))
     scored = (
