@@ -155,24 +155,57 @@ def lsh_topk(
     dims: tuple[int, ...] | None = (1, 9, 17, 25),
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's sign-LSH bucket.
 
     Recall is approximate by design (bucket boundary misses); the operator
     itself is deterministic, so it still oracle-checks exactly.
     ``dims=None`` derives the plane count from corpus size.
+    ``multiprobe=m`` additionally probes the m hamming-1 neighbor buckets
+    whose sign planes the query is CLOSEST to flipping (smallest
+    |vec[dim]| — the standard multiprobe heuristic): near-boundary misses
+    recover without growing the corpus-side bucket count, the knob that
+    matters once derived plane counts make single buckets small at scale.
     """
     from pyspark.sql import Window
 
     if dims is None:
         dims = derive_lsh_dims(corpus, vec_col)
 
-    q = with_quantized(queries, vec_col).select(
+    base_q = with_quantized(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_q"),
         F.col("vnorm").alias("q_n"),
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.col(vec_col).alias("_v"),
     )
+    if multiprobe > 0:
+        # rank the planes by |vec[dim]| ascending; flip the closest m
+        flips = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(F.element_at(F.col("_v"), d)).alias("a"),
+                            F.lit(1 << i).cast("int").alias("m"),
+                        )
+                        for i, d in enumerate(dims)
+                    ]
+                )
+            ),
+            1,
+            min(multiprobe, len(dims)),
+        )
+        probes = F.array_union(
+            F.array(F.col("bucket")),
+            F.transform(flips, lambda s: F.col("bucket").bitwiseXOR(s["m"])),
+        )
+        q = base_q.select(
+            "query_id", "q_q", "q_n", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = base_q.drop("_v")
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("c_q"),
