@@ -300,3 +300,46 @@ def test_lsh_multiprobe_improves_recall(spark, sf_dir):
     # probing all 4 planes' flips reaches 5 of the 16 buckets; recall
     # should improve measurably over the single-bucket baseline
     assert r4 >= r0
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Distributed cosine k-means: from deliberately bad initial
+    centroids, iterations recover three well-separated planted clusters
+    (every member assigned to its own cluster's centroid) and the
+    objective improves."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import similarity as S
+
+    rng = np.random.default_rng(11)
+    anchors = np.eye(3, 16, dtype="float64")  # 3 orthogonal anchor dirs
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = anchors[c] + rng.normal(scale=0.05, size=16)
+        rows.append((i, (v / np.linalg.norm(v)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # worst-case init: three members of the SAME planted cluster
+    init = emb.where(F.col("vec_id").isin([0, 3, 6]))
+    before = S.kmeans_inertia(emb, S.prepare_centroids(init))
+    fitted = S.kmeans_fit(emb, init, iterations=6)
+    after = S.kmeans_inertia(emb, fitted)
+    assert after < before  # objective strictly improved
+
+    assigned = S.ivf_assign(emb, fitted)
+    cells = {
+        r.vec_id: r.cell for r in assigned.select("vec_id", "cell").collect()
+    }
+    # every planted cluster maps to exactly one cell, and cells differ
+    cluster_cells = [
+        {cells[i] for i in range(90) if i % 3 == c} for c in range(3)
+    ]
+    assert all(len(s) == 1 for s in cluster_cells)
+    assert len({next(iter(s)) for s in cluster_cells}) == 3
+    # fitted centroids plug into the IVF search path
+    topk = S.ivf_topk(emb, emb.where("vec_id < 3"), fitted, k=3)
+    got = {(r.query_id, r.neighbor_id) for r in topk.collect()}
+    # neighbors of each query come from its own planted cluster
+    assert all(q % 3 == n % 3 for q, n in got)

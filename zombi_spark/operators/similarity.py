@@ -389,6 +389,81 @@ def ivf_topk(
     )
 
 
+def compute_centroids(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Elementwise mean vector per cell — the k-means update step, in
+    shuffle-friendly form: posexplode the vectors (one row per element),
+    aggregate avg per (cell, position), reassemble with
+    sort_array(collect_list). Two shuffles keyed by (cell[, pos]);
+    state per group is one double — linear at any corpus size.
+    """
+    exploded = assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"].cast("float")
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    initial_centroids: DataFrame,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Distributed k-means (cosine assignment) producing IVF-ready
+    centroids: each iteration is one zero-shuffle assignment projection
+    over the corpus plus the two-shuffle mean update, with only the C
+    centroid vectors ever reaching the driver. At 100 TB you run this on
+    a sample first (the assignment plan is identical); the returned
+    prepared list plugs straight into :func:`build_ivf_index` /
+    :func:`ivf_topk`.
+    """
+    prepared = prepare_centroids(initial_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, prepared, id_col, vec_col)
+        new_rows = compute_centroids(assigned, vec_col).collect()
+        cents = spark.createDataFrame(
+            [(int(r["cell"]), r["centroid"]) for r in new_rows],
+            f"{id_col} long, {vec_col} array<float>",
+        )
+        nxt = prepare_centroids(cents, id_col, vec_col)
+        if nxt == prepared:  # assignment fixpoint
+            return nxt
+        prepared = nxt
+    return prepared
+
+
+def kmeans_inertia(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Mean (1 - cosine) of each vector to its assigned centroid — the
+    cosine-k-means objective, one aggregate over the assignment
+    projection (used to verify convergence; lower is tighter)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cos_cols = []
+    for cid, qc_ints in centroids:
+        lit_qc = _lit_long_array(qc_ints)
+        norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
+        cos_cols.append(
+            F.when(
+                F.col("cell") == cid,
+                _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c),
+            )
+        )
+    own_cos = F.coalesce(*cos_cols)
+    return assigned.agg(F.avg(F.lit(1.0) - own_cos).alias("j")).first()["j"]
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame | list[tuple[int, list[int]]],
