@@ -88,3 +88,54 @@ def test_write_path_invariants(sess, rows):
         assert r.timestamp_ms is not None
         assert 0 <= r.event_hour <= 23
         assert r.event_date is not None
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8),
+            st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_quantized_cosine_properties(sess, pairs):
+    """cosine_e6 is symmetric, bounded by [-1e6, 1e6], and exact for
+    identical non-zero vectors — for arbitrary float32 inputs."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators.similarity import cosine_e6
+
+    rows = [(a, b) for a, b in pairs]
+    df = sess.createDataFrame(rows, "va array<float>, vb array<float>")
+    out = df.select(
+        cosine_e6(F.col("va"), F.col("vb")).alias("ab"),
+        cosine_e6(F.col("vb"), F.col("va")).alias("ba"),
+        cosine_e6(F.col("va"), F.col("va")).alias("aa"),
+    ).collect()
+    for r, (a, _b) in zip(out, rows):
+        # NULL when a side quantizes to the zero vector (norm 0)
+        if r.ab is not None:
+            assert -1_000_000 <= r.ab <= 1_000_000
+            assert r.ab == r.ba  # symmetric
+        if r.aa is not None:
+            assert r.aa in (999_999, 1_000_000)  # self-cosine ≈ 1 (floor)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=1, max_value=10**15), st.integers(min_value=8, max_value=128))
+def test_lsh_simhash_derivations_always_valid(sess, n_rows, vec_dims):
+    """Derived LSH planes / simhash widths are structurally valid for ANY
+    corpus size: in-range unique plane indices, hash width a multiple of
+    the chunk count that fits a long."""
+    from zombi_spark.operators.dedup import simhash_bits_for
+    from zombi_spark.operators.similarity import lsh_planes_for
+
+    planes = lsh_planes_for(n_rows, vec_dims)
+    assert 4 <= len(planes) <= min(30, vec_dims)
+    assert len(set(planes)) == len(planes)
+    assert all(1 <= d <= vec_dims for d in planes)
+    bits = simhash_bits_for(n_rows)
+    assert bits % 4 == 0 and 16 <= bits <= 60

@@ -42,14 +42,17 @@ def _norm2(a: F.Column) -> F.Column:
 
 
 def cosine_e6(a: F.Column, b: F.Column) -> F.Column:
-    """floor(1e6 * quantized-cosine(a, b)) as int64.
+    """floor(1e6 * quantized-cosine(a, b)) as int64; NULL when either
+    side quantizes to the zero vector (undefined cosine — try_divide
+    keeps the expression total under ANSI mode instead of raising
+    DIVIDE_BY_ZERO; found by the hypothesis property suite).
 
     norms stay < ~2^45 per 64-dim unit-ish vector; the cross term
     sqrt(na)*sqrt(nb) is computed in double to avoid int64 overflow of
     na*nb while remaining deterministic.
     """
     qa, qb = quantize(a), quantize(b)
-    cos = _dot(qa, qb) / (F.sqrt(_norm2(qa)) * F.sqrt(_norm2(qb)))
+    cos = F.try_divide(_dot(qa, qb), F.sqrt(_norm2(qa)) * F.sqrt(_norm2(qb)))
     return F.floor(cos * 1e6).cast("long")
 
 
@@ -59,7 +62,7 @@ def cosine_e6_prequantized(qa: F.Column, qb: F.Column, norm_a: F.Column, norm_b:
     The per-pair work drops to one fused dot product; quantization and the
     norm reduction run once per *row*, not once per *pair* — at B vectors
     per bucket that's O(B·d + B²·d) instead of O(3·B²·d)."""
-    return F.floor(_dot(qa, qb) / (norm_a * norm_b) * 1e6).cast("long")
+    return F.floor(F.try_divide(_dot(qa, qb), norm_a * norm_b) * 1e6).cast("long")
 
 
 def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -284,7 +287,7 @@ def ivf_assign(
         lit_qc = _lit_long_array(qc_ints)
         norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
         cos = F.floor(
-            _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c) * 1e6
+            F.try_divide(_dot(F.col("qvec"), lit_qc), F.col("vnorm") * norm_c) * 1e6
         ).cast("long")
         # struct orders lexicographically: highest cosine first, then
         # lowest centroid id (negated so greatest() prefers it)
@@ -318,7 +321,7 @@ def ivf_query_cells(
         lit_qc = _lit_long_array(qc_ints)
         norm_c = F.sqrt(F.lit(sum(c * c for c in qc_ints)).cast("long"))
         cos = F.floor(
-            _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c) * 1e6
+            F.try_divide(_dot(F.col("qvec"), lit_qc), F.col("vnorm") * norm_c) * 1e6
         ).cast("long")
         # struct (c, n) sorts lexicographically: reverse-sorted = highest
         # cosine first, ties to the lowest centroid id (n = -cid)
@@ -457,7 +460,7 @@ def kmeans_inertia(
         cos_cols.append(
             F.when(
                 F.col("cell") == cid,
-                _dot(F.col("qvec"), lit_qc) / (F.col("vnorm") * norm_c),
+                F.try_divide(_dot(F.col("qvec"), lit_qc), F.col("vnorm") * norm_c),
             )
         )
     own_cos = F.coalesce(*cos_cols)
