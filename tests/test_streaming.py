@@ -134,6 +134,39 @@ def test_hot_cold_tail_read(spark, tmp_path):
     assert all(r.committed for r in tail2)
 
 
+def test_tail_partition_filter_sees_idle_partition(spark, tmp_path):
+    """A partition-filtered tail must return the TRUE newest rows for
+    that partition even when it has been idle — the newest global files
+    may not contain it, so latest-n planning must not apply."""
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-idle")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+
+    # partition 1 writes early, then goes idle; partition 0 floods later
+    early = [
+        {"topic": "t1", "partition": 1, "payload": f"e-{i}",
+         "timestamp_ms": 1700000000000 + i, "idempotency_key": None,
+         "ingest_order": i}
+        for i in range(5)
+    ]
+    flood = [
+        {"topic": "t1", "partition": 0, "payload": f"f-{i}",
+         "timestamp_ms": 1700009000000 + i, "idempotency_key": None,
+         "ingest_order": 100 + i}
+        for i in range(50)
+    ]
+    _drop_files(landing, "b1", early)
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    _drop_files(landing, "b2", flood)
+    q2 = ing.start(available_now=True)
+    q2.awaitTermination(120)
+
+    got = ing.tail("t1", partition=1, limit=10).collect()
+    assert len(got) == 5  # all of the idle partition's rows, not zero
+    assert all(r.partition == 1 for r in got)
+
+
 def test_streaming_idempotency_across_batches(spark, tmp_path):
     landing = str(tmp_path / "landing")
     table = EventTable(spark, str(tmp_path), "stream-idem")
