@@ -140,6 +140,21 @@ def test_compaction_preserves_evolved_schema(spark, tmp_path):
     assert after == before and len(after) == 8
 
 
+def test_tail_on_extraction_table(spark, tmp_path):
+    """Hot/cold tail works on an extraction table: committed rows serve
+    NULL payload (the raw bytes were replaced by extracted columns)."""
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    table = EventTable(spark, str(tmp_path), "ext-tail", schema_config=V1)
+    table.append(prepare_events(_batch(spark, 0, 4)))
+    ing = StreamingIngest(
+        spark, str(tmp_path / "landing"), table, str(tmp_path / "ckpt")
+    )
+    rows = ing.tail("t", limit=10).collect()
+    assert len(rows) == 4
+    assert all(r.committed and r.payload is None for r in rows)
+
+
 def test_extraction_table_watermarks_and_dedup_still_work(spark, tmp_path):
     """The write path's metadata machinery (sequences, watermarks,
     idempotency probe columns) is payload-independent."""

@@ -241,11 +241,19 @@ class StreamingIngest:
             cold = self.table.scan_latest(limit)
         else:
             cold = self.table.read()
+        # extraction tables drop the raw payload column at write
+        # (schema-on-write, §1.3) — tail still serves their rows, with a
+        # NULL payload alongside the extracted columns' table
+        payload_col = (
+            F.col("payload")
+            if "payload" in cold.columns
+            else F.lit(None).cast("binary").alias("payload")
+        )
         cold = cold.select(
             "sequence",
             "topic",
             "partition",
-            "payload",
+            payload_col,
             "timestamp_ms",
             "idempotency_key",
             F.col("sequence").alias("arrival"),
