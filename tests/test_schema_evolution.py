@@ -140,6 +140,27 @@ def test_compaction_preserves_evolved_schema(spark, tmp_path):
     assert after == before and len(after) == 8
 
 
+def test_external_ddl_reads_evolved_extraction_table(spark, tmp_path):
+    """DuckDB reads an extraction table ACROSS the evolution boundary:
+    pre-evolution files serve NULL for the added column (union_by_name)."""
+    import duckdb
+
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t1.append(prepare_events(_batch(spark, 0, 3)))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=V2)
+    t2.append(prepare_events(_batch(spark, 3, 3), existing=t2.read()))
+
+    con = duckdb.connect()
+    con.execute(t2.external_ddl(view_name="ev"))
+    rows = con.execute(
+        "select sequence, k, label from ev order by sequence"
+    ).fetchall()
+    assert len(rows) == 6
+    assert [r[2] for r in rows[:3]] == [None, None, None]  # pre-evolution
+    assert all(r[2] is not None for r in rows[3:])
+    assert [r[1] for r in rows] == [0, 1, 2, 3, 4, 5]  # k everywhere
+
+
 def test_tail_on_extraction_table(spark, tmp_path):
     """Hot/cold tail works on an extraction table: committed rows serve
     NULL payload (the raw bytes were replaced by extracted columns)."""

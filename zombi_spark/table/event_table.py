@@ -434,9 +434,13 @@ class EventTable:
         if not files:
             return f"CREATE OR REPLACE VIEW {view} AS SELECT NULL WHERE false"
         file_list = ", ".join(_json.dumps(os.path.abspath(f)) for f in sorted(files))
+        # union_by_name: files written before a column-add evolution lack
+        # the newer extracted columns; name-based unification serves NULL
+        # for them (same rule our declared-schema reads apply)
         return (
             f"CREATE OR REPLACE VIEW {view} AS "
-            f"SELECT * FROM read_parquet([{file_list}], hive_partitioning = true)"
+            f"SELECT * FROM read_parquet([{file_list}], "
+            f"hive_partitioning = true, union_by_name = true)"
         )
 
     def plan_latest_files(self, n: int, version: int | None = None) -> list[dict]:
