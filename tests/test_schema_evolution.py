@@ -161,6 +161,43 @@ def test_external_ddl_reads_evolved_extraction_table(spark, tmp_path):
     assert [r[1] for r in rows] == [0, 1, 2, 3, 4, 5]  # k everywhere
 
 
+def test_iceberg_metadata_tracks_extraction_schema_evolution(spark, tmp_path):
+    """The Iceberg v2 metadata advertises the extraction table's REAL
+    columns (payload dropped, extracted fields present) and appends a new
+    schema entry on column-add evolution with field ids preserved."""
+    import os
+
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=V1)
+    t1.append(prepare_events(_batch(spark, 0, 3)))
+    mdir = os.path.join(t1.path, "metadata")
+
+    def cur_meta():
+        hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+        return json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+
+    m1 = cur_meta()
+    s1 = m1["schemas"][m1["current-schema-id"]]
+    names1 = [f["name"] for f in s1["fields"]]
+    assert "payload" not in names1 and "k" in names1 and "_payload_overflow" in names1
+    # partition spec / sort order reference THIS schema's ids
+    by_name = {f["name"]: f["id"] for f in s1["fields"]}
+    spec = m1["partition-specs"][m1["default-spec-id"]]
+    assert [f["source-id"] for f in spec["fields"]] == [
+        by_name["event_date"], by_name["event_hour"]
+    ]
+
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=V2)
+    t2.append(prepare_events(_batch(spark, 3, 3), existing=t2.read()))
+    m2 = cur_meta()
+    assert len(m2["schemas"]) == 2  # evolution appended a schema entry
+    s2 = m2["schemas"][m2["current-schema-id"]]
+    by_name2 = {f["name"]: f["id"] for f in s2["fields"]}
+    # existing columns keep their ids; the new column gets a fresh one
+    assert all(by_name2[n] == i for n, i in by_name.items())
+    assert by_name2["label"] == m2["last-column-id"]
+    assert by_name2["label"] > max(by_name.values())
+
+
 def test_tail_on_extraction_table(spark, tmp_path):
     """Hot/cold tail works on an extraction table: committed rows serve
     NULL payload (the raw bytes were replaced by extracted columns)."""

@@ -337,7 +337,9 @@ class EventTable:
                 )["snapshot_id"]
             else:
                 snap_for_meta = snap
-            write_metadata_for_commit(self.path, self.name, snap_for_meta)
+            write_metadata_for_commit(
+                self.path, self.name, snap_for_meta, spark_schema=self.table_schema()
+            )
         except Exception as exc:
             # interop metadata is derived state — never fail the commit.
             # A detected gap (lost prior metadata write) self-heals by
@@ -347,7 +349,9 @@ class EventTable:
             try:
                 from zombi_spark.table.iceberg_meta import rebuild_metadata
 
-                rebuild_metadata(self.path, self.name, self.snapshots())
+                rebuild_metadata(
+                    self.path, self.name, self.snapshots(), spark_schema=self.table_schema()
+                )
                 logging.getLogger(__name__).warning(
                     "iceberg metadata rebuilt after: %s", exc
                 )
@@ -999,7 +1003,9 @@ class EventTable:
             try:
                 from zombi_spark.table.iceberg_meta import rebuild_metadata
 
-                rebuild_metadata(self.path, self.name, self.snapshots())
+                rebuild_metadata(
+                    self.path, self.name, self.snapshots(), spark_schema=self.table_schema()
+                )
                 logging.getLogger(__name__).warning(
                     "iceberg metadata rebuilt after expire: %s", exc
                 )

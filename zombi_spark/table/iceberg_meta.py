@@ -87,20 +87,99 @@ def current_metadata(table_path: str) -> dict | None:
         return json.load(fh)
 
 
-def _fresh_metadata(table_path: str, table_name: str) -> dict:
+_SPARK_TO_ICEBERG = {
+    "long": "long",
+    "bigint": "long",
+    "int": "int",
+    "integer": "int",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+}
+
+
+def fields_for_spark_schema(spark_schema) -> list[dict]:
+    """Iceberg field dicts for a Spark StructType in declaration order
+    (ids assigned 1..n here; evolution keeps existing ids — see
+    :func:`_evolve_schema`)."""
+    out = []
+    for i, f in enumerate(spark_schema.fields):
+        out.append(
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _SPARK_TO_ICEBERG[f.dataType.simpleString()],
+            }
+        )
+    return out
+
+
+def _evolve_schema(meta: dict, spark_schema) -> None:
+    """Column-add schema evolution, Iceberg-style: if the table's current
+    Spark schema has columns the metadata's current schema lacks, append
+    a NEW schema entry — existing columns keep their field ids, new ones
+    get fresh ids past last-column-id — and point current-schema-id at
+    it. (Type changes are rejected upstream; drops don't occur.)"""
+    current = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in current["fields"]}
+    want = [(f.name, not f.nullable, _SPARK_TO_ICEBERG[f.dataType.simpleString()]) for f in spark_schema.fields]
+    if set(n for n, _r, _t in want) == set(by_name):
+        return
+    next_id = meta["last-column-id"]
+    fields = []
+    for name, required, typ in want:
+        if name in by_name:
+            fields.append(dict(by_name[name]))
+        else:
+            next_id += 1
+            fields.append({"id": next_id, "name": name, "required": required, "type": typ})
+    new_schema = {
+        "schema-id": len(meta["schemas"]),
+        "type": "struct",
+        "fields": fields,
+    }
+    meta["schemas"].append(new_schema)
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-column-id"] = max(next_id, meta["last-column-id"])
+
+
+def _fresh_metadata(table_path: str, table_name: str, spark_schema=None) -> dict:
+    fields = fields_for_spark_schema(spark_schema) if spark_schema is not None else _FIELDS
+    fid = {f["name"]: f["id"] for f in fields}
+    # partition spec / sort order reference field ids of THIS schema —
+    # for extraction tables the ids shift (payload is dropped), so derive
+    # rather than hardcode
+    spec = {
+        "spec-id": 0,
+        "fields": [
+            {"name": "event_date", "transform": "identity", "source-id": fid["event_date"], "field-id": 1000},
+            {"name": "event_hour", "transform": "identity", "source-id": fid["event_hour"], "field-id": 1001},
+        ],
+    }
+    order = {
+        "order-id": 1,
+        "fields": [
+            {"transform": "identity", "source-id": fid["timestamp_ms"], "direction": "asc", "null-order": "nulls-first"},
+            {"transform": "identity", "source-id": fid["sequence"], "direction": "asc", "null-order": "nulls-first"},
+        ],
+    }
     return {
         "format-version": 2,
         "table-uuid": str(uuid.uuid4()),
         "location": os.path.abspath(table_path),
         "last-sequence-number": 0,
         "last-updated-ms": 0,
-        "last-column-id": max(f["id"] for f in _FIELDS),
-        "schemas": [_SCHEMA],
+        "last-column-id": max(f["id"] for f in fields),
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
         "current-schema-id": 0,
-        "partition-specs": [_PARTITION_SPEC],
+        "partition-specs": [spec],
         "default-spec-id": 0,
-        "last-partition-id": max(f["field-id"] for f in _PARTITION_SPEC["fields"]),
-        "sort-orders": [_SORT_ORDER],
+        "last-partition-id": max(f["field-id"] for f in spec["fields"]),
+        "sort-orders": [order],
         "default-sort-order-id": 1,
         "properties": {
             "zombi.table-name": table_name,
@@ -114,14 +193,23 @@ def _fresh_metadata(table_path: str, table_name: str) -> dict:
     }
 
 
-def write_metadata_for_commit(table_path: str, table_name: str, snap: dict) -> str:
+def write_metadata_for_commit(
+    table_path: str, table_name: str, snap: dict, spark_schema=None
+) -> str:
     """Extend the table's Iceberg metadata with one committed snapshot and
     write ``v{version+1}.metadata.json`` (+ version-hint). Returns the path.
 
     ``snap`` is the EventTable snapshot dict just committed (version,
     snapshot_id, parent_version, committed_at_ms, operation, added/removed).
+    ``spark_schema`` is the table's CURRENT Spark schema: extraction
+    tables advertise their real columns, and a widened schema appends a
+    new schema entry (column-add evolution, ids preserved).
     """
-    meta = current_metadata(table_path) or _fresh_metadata(table_path, table_name)
+    meta = current_metadata(table_path) or _fresh_metadata(
+        table_path, table_name, spark_schema
+    )
+    if spark_schema is not None:
+        _evolve_schema(meta, spark_schema)
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
 
@@ -187,11 +275,13 @@ def write_metadata_for_commit(table_path: str, table_name: str, snap: dict) -> s
     return out
 
 
-def rebuild_metadata(table_path: str, table_name: str, snapshots: list[dict]) -> str:
+def rebuild_metadata(
+    table_path: str, table_name: str, snapshots: list[dict], spark_schema=None
+) -> str:
     """Regenerate the Iceberg metadata from the authoritative snapshot
     log (recovery path for a lost/failed metadata write): one fresh
     metadata carrying every live snapshot, written as the next version."""
-    meta = _fresh_metadata(table_path, table_name)
+    meta = _fresh_metadata(table_path, table_name, spark_schema)
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     prev_sid = None
