@@ -167,6 +167,48 @@ def test_tail_partition_filter_sees_idle_partition(spark, tmp_path):
     assert all(r.partition == 1 for r in got)
 
 
+def test_tail_topic_filter_sees_idle_topic(spark, tmp_path):
+    """A topic-filtered tail must return the TRUE newest rows for that
+    topic even when it has been idle: the globally-newest files may not
+    contain it, so latest-n planning must be topic-aware (per-file topic
+    bounds), not a post-hoc filter over a global latest-n plan."""
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-topics")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+
+    # topic 'quiet' writes early, then goes idle; 'busy' floods later
+    early = [
+        {"topic": "quiet", "partition": 0, "payload": f"e-{i}",
+         "timestamp_ms": 1700000000000 + i, "idempotency_key": None,
+         "ingest_order": i}
+        for i in range(5)
+    ]
+    flood = [
+        {"topic": "busy", "partition": 0, "payload": f"f-{i}",
+         "timestamp_ms": 1700009000000 + i, "idempotency_key": None,
+         "ingest_order": 100 + i}
+        for i in range(50)
+    ]
+    _drop_files(landing, "b1", early)
+    q = ing.start(available_now=True)
+    q.awaitTermination(120)
+    _drop_files(landing, "b2", flood)
+    q2 = ing.start(available_now=True)
+    q2.awaitTermination(120)
+
+    got = ing.tail("quiet", limit=10).collect()
+    assert len(got) == 5  # all of the idle topic's rows, not zero
+    assert all(r.topic == "quiet" for r in got)
+
+    # and the plan is topic-PRUNED, not a full-manifest fallback: the
+    # flood batch's files are single-topic 'busy' and must be skipped
+    planned = table.plan_latest_files(10, topic="quiet")
+    assert planned, "expected a non-empty plan for the idle topic"
+    assert all(e.get("max_topic") == "quiet" for e in planned)
+    n_all = len(table.scan_files())
+    assert len(planned) < n_all
+
+
 def test_streaming_idempotency_across_batches(spark, tmp_path):
     landing = str(tmp_path / "landing")
     table = EventTable(spark, str(tmp_path), "stream-idem")

@@ -226,21 +226,20 @@ class StreamingIngest:
         either visible as committed rows or as hot rows, never both.
 
         The cold side is snapshot-stats pruned (``since_ms`` bounds the
-        file list before any footer is opened; without it — and only for
-        the unfiltered-partition case — ``scan_latest`` plans the
-        smallest stats-provable file set that can contain the newest
-        ``limit`` rows; a ``partition`` filter forces the full manifest,
-        because the newest global rows may not contain an idle
-        partition's newest rows). The hot side reads only the pending
-        backlog. Compiles to TakeOrderedAndProject over the union — no
-        global sort.
+        file list before any footer is opened; without it,
+        ``scan_latest`` plans the smallest stats-provable file set that
+        can contain the newest ``limit`` rows MATCHING the topic /
+        partition filter — per-file topic and partition bounds make the
+        plan filter-aware, so an idle topic or partition whose newest
+        rows sit outside the globally-newest files is still planned, and
+        mixed-bounds files fall back to scanning every candidate). The
+        hot side reads only the pending backlog. Compiles to
+        TakeOrderedAndProject over the union — no global sort.
         """
         if since_ms is not None:
             cold = self.table.read(ts_min=since_ms)
-        elif partition is None:
-            cold = self.table.scan_latest(limit)
         else:
-            cold = self.table.read()
+            cold = self.table.scan_latest(limit, topic=topic, partition=partition)
         # extraction tables drop the raw payload column at write
         # (schema-on-write, §1.3) — tail still serves their rows, with a
         # NULL payload alongside the extracted columns' table

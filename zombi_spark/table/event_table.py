@@ -96,6 +96,12 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
         for col, lo_key, hi_key in (
             ("timestamp_ms", "min_ts", "max_ts"),
             ("sequence", "min_seq", "max_seq"),
+            # topic/partition bounds make latest-n planning safe under a
+            # topic or partition equality filter (a file is a candidate
+            # only if its bounds admit the value; it *proves* coverage
+            # only when min == max == value)
+            ("topic", "min_topic", "max_topic"),
+            ("partition", "min_part", "max_part"),
         ):
             if col in idx:
                 los, his = [], []
@@ -107,8 +113,15 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                     his.append(st.max)
                 else:
                     if los:
-                        entry[lo_key] = min(los)
-                        entry[hi_key] = max(his)
+                        lo, hi = min(los), max(his)
+                        # parquet string stats may surface as bytes;
+                        # manifests are JSON, so normalize
+                        if isinstance(lo, bytes):
+                            lo = lo.decode("utf-8", errors="replace")
+                        if isinstance(hi, bytes):
+                            hi = hi.decode("utf-8", errors="replace")
+                        entry[lo_key] = lo
+                        entry[hi_key] = hi
     except Exception:
         # stats are an optimization — a file with no footer stats is
         # still correct, it just never gets skipped
@@ -447,7 +460,13 @@ class EventTable:
             f"hive_partitioning = true, union_by_name = true)"
         )
 
-    def plan_latest_files(self, n: int, version: int | None = None) -> list[dict]:
+    def plan_latest_files(
+        self,
+        n: int,
+        version: int | None = None,
+        topic: str | None = None,
+        partition: int | None = None,
+    ) -> list[dict]:
         """Scan planning for "latest n rows by timestamp": the smallest
         stats-provable file set containing the top-n — the §7 'reverse
         partition-ordered scan' realized as manifest planning. Greedily
@@ -456,27 +475,71 @@ class EventTable:
         min_ts (rows between those bounds could outrank taken rows).
         With the hour-sorted layout each file's [min_ts, max_ts] is about
         one hour wide, so a latest-100 over 10⁶ files plans 1-2 files —
-        O(metadata) on the driver, no data touched."""
+        O(metadata) on the driver, no data touched.
+
+        ``topic``/``partition`` make the plan safe under an equality
+        filter: candidates are files whose bounds ADMIT the value (or
+        that lack bounds), and a file's row_count proves coverage toward
+        the top-n only when its bounds pin every row to the value
+        (min == max == value). An idle topic/partition whose newest rows
+        live outside the globally-newest files is therefore still
+        planned correctly — the defect class a post-hoc filter over a
+        global latest-n plan would hit.  If no provable cover is found,
+        every candidate is returned (still filter-pruned, never wrong)."""
+
+        def _admits(e: dict, lo_key: str, hi_key: str, value) -> bool:
+            if lo_key not in e or hi_key not in e:
+                return True  # no stats — never skippable
+            return e[lo_key] <= value <= e[hi_key]
+
+        def _pins(e: dict, lo_key: str, hi_key: str, value) -> bool:
+            return e.get(lo_key) == value and e.get(hi_key) == value
+
         files = self.scan_files(version=version)
+        if topic is not None:
+            files = [e for e in files if _admits(e, "min_topic", "max_topic", topic)]
+        if partition is not None:
+            files = [e for e in files if _admits(e, "min_part", "max_part", partition)]
         with_ts = [f for f in files if "max_ts" in f]
         no_stats = [f for f in files if "max_ts" not in f]  # never skippable
+
+        def _provable_rows(e: dict) -> int:
+            if topic is not None and not _pins(e, "min_topic", "max_topic", topic):
+                return 0
+            if partition is not None and not _pins(e, "min_part", "max_part", partition):
+                return 0
+            return e.get("row_count", 0)
+
         taken: list[dict] = []
         acc = 0
         for f in sorted(with_ts, key=lambda e: -e["max_ts"]):
             taken.append(f)
-            acc += f.get("row_count", 0)
+            acc += _provable_rows(f)
             if acc >= n:
                 break
-        if not taken:
+        if not taken or acc < n:
+            # no stats-provable top-n cover exists (mixed files, or fewer
+            # matching rows than n) — scan every candidate
             return files
         theta = min(f.get("min_ts", f["max_ts"]) for f in taken)
         return [f for f in with_ts if f["max_ts"] >= theta] + no_stats
 
-    def scan_latest(self, n: int, version: int | None = None) -> DataFrame:
+    def scan_latest(
+        self,
+        n: int,
+        version: int | None = None,
+        topic: str | None = None,
+        partition: int | None = None,
+    ) -> DataFrame:
         """A scan restricted to :meth:`plan_latest_files`'s file set — the
         input for a latest-n top-k (the caller applies orderBy/limit, which
-        compiles to TakeOrderedAndProject over just these files)."""
-        files = [e["file_path"] for e in self.plan_latest_files(n, version=version)]
+        compiles to TakeOrderedAndProject over just these files). The
+        caller still applies its own topic/partition filter — here they
+        only prune the planned file set."""
+        files = [
+            e["file_path"]
+            for e in self.plan_latest_files(n, version=version, topic=topic, partition=partition)
+        ]
         if not files:
             return self.spark.createDataFrame([], self.table_schema())
         return (
