@@ -196,6 +196,10 @@ def test_iceberg_metadata_tracks_extraction_schema_evolution(spark, tmp_path):
     assert all(by_name2[n] == i for n, i in by_name.items())
     assert by_name2["label"] == m2["last-column-id"]
     assert by_name2["label"] > max(by_name.values())
+    # snapshots resolve against the schema current at their commit time:
+    # pre-evolution → schema 0, post-evolution → the evolved entry
+    assert m2["snapshots"][0]["schema-id"] == 0
+    assert m2["snapshots"][-1]["schema-id"] == m2["current-schema-id"]
 
 
 def test_tail_on_extraction_table(spark, tmp_path):

@@ -163,6 +163,57 @@ def test_iceberg_metadata_tracks_expiration(spark, tmp_path):
     assert all(e["snapshot-id"] in live_ids for e in meta["snapshot-log"])
 
 
+def test_commits_after_expiration_stay_incremental_and_keep_uuid(spark, tmp_path):
+    """After expire_snapshots prunes the snapshot list, later commits must
+    still take the incremental metadata path (the lost-write check tracks
+    the last committed VERSION, not the pruned list length) and the
+    table-uuid must stay stable — Iceberg clients validating uuid
+    continuity reject a table whose uuid churns."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(4):
+        t.append(prepare_events(_batch(spark, s * 3, 3)))
+    mdir = os.path.join(t.path, "metadata")
+
+    def _meta():
+        hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+        return json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+
+    uuid_before = _meta()["table-uuid"]
+    t.expire_snapshots(keep_last=2)
+    # two more commits AFTER expiration: incremental, not rebuild
+    t.append(prepare_events(_batch(spark, 12, 3)))
+    t.append(prepare_events(_batch(spark, 15, 3)))
+    meta = _meta()
+    assert meta["table-uuid"] == uuid_before
+    assert meta["properties"]["zombi.last-version"] == "5"
+    # snapshot list = 2 survivors + 2 new appends (an out-of-sync rebuild
+    # would have re-listed the full remaining log identically, but the
+    # metadata-log chain proves the incremental path: each commit extends
+    # the previous file rather than starting fresh)
+    assert len(meta["snapshots"]) == 4
+    assert meta["snapshots"][-1]["sequence-number"] == 6
+    assert os.path.isfile(meta["metadata-log"][-1]["metadata-file"])
+
+
+def test_rebuild_preserves_table_uuid(spark, tmp_path):
+    """The self-heal rebuild path must adopt the prior metadata's
+    table-uuid instead of minting a new one."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 4)))
+    mdir = os.path.join(t.path, "metadata")
+    uuid_before = json.load(
+        open(os.path.join(mdir, "v1.metadata.json"))
+    )["table-uuid"]
+    t.append(prepare_events(_batch(spark, 4, 4)))
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")  # simulate a lost metadata write
+    t.append(prepare_events(_batch(spark, 8, 4)))  # triggers rebuild
+    hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+    assert len(meta["snapshots"]) == 3
+    assert meta["table-uuid"] == uuid_before
+
+
 def test_scan_files_stats_pruning(spark, tmp_path):
     """Iceberg-style scan planning: files outside the (ts_min, ts_max)
     window are pruned from the candidate list before Spark opens a single
@@ -177,6 +228,29 @@ def test_scan_files_stats_pruning(spark, tmp_path):
     assert 0 < len(recent) < len(all_files)
     assert 0 < len(old) < len(all_files)
     assert {e["file_path"] for e in recent}.isdisjoint({e["file_path"] for e in old})
+
+
+def test_external_ddl_empty_table_is_schema_compatible(spark, tmp_path):
+    """An EMPTY snapshot's DDL must produce a zero-row view with the real
+    table schema (typed NULL projection), so downstream SQL referencing
+    real columns works identically in the empty and non-empty cases."""
+    import duckdb
+
+    t = EventTable(spark, str(tmp_path), "events")
+    con = duckdb.connect()
+    con.execute(t.external_ddl(view_name="ev"))
+    assert con.execute("select count(*) from ev").fetchone()[0] == 0
+    desc = {r[0]: r[1] for r in con.execute("describe ev").fetchall()}
+    assert desc["sequence"] == "BIGINT"
+    assert desc["topic"] == "VARCHAR"
+    assert desc["payload"] == "BLOB"
+    assert desc["event_date"] == "DATE"
+    # the same query works before and after data arrives
+    q = "select topic, max(sequence) as hwm from ev group by topic"
+    assert con.execute(q).fetchall() == []
+    t.append(prepare_events(_batch(spark, 0, 3)))
+    con.execute(t.external_ddl(view_name="ev"))
+    assert con.execute(q).fetchall() == [("t", 3)]
 
 
 def test_external_ddl_duckdb_reads_table(spark, tmp_path):

@@ -449,7 +449,26 @@ class EventTable:
         view = view_name or self.name.replace("-", "_")
         files = [e["file_path"] for e in self.scan_files(version=version)]
         if not files:
-            return f"CREATE OR REPLACE VIEW {view} AS SELECT NULL WHERE false"
+            # typed zero-row view: the empty snapshot must be
+            # schema-compatible with the non-empty one, or downstream SQL
+            # referencing real columns breaks only in the empty case
+            sql_type = {
+                "bigint": "BIGINT",
+                "int": "INTEGER",
+                "string": "VARCHAR",
+                "binary": "BLOB",
+                "date": "DATE",
+                "double": "DOUBLE",
+                "float": "FLOAT",
+                "boolean": "BOOLEAN",
+                "timestamp": "TIMESTAMP",
+            }
+            cols = ", ".join(
+                f"CAST(NULL AS {sql_type.get(f.dataType.simpleString(), 'VARCHAR')}) "
+                f"AS {f.name}"
+                for f in self.table_schema().fields
+            )
+            return f"CREATE OR REPLACE VIEW {view} AS SELECT {cols} WHERE false"
         file_list = ", ".join(_json.dumps(os.path.abspath(f)) for f in sorted(files))
         # union_by_name: files written before a column-add evolution lack
         # the newer extracted columns; name-based unification serves NULL

@@ -214,15 +214,27 @@ def write_metadata_for_commit(
     os.makedirs(mdir, exist_ok=True)
 
     version = snap["version"]
-    if len(meta["snapshots"]) != version:
+    # Lost-write detection must survive snapshot expiration: versions are
+    # monotonic but the snapshot LIST is pruned by expire, so compare the
+    # committing version against the last committed version recorded in a
+    # table property — not against len(snapshots). (Legacy metadata
+    # without the property falls back to the list length, which is exact
+    # for never-expired tables.)
+    props = meta.setdefault("properties", {})
+    if "zombi.last-version" in props:
+        expected = int(props["zombi.last-version"]) + 1
+    else:
+        expected = len(meta["snapshots"])
+    if version != expected:
         # a prior metadata write was lost (crash/failure between snapshot
-        # commit and metadata write): the snapshot list no longer mirrors
-        # the log. Signal the caller to rebuild from the full snapshot
-        # log instead of silently appending over the gap.
+        # commit and metadata write): the metadata no longer mirrors the
+        # log. Signal the caller to rebuild from the full snapshot log
+        # instead of silently appending over the gap.
         raise RuntimeError(
-            f"iceberg metadata out of sync: {len(meta['snapshots'])} snapshots "
-            f"recorded, committing version {version} — rebuild required"
+            f"iceberg metadata out of sync: expected version {expected}, "
+            f"committing version {version} — rebuild required"
         )
+    props["zombi.last-version"] = str(version)
     sid = snapshot_id_long(snap["snapshot_id"])
     parent_hex = snap.get("parent_snapshot_hex")
     ice_snap = {
@@ -237,7 +249,9 @@ def write_metadata_for_commit(
             "added-data-files": str(len(snap.get("added", []))),
             "removed-data-files": str(len(snap.get("removed", []))),
         },
-        "schema-id": 0,
+        # snapshots resolve against the schema current AT COMMIT TIME —
+        # after column-add evolution that is the evolved entry, not 0
+        "schema-id": meta["current-schema-id"],
     }
     if meta["current-snapshot-id"] != -1 and parent_hex is not None:
         ice_snap["parent-snapshot-id"] = snapshot_id_long(parent_hex)
@@ -280,8 +294,19 @@ def rebuild_metadata(
 ) -> str:
     """Regenerate the Iceberg metadata from the authoritative snapshot
     log (recovery path for a lost/failed metadata write): one fresh
-    metadata carrying every live snapshot, written as the next version."""
+    metadata carrying every live snapshot, written as the next version.
+
+    Iceberg requires a STABLE table-uuid across the table's whole life —
+    clients validating uuid continuity reject a table whose uuid changes
+    — so a rebuild adopts the prior metadata's uuid when one exists and
+    mints a fresh one only for a genuinely new table."""
     meta = _fresh_metadata(table_path, table_name, spark_schema)
+    try:
+        prior = current_metadata(table_path)
+    except Exception:
+        prior = None  # corrupt prior metadata: rebuild proceeds fresh
+    if prior is not None and prior.get("table-uuid"):
+        meta["table-uuid"] = prior["table-uuid"]
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     prev_sid = None
@@ -299,7 +324,7 @@ def rebuild_metadata(
                 "added-data-files": str(len(snap.get("added", []))),
                 "removed-data-files": str(len(snap.get("removed", []))),
             },
-            "schema-id": 0,
+            "schema-id": meta["current-schema-id"],
         }
         if prev_sid is not None:
             ice["parent-snapshot-id"] = prev_sid
@@ -310,6 +335,7 @@ def rebuild_metadata(
         meta["current-snapshot-id"] = sid
         meta["last-sequence-number"] = snap["version"] + 1
         meta["last-updated-ms"] = snap["committed_at_ms"]
+        meta["properties"]["zombi.last-version"] = str(snap["version"])
         prev_sid = sid
     meta["snapshot-log"] = meta["snapshot-log"][-100:]
 
@@ -341,6 +367,13 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
     meta["snapshot-log"] = [e for e in meta["snapshot-log"] if e["snapshot-id"] in live_ids]
     now = int(time.time() * 1000)
     meta["last-updated-ms"] = now
+    if live_snaps:
+        # versions stay monotonic across expiration; record the last one
+        # so the commit-time lost-write check keeps working after the
+        # snapshot list is pruned (legacy metadata gains the property here)
+        meta.setdefault("properties", {})["zombi.last-version"] = str(
+            max(s["version"] for s in live_snaps)
+        )
 
     mdir = metadata_dir(table_path)
     with open(os.path.join(mdir, "version-hint.text")) as fh:
