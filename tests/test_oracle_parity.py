@@ -108,3 +108,30 @@ def test_exactly_50_queries_all_with_oracles():
     missing = [k for k in qs if k not in os_]
     assert not missing, f"queries without oracles: {missing}"
     assert set(os_) <= set(qs), f"orphan oracles: {set(os_) - set(qs)}"
+
+
+def test_plan_cache_is_session_scoped_and_gc_safe():
+    """A new session must never see a dead session's cached plans, even
+    if CPython reuses the dead object's id — the cache is keyed on the
+    live object (WeakKeyDictionary), not id(), and dead sessions' entries
+    are evicted with the session."""
+    import gc
+
+    from zombi_spark.plans.plan_cache import _SESSION_CACHES, session_cache
+
+    class FakeSession:
+        pass
+
+    s1 = FakeSession()
+    session_cache(s1, "ns")["k"] = "old-plan"
+    assert session_cache(s1, "ns")["k"] == "old-plan"
+    old_id = id(s1)
+    del s1
+    gc.collect()
+    # dead session's cache is gone (no leak)
+    assert not any(id(k) == old_id for k in list(_SESSION_CACHES.keys()))
+    # a new session — even at a recycled id — starts empty
+    for _ in range(64):
+        s2 = FakeSession()
+        assert "k" not in session_cache(s2, "ns")
+        del s2

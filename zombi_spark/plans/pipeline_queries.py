@@ -16,21 +16,19 @@ from zombi_spark.sources.tables import load_table
 
 
 # One materialization of the shared MinHash→LSH→Jaccard-verify stage,
-# keyed by (session, sf_dir): q_minhash_lsh_pairs, q_dedup_clusters and
-# q_dedup_keep are three consumers of the SAME verified-pair set, and
-# rebuilding the signatures→banding→verify pipeline per query tripled the
-# dedup family's cost (round-2 bench: 24.4 s of 47.6 s total). The
-# persisted frame is tiny — one row per verified near-dup pair — so it
-# pins a few MB, not the corpus. At 100 TB this is the same call a real
-# pipeline makes: materialize verified pairs once, then derive pair
-# reports, clusters, and the cleaned corpus from it.
-_VERIFIED_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
-_SHINGLE_INDEX_CACHE: dict[tuple[int, str, int], DataFrame] = {}
-_COMPONENTS_CACHE: dict[tuple[int, str], DataFrame] = {}
-# Fully-built query plans per (session, sf, name) for the ANN family:
-# their per-centroid / per-pair scoring trees cost more driver-side
-# Catalyst analysis to rebuild (~3s for IVF) than they take to execute
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+# scoped per live session (plan_cache.session_cache) and keyed by sf_dir:
+# q_minhash_lsh_pairs, q_dedup_clusters and q_dedup_keep are three
+# consumers of the SAME verified-pair set, and rebuilding the
+# signatures→banding→verify pipeline per query tripled the dedup
+# family's cost (round-2 bench: 24.4 s of 47.6 s total). The persisted
+# frame is tiny — one row per verified near-dup pair — so it pins a few
+# MB, not the corpus. At 100 TB this is the same call a real pipeline
+# makes: materialize verified pairs once, then derive pair reports,
+# clusters, and the cleaned corpus from it. (The ANN "plans" namespace
+# caches fully-built query plans: their per-centroid / per-pair scoring
+# trees cost more driver-side Catalyst analysis to rebuild — ~3s for IVF
+# — than they take to execute.)
+from zombi_spark.plans.plan_cache import session_cache
 
 
 def shingle_index(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
@@ -39,19 +37,20 @@ def shingle_index(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     signatures, Jaccard verification, and min-shingle blocking all derive
     from this frame, so the corpus is tokenized+hashed exactly once per
     pipeline no matter how many dedup queries run."""
-    key = (id(spark), sf_dir, n)
-    if key not in _SHINGLE_INDEX_CACHE:
+    cache = session_cache(spark, "shingle_index")
+    key = (sf_dir, n)
+    if key not in cache:
         docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_INDEX_CACHE[key] = D.shingle_index(docs, n=n).persist()
-    return _SHINGLE_INDEX_CACHE[key]
+        cache[key] = D.shingle_index(docs, n=n).persist()
+    return cache[key]
 
 
 def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared dedup stage: MinHash signatures (12 hashes) → LSH banding
     (4×3, S-curve ≈ 0.63) → exact-Jaccard verification, filtered to
     jaccard ≥ 0.5 — persisted once per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
-    if key not in _VERIFIED_PAIRS_CACHE:
+    cache = session_cache(spark, "verified_pairs")
+    if sf_dir not in cache:
         docs = load_table(spark, sf_dir, "documents")
         idx = shingle_index(spark, sf_dir, n=2)
         sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
@@ -61,8 +60,8 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("jaccard_pm") >= 500)
             .persist()
         )
-        _VERIFIED_PAIRS_CACHE[key] = verified
-    return _VERIFIED_PAIRS_CACHE[key]
+        cache[sf_dir] = verified
+    return cache[sf_dir]
 
 
 def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,13 +100,13 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component computation (driver union-find fast path / distributed
     pointer-jumping) is the most expensive step after verification. The
     frame is one row per near-dup doc — bounded by the pair set."""
-    key = (id(spark), sf_dir)
-    if key not in _COMPONENTS_CACHE:
+    cache = session_cache(spark, "components")
+    if sf_dir not in cache:
         verified = verified_near_dup_pairs(spark, sf_dir)
-        _COMPONENTS_CACHE[key] = D.connected_components(
+        cache[sf_dir] = D.connected_components(
             verified.select("id_a", "id_b")
         ).persist()
-    return _COMPONENTS_CACHE[key]
+    return cache[sf_dir]
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,8 +188,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query's hyperplane-sign bucket). Built plan cached per
     (session, sf) — the per-pair HOF cosine trees cost more to re-analyze
     than to run at this scale."""
-    key = (id(spark), sf_dir, "ann_topk")
-    if key not in _PLAN_CACHE:
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "ann_topk")
+    if key not in cache:
         emb = load_table(spark, sf_dir, "embeddings")
         queries = emb.where(F.col("vec_id") < 8)
         brute = S.brute_force_topk(emb, queries, k=5).select(
@@ -204,10 +204,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh = S.lsh_topk(emb, queries, k=5).select(
             F.lit("lsh").alias("method"), "query_id", "bucket", "rank", "neighbor_id", "cos_e6"
         )
-        _PLAN_CACHE[key] = brute.unionByName(lsh).orderBy(
+        cache[key] = brute.unionByName(lsh).orderBy(
             "method", "query_id", "rank"
         )
-    return _PLAN_CACHE[key]
+    return cache[key]
 
 
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,17 +218,18 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild, dwarfing the 0.7s execution — same (session, sf) cache
     pattern as the dedup shared stages, and what a real client does by
     holding the DataFrame."""
-    key = (id(spark), sf_dir, "ivf_ann")
-    if key not in _PLAN_CACHE:
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "ivf_ann")
+    if key not in cache:
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = S.prepare_centroids(
             emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
         )
         queries = emb.where(F.col("vec_id") < 8)
-        _PLAN_CACHE[key] = S.ivf_topk(emb, queries, centroids, k=5).orderBy(
+        cache[key] = S.ivf_topk(emb, queries, centroids, k=5).orderBy(
             "query_id", "rank"
         )
-    return _PLAN_CACHE[key]
+    return cache[key]
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
