@@ -1,0 +1,255 @@
+"""Avro manifest validation: the in-repo Avro codec round-trips, and the
+Iceberg metadata's manifest list + manifests describe exactly the
+committed table — proven by decoding the BYTES back (schema taken from
+each file's own header, like any external Avro reader) and by re-running
+the reference's committed-watermark recovery over them
+(iceberg_storage.rs:447-515 extract_partition_watermarks_from_manifest_avro
++ 1602-1652 committed_flush_watermarks)."""
+
+import json
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table import avro_io
+from zombi_spark.table import manifests as MF
+from zombi_spark.table.event_table import EventTable
+
+
+# ------------------------------------------------------------- codec unit
+def test_zigzag_varint_known_vectors():
+    """The Avro spec's own examples plus boundary values."""
+    vectors = {
+        0: b"\x00",
+        -1: b"\x01",
+        1: b"\x02",
+        -2: b"\x03",
+        2: b"\x04",
+        63: b"\x7e",
+        64: b"\x80\x01",
+        -64: b"\x7f",
+        -65: b"\x81\x01",
+    }
+    for n, raw in vectors.items():
+        assert avro_io.encode_long(n) == raw, n
+        assert avro_io.decode_value("long", avro_io._Reader(raw)) == n
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=500, deadline=None)
+def test_long_round_trip(n):
+    assert avro_io.decode_value("long", avro_io._Reader(avro_io.encode_long(n))) == n
+
+
+@given(
+    records=st.lists(
+        st.fixed_dictionaries(
+            {
+                "name": st.text(max_size=40),
+                "n": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                "blob": st.binary(max_size=64),
+                "maybe": st.one_of(st.none(), st.integers(-1000, 1000)),
+                "tags": st.lists(st.text(max_size=8), max_size=4),
+            }
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_container_round_trip(records, tmp_path_factory):
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "n", "type": "long"},
+            {"name": "blob", "type": "bytes"},
+            {"name": "maybe", "type": ["null", "int"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+        ],
+    }
+    path = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    avro_io.write_container(path, schema, records)
+    got_schema, _meta, got = avro_io.read_container(path)
+    assert got_schema == schema
+    assert got == records
+
+
+def test_single_value_bound_serialization_is_little_endian():
+    """Iceberg spec Appendix D: int/long bounds are little-endian (the
+    reference's big-endian encoding is its documented in-house deviation
+    — stock readers expect LE, so we follow the spec)."""
+    assert MF.encode_bound(1, "long") == b"\x01" + b"\x00" * 7
+    assert MF.encode_bound(1, "int") == b"\x01\x00\x00\x00"
+    assert MF.encode_bound(-1, "int") == b"\xff\xff\xff\xff"
+    assert MF.encode_bound("abc", "string") == b"abc"
+    assert MF.decode_bound(MF.encode_bound(2**40 + 7, "long"), "long") == 2**40 + 7
+
+
+# --------------------------------------------------------- table round-trip
+def _batch(spark, start, n, ts_base=1704067200000, partitions=2):
+    rows = [
+        ("t", i % partitions, f"p{i}".encode(), ts_base + i * 1000, f"k-{i}", i)
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def _current_meta(t):
+    mdir = os.path.join(t.path, "metadata")
+    hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+    return json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+
+
+def test_manifest_list_describes_committed_table(spark, tmp_path):
+    """Decoding the current snapshot's Avro manifest list + manifests
+    yields exactly the committed file set with matching per-file counts,
+    sizes, and bounds — the external-reader contract."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    t.append(prepare_events(_batch(spark, 8, 6), existing=t.read()))
+
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    data_files = MF.live_data_files(cur["manifest-list"])
+    by_path = {df["file_path"]: df for df in data_files}
+    expected = {os.path.abspath(e["file_path"]): e for e in t.scan_files()}
+    assert set(by_path) == set(expected)
+    for path, e in expected.items():
+        df = by_path[path]
+        assert df["file_format"] == "PARQUET"
+        assert df["record_count"] == e["row_count"]
+        assert df["file_size_in_bytes"] == e["file_size_bytes"]
+        # bounds round-trip by field id (canonical ids: sequence=1,
+        # timestamp_ms=5)
+        upper = {kv["key"]: kv["value"] for kv in df["upper_bounds"]}
+        lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+        assert MF.decode_bound(upper[5], "long") == e["max_ts"]
+        assert MF.decode_bound(lower[5], "long") == e["min_ts"]
+        assert MF.decode_bound(upper[1], "long") == e["max_seq"]
+        # partition struct matches the hive dir
+        date_days = df["partition"]["event_date"]
+        hour = df["partition"]["event_hour"]
+        assert f"event_hour={hour}" in e["partition_dir"]
+        assert date_days is not None and date_days > 19000  # ~2022+
+
+    # appends carry the previous manifest list forward + one new manifest
+    mlist = MF.read_manifest_list(cur["manifest-list"])
+    assert len(mlist) == 2
+    assert sum(m["added_files_count"] for m in mlist) == len(expected)
+
+
+def _one_partition_batch(spark, start, n, partition, ts_base=1704067200000):
+    rows = [
+        ("t", partition, f"p{i}".encode(), ts_base + i * 1000, f"k-{i}", i)
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_committed_watermark_recovery_from_avro_manifests(spark, tmp_path):
+    """The reference's A4 recovery re-run over OUR bytes: per-partition
+    max committed sequence decoded from the manifests' upper_bounds must
+    equal the table's watermark map (iceberg_storage.rs:447-515). The
+    reference layout pins one producer partition per file; emulate that
+    with single-partition batches so every file's partition bounds pin."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_one_partition_batch(spark, 0, 6, partition=0)))
+    t.append(
+        prepare_events(_one_partition_batch(spark, 6, 5, partition=1), existing=t.read())
+    )
+    t.append(
+        prepare_events(_one_partition_batch(spark, 11, 4, partition=0), existing=t.read())
+    )
+
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    # canonical field ids: sequence=1, partition=3 (iceberg.rs field_ids)
+    recovered = MF.committed_watermarks_from_manifests(
+        cur["manifest-list"], sequence_field_id=1, partition_field_id=3
+    )
+    expected = {p: s for (_topic, p), s in t.watermark_map().items()}
+    assert recovered == expected
+
+
+def test_watermark_recovery_never_wrong_on_mixed_files(spark, tmp_path):
+    """Files mixing producer partitions (our hour layout allows this —
+    the reference's partition-dir layout does not) must never contribute
+    a WRONG watermark: recovery skips them, so every recovered value is
+    exact and none exceeds the true watermark."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 10, partitions=3)))
+
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    recovered = MF.committed_watermarks_from_manifests(
+        cur["manifest-list"], sequence_field_id=1, partition_field_id=3
+    )
+    truth = {p: s for (_topic, p), s in t.watermark_map().items()}
+    for part, seq in recovered.items():
+        assert truth[part] == seq
+
+
+def test_compaction_rewrites_manifest_with_tombstones(spark, tmp_path):
+    """A removal commit (compaction) resets the manifest list to ONE full
+    manifest: survivors as EXISTING/ADDED, removed files as DELETED
+    tombstones — and the live set still matches the table."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(4):
+        t.append(prepare_events(_batch(spark, s * 5, 5), existing=t.read() if s else None))
+    before = {os.path.abspath(e["file_path"]) for e in t.scan_files()}
+    result = t.compact(small_file_bytes=64 * 1024 * 1024, min_input_files=2)
+    assert result["files_rewritten"] > 0
+
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mlist = MF.read_manifest_list(cur["manifest-list"])
+    assert len(mlist) == 1  # reset, not carried forward
+    entries = MF.read_manifest_entries(mlist[0]["manifest_path"])
+    deleted = {e["data_file"]["file_path"] for e in entries if e["status"] == MF.DELETED}
+    live = {e["data_file"]["file_path"] for e in entries if e["status"] != MF.DELETED}
+    assert live == {os.path.abspath(e["file_path"]) for e in t.scan_files()}
+    assert deleted and deleted <= before
+    assert deleted.isdisjoint(live)
+
+    # a post-compaction append carries the compacted list forward again
+    t.append(prepare_events(_batch(spark, 20, 5), existing=t.read()))
+    meta2 = _current_meta(t)
+    cur2 = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    assert len(MF.read_manifest_list(cur2["manifest-list"])) == 2
+    assert {df["file_path"] for df in MF.live_data_files(cur2["manifest-list"])} == {
+        os.path.abspath(e["file_path"]) for e in t.scan_files()
+    }
+
+
+def test_rebuilt_metadata_manifests_match_each_snapshot(spark, tmp_path):
+    """The self-heal rebuild regenerates per-snapshot manifests whose live
+    set equals the table AS OF that snapshot (time travel through Avro)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5)))
+    t.append(prepare_events(_batch(spark, 5, 5), existing=t.read()))
+    mdir = os.path.join(t.path, "metadata")
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")  # simulate a lost metadata write
+    t.append(prepare_events(_batch(spark, 10, 5), existing=t.read()))  # → rebuild
+
+    meta = _current_meta(t)
+    assert len(meta["snapshots"]) == 3
+    for ice in meta["snapshots"]:
+        version = ice["sequence-number"] - 1
+        live = {df["file_path"] for df in MF.live_data_files(ice["manifest-list"])}
+        assert live == {
+            os.path.abspath(e["file_path"]) for e in t.scan_files(version=version)
+        }

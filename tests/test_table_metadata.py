@@ -117,10 +117,11 @@ def test_iceberg_v2_metadata_written_per_commit(spark, tmp_path):
     assert meta["current-snapshot-id"] == s1["snapshot-id"]
     assert s1["summary"]["operation"] == "append"
     assert int(s1["summary"]["added-data-files"]) >= 1
-    # the declared manifest-list exists (JSON manifests — documented
-    # deviation, properties carry the marker)
+    # the manifest list is a real Avro file (round-trip contents are
+    # validated in test_avro_manifests.py)
     assert os.path.isfile(s1["manifest-list"])
-    assert meta["properties"]["zombi.manifest-format"] == "json"
+    assert s1["manifest-list"].endswith(".avro")
+    assert "zombi.manifest-format" not in meta["properties"]
     # metadata-log points at the previous metadata file
     assert meta["metadata-log"] and os.path.isfile(meta["metadata-log"][-1]["metadata-file"])
 

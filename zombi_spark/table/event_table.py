@@ -338,8 +338,8 @@ class EventTable:
         finally:
             os.unlink(tmp)
         # Iceberg-v2 interop metadata: one v{N}.metadata.json per commit
-        # (iceberg_storage.rs:1000-1161 contract; manifests stay JSON —
-        # see table/iceberg_meta.py module docstring for the deviation)
+        # plus real Avro manifest(s) + manifest list
+        # (iceberg_storage.rs:1000-1161 contract)
         try:
             from zombi_spark.table.iceberg_meta import write_metadata_for_commit
 
@@ -351,7 +351,11 @@ class EventTable:
             else:
                 snap_for_meta = snap
             write_metadata_for_commit(
-                self.path, self.name, snap_for_meta, spark_schema=self.table_schema()
+                self.path,
+                self.name,
+                snap_for_meta,
+                spark_schema=self.table_schema(),
+                active_entries_fn=lambda: self._active_files(version),
             )
         except Exception as exc:
             # interop metadata is derived state — never fail the commit.

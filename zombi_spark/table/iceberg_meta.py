@@ -2,26 +2,30 @@
 
 The reference's whole cold-tier contract is "any engine reads the table"
 (SPEC.md:343-352): iceberg_storage.rs:1000-1161 writes real
-``v{N}.metadata.json`` plus Avro manifest lists. This container ships no
-Iceberg jar and no Avro library (fastavro/avro absent — verified), so:
+``v{N}.metadata.json`` plus Avro manifest lists + manifests. Both halves
+are real here:
 
-  - the **metadata JSON half is real**: every commit also writes a
-    spec-compliant Iceberg v2 ``v{N}.metadata.json`` (schemas with stable
-    field-ids, identity partition-spec on (event_date, event_hour), sort
-    order (timestamp_ms, sequence), full snapshot list + snapshot-log +
+  - every commit writes a spec-compliant Iceberg v2
+    ``v{N}.metadata.json`` (schemas with stable field-ids, identity
+    partition-spec on (event_date, event_hour), sort order
+    (timestamp_ms, sequence), full snapshot list + snapshot-log +
     metadata-log) and a ``version-hint.text``, exactly the files a
     filesystem (Hadoop-style) catalog resolves;
-  - the **manifest half is declared, not Avro**: each snapshot's
-    ``manifest-list`` field points at our JSON snapshot delta (which holds
-    the same per-file stats an Iceberg manifest carries: path, size, row
-    count, column bounds). The table property ``zombi.manifest-format`` =
-    ``"json"`` marks the deviation; swapping in an Avro writer changes only
-    :func:`_manifest_list_path`.
+  - each snapshot's ``manifest-list`` points at a real Avro manifest
+    list whose manifests carry the v2 ``manifest_entry`` records
+    (status, data_file with partition struct, record counts, and
+    little-endian single-value bounds keyed by field id) — written by
+    the in-repo Avro codec (table/avro_io.py; the container ships no
+    Avro library) and validated by round-trip decoding in tests,
+    including the reference's committed-watermark recovery
+    (iceberg_storage.rs:447-515) re-run over our bytes.
 
-Cost per commit is O(metadata size) — the previous metadata JSON is read
-and extended, never the snapshot-file chain — the same rewrite cost Iceberg
-itself pays. At 100 TB this file tracks snapshot *count*, not data size,
-and :meth:`EventTable.expire_snapshots` keeps that bounded.
+Cost per commit is O(metadata size + this commit's files) — an append
+writes ONE new manifest and carries the previous list forward
+(iceberg_storage.rs:1087-1110's carry-forward), while a commit that
+removes files (compaction) rewrites one full manifest of the survivors
+and resets the list. At 100 TB this tracks snapshot *count*, not data
+size, and :meth:`EventTable.expire_snapshots` keeps that bounded.
 """
 
 from __future__ import annotations
@@ -183,7 +187,6 @@ def _fresh_metadata(table_path: str, table_name: str, spark_schema=None) -> dict
         "default-sort-order-id": 1,
         "properties": {
             "zombi.table-name": table_name,
-            "zombi.manifest-format": "json",
             "write.parquet.compression-codec": "zstd",
         },
         "current-snapshot-id": -1,
@@ -193,8 +196,116 @@ def _fresh_metadata(table_path: str, table_name: str, spark_schema=None) -> dict
     }
 
 
+def _field_ids(meta: dict) -> dict[str, int]:
+    schema = meta["schemas"][meta["current-schema-id"]]
+    return {f["name"]: f["id"] for f in schema["fields"]}
+
+
+def _avro_partition_fields(meta: dict) -> list[dict]:
+    """Partition-spec fields as Avro schema nodes for the manifest's
+    data_file.partition struct (dates as int days with the date
+    logicalType, per the Iceberg-on-Avro mapping)."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    avro_of = {
+        "date": {"type": "int", "logicalType": "date"},
+        "int": "int",
+        "long": "long",
+        "string": "string",
+    }
+    return [
+        {
+            "name": pf["name"],
+            "field-id": pf["field-id"],
+            "type": avro_of.get(types.get(pf["source-id"], "int"), "int"),
+        }
+        for pf in meta["partition-specs"][meta["default-spec-id"]]["fields"]
+    ]
+
+
+def _norm_entry(e) -> dict:
+    return e if isinstance(e, dict) else {"file_path": e}
+
+
+def _write_commit_manifests(
+    table_path: str,
+    meta: dict,
+    snap: dict,
+    snapshot_id: int,
+    seq_num: int,
+    active_entries_fn=None,
+) -> str:
+    """Write this commit's Avro manifest(s) + manifest list; returns the
+    manifest-list path. Appends carry the previous list forward with one
+    new manifest (iceberg_storage.rs:1087-1110); removal commits rewrite
+    one full manifest of the survivors plus DELETED tombstones."""
+    from zombi_spark.table import manifests as MF
+
+    mdir = metadata_dir(table_path)
+    field_ids = _field_ids(meta)
+    pfields = _avro_partition_fields(meta)
+    schema_json = json.dumps(meta["schemas"][meta["current-schema-id"]])
+    spec_json = json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"])
+    added = [_norm_entry(e) for e in snap.get("added", [])]
+    removed = list(snap.get("removed", []))
+
+    prev_list = None
+    if meta["current-snapshot-id"] != -1:
+        prev = next(
+            (s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]),
+            None,
+        )
+        if prev is not None:
+            p = prev.get("manifest-list", "")
+            if p.endswith(".avro") and os.path.isfile(p):
+                prev_list = p
+
+    first_commit = meta["current-snapshot-id"] == -1 and not meta["snapshots"]
+    if (prev_list is not None or first_commit) and not removed:
+        mf = MF.write_manifest(
+            mdir,
+            [(MF.ADDED, e) for e in added],
+            snapshot_id,
+            seq_num,
+            field_ids,
+            pfields,
+            schema_json,
+            spec_json,
+        )
+        prior = MF.read_manifest_list(prev_list) if prev_list else []
+        manifest_files = prior + [mf]
+    else:
+        # removal commit, or no usable previous Avro list (legacy table):
+        # one full manifest of the active set + tombstones
+        active = (
+            [_norm_entry(e) for e in active_entries_fn()]
+            if active_entries_fn is not None
+            else added
+        )
+        added_paths = {e["file_path"] for e in added}
+        entries = [
+            (MF.ADDED if e["file_path"] in added_paths else MF.EXISTING, e) for e in active
+        ]
+        data_root = os.path.join(table_path, "data")
+        for p in removed:
+            entries.append(
+                (
+                    MF.DELETED,
+                    {
+                        "file_path": p,
+                        "partition_dir": os.path.relpath(os.path.dirname(p), data_root),
+                    },
+                )
+            )
+        mf = MF.write_manifest(
+            mdir, entries, snapshot_id, seq_num, field_ids, pfields, schema_json, spec_json
+        )
+        manifest_files = [mf]
+    return MF.write_manifest_list(mdir, snapshot_id, manifest_files)
+
+
 def write_metadata_for_commit(
-    table_path: str, table_name: str, snap: dict, spark_schema=None
+    table_path: str, table_name: str, snap: dict, spark_schema=None, active_entries_fn=None
 ) -> str:
     """Extend the table's Iceberg metadata with one committed snapshot and
     write ``v{version+1}.metadata.json`` (+ version-hint). Returns the path.
@@ -204,6 +315,9 @@ def write_metadata_for_commit(
     ``spark_schema`` is the table's CURRENT Spark schema: extraction
     tables advertise their real columns, and a widened schema appends a
     new schema entry (column-add evolution, ids preserved).
+    ``active_entries_fn`` lazily yields the active file entries as of this
+    commit — consulted only when a full manifest rewrite is needed
+    (removal commits, or recovery from a missing previous Avro list).
     """
     meta = current_metadata(table_path) or _fresh_metadata(
         table_path, table_name, spark_schema
@@ -237,13 +351,14 @@ def write_metadata_for_commit(
     props["zombi.last-version"] = str(version)
     sid = snapshot_id_long(snap["snapshot_id"])
     parent_hex = snap.get("parent_snapshot_hex")
+    manifest_list = _write_commit_manifests(
+        table_path, meta, snap, sid, version + 1, active_entries_fn
+    )
     ice_snap = {
         "snapshot-id": sid,
         "sequence-number": version + 1,
         "timestamp-ms": snap["committed_at_ms"],
-        "manifest-list": os.path.abspath(
-            os.path.join(table_path, "_zombi_meta", f"snap-{version:08d}.json")
-        ),
+        "manifest-list": manifest_list,
         "summary": {
             "operation": "append" if snap.get("operation") == "append" else "replace",
             "added-data-files": str(len(snap.get("added", []))),
@@ -309,16 +424,41 @@ def rebuild_metadata(
         meta["table-uuid"] = prior["table-uuid"]
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
+    from zombi_spark.table import manifests as MF
+
+    field_ids = _field_ids(meta)
+    pfields = _avro_partition_fields(meta)
+    schema_json = json.dumps(meta["schemas"][meta["current-schema-id"]])
+    spec_json = json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"])
     prev_sid = None
+    active: dict[str, dict] = {}
     for snap in snapshots:
         sid = snapshot_id_long(snap["snapshot_id"])
+        # replay the log to this snapshot's active set and write ONE full
+        # manifest per snapshot — O(snapshots × files), acceptable for the
+        # rare recovery path (expire_snapshots bounds the log)
+        if "files" in snap:
+            active = {_norm_entry(e)["file_path"]: _norm_entry(e) for e in snap["files"]}
+        else:
+            for p in snap.get("removed", []):
+                active.pop(p, None)
+            for e in snap.get("added", []):
+                e = _norm_entry(e)
+                active[e["file_path"]] = e
+        added_paths = {_norm_entry(e)["file_path"] for e in snap.get("added", [])}
+        entries = [
+            (MF.ADDED if path in added_paths else MF.EXISTING, e)
+            for path, e in sorted(active.items())
+        ]
+        mf = MF.write_manifest(
+            mdir, entries, sid, snap["version"] + 1, field_ids, pfields, schema_json, spec_json
+        )
+        mlist = MF.write_manifest_list(mdir, sid, [mf])
         ice = {
             "snapshot-id": sid,
             "sequence-number": snap["version"] + 1,
             "timestamp-ms": snap["committed_at_ms"],
-            "manifest-list": os.path.abspath(
-                os.path.join(table_path, "_zombi_meta", f"snap-{snap['version']:08d}.json")
-            ),
+            "manifest-list": mlist,
             "summary": {
                 "operation": "append" if snap.get("operation") == "append" else "replace",
                 "added-data-files": str(len(snap.get("added", []))),
