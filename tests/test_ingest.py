@@ -120,3 +120,36 @@ def test_compaction_preserves_data(spark, tmp_path):
     assert after.count() == before
     # sort order within partitions maintained
     assert after.orderBy("timestamp_ms", "sequence").count() == before
+
+
+# L6 fuzz intent (fuzz/fuzz_targets/fuzz_topic_name.rs): arbitrary
+# strings through the name gate — accepted names must round-trip the
+# reference regex exactly; no acceptance of control chars / separators.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zombi_spark.ingest.batch import validate_table_name
+
+
+@given(st.text(max_size=140))
+@settings(max_examples=1000, deadline=None)
+def test_fuzz_table_name_gate(name):
+    try:
+        validate_table_name(name)
+    except ValueError:
+        return
+    assert 1 <= len(name) <= 128
+    assert name[0].isascii() and name[0].isalpha()
+    assert all(c.isascii() and (c.isalnum() or c in "_-") for c in name)
+    # path-safety: a validated name can never escape or split a path
+    assert "/" not in name and "\\" not in name and "\n" not in name
+
+
+def test_trailing_newline_name_rejected():
+    """'events\\n' passed the old '$'-anchored regex ('$' matches before a
+    trailing newline) and would have leaked a newline into paths and
+    catalog JSON."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        validate_table_name("events\n")

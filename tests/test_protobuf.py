@@ -56,3 +56,70 @@ def test_decode_proto_events_dataframe(spark):
     out = {r.ingest_order: r for r in decode_proto_events(raw).collect()}
     assert out[0].payload == b'{"v":1}' and out[0].decode_error is None
     assert out[1].decode_error is not None  # poison row isolated, batch survives
+
+
+# ---------------------------------------------------------------- L6 fuzz
+# The reference fuzzes the proto decoder with arbitrary bytes
+# (fuzz/fuzz_targets/fuzz_proto.rs). Same intent via hypothesis: the
+# decoder must either return a well-typed dict or raise ProtoDecodeError
+# — never any other exception, never values outside the table's types
+# (an out-of-int64 timestamp would kill the whole Arrow batch, not just
+# the poison row).
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=500, deadline=None)
+def test_fuzz_decode_event_total(buf):
+    try:
+        ev = decode_event(buf)
+    except ProtoDecodeError:
+        return
+    assert isinstance(ev["payload"], bytes)
+    if ev["timestamp_ms"] is not None:
+        assert -(2**63) <= ev["timestamp_ms"] < 2**63
+    if ev["idempotency_key"] is not None:
+        assert isinstance(ev["idempotency_key"], str)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=500, deadline=None)
+def test_fuzz_decode_bulk_total(buf):
+    try:
+        records = decode_bulk_write_request(buf)
+    except ProtoDecodeError:
+        return
+    for rec in records:
+        assert 0 <= rec["partition"] <= 0x7FFFFFFF
+        if rec["timestamp_ms"] is not None:
+            assert -(2**63) <= rec["timestamp_ms"] < 2**63
+
+
+def test_ten_byte_varint_truncates_to_64_bits():
+    """A hostile 10-byte varint carrying bits past 2^64 must truncate
+    (proto semantics), not produce an unrepresentable Python int."""
+    blob = b"\x10" + b"\xff" * 9 + b"\x01"  # field 2 (timestamp), huge varint
+    ev = decode_event(blob)
+    assert ev["timestamp_ms"] == -1  # 2^64-1 truncated → two's complement -1
+
+
+def test_fuzz_poison_rows_never_kill_the_batch(spark):
+    """Arrow-batched decode over a pile of random blobs + valid rows:
+    every input row comes back exactly once, malformed ones tagged."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        rows.append(("t", 0, bytearray(rng.randbytes(rng.randint(0, 64))), i))
+    good = encode_event(b'{"ok":1}', timestamp_ms=1704067200000)
+    rows.append(("t", 0, bytearray(good), 64))
+    raw = spark.createDataFrame(
+        rows, "topic string, partition int, body binary, ingest_order long"
+    )
+    out = decode_proto_events(raw).collect()
+    assert len(out) == 65
+    assert {r.ingest_order for r in out} == set(range(65))
+    ok = [r for r in out if r.ingest_order == 64][0]
+    assert ok.decode_error is None and ok.payload == b'{"ok":1}'

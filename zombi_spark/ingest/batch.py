@@ -38,7 +38,10 @@ from pyspark.sql import types as T
 from zombi_spark.functions.events import derive_partition_columns
 
 # ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$ — handlers.rs:447-460, SPEC.md:454-460
-_TABLE_NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_-]{0,127}$")
+# \Z, not $: "$" also matches just before a trailing newline, so
+# "events\n" would validate and the newline would flow into paths and
+# catalog JSON (found by the L6-style name fuzz, fuzz_topic_name.rs)
+_TABLE_NAME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9_-]{0,127}\Z")
 
 # BulkWriteEvent (contracts/storage.rs:253-259): pre-sequence-assignment form.
 RAW_EVENT_SCHEMA = T.StructType(

@@ -42,7 +42,11 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         result |= (b & 0x7F) << shift
         if not b & 0x80:
-            return result, pos
+            # proto varints truncate to 64 bits (the 10th byte can carry
+            # bits past 2^64); without the mask a hostile blob yields a
+            # Python int outside int64 and the Arrow batch build throws —
+            # a poison row would kill the whole job (found by fuzz)
+            return result & ((1 << 64) - 1), pos
         shift += 7
         if shift > 63:
             raise ProtoDecodeError("varint too long")
@@ -63,9 +67,13 @@ def _read_fields(buf: bytes) -> Iterator[tuple[int, int, object]]:
             val = buf[pos : pos + ln]
             pos += ln
         elif wire == 5:  # fixed32 (tolerated, skipped)
+            if pos + 4 > len(buf):
+                raise ProtoDecodeError("truncated fixed32")
             val = buf[pos : pos + 4]
             pos += 4
         elif wire == 1:  # fixed64 (tolerated, skipped)
+            if pos + 8 > len(buf):
+                raise ProtoDecodeError("truncated fixed64")
             val = buf[pos : pos + 8]
             pos += 8
         else:
@@ -104,7 +112,13 @@ def decode_bulk_write_record(buf: bytes) -> dict:
         if field == 1 and wire == 2:
             out["payload"] = val
         elif field == 2 and wire == 0:
-            out["partition"] = int(val)
+            # proto uint32 semantics: truncate the varint to 32 bits; a
+            # value past i32 (the table's partition type) is a malformed
+            # request, not a crash (the reference's u32 → 400 boundary)
+            part = int(val) & 0xFFFFFFFF
+            if part > 0x7FFFFFFF:
+                raise ProtoDecodeError(f"partition {part} out of range")
+            out["partition"] = part
         elif field == 3 and wire == 0:
             out["timestamp_ms"] = _to_signed64(val)
         elif field == 4 and wire == 2:
