@@ -269,7 +269,13 @@ def oracle_sql() -> dict[str, str]:
                json_extract_string(payload_str, '$.k') AS k_utf8,
                TRY_CAST(json_extract_string(payload_str, '$.missing') AS BIGINT) AS missing_field,
                TRY_CAST(json_extract_string(payload_str, '$.k') AS BIGINT) AS k,
-               '{"etype":"' || event_type || '"}' AS overflow_json
+               TRY_CAST(json_extract_string(payload_str, '$.k') AS BIGINT) AS nested_val,
+               -- exact nested overflow: the extracted meta.nested.value leaf
+               -- is removed; even k keeps the sibling under meta.nested,
+               -- odd k prunes the emptied meta subtree entirely
+               CASE WHEN TRY_CAST(json_extract_string(payload_str, '$.k') AS BIGINT) % 2 = 0
+                    THEN '{"etype":"' || event_type || '","meta":{"nested":{"other":"x"}}}'
+                    ELSE '{"etype":"' || event_type || '"}' END AS overflow_json
         FROM ev
         """,
         "funnel": _EV

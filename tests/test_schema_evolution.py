@@ -226,3 +226,73 @@ def test_extraction_table_watermarks_and_dedup_still_work(spark, tmp_path):
     assert t.watermark_map() == {("t", 0): 9}
     probe = t.idempotency_history(retention_hours=48)
     assert set(probe.columns) == {"topic", "partition", "idempotency_key"}
+
+
+# ------------------------------------------- P8 exact nested overflow
+def test_compute_overflow_ports_reference_rule():
+    """Pure-Python port checks against the reference's own test cases
+    (payload_extractor.rs:368-412)."""
+    from zombi_spark.ingest.extraction import compute_overflow
+
+    # leaf removed, sibling and top-level survive
+    out = compute_overflow(
+        '{"meta": {"nested": {"value": 42, "other": "keep"}}, "top": 1}',
+        [["meta", "nested", "value"]],
+    )
+    assert json.loads(out) == {"meta": {"nested": {"other": "keep"}}, "top": 1}
+    # empty parents pruned all the way up
+    out = compute_overflow(
+        '{"meta": {"nested": {"value": 42}}, "other": 1}',
+        [["meta", "nested", "value"]],
+    )
+    assert json.loads(out) == {"other": 1}
+    # everything extracted → None (no overflow column content)
+    assert compute_overflow('{"meta": {"nested": {"value": 42}}}',
+                            [["meta", "nested", "value"]]) is None
+    # non-object payloads pass through whole (payload_extractor.rs:88-90)
+    assert compute_overflow("[1,2,3]", [["a"]]) == "[1,2,3]"
+    assert compute_overflow("not json", [["a"]]) == "not json"
+    # missing path / non-object intermediate: untouched
+    out = compute_overflow('{"meta": 5, "x": 1}', [["meta", "nested"], ["gone", "y"]])
+    assert json.loads(out) == {"meta": 5, "x": 1}
+    # value types preserved (numbers stay numbers)
+    out = compute_overflow('{"a": {"b": 1}, "n": 2.5}', [["a", "b"]])
+    assert json.loads(out) == {"n": 2.5}
+
+
+def test_nested_extraction_table_overflow_exact(spark, tmp_path):
+    """Table-level: a nested-path config drops exactly the extracted leaf
+    from _payload_overflow (pruning empty parents), with value types
+    preserved — the Arrow-batched exact path."""
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="nested_val", json_path="meta.nested.value", data_type="int64"),
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+        ],
+    )
+    payloads = [
+        {"k": 0, "meta": {"nested": {"value": 42, "other": "keep"}}, "top": 1},
+        {"k": 1, "meta": {"nested": {"value": 7}}, "other": 2},
+        {"k": 2, "meta": {"nested": {"value": 9}}},
+    ]
+    rows = [
+        ("t", 0, json.dumps(p).encode(), 1704067200000 + i * 1000, None, i)
+        for i, p in enumerate(payloads)
+    ]
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    got = {r.k: r for r in t.read().collect()}
+    assert [got[i].nested_val for i in range(3)] == [42, 7, 9]
+    # row 0: leaf dropped, sibling + top survive, ints stay ints
+    assert json.loads(bytes(got[0]._payload_overflow)) == {
+        "meta": {"nested": {"other": "keep"}},
+        "top": 1,
+    }
+    # row 1: meta pruned entirely (leaf was its only content)
+    assert json.loads(bytes(got[1]._payload_overflow)) == {"other": 2}
+    # row 2: everything extracted → NULL overflow
+    assert got[2]._payload_overflow is None

@@ -7,11 +7,23 @@ declares typed fields pulled out of JSON payloads by dot-path
 
 Spark-first: extraction is ``get_json_object`` + ``try_cast`` (JVM-side,
 codegen). Missing path or type mismatch ⇒ NULL, matching the reference's
-coercion table (payload_extractor.rs:113-133). Overflow removes extracted
-top-level keys from the JSON object and prunes now-empty parents; we
-express it with map functions for flat keys and fall back to NULL overflow
-for extracted *nested* paths only when the parent object still has other
-content — the same pruning rule as payload_extractor.rs:145-179.
+coercion table (payload_extractor.rs:113-133).
+
+Overflow (P8) has two implementations, chosen by config shape:
+
+  - flat-only configs (every path is a top-level key): pure Column
+    program — shared ``from_json`` map, ``map_filter`` drop, ``to_json``
+    — zero Python. Deviation: non-string remaining values re-serialize
+    as JSON strings (``{"n": 2}`` → ``{"n": "2"}``), a consequence of
+    the ``map<string,string>`` parse;
+  - configs with any NESTED path: an Arrow-batched pandas UDF porting
+    the reference's rule exactly (payload_extractor.rs:145-179
+    ``remove_nested``): remove each extracted leaf, prune parents that
+    became empty objects, preserve remaining value types, serialize
+    compact with sorted keys (serde_json's default BTreeMap ordering),
+    NULL when nothing remains. Python is justified here: this runs once
+    per ingested batch on extraction-configured tables, not per query,
+    and no Column program can preserve arbitrary-depth value types.
 """
 
 from __future__ import annotations
@@ -70,12 +82,75 @@ class TableSchemaConfig:
         return sorted({f.json_path.split(".")[0] for f in self.fields})
 
 
+def remove_json_path(value, parts: list[str]) -> bool:
+    """Port of the reference's recursive leaf removal
+    (payload_extractor.rs:145-179 ``remove_nested``): remove the leaf at
+    ``parts``, prune parents that became empty objects. Returns True when
+    ``value`` itself is now an empty object (caller prunes it)."""
+    if not parts:
+        return False
+    if not isinstance(value, dict):
+        return False
+    if len(parts) == 1:
+        value.pop(parts[0], None)
+        return not value
+    child = value.get(parts[0])
+    if child is not None and remove_json_path(child, parts[1:]):
+        value.pop(parts[0], None)
+    return not value
+
+
+def compute_overflow(payload_text: str | None, paths: list[list[str]]) -> str | None:
+    """Exact overflow for one payload: parse, remove every extracted
+    path, prune, serialize compact with sorted keys (serde_json's default
+    BTreeMap ordering) — None when nothing remains; a non-object payload
+    (array/scalar/unparseable) passes through whole, the reference's
+    everything-is-overflow rule (payload_extractor.rs:88-90)."""
+    import json
+
+    if payload_text is None:
+        return None
+    try:
+        doc = json.loads(payload_text)
+    except ValueError:
+        return payload_text
+    if not isinstance(doc, dict):
+        return payload_text
+    for parts in paths:
+        remove_json_path(doc, parts)
+    if not doc:
+        return None
+    return json.dumps(doc, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
+
+
+def _overflow_column_nested(events: DataFrame, config: TableSchemaConfig) -> Column:
+    """The exact-tree overflow as an Arrow-batched pandas UDF (see module
+    docstring for why Python is the right tool for nested configs)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(events.sparkSession)
+    paths = [f.json_path.split(".") for f in config.fields]
+
+    def _overflow(payload):
+        return payload.map(lambda t: compute_overflow(t, paths))
+
+    # annotations set explicitly: the module's `from __future__ import
+    # annotations` stringifies inline hints, which the pandas_udf
+    # eval-type inference can't resolve for a nested function
+    _overflow.__annotations__ = {"payload": pd.Series, "return": pd.Series}
+    overflow_udf = pandas_udf(_overflow, "string")
+    return overflow_udf(F.col("payload").cast("string"))
+
+
 def extract_payload(events: DataFrame, config: TableSchemaConfig) -> DataFrame:
     """Apply extraction: system columns + typed columns + _payload_overflow.
 
     ``payload`` is replaced (iceberg.rs:192-266): extracted fields become
-    real columns; the remaining JSON (minus fully-extracted top-level keys)
-    becomes ``_payload_overflow`` (NULL when nothing is left).
+    real columns; the remaining JSON (minus extracted paths, empty parents
+    pruned) becomes ``_payload_overflow`` (NULL when nothing is left).
     """
     if config.payload_format != "json" or not config.fields:
         return events
@@ -84,19 +159,17 @@ def extract_payload(events: DataFrame, config: TableSchemaConfig) -> DataFrame:
     top_map_shared = F.from_json(payload_str, "map<string,string>")
     extracted = [spec.column(F.col("payload"), top_map=top_map_shared) for spec in config.fields]
 
-    # Overflow: parse top level as map<string,string> (values kept as raw
-    # JSON text), drop keys whose *entire* top-level object was extracted.
-    # A top-level key is fully extracted if every extracted path under it
-    # is the key itself, or the parsed object under it has no other leaves —
-    # the reference prunes empty parents (payload_extractor.rs:145-179).
-    # We implement the common flat case exactly; nested leftovers remain in
-    # overflow as their whole top-level object.
-    flat_keys = [f.json_path for f in config.fields if "." not in f.json_path]
-    top_map = F.from_json(payload_str, "map<string,string>")
-    pruned = F.map_filter(top_map, lambda k, _v: ~k.isin(flat_keys) if flat_keys else F.lit(True))
-    overflow_json = F.when(
-        top_map.isNull() | (F.size(F.map_keys(pruned)) == 0), F.lit(None).cast("string")
-    ).otherwise(F.to_json(pruned))
+    if any("." in f.json_path for f in config.fields):
+        overflow_json = _overflow_column_nested(events, config)
+    else:
+        # flat-only fast path: drop extracted top-level keys from the
+        # shared parsed map — pure Column program, zero Python
+        flat_keys = [f.json_path for f in config.fields]
+        pruned = F.map_filter(top_map_shared, lambda k, _v: ~k.isin(flat_keys))
+        overflow_json = F.when(
+            top_map_shared.isNull() | (F.size(F.map_keys(pruned)) == 0),
+            F.lit(None).cast("string"),
+        ).otherwise(F.to_json(pruned))
 
     system_cols = [c for c in events.columns if c != "payload"]
     return events.select(

@@ -175,21 +175,30 @@ def q_hour_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7/F5/P8: typed dot-path extraction from the JSON payload (type
     mismatch ⇒ NULL, payload_extractor.rs:113-133) plus schema-on-write
-    extraction with ``_payload_overflow`` — builds a two-key JSON payload
-    (props' k + the event_type), extracts ``k`` as a typed column via
-    TableSchemaConfig, and keeps the remainder as compact JSON overflow
-    (the reference's leftover-JSON semantics,
-    payload_extractor.rs:74-96,145-179)."""
+    extraction with EXACT ``_payload_overflow`` — builds a payload with a
+    flat key AND a nested object (props' k + meta.nested.{value, other?}
+    + the event_type), extracts ``k`` and ``meta.nested.value`` via
+    TableSchemaConfig, and keeps the remainder as compact sorted-key JSON
+    overflow: the extracted nested LEAF is removed and empty parents are
+    pruned (even k keeps a sibling under meta.nested; odd k loses the
+    whole meta subtree) — the reference's remove-leaf + prune rule,
+    payload_extractor.rs:74-96,145-179."""
     from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig, extract_payload
 
     ev = zombi_events(spark, sf_dir)
+    k_raw = F.get_json_object(F.col("payload_str"), "$.k")
     enriched = ev.select(
         "arrival",
         "payload_str",
         F.concat(
             F.lit('{"k": '),
-            F.get_json_object(F.col("payload_str"), "$.k"),
-            F.lit(', "etype": "'),
+            k_raw,
+            F.lit(', "meta": {"nested": {"value": '),
+            k_raw,
+            F.when(k_raw.try_cast("long") % 2 == 0, F.lit(', "other": "x"')).otherwise(
+                F.lit("")
+            ),
+            F.lit('}}, "etype": "'),
             F.col("event_type"),
             F.lit('"}'),
         )
@@ -197,7 +206,11 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("payload"),
     )
     config = TableSchemaConfig(
-        payload_format="json", fields=[FieldSpec(name="k", json_path="k", data_type="int64")]
+        payload_format="json",
+        fields=[
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+            FieldSpec(name="nested_val", json_path="meta.nested.value", data_type="int64"),
+        ],
     )
     out = extract_payload(enriched, config)
     return out.select(
@@ -208,6 +221,7 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_field"
         ),
         "k",
+        "nested_val",
         F.col("_payload_overflow").cast("string").alias("overflow_json"),
     )
 
