@@ -122,6 +122,17 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                             hi = hi.decode("utf-8", errors="replace")
                         entry[lo_key] = lo
                         entry[hi_key] = hi
+        # idempotency-key null count: lets compaction skip rebuilding
+        # bloom filters for files whose key column is entirely null
+        if "idempotency_key" in idx:
+            nulls = []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["idempotency_key"]).statistics
+                if st is None or st.null_count is None:
+                    break
+                nulls.append(st.null_count)
+            else:
+                entry["key_nulls"] = sum(nulls)
     except Exception:
         # stats are an optimization — a file with no footer stats is
         # still correct, it just never gets skipped
@@ -1158,13 +1169,23 @@ class EventTable:
             ntasks = max(min(len(candidates), self.spark.sparkContext.defaultParallelism), 1)
             # compacted files keep the bloom filters the originals carried
             # (a compaction that silently drops D2's probe acceleration
-            # would regress every later dedup scan)
+            # would regress every later dedup scan) — but an all-null key
+            # column gets none: when every input's footer stats prove the
+            # keys are all null, skip the bloom entirely (the same rule
+            # append applies via its batch NDV probe; building 720 bloom
+            # filters for zero keys was a measured ~1s of compact time)
+            inputs = [f for fs in candidates.values() for f in fs]
+            all_unkeyed = all("key_nulls" in f for f in inputs) and sum(
+                f["key_nulls"] for f in inputs
+            ) == sum(f.get("row_count", 0) for f in inputs)
             writer = self._bloom_options(
                 df.repartition(ntasks, "event_date", "event_hour")
                 .sortWithinPartitions("timestamp_ms", "sequence")
                 .write.mode("overwrite")
                 .partitionBy("event_date", "event_hour"),
-                expected_ndv=self._target_records_per_file(128 * 1024 * 1024),
+                expected_ndv=0
+                if all_unkeyed
+                else self._target_records_per_file(128 * 1024 * 1024),
             )
             # same thin-output heuristic as append, from manifest stats
             # (no extra job): tiny compacted files shouldn't each allocate
