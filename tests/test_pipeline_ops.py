@@ -343,3 +343,47 @@ def test_kmeans_recovers_planted_clusters(spark):
     got = {(r.query_id, r.neighbor_id) for r in topk.collect()}
     # neighbors of each query come from its own planted cluster
     assert all(q % 3 == n % 3 for q, n in got)
+
+
+def test_incremental_ivf_append_matches_fresh_build(spark, tmp_path, sf_dir):
+    """Appending a delta into the materialized index's cell partitions
+    yields EXACTLY the search results of a fresh full build (assignment
+    is deterministic per centroid set), and the drift report flags
+    centroid staleness only when the centroids actually change."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import similarity as S
+    from zombi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.prepare_centroids(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    base = emb.where(F.col("vec_id") % 3 != 0)
+    delta = emb.where(F.col("vec_id") % 3 == 0)
+
+    inc_path = str(tmp_path / "ivf-incremental")
+    S.build_ivf_index(base, centroids, inc_path)
+    S.append_ivf_index(delta, centroids, inc_path)
+
+    fresh_path = str(tmp_path / "ivf-fresh")
+    S.build_ivf_index(emb, centroids, fresh_path)
+
+    inc = S.search_ivf_index(spark, inc_path, queries, centroids, k=5)
+    fresh = S.search_ivf_index(spark, fresh_path, queries, centroids, k=5)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, fresh.collect()))
+    # the union of cell partitions holds every vector exactly once
+    n_idx = spark.read.parquet(inc_path).count()
+    assert n_idx == emb.count()
+
+    # drift: same centroids → zero; a different centroid set → some
+    # vectors' nearest centroid changes and the report says so
+    same = S.ivf_drift_report(spark, inc_path, centroids)
+    assert same["n_vectors"] == n_idx and same["moved"] == 0 and same["drift"] == 0.0
+    retrained = S.prepare_centroids(
+        emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 208))
+    )
+    moved = S.ivf_drift_report(spark, inc_path, retrained)
+    assert moved["n_vectors"] == n_idx
+    assert 0.0 < moved["drift"] <= 1.0

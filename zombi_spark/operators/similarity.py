@@ -282,6 +282,19 @@ def ivf_assign(
         else prepare_centroids(centroids, id_col, vec_col)
     )
     v = with_quantized(corpus, vec_col)
+    return v.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "qvec",
+        "vnorm",
+        _best_cell_expr(cents).alias("cell"),
+    )
+
+
+def _best_cell_expr(cents: list[tuple[int, list[int]]]):
+    """Argmax-cosine cell id as a pure Column over (qvec, vnorm) — the
+    scoring core shared by assignment and drift reassessment (highest
+    cosine wins, ties to the lowest centroid id)."""
     scored = []
     for cid, qc_ints in cents:
         lit_qc = _lit_long_array(qc_ints)
@@ -293,13 +306,7 @@ def ivf_assign(
         # lowest centroid id (negated so greatest() prefers it)
         scored.append(F.struct(cos.alias("c"), F.lit(-cid).cast("long").alias("n")))
     best = scored[0] if len(scored) == 1 else F.greatest(*scored)
-    return v.select(
-        F.col(id_col),
-        F.col(vec_col),
-        "qvec",
-        "vnorm",
-        (-best["n"]).cast("long").alias("cell"),
-    )
+    return (-best["n"]).cast("long")
 
 
 def ivf_query_cells(
@@ -491,6 +498,63 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
+
+
+def append_ivf_index(
+    delta: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign ONLY the delta corpus with
+    the index's centroids and append the rows into their cell partitions
+    — cost is one projection over the delta, never a rebuild. Assignment
+    is deterministic per centroid set, so append-then-search equals a
+    fresh full build exactly (tested). Pair with
+    :func:`ivf_drift_report` to decide when accumulated deltas have
+    drifted the data away from the centroids enough to warrant
+    retraining + rebuild."""
+    assigned = ivf_assign(delta, centroids, id_col, vec_col)
+    (
+        assigned.select(F.col(id_col), "qvec", "vnorm", "cell")
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_drift_report(
+    spark,
+    path: str,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Index staleness: reassign every INDEXED vector (from its stored
+    quantized form — no raw corpus reread) against ``centroids`` (e.g. a
+    freshly trained set) and report the share whose nearest centroid
+    changed vs the stored cell. One linear aggregate over the index;
+    ``drift`` near 0 means the materialized layout still matches the
+    centroid geometry, large drift says rebuild."""
+    cents = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
+    )
+    idx = spark.read.parquet(path)
+    row = (
+        idx.select(
+            (_best_cell_expr(cents) != F.col("cell").cast("long"))
+            .cast("int")
+            .alias("moved")
+        )
+        .agg(F.count("*").alias("n"), F.sum("moved").alias("m"))
+        .first()
+    )
+    n, moved = int(row["n"]), int(row["m"] or 0)
+    return {"n_vectors": n, "moved": moved, "drift": (moved / n) if n else 0.0}
 
 
 def search_ivf_index(
