@@ -223,3 +223,47 @@ def test_streaming_idempotency_across_batches(spark, tmp_path):
     q2.awaitTermination(120)
     assert table.read().count() == 8  # replays suppressed
     assert table.read().select(F.max("sequence")).collect()[0][0] == 8
+
+
+def test_admission_control_bounds_landing_zone(spark, tmp_path):
+    """T10 admission control (handlers.rs:64-232 semantics): a burst
+    beyond the landing byte budget is REFUSED (AdmissionRejected = the
+    503), the refusal surfaces in health(), and draining the backlog
+    restores admission."""
+    import pytest
+
+    from zombi_spark.streaming.ingest import AdmissionRejected
+    from zombi_spark.table.stats import health
+
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-admit")
+    ing = StreamingIngest(
+        spark, landing, table, str(tmp_path / "ckpt"), landing_byte_budget=4096
+    )
+
+    # accepted produce lands an atomic file
+    ing.produce("b0", _mk_events(0, 5, partitions=1))
+    assert health(table, ingest=ing)["admission"]["status"] == 200
+
+    # burst past the budget: eventually refused, zone stays bounded
+    with pytest.raises(AdmissionRejected):
+        for i in range(1, 100):
+            ing.produce(f"b{i}", _mk_events(i * 5, 5, partitions=1))
+    h = health(table, ingest=ing)
+    assert h["admission"]["status"] == 503 and not h["admission"]["accepting"]
+    assert h["live"]  # over-budget edge is not dead — reads/drain still work
+    # bounded by budget + one in-flight batch (semaphore semantics)
+    assert ing.backlog_bytes() <= 4096 + 1024
+
+    # drain → backlog clears → admission restored; nothing was lost or
+    # half-written (every admitted file ingested exactly once)
+    q = ing.start(available_now=True)
+    q.awaitTermination(300)
+    h2 = health(table, ingest=ing)
+    assert h2["ready"]  # table exists and resolves once data committed
+    assert h2["admission"]["status"] == 200 and h2["admission"]["backlog_bytes"] == 0
+    n_admitted = sum(
+        1 for f in __import__("os").listdir(landing) if f.endswith(".json")
+    )
+    assert table.read().count() == n_admitted * 5
+    ing.produce("after-drain", _mk_events(1000, 5, partitions=1))

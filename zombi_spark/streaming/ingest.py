@@ -53,6 +53,12 @@ from zombi_spark.ingest.batch import prepare_events
 from zombi_spark.table.event_table import EventTable
 
 
+class AdmissionRejected(RuntimeError):
+    """Landing-zone backlog over budget — the 503 the reference's edge
+    returns when its in-flight semaphore is exhausted
+    (handlers.rs:64-232)."""
+
+
 class StreamingIngest:
     """File-landing-zone streaming source → EventTable sink.
 
@@ -61,6 +67,17 @@ class StreamingIngest:
     idempotency_key, ingest_order}``; the stream ingests them with
     zombi's write-path semantics. A Kafka source swaps in by replacing
     ``readStream`` options only.
+
+    ``landing_byte_budget`` turns on ADMISSION control (T10, the half
+    the per-trigger caps don't cover): :meth:`produce` refuses new
+    events once the un-ingested backlog reaches the budget, so a
+    producer burst can't fill the landing zone unboundedly — the
+    reference bounds in-flight work with a 10k-permit + 64 MB semaphore
+    and 503s the excess (handlers.rs:64-232); here the budget bounds
+    bytes-behind-the-checkpoint and :class:`AdmissionRejected` is the
+    503. Producers writing files directly bypass the gate by
+    construction — the budget governs the produce() edge, exactly like
+    the reference's HTTP boundary.
     """
 
     def __init__(
@@ -72,6 +89,7 @@ class StreamingIngest:
         retention_hours: int = 48,
         max_files_per_trigger: int | None = None,
         max_bytes_per_trigger: int | None = None,
+        landing_byte_budget: int | None = None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -90,6 +108,7 @@ class StreamingIngest:
         # caps while draining.
         self.max_files_per_trigger = max_files_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
+        self.landing_byte_budget = landing_byte_budget
 
     def _raw_stream(self) -> DataFrame:
         json_schema = (
@@ -176,6 +195,65 @@ class StreamingIngest:
                                 pass
         return seen
 
+    # ------------------------------------------------ admission control
+    def backlog_bytes(self) -> int:
+        """Bytes in landing files the checkpoint has NOT yet committed —
+        the in-flight work the admission budget bounds. O(landing files);
+        the budget itself keeps that listing small."""
+        if not os.path.isdir(self.landing_dir):
+            return 0
+        seen = self._checkpoint_seen_files()
+        total = 0
+        for f in os.listdir(self.landing_dir):
+            if f.startswith("."):  # in-flight tmp files (not yet landed)
+                continue
+            full = os.path.join(self.landing_dir, f)
+            if os.path.isfile(full) and full not in seen:
+                total += os.path.getsize(full)
+        return total
+
+    def admission_status(self) -> dict:
+        """The T10 surface ``health()`` reports: current backlog vs
+        budget, and whether a produce() would currently be admitted
+        (``status`` mirrors the reference's HTTP codes: 200 accepting /
+        503 over budget, handlers.rs:64-232)."""
+        backlog = self.backlog_bytes()
+        accepting = self.landing_byte_budget is None or backlog < self.landing_byte_budget
+        return {
+            "backlog_bytes": backlog,
+            "budget_bytes": self.landing_byte_budget,
+            "accepting": accepting,
+            "status": 200 if accepting else 503,
+        }
+
+    def produce(self, name: str, events: list[dict]) -> str:
+        """Admission-controlled producer write: refuse (AdmissionRejected,
+        the 503) when the un-ingested backlog plus this batch would
+        exceed the budget; otherwise land the batch atomically (tmp +
+        rename — a crashed producer never leaves a half file for the
+        stream to read). Returns the landed path."""
+        import json as _json
+
+        body = ("\n".join(_json.dumps(e) for e in events) + "\n").encode()
+        if self.landing_byte_budget is not None:
+            # semaphore semantics (a writer may take the last permit, so
+            # the zone is bounded by budget + one batch): admit while the
+            # backlog is under budget, refuse once it is at/over
+            backlog = self.backlog_bytes()
+            if backlog >= self.landing_byte_budget:
+                raise AdmissionRejected(
+                    f"landing backlog {backlog} B at/over budget "
+                    f"{self.landing_byte_budget} B — retry after the stream "
+                    "drains (503)"
+                )
+        os.makedirs(self.landing_dir, exist_ok=True)
+        final = os.path.join(self.landing_dir, f"{name}.json")
+        tmp = os.path.join(self.landing_dir, f".{name}.json.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        os.replace(tmp, final)
+        return final
+
     def hot_view(self) -> DataFrame:
         """The hot tier: events in landing files the checkpoint has NOT yet
         committed — the sub-second-read mitigation for SPEC.md:196-208's L1
@@ -190,7 +268,7 @@ class StreamingIngest:
         pending = sorted(
             os.path.join(self.landing_dir, f)
             for f in (os.listdir(self.landing_dir) if os.path.isdir(self.landing_dir) else [])
-            if os.path.isfile(os.path.join(self.landing_dir, f))
+            if not f.startswith(".") and os.path.isfile(os.path.join(self.landing_dir, f))
         )
         seen = self._checkpoint_seen_files()
         pending = [p for p in pending if p not in seen]

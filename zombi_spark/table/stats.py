@@ -168,10 +168,17 @@ def ingest_metrics(table: EventTable) -> dict:
     return out
 
 
-def health(table: EventTable) -> dict:
+def health(table: EventTable, ingest=None) -> dict:
     """``/health`` ``live``/``ready`` semantics: live = process up (always
     true in-library); ready = the snapshot log is readable and internally
-    consistent (latest snapshot parses and its manifest resolves)."""
+    consistent (latest snapshot parses and its manifest resolves).
+
+    With a :class:`~zombi_spark.streaming.ingest.StreamingIngest` passed
+    as ``ingest``, the report also carries the T10 admission state —
+    backlog vs budget and the 200/503-equivalent ``status`` the
+    reference's edge returns when its in-flight semaphore is exhausted
+    (handlers.rs:64-232). An over-budget edge is NOT un-ready: reads and
+    draining keep working; only new produce() calls are refused."""
     live = True
     ready = True
     detail = "ok"
@@ -185,7 +192,10 @@ def health(table: EventTable) -> dict:
     except Exception as exc:  # unreadable/corrupt metadata → not ready
         ready = False
         detail = f"metadata error: {exc}"
-    return {"live": live, "ready": ready, "detail": detail}
+    out = {"live": live, "ready": ready, "detail": detail}
+    if ingest is not None:
+        out["admission"] = ingest.admission_status()
+    return out
 
 
 def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
