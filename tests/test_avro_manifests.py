@@ -253,3 +253,127 @@ def test_rebuilt_metadata_manifests_match_each_snapshot(spark, tmp_path):
         assert live == {
             os.path.abspath(e["file_path"]) for e in t.scan_files(version=version)
         }
+
+
+def test_read_via_iceberg_metadata_matches_engine_read(spark, tmp_path):
+    """External-reader simulation: resolve version-hint → metadata JSON →
+    Avro manifest list → manifests → files, touching nothing of
+    _zombi_meta — rows must equal the engine's own read(), including
+    snapshot-id time travel and across compaction."""
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    t.append(prepare_events(_batch(spark, 8, 6), existing=t.read()))
+    t.compact(min_input_files=2)
+    t.append(prepare_events(_batch(spark, 14, 4), existing=t.read()))
+
+    def rows(df):
+        return sorted((r.sequence, r.partition, bytes(r.payload)) for r in df.collect())
+
+    ext = read_via_iceberg_metadata(spark, t.path)
+    assert rows(ext) == rows(t.read())
+    assert ext.count() == 18
+    # partition columns come through the hive layout
+    assert {"event_date", "event_hour"} <= set(ext.columns)
+
+    # time travel by snapshot id: every live snapshot serves its exact
+    # historical row set (sequence-number = version + 1)
+    meta = _current_meta(t)
+    for ice in meta["snapshots"]:
+        version = ice["sequence-number"] - 1
+        got = read_via_iceberg_metadata(spark, t.path, snapshot_id=ice["snapshot-id"])
+        assert rows(got) == rows(t.read(version=version)), version
+
+    # unknown snapshot id is an explicit error, not an empty frame
+    import pytest
+
+    with pytest.raises(ValueError, match="not in metadata"):
+        read_via_iceberg_metadata(spark, t.path, snapshot_id=12345)
+
+
+def test_read_via_iceberg_metadata_evolved_schema(spark, tmp_path):
+    """Snapshots resolve against their commit-time schema entry: the
+    current snapshot serves the evolved columns (old files → NULL), a
+    pre-evolution snapshot serves the old schema."""
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    def mk(spark, start, n):
+        rows = [
+            (
+                "t",
+                0,
+                json.dumps({"k": i, "label": f"L{i}"}).encode(),
+                1704067200000 + i * 1000,
+                None,
+                i,
+            )
+            for i in range(start, start + n)
+        ]
+        from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA
+
+        return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+    v1 = TableSchemaConfig(
+        payload_format="json", fields=[FieldSpec(name="k", json_path="k", data_type="int64")]
+    )
+    v2 = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+            FieldSpec(name="label", json_path="label", data_type="utf8"),
+        ],
+    )
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=v1)
+    t1.append(prepare_events(mk(spark, 0, 3)))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=v2)
+    t2.append(prepare_events(mk(spark, 3, 3), existing=t2.read()))
+
+    cur = read_via_iceberg_metadata(spark, t2.path)
+    assert "label" in cur.columns
+    got = {r.k: r.label for r in cur.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "L3", 4: "L4", 5: "L5"}
+
+    meta = _current_meta(t2)
+    old = read_via_iceberg_metadata(
+        spark, t2.path, snapshot_id=meta["snapshots"][0]["snapshot-id"]
+    )
+    assert "label" not in old.columns and old.count() == 3
+
+
+def test_expire_garbage_collects_unreferenced_manifests(spark, tmp_path):
+    """expire_snapshots removes Avro manifests/manifest-lists that only
+    expired snapshots referenced — but carry-forward manifests shared
+    with LIVE snapshots survive, and every live snapshot still resolves."""
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(6):
+        t.append(prepare_events(_batch(spark, s * 3, 3), existing=t.read() if s else None))
+    mdir = os.path.join(t.path, "metadata")
+    avro_before = {f for f in os.listdir(mdir) if f.endswith(".avro")}
+
+    t.expire_snapshots(keep_last=2)
+    avro_after = {f for f in os.listdir(mdir) if f.endswith(".avro")}
+    assert avro_after < avro_before  # something was reclaimed
+
+    meta = _current_meta(t)
+    assert len(meta["snapshots"]) == 2
+    # every surviving snapshot still resolves end-to-end through the
+    # external-reader path (shared carry-forward manifests intact)
+    for ice in meta["snapshots"]:
+        df = read_via_iceberg_metadata(spark, t.path, snapshot_id=ice["snapshot-id"])
+        assert df.count() == 3 * ice["sequence-number"]
+    # the live snapshots' manifest chains are exactly the surviving files
+    live = set()
+    for ice in meta["snapshots"]:
+        live.add(os.path.basename(ice["manifest-list"]))
+        for mf in MF.read_manifest_list(ice["manifest-list"]):
+            live.add(os.path.basename(mf["manifest_path"]))
+    assert avro_after == live
+    # post-expire commits keep working incrementally (uuid stable)
+    t.append(prepare_events(_batch(spark, 18, 3), existing=t.read()))
+    meta2 = _current_meta(t)
+    assert meta2["table-uuid"] == meta["table-uuid"]
+    assert read_via_iceberg_metadata(spark, t.path).count() == 21

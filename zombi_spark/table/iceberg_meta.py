@@ -496,9 +496,47 @@ def rebuild_metadata(
     return out
 
 
+def _gc_unreferenced_metadata(mdir: str, meta: dict, current_file: str) -> list[str]:
+    """Delete Avro manifests/manifest-lists referenced by no LIVE
+    snapshot and metadata JSON outside the metadata-log tail — Iceberg's
+    expire_snapshots does the same cleanup. Carry-forward means expired
+    and live lists can SHARE manifests, so the live set is computed by
+    walking every live snapshot's manifest list, never by list age."""
+    from zombi_spark.table import manifests as MF
+
+    live: set[str] = set()
+    for s in meta.get("snapshots", []):
+        ml = s.get("manifest-list", "")
+        if ml.endswith(".avro") and os.path.isfile(ml):
+            live.add(os.path.abspath(ml))
+            try:
+                for mf in MF.read_manifest_list(ml):
+                    live.add(os.path.abspath(mf["manifest_path"]))
+            except Exception:
+                continue  # unreadable list: keep its file, GC nothing of it
+    keep_json = {os.path.abspath(current_file)} | {
+        os.path.abspath(e["metadata-file"]) for e in meta.get("metadata-log", [])
+    }
+    removed: list[str] = []
+    for f in os.listdir(mdir):
+        full = os.path.abspath(os.path.join(mdir, f))
+        if f.endswith(".avro") and full not in live:
+            os.remove(full)
+            removed.append(full)
+        elif (
+            f.startswith("v")
+            and f.endswith(".metadata.json")
+            and full not in keep_json
+        ):
+            os.remove(full)
+            removed.append(full)
+    return removed
+
+
 def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict]) -> str:
     """After snapshot expiration, rewrite metadata keeping only live
-    snapshots (Iceberg's expire_snapshots also rewrites metadata)."""
+    snapshots, then garbage-collect manifests and metadata JSON only
+    expired snapshots referenced (Iceberg's expire_snapshots does both)."""
     meta = current_metadata(table_path)
     if meta is None:
         raise FileNotFoundError("no Iceberg metadata to rewrite")
@@ -527,4 +565,5 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
     with open(hint_tmp, "w") as fh:
         fh.write(str(cur + 1))
     os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    _gc_unreferenced_metadata(mdir, meta, out)
     return out
