@@ -377,3 +377,47 @@ def test_expire_garbage_collects_unreferenced_manifests(spark, tmp_path):
     meta2 = _current_meta(t)
     assert meta2["table-uuid"] == meta["table-uuid"]
     assert read_via_iceberg_metadata(spark, t.path).count() == 21
+
+
+def test_rewrite_manifests_merges_list_without_touching_data(spark, tmp_path):
+    """Manifest maintenance: after N appends the list carries N
+    manifests; rewrite_manifests() merges them into one (all EXISTING),
+    data files untouched, external reads identical, and the next append
+    carries the compacted list forward."""
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(4):
+        t.append(prepare_events(_batch(spark, s * 4, 4), existing=t.read() if s else None))
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert len(MF.read_manifest_list(cur["manifest-list"])) == 4
+    files_before = {os.path.abspath(e["file_path"]) for e in t.scan_files()}
+    rows_before = sorted(r.sequence for r in t.read().collect())
+
+    t.rewrite_manifests()
+
+    meta2 = _current_meta(t)
+    cur2 = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    mlist = MF.read_manifest_list(cur2["manifest-list"])
+    assert len(mlist) == 1
+    entries = MF.read_manifest_entries(mlist[0]["manifest_path"])
+    assert all(e["status"] == MF.EXISTING for e in entries)
+    assert {e["data_file"]["file_path"] for e in entries} == files_before
+    ext = read_via_iceberg_metadata(spark, t.path)
+    assert sorted(r.sequence for r in ext.collect()) == rows_before
+    # same snapshot id survives (metadata-only action, not a new commit)
+    assert cur2["snapshot-id"] == cur["snapshot-id"]
+
+    # next append: compacted list + one new manifest
+    t.append(prepare_events(_batch(spark, 16, 4), existing=t.read()))
+    meta3 = _current_meta(t)
+    cur3 = next(
+        s for s in meta3["snapshots"] if s["snapshot-id"] == meta3["current-snapshot-id"]
+    )
+    assert len(MF.read_manifest_list(cur3["manifest-list"])) == 2
+    assert read_via_iceberg_metadata(spark, t.path).count() == 20

@@ -387,3 +387,78 @@ def test_incremental_ivf_append_matches_fresh_build(spark, tmp_path, sf_dir):
     moved = S.ivf_drift_report(spark, inc_path, retrained)
     assert moved["n_vectors"] == n_idx
     assert 0.0 < moved["drift"] <= 1.0
+
+
+def test_decontamination_flags_embedded_benchmark_items(spark):
+    """n-gram containment decontamination: a doc embedding an eval item
+    verbatim scores 1000 permille regardless of surrounding text; partial
+    overlap scores proportionally; clean docs survive decontaminate()."""
+    from zombi_spark.operators import decontaminate as DC
+
+    item1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    item2 = "completely different benchmark question about astrophysics and neutron stars colliding"
+    bench = spark.createDataFrame(
+        [(101, item1), (102, item2)], "bench_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim embed of item1 inside a longer doc
+            (1, "intro words here " + item1 + " closing words follow after"),
+            # partial overlap: first 8 words of item1 only
+            (2, "padding " + " ".join(item1.split()[:8]) + " unrelated tail of text"),
+            # clean
+            (3, "this document shares no benchmark n grams at all with anything here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    scores = {
+        (r.doc_id, r.bench_id): r.containment_pm
+        for r in DC.contamination_scores(docs, bench, n=5).collect()
+    }
+    assert scores[(1, 101)] == 1000  # full containment despite extra text
+    n_item1 = len(item1.split()) - 4  # distinct 5-gram count of item1
+    n_shared = 8 - 4  # 5-grams fully inside the copied 8-word prefix
+    assert scores[(2, 101)] == 1000 * n_shared // n_item1
+    assert (3, 101) not in scores and (3, 102) not in scores
+
+    flagged = {r.doc_id: r for r in DC.contaminated_ids(docs, bench, n=5).collect()}
+    assert set(flagged) == {1}
+    assert flagged[1].worst_item == 101 and flagged[1].worst_containment_pm == 1000
+
+    clean = DC.decontaminate(docs, bench, n=5)
+    assert sorted(r.doc_id for r in clean.collect()) == [2, 3]
+
+    # the join plan broadcasts the benchmark side (the 100 TB shape)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        DC.contamination_scores(docs, bench, n=5).explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_decontamination_on_documents_table(spark, sf_dir):
+    """Runs against the driver's documents table: planting its own docs
+    as 'benchmark' items must flag exactly those docs at containment
+    1000 (a doc fully contains itself)."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import decontaminate as DC
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    planted = {r.bench_id for r in bench.select("bench_id").collect()}
+    flagged = DC.contaminated_ids(docs, bench, n=8, threshold_pm=999)
+    got = {r.doc_id: r.worst_containment_pm for r in flagged.collect()}
+    assert planted <= set(got)
+    for bid in planted:
+        assert got[bid] == 1000
+    clean = DC.decontaminate(docs, bench, n=8, threshold_pm=999)
+    assert clean.count() <= docs.count() - len(planted)
+    assert clean.join(bench, clean.doc_id == bench.bench_id, "left_semi").count() == 0

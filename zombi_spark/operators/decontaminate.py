@@ -1,0 +1,98 @@
+"""Benchmark decontamination: flag training documents that contain
+benchmark/eval items, by n-gram containment — the standard LLM
+data-pipeline step (n-gram overlap against held-out sets, as described
+in the GPT-3 and Llama data papers).
+
+Semantics: a training doc is contaminated by a benchmark item when the
+share of the ITEM's distinct word n-grams that also appear in the doc
+reaches a threshold (containment, not Jaccard — a long doc that embeds
+a short eval item verbatim must score 1.0 regardless of how much other
+text surrounds it).
+
+Scale shape (100 TB corpus, benchmark ≪ corpus by construction): the
+benchmark side shingles to a small frame that Catalyst broadcasts, so
+the corpus pays ONE shingle pass and a broadcast-hash join on the
+shingle — no shuffle of corpus text, no all-pairs anything. The
+per-pair tally aggregates integers only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zombi_spark.operators.dedup import shingle_index
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Per (doc, benchmark item) containment in permille:
+    ``1000 · |shingles(item) ∩ shingles(doc)| / |shingles(item)|``.
+    Pairs with zero overlap are absent. Items shorter than ``n`` words
+    produce no shingles and are never flagged (too short to attribute)."""
+    doc_sh = shingle_index(docs, n=n, id_col=id_col).select(id_col, "shingle")
+    bench_sh = shingle_index(benchmark, n=n, id_col=bench_id_col).select(
+        bench_id_col, "shingle"
+    )
+    sizes = bench_sh.groupBy(bench_id_col).agg(F.count("*").alias("_n_item"))
+    overlap = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("_n_shared"))
+    )
+    return (
+        overlap.join(F.broadcast(sizes), bench_id_col)
+        .select(
+            id_col,
+            bench_id_col,
+            F.floor(F.lit(1000) * F.col("_n_shared") / F.col("_n_item"))
+            .cast("long")
+            .alias("containment_pm"),
+        )
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold_pm: int = 500,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Distinct ids of training docs contaminated by ANY benchmark item
+    at/above the threshold, with the worst offending item and score."""
+    scores = contamination_scores(docs, benchmark, n, id_col, bench_id_col)
+    return (
+        scores.where(F.col("containment_pm") >= threshold_pm)
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct("containment_pm", bench_id_col)).alias("_worst"),
+            F.count("*").alias("n_items_matched"),
+        )
+        .select(
+            id_col,
+            F.col(f"_worst.{bench_id_col}").alias("worst_item"),
+            F.col("_worst.containment_pm").alias("worst_containment_pm"),
+            "n_items_matched",
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold_pm: int = 500,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """The cleaned corpus: ``docs`` minus contaminated rows (left-anti
+    join on the flagged id set — one broadcastable small side)."""
+    bad = contaminated_ids(docs, benchmark, n, threshold_pm, id_col, bench_id_col)
+    return docs.join(bad.select(id_col), id_col, "left_anti")

@@ -1066,6 +1066,20 @@ class EventTable:
                     removed.append(os.path.join(dirpath, f))
         return removed
 
+    def rewrite_manifests(self) -> str:
+        """Iceberg ``rewrite_manifests``: merge the current snapshot's
+        carry-forward Avro manifest list into one full manifest without
+        touching data — manifest maintenance for append-only tables
+        whose list would otherwise grow one manifest per commit between
+        compactions. Metadata-only; the engine's snapshot log is
+        untouched (Iceberg files are derived state here)."""
+        from zombi_spark.table.iceberg_meta import rewrite_manifests
+
+        latest = self.latest_version()
+        if latest is None:
+            raise ValueError("no snapshot to rewrite manifests for")
+        return rewrite_manifests(self.path, self._active_files(latest))
+
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         ``expire_snapshots``). The oldest survivor is rewritten with a

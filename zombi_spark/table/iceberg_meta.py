@@ -533,6 +533,55 @@ def _gc_unreferenced_metadata(mdir: str, meta: dict, current_file: str) -> list[
     return removed
 
 
+def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
+    """Iceberg's ``rewrite_manifests`` action, metadata-only: merge the
+    CURRENT snapshot's carry-forward manifest list into ONE full manifest
+    of the active files (all EXISTING, no data touched), bump the
+    metadata version, and GC the now-unreferenced manifests. Bounds the
+    list length for append-only tables between compactions (compaction
+    resets the list as a side effect; this does it without rewriting a
+    byte of data). Simplification vs strict Iceberg: existing entries
+    take the current snapshot's sequence number rather than their
+    original data sequence numbers (we don't track per-file commit
+    provenance in the active-file entries; no reader here consumes
+    them). Returns the new metadata path."""
+    from zombi_spark.table import manifests as MF
+
+    meta = current_metadata(table_path)
+    if meta is None or meta["current-snapshot-id"] == -1:
+        raise ValueError("no current snapshot to rewrite manifests for")
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mdir = metadata_dir(table_path)
+    mf = MF.write_manifest(
+        mdir,
+        [(MF.EXISTING, _norm_entry(e)) for e in active_entries],
+        cur["snapshot-id"],
+        cur["sequence-number"],
+        _field_ids(meta),
+        _avro_partition_fields(meta),
+        json.dumps(meta["schemas"][meta["current-schema-id"]]),
+        json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"]),
+    )
+    cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
+    meta["last-updated-ms"] = int(time.time() * 1000)
+
+    with open(os.path.join(mdir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    out = os.path.join(mdir, f"v{v + 1}.metadata.json")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, out)
+    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(v + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    _gc_unreferenced_metadata(mdir, meta, out)
+    return out
+
+
 def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict]) -> str:
     """After snapshot expiration, rewrite metadata keeping only live
     snapshots, then garbage-collect manifests and metadata JSON only
