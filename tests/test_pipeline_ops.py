@@ -462,3 +462,50 @@ def test_decontamination_on_documents_table(spark, sf_dir):
     clean = DC.decontaminate(docs, bench, n=8, threshold_pm=999)
     assert clean.count() <= docs.count() - len(planted)
     assert clean.join(bench, clean.doc_id == bench.bench_id, "left_semi").count() == 0
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    """PII scrub: typed detection counts, ordered redaction (card before
+    phone so 16-digit runs aren't half-eaten), density cap drops
+    contaminated docs, clean text passes through byte-identical."""
+    from zombi_spark.operators import pii as P
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith+x@mail.co.uk today"),
+            (2, "card 4111 1111 1111 1111 expires soon, call 555-867-5309"),
+            (3, "server at 192.168.1.100 rejected ssn 123-45-6789"),
+            (4, "perfectly clean prose with no identifiers at all"),
+            (5, "dump: a@b.io c@d.io e@f.io 10.0.0.1 10.0.0.2 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in P.scrub_documents(docs).collect()}
+    assert out[1].pii_counts["email"] == 2 and out[1].pii_total == 2
+    assert "<EMAIL>" in out[1].text and "@" not in out[1].text
+    # the 16-digit card is ONE card token, not a phone fragment
+    assert out[2].pii_counts["credit_card"] == 1
+    assert "<CARD>" in out[2].text and "4111" not in out[2].text
+    assert "<PHONE>" in out[2].text
+    assert out[3].pii_counts["ipv4"] == 1 and out[3].pii_counts["ssn"] == 1
+    assert "<IP>" in out[3].text and "<SSN>" in out[3].text
+    assert out[4].pii_total == 0
+    assert out[4].text == "perfectly clean prose with no identifiers at all"
+    assert out[5].pii_total == 6
+    # redaction order protects adjacent identifiers: both IPs survive as
+    # <IP>, the phone's country-code digit never bites an octet off one
+    assert out[5].text.count("<IP>") == 2 and "<PHONE>" in out[5].text
+
+    capped = P.scrub_documents(docs, max_pii_per_doc=3)
+    assert sorted(r.doc_id for r in capped.collect()) == [1, 2, 3, 4]
+
+    # pure Column program: whole-stage codegen, no Python in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        P.scrub_documents(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "* Project" in plan  # the '*' marks the codegen'd stage
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
