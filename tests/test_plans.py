@@ -181,3 +181,24 @@ def test_hot_cold_tail_is_top_k_not_global_sort(spark, tmp_path):
     plan = _plan(ing.tail("t", limit=10))
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_grouping_analytics_scans_orders_once(spark, sf_dir):
+    """A10 scan-once shape: rollup+cube+grouping-sets derive from ONE
+    persisted fine-grained aggregate — the physical plan reads the orders
+    parquet exactly once; the other branches read the cached frame."""
+    import contextlib
+    import io
+
+    from zombi_spark.plans.relational import q_grouping_analytics
+
+    df = q_grouping_analytics(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # every grouping branch reads the persisted base through the cache
+    # (the parquet scan appearing inside each InMemoryRelation repr is
+    # the cache's BUILD plan, executed once at materialization)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "Expand" in plan  # rollup/cube/sets still exercise A10

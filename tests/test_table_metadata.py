@@ -423,3 +423,28 @@ def test_byte_target_file_sizing(spark, tmp_path):
     assert len(snap["added"]) > 1
     assert all(e["row_count"] <= cap for e in snap["added"])
     assert t.read().count() == 10000
+
+
+def test_full_metadata_loss_rebuilds_on_next_commit(spark, tmp_path):
+    """Derived-state contract: deleting the ENTIRE Iceberg metadata dir
+    (JSON + Avro manifests) must not hurt the engine; the next commit
+    rebuilds the whole interop surface from the authoritative snapshot
+    log — per-snapshot manifests included — and the external-reader path
+    resolves every snapshot again."""
+    import shutil
+
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 4)))
+    t.append(prepare_events(_batch(spark, 4, 4), existing=t.read()))
+    shutil.rmtree(os.path.join(t.path, "metadata"))
+
+    t.append(prepare_events(_batch(spark, 8, 4), existing=t.read()))
+    meta_path = os.path.join(t.path, "metadata")
+    hint = int(open(os.path.join(meta_path, "version-hint.text")).read())
+    meta = json.load(open(os.path.join(meta_path, f"v{hint}.metadata.json")))
+    assert len(meta["snapshots"]) == 3  # full history regenerated
+    for ice in meta["snapshots"]:
+        df = read_via_iceberg_metadata(spark, t.path, snapshot_id=ice["snapshot-id"])
+        assert df.count() == 4 * ice["sequence-number"]
