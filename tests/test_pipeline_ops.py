@@ -509,3 +509,59 @@ def test_pii_scrub_detects_and_redacts(spark):
     plan = buf.getvalue()
     assert "* Project" in plan  # the '*' marks the codegen'd stage
     assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_repetition_features_flag_boilerplate(spark):
+    """Gopher-style repetition signals: keyword stuffing spikes
+    top_ngram_pm, self-repetition spikes dup_ngram_pm, varied prose stays
+    low, sub-n docs get zeros (kept, not dropped), and the filter removes
+    exactly the stuffed docs."""
+    from zombi_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 30 + "end"),                 # one 2-gram dominates
+            (2, " ".join(f"w{i}" for i in range(60))),     # all distinct
+            (3, " ".join(f"w{i % 10}" for i in range(60))),  # cyclic repeats
+            (4, "short"),                                  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.withColumn("text", F.trim("text"))
+    feats = {r.doc_id: r for r in TA.repetition_features(docs, n=2).collect()}
+
+    assert feats[1].top_ngram == "buy now" and feats[1].top_ngram_pm >= 480
+    assert feats[1].dup_ngram_pm >= 950
+    assert feats[2].top_ngram_pm <= 20 and feats[2].dup_ngram_pm == 0
+    assert feats[3].dup_ngram_pm == 1000  # every 2-gram recurs
+    assert feats[4].n_grams == 0 and feats[4].top_ngram_pm == 0
+
+    kept = sorted(
+        r.doc_id
+        for r in TA.repetition_filter(
+            docs, n=2, max_top_ngram_pm=180, max_dup_ngram_pm=600
+        ).collect()
+    )
+    assert kept == [2, 4]  # stuffed (1) and cyclic (3) removed
+
+
+def test_repetition_features_on_documents_table(spark, sf_dir):
+    """Sanity at corpus scale: every doc accounted for, fractions within
+    [0, 1000], n_grams = n_tokens - 1 for 2-grams."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import text_analysis as TA
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TA.repetition_features(docs, n=2)
+    assert feats.count() == docs.count()
+    bad = feats.where(
+        (F.col("top_ngram_pm") < 0) | (F.col("top_ngram_pm") > 1000)
+        | (F.col("dup_ngram_pm") < 0) | (F.col("dup_ngram_pm") > 1000)
+    )
+    assert bad.count() == 0
+    joined = feats.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")), "doc_id"
+    )
+    assert joined.where(F.col("n_grams") != F.col("n_tok") - 1).count() == 0

@@ -98,6 +98,83 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def repetition_features(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition/boilerplate signals (the Gopher-rules family, published
+    in the Gopher/MassiveText data paper): per document,
+
+      - ``top_ngram_pm``: share (permille) of n-gram slots taken by the
+        single most frequent n-gram — crawler boilerplate and keyword
+        stuffing spike this;
+      - ``dup_ngram_pm``: share of n-gram slots whose gram occurs more
+        than once — long-range self-repetition;
+      - ``n_grams``: total n-gram slots (0 for docs shorter than n).
+
+    Shape: explode → two-level aggregate — one shuffle on (doc, gram),
+    one on doc. NOT per-row HOF counting, which is O(len²) per document
+    and melts on 100k-token docs; this stays linear and spillable at any
+    document length. Ties on the top gram break lexicographically (max
+    over (count, gram) structs) so results are engine-portable.
+    """
+    from zombi_spark.operators.dedup import with_shingles
+
+    grams = with_shingles(docs.select(id_col, text_col), n=n, text_col=text_col)
+    counts = (
+        grams.select(id_col, F.explode("shingles").alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("ct"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("ct").alias("n_grams"),
+        F.max(F.struct(F.col("ct"), F.col("gram"))).alias("_top"),
+        F.sum(F.when(F.col("ct") > 1, F.col("ct")).otherwise(0)).alias("_dup"),
+    )
+    out = per_doc.select(
+        id_col,
+        "n_grams",
+        F.col("_top.gram").alias("top_ngram"),
+        F.floor(F.lit(1000) * F.col("_top.ct") / F.col("n_grams")).cast("long").alias(
+            "top_ngram_pm"
+        ),
+        F.floor(F.lit(1000) * F.col("_dup") / F.col("n_grams")).cast("long").alias(
+            "dup_ngram_pm"
+        ),
+    )
+    # docs too short to form a single n-gram: keep them with zeros (a
+    # left join back to the corpus id set, not a silent drop)
+    return (
+        docs.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "top_ngram",
+            F.coalesce("top_ngram_pm", F.lit(0)).alias("top_ngram_pm"),
+            F.coalesce("dup_ngram_pm", F.lit(0)).alias("dup_ngram_pm"),
+        )
+    )
+
+
+def repetition_filter(
+    docs: DataFrame,
+    n: int = 2,
+    max_top_ngram_pm: int = 180,
+    max_dup_ngram_pm: int = 600,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus minus documents whose repetition signals exceed the
+    thresholds (defaults in the neighborhood of the published Gopher
+    cuts; tune per corpus). Anti-join on the flagged id set."""
+    feats = repetition_features(docs, n=n, text_col=text_col, id_col=id_col)
+    bad = feats.where(
+        (F.col("top_ngram_pm") > max_top_ngram_pm)
+        | (F.col("dup_ngram_pm") > max_dup_ngram_pm)
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Order-insensitive content fingerprint: XOR of distinct-token hashes
     combined with the token count — a rolling-hash-class signature that is
