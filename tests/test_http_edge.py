@@ -1,0 +1,155 @@
+"""HTTP ingest edge tests — the reference's gateway surface end-to-end
+over real HTTP: JSON + protobuf writes, bulk, validation 400s, admission
+503s, tail reads with projection + has_more, flush, health
+(integration_tests.rs:617-744, 1138-1199, 1262-1386 intent)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from zombi_spark.ingest.protobuf import encode_event
+from zombi_spark.streaming.http_edge import HttpIngestEdge
+from zombi_spark.streaming.ingest import StreamingIngest
+from zombi_spark.table.event_table import EventTable
+
+
+def _call(url, method="GET", body=None, headers=None):
+    req = urllib.request.Request(url, data=body, method=method, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+@pytest.fixture()
+def edge(spark, tmp_path):
+    ingests: dict[str, StreamingIngest] = {}
+
+    def resolver(name: str) -> StreamingIngest:
+        if name not in ingests:  # lazy create on first write (S1 contract)
+            table = EventTable(spark, str(tmp_path), name)
+            ingests[name] = StreamingIngest(
+                spark,
+                str(tmp_path / f"landing-{name}"),
+                table,
+                str(tmp_path / f"ckpt-{name}"),
+                landing_byte_budget=64 * 1024,
+            )
+        return ingests[name]
+
+    with HttpIngestEdge(resolver) as srv:
+        yield srv, ingests
+
+
+def test_single_write_flush_and_tail(edge):
+    srv, ingests = edge
+    base = srv.base_url
+
+    status, body = _call(
+        f"{base}/tables/events",
+        "POST",
+        json.dumps(
+            {"payload": '{"v":1}', "partition": 0, "timestamp_ms": 1704067200000}
+        ).encode(),
+    )
+    assert status == 202 and body["accepted"] and body["count"] == 1
+    # second write with defaulted timestamp (server time, F3)
+    status, _ = _call(
+        f"{base}/tables/events", "POST", json.dumps({"payload": '{"v":2}'}).encode()
+    )
+    assert status == 202
+
+    # hot rows visible over HTTP before any flush (L1 visibility)
+    status, got = _call(f"{base}/tables/events?limit=10&fields=payload,committed")
+    assert status == 200 and len(got["records"]) == 2
+    assert all(r["committed"] is False for r in got["records"])
+
+    status, body = _call(f"{base}/tables/events/flush", "POST", b"")
+    assert status == 200 and body["flushed"]
+    assert ingests["events"].table.read().count() == 2
+
+    status, got = _call(
+        f"{base}/tables/events?limit=10&fields=sequence,payload,timestamp_ms,committed"
+    )
+    assert status == 200 and got["has_more"] is False
+    assert all(r["committed"] is True for r in got["records"])
+    assert {r["payload"] for r in got["records"]} == {'{"v":1}', '{"v":2}'}
+    assert all(r["sequence"] is not None for r in got["records"])
+
+    # has_more via limit+1 probe
+    status, got = _call(f"{base}/tables/events?limit=1")
+    assert got["has_more"] is True and len(got["records"]) == 1
+    # default projection = {payload, timestamp_ms} (P2)
+    assert set(got["records"][0]) == {"payload", "timestamp_ms"}
+
+
+def test_bulk_and_protobuf_writes(edge):
+    srv, ingests = edge
+    base = srv.base_url
+
+    records = [
+        {"payload": f"p-{i}", "partition": i % 2, "timestamp_ms": 1704067200000 + i}
+        for i in range(6)
+    ]
+    status, body = _call(
+        f"{base}/tables/bulked/bulk", "POST", json.dumps({"records": records}).encode()
+    )
+    assert status == 202 and body["count"] == 6
+
+    # protobuf single write with X-Partition header (S2)
+    blob = encode_event(b'{"pb":1}', timestamp_ms=1704067200999, idempotency_key="k1")
+    status, _ = _call(
+        f"{base}/tables/bulked",
+        "POST",
+        blob,
+        headers={"Content-Type": "application/x-protobuf", "X-Partition": "1"},
+    )
+    assert status == 202
+
+    _call(f"{base}/tables/bulked/flush", "POST", b"")
+    rows = {r.payload.decode(): r for r in ingests["bulked"].table.read().collect()}
+    assert len(rows) == 7
+    assert rows['{"pb":1}'].partition == 1
+    assert rows['{"pb":1}'].idempotency_key == "k1"
+
+
+def test_validation_and_admission_status_codes(edge):
+    srv, _ = edge
+    base = srv.base_url
+
+    # invalid table name → 400 (P9)
+    status, body = _call(
+        f"{base}/tables/9bad%0Aname", "POST", json.dumps({"payload": "x"}).encode()
+    )
+    assert status == 400 and "invalid table name" in body["error"]["message"]
+    # malformed protobuf → 400 (the reference 400s decode errors)
+    status, body = _call(
+        f"{base}/tables/events",
+        "POST",
+        b"\x0a\xff",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    assert status == 400 and "protobuf" in body["error"]["message"]
+    # missing payload → 400
+    status, _ = _call(f"{base}/tables/events", "POST", json.dumps({"partition": 1}).encode())
+    assert status == 400
+    # unknown projection field → 400
+    status, body = _call(f"{base}/tables/events?fields=payload,nope")
+    assert status == 400 and "unknown fields" in body["error"]["message"]
+
+    # admission control: flood past the 64 KiB budget → 503 (T10)
+    big = json.dumps({"payload": "x" * 1024}).encode()
+    saw_503 = False
+    for _ in range(200):
+        status, body = _call(f"{base}/tables/flooded", "POST", big)
+        if status == 503:
+            saw_503 = True
+            break
+        assert status == 202
+    assert saw_503
+    # health reports the 503 state over HTTP
+    status, h = _call(f"{base}/tables/flooded/health")
+    assert status == 200 and h["admission"]["status"] == 503

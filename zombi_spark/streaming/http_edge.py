@@ -1,0 +1,283 @@
+"""HTTP ingest edge — the reference's write/read gateway as real HTTP.
+
+Routes (api/handlers.rs):
+
+  POST /tables/{t}        single event (S1 JSON / S2 protobuf via
+                          ``Content-Type: application/x-protobuf`` +
+                          ``X-Partition``) → 202; 400 invalid name/body;
+                          503 when admission control refuses (T10,
+                          handlers.rs:64-232)
+  POST /tables/{t}/bulk   S3 bulk write — JSON ``{"records": [...]}`` or
+                          protobuf ``BulkWriteRequest`` — one landing
+                          file per request (atomic: one file = one batch
+                          slice) → 202 with the record count
+  GET  /tables/{t}        S7 tail read: ``?since_ms=&limit=&partition=&
+                          fields=`` → newest-first rows + ``has_more``
+                          (limit+1 probe, handlers.rs:992-1001)
+  GET  /tables/{t}/health M6: live/ready + admission state
+  POST /tables/{t}/flush  M5 flush endpoint: drain the landing zone into
+                          the table (availableNow run, blocks)
+
+Deviation, documented: the reference acks with the assigned offset
+(sequence) because its memtable assigns synchronously; here the 202 acks
+DURABLE LANDING (tmp+rename into the landing zone) and sequences are
+assigned at micro-batch commit — the freshness contract of a micro-batch
+engine (SURVEY §7 "what's hard"). ``GET`` serves committed + hot rows
+through :meth:`StreamingIngest.tail`.
+
+stdlib ``ThreadingHTTPServer`` like the REST catalog (no web framework
+ships in this container); Spark is touched only by GET/flush — the write
+path is pure filesystem work and stays sub-millisecond.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import urllib.parse
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from zombi_spark.ingest.batch import validate_table_name
+from zombi_spark.ingest.protobuf import (
+    ProtoDecodeError,
+    decode_bulk_write_request,
+    decode_event,
+)
+from zombi_spark.streaming.ingest import AdmissionRejected, StreamingIngest
+
+# the reference's validated projection surface (handlers.rs:737-764)
+_KNOWN_FIELDS = (
+    "sequence",
+    "topic",
+    "partition",
+    "payload",
+    "timestamp_ms",
+    "idempotency_key",
+    "committed",
+)
+_DEFAULT_FIELDS = ("payload", "timestamp_ms")
+
+
+def _err(status: int, message: str) -> tuple[int, dict]:
+    return status, {"error": {"message": message, "code": status}}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "zombi-spark-edge/1.0"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, *args) -> None:  # quiet under pytest
+        pass
+
+    # ------------------------------------------------------------ plumbing
+    def _ingest(self, table: str) -> StreamingIngest:
+        return self.server.resolver(table)  # type: ignore[attr-defined]
+
+    def _send_json(self, obj, status: int = 200) -> None:
+        payload = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _route(self) -> tuple[list[str], dict]:
+        u = urllib.parse.urlparse(self.path)
+        parts = [urllib.parse.unquote(p) for p in u.path.rstrip("/").split("/") if p]
+        query = {k: v[0] for k, v in urllib.parse.parse_qs(u.query).items()}
+        return parts, query
+
+    def _body(self) -> bytes:
+        return self.rfile.read(int(self.headers.get("Content-Length", 0)))
+
+    def _is_proto(self) -> bool:
+        return self.headers.get("Content-Type", "").startswith("application/x-protobuf")
+
+    # ----------------------------------------------------------- write path
+    def _parse_single(self) -> dict:
+        """Request body → landing-zone event dict (defaults per
+        handlers.rs:467-536: server-time timestamp, partition from the
+        X-Partition header for protobuf)."""
+        now_ms = int(time.time() * 1000)
+        if self._is_proto():
+            ev = decode_event(self._body())  # ProtoDecodeError → 400
+            partition = int(self.headers.get("X-Partition", 0))
+            payload = ev["payload"]
+            ts = ev["timestamp_ms"] if ev["timestamp_ms"] is not None else now_ms
+            key = ev["idempotency_key"]
+        else:
+            body = json.loads(self._body() or b"{}")
+            if "payload" not in body:
+                raise ValueError("body must carry a 'payload' field")
+            partition = int(body.get("partition", 0))
+            payload = body["payload"]
+            ts = int(body.get("timestamp_ms", now_ms))
+            key = body.get("idempotency_key")
+        if isinstance(payload, bytes):
+            payload = payload.decode("utf-8", errors="replace")
+        return {
+            "partition": partition,
+            "payload": payload,
+            "timestamp_ms": ts,
+            "idempotency_key": key,
+        }
+
+    def _parse_bulk(self) -> list[dict]:
+        now_ms = int(time.time() * 1000)
+        if self._is_proto():
+            records = decode_bulk_write_request(self._body())
+            out = []
+            for r in records:
+                out.append(
+                    {
+                        "partition": r["partition"],
+                        "payload": r["payload"].decode("utf-8", errors="replace"),
+                        "timestamp_ms": r["timestamp_ms"] if r["timestamp_ms"] is not None else now_ms,
+                        "idempotency_key": r["idempotency_key"],
+                    }
+                )
+            return out
+        body = json.loads(self._body() or b"{}")
+        records = body.get("records")
+        if not isinstance(records, list) or not records:
+            raise ValueError("body must carry a non-empty 'records' array")
+        out = []
+        for r in records:
+            if "payload" not in r:
+                raise ValueError("every record needs a 'payload'")
+            out.append(
+                {
+                    "partition": int(r.get("partition", 0)),
+                    "payload": r["payload"],
+                    "timestamp_ms": int(r.get("timestamp_ms", now_ms)),
+                    "idempotency_key": r.get("idempotency_key"),
+                }
+            )
+        return out
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        parts, _q = self._route()
+        if len(parts) not in (2, 3) or parts[0] != "tables":
+            status, body = _err(404, "no such route")
+            self._send_json(body, status)
+            return
+        try:
+            table = validate_table_name(parts[1])
+        except ValueError as exc:
+            status, body = _err(400, str(exc))
+            self._send_json(body, status)
+            return
+        action = parts[2] if len(parts) == 3 else None
+        try:
+            ing = self._ingest(table)
+            if action is None or action == "bulk":
+                events = [self._parse_single()] if action is None else self._parse_bulk()
+                order_base = time.monotonic_ns()
+                for i, e in enumerate(events):
+                    e["topic"] = table
+                    e["ingest_order"] = order_base + i
+                landed = ing.produce(f"edge-{uuid.uuid4().hex}", events)
+                self._send_json(
+                    {"table": table, "count": len(events), "landed": landed, "accepted": True},
+                    202,
+                )
+            elif action == "flush":
+                q = ing.start(available_now=True)
+                q.awaitTermination(600)
+                self._send_json({"table": table, "flushed": True})
+            else:
+                status, body = _err(404, f"no such action {action}")
+                self._send_json(body, status)
+        except AdmissionRejected as exc:  # T10: the real 503
+            status, body = _err(503, str(exc))
+            self._send_json(body, status)
+        except ProtoDecodeError as exc:  # S2: malformed protobuf → 400
+            status, body = _err(400, f"protobuf decode: {exc}")
+            self._send_json(body, status)
+        except (ValueError, KeyError) as exc:
+            status, body = _err(400, str(exc))
+            self._send_json(body, status)
+
+    # ------------------------------------------------------------ read path
+    def do_GET(self) -> None:  # noqa: N802
+        parts, q = self._route()
+        if len(parts) < 2 or parts[0] != "tables":
+            status, body = _err(404, "no such route")
+            self._send_json(body, status)
+            return
+        try:
+            table = validate_table_name(parts[1])
+        except ValueError as exc:
+            status, body = _err(400, str(exc))
+            self._send_json(body, status)
+            return
+        ing = self._ingest(table)
+        if len(parts) == 3 and parts[2] == "health":
+            from zombi_spark.table.stats import health
+
+            self._send_json(health(ing.table, ingest=ing))
+            return
+        if len(parts) != 2:
+            status, body = _err(404, "no such route")
+            self._send_json(body, status)
+            return
+        try:
+            fields = tuple(q["fields"].split(",")) if "fields" in q else _DEFAULT_FIELDS
+            unknown = [f for f in fields if f not in _KNOWN_FIELDS]
+            if unknown:
+                raise ValueError(f"unknown fields: {unknown} (known: {list(_KNOWN_FIELDS)})")
+            limit = int(q.get("limit", 100))
+            since_ms = int(q["since_ms"]) if "since_ms" in q else None
+            partition = int(q["partition"]) if "partition" in q else None
+        except ValueError as exc:
+            status, body = _err(400, str(exc))
+            self._send_json(body, status)
+            return
+        # limit+1 probe for has_more (handlers.rs:992-1001)
+        rows = ing.tail(table, partition=partition, since_ms=since_ms, limit=limit + 1).collect()
+        has_more = len(rows) > limit
+        records = []
+        for r in rows[:limit]:
+            d = r.asDict()
+            if isinstance(d.get("payload"), (bytes, bytearray)):
+                d["payload"] = bytes(d["payload"]).decode("utf-8", errors="replace")
+            records.append({k: d.get(k) for k in fields})
+        self._send_json({"records": records, "has_more": has_more})
+
+
+class HttpIngestEdge:
+    """Daemon-threaded ingest edge. ``resolver(table_name)`` returns the
+    table's :class:`StreamingIngest` (creating it lazily on first write —
+    the reference creates tables lazily too, handlers.rs:1287)."""
+
+    def __init__(self, resolver, host: str = "127.0.0.1", port: int = 0):
+        self.resolver = resolver
+        self._host, self._port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    @property
+    def base_url(self) -> str:
+        assert self._httpd is not None, "server not started"
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "HttpIngestEdge":
+        self._httpd = ThreadingHTTPServer((self._host, self._port), _Handler)
+        self._httpd.resolver = self.resolver  # type: ignore[attr-defined]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+
+    def __enter__(self) -> "HttpIngestEdge":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
