@@ -153,3 +153,66 @@ def test_validation_and_admission_status_codes(edge):
     # health reports the 503 state over HTTP
     status, h = _call(f"{base}/tables/flooded/health")
     assert status == 200 and h["admission"]["status"] == 503
+
+
+def test_arrow_negotiation_metadata_watermark_compact(edge):
+    """S12 Arrow IPC via Accept negotiation (q-values, F9), M5 metadata +
+    watermark introspection, and M1 compaction over HTTP."""
+    import io
+
+    import pyarrow as pa
+
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(4):
+        _call(
+            f"{base}/tables/arrowed",
+            "POST",
+            json.dumps(
+                {"payload": f"p-{i}", "partition": 0, "timestamp_ms": 1704067200000 + i}
+            ).encode(),
+        )
+    _call(f"{base}/tables/arrowed/flush", "POST", b"")
+
+    # Arrow outranks JSON in the Accept header → IPC stream comes back
+    req = urllib.request.Request(
+        f"{base}/tables/arrowed?limit=3&fields=sequence,payload",
+        headers={"Accept": "application/vnd.apache.arrow.stream;q=0.9, application/json;q=0.5"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("application/vnd.apache.arrow.stream")
+        assert resp.headers["X-Has-More"] == "true"  # 4 rows, limit 3
+        tbl = pa.ipc.open_stream(io.BytesIO(resp.read())).read_all()
+    assert tbl.num_rows == 3 and set(tbl.column_names) == {"sequence", "payload"}
+
+    # JSON preferred (higher q) → JSON body
+    req = urllib.request.Request(
+        f"{base}/tables/arrowed?limit=3",
+        headers={"Accept": "application/json;q=1.0, application/vnd.apache.arrow.stream;q=0.2"},
+    )
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.headers["Content-Type"].startswith("application/json")
+
+    status, meta = _call(f"{base}/tables/arrowed/metadata")
+    assert status == 200
+    assert meta["table_metadata"]["partition_spec"] == ["event_date", "event_hour"]
+    assert len(meta["snapshots"]) == 1
+    assert meta["snapshots"][0]["operation"] == "append"
+
+    status, wm = _call(f"{base}/tables/arrowed/watermark")
+    assert status == 200 and wm["committed_watermarks"] == {"arrowed/0": 4}
+
+    # more appends create small files; compact over HTTP merges them
+    for i in range(4, 8):
+        _call(
+            f"{base}/tables/arrowed",
+            "POST",
+            json.dumps(
+                {"payload": f"p-{i}", "partition": 0, "timestamp_ms": 1704067200000 + i}
+            ).encode(),
+        )
+    _call(f"{base}/tables/arrowed/flush", "POST", b"")
+    status, result = _call(f"{base}/tables/arrowed/compact?min_input_files=2", "POST", b"")
+    assert status == 200 and result["files_rewritten"] >= 2
+    assert ingests["arrowed"].table.read().count() == 8

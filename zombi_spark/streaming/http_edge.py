@@ -64,6 +64,41 @@ def _err(status: int, message: str) -> tuple[int, dict]:
     return status, {"error": {"message": message, "code": status}}
 
 
+_ARROW_MEDIA = "application/vnd.apache.arrow.stream"
+
+
+def parse_accept(header: str) -> list[tuple[str, float]]:
+    """F9 media-type q-value parsing (handlers.rs:906-932): Accept header
+    → [(media_type, q)] sorted by descending q (ties keep header order).
+    Malformed q values default to 1.0, matching lenient servers."""
+    out = []
+    for i, part in enumerate(header.split(",")):
+        bits = [b.strip() for b in part.split(";")]
+        if not bits or not bits[0]:
+            continue
+        q = 1.0
+        for param in bits[1:]:
+            if param.startswith("q="):
+                try:
+                    q = float(param[2:])
+                except ValueError:
+                    q = 1.0
+        out.append((bits[0], q, i))
+    out.sort(key=lambda t: (-t[1], t[2]))
+    return [(m, q) for m, q, _i in out]
+
+
+def negotiate_format(accept_header: str) -> str:
+    """'arrow' when the Arrow stream media type outranks JSON in the
+    Accept header, else 'json' (S12 content negotiation)."""
+    for media, _q in parse_accept(accept_header or "*/*"):
+        if media == _ARROW_MEDIA:
+            return "arrow"
+        if media in ("application/json", "*/*", "application/*"):
+            return "json"
+    return "json"
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "zombi-spark-edge/1.0"
     protocol_version = "HTTP/1.1"
@@ -76,9 +111,11 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.resolver(table)  # type: ignore[attr-defined]
 
     def _send_json(self, obj, status: int = 200) -> None:
-        payload = json.dumps(obj).encode()
+        self._send_bytes(json.dumps(obj).encode(), "application/json", status)
+
+    def _send_bytes(self, payload: bytes, content_type: str, status: int = 200) -> None:
         self.send_response(status)
-        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(payload)))
         self.end_headers()
         self.wfile.write(payload)
@@ -187,6 +224,20 @@ class _Handler(BaseHTTPRequestHandler):
                 q = ing.start(available_now=True)
                 q.awaitTermination(600)
                 self._send_json({"table": table, "flushed": True})
+            elif action == "compact":
+                # M1 over HTTP (handlers.rs:1379-1408); min_input_files
+                # mirrors the reference's CompactionConfig knob
+                result = ing.table.compact(
+                    min_input_files=int(_q.get("min_input_files", 3))
+                )
+                self._send_json(
+                    {
+                        "table": table,
+                        "files_rewritten": result.get("files_rewritten", 0),
+                        "partitions": result.get("partitions", []),
+                        "version": result.get("version"),
+                    }
+                )
             else:
                 status, body = _err(404, f"no such action {action}")
                 self._send_json(body, status)
@@ -219,6 +270,31 @@ class _Handler(BaseHTTPRequestHandler):
 
             self._send_json(health(ing.table, ingest=ing))
             return
+        if len(parts) == 3 and parts[2] == "metadata":
+            # M5 introspection (handlers.rs:1236-1331): schema + snapshot
+            # history summaries, no data files touched
+            t = ing.table
+            snaps = [
+                {
+                    "version": s["version"],
+                    "snapshot_id": s["snapshot_id"],
+                    "operation": s.get("operation"),
+                    "committed_at_ms": s["committed_at_ms"],
+                    "added_files": len(s.get("added", [])),
+                    "removed_files": len(s.get("removed", [])),
+                }
+                for s in t.snapshots()
+            ]
+            self._send_json({"table_metadata": t.table_metadata(), "snapshots": snaps})
+            return
+        if len(parts) == 3 and parts[2] == "watermark":
+            # M5 watermark endpoint: committed (snapshot-summary) marks
+            wm = {
+                f"{topic}/{part}": seq
+                for (topic, part), seq in self._ingest(table).table.watermark_map().items()
+            }
+            self._send_json({"table": table, "committed_watermarks": wm})
+            return
         if len(parts) != 2:
             status, body = _err(404, "no such route")
             self._send_json(body, status)
@@ -236,7 +312,29 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(body, status)
             return
         # limit+1 probe for has_more (handlers.rs:992-1001)
-        rows = ing.tail(table, partition=partition, since_ms=since_ms, limit=limit + 1).collect()
+        tail_df = ing.tail(table, partition=partition, since_ms=since_ms, limit=limit + 1)
+        if negotiate_format(self.headers.get("Accept", "")) == "arrow":
+            # S12: Arrow IPC stream of the projected tail (the limit+1
+            # probe row is dropped; has_more travels as a header)
+            import io
+
+            import pyarrow as pa
+
+            tbl = tail_df.select(*fields).toArrow()
+            has_more = tbl.num_rows > limit
+            tbl = tbl.slice(0, limit)
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, tbl.schema) as writer:
+                writer.write_table(tbl)
+            self.send_response(200)
+            self.send_header("Content-Type", _ARROW_MEDIA)
+            self.send_header("X-Has-More", "true" if has_more else "false")
+            payload = sink.getvalue()
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+            return
+        rows = tail_df.collect()
         has_more = len(rows) > limit
         records = []
         for r in rows[:limit]:
