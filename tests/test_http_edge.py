@@ -216,3 +216,53 @@ def test_arrow_negotiation_metadata_watermark_compact(edge):
     status, result = _call(f"{base}/tables/arrowed/compact?min_input_files=2", "POST", b"")
     assert status == 200 and result["files_rewritten"] >= 2
     assert ingests["arrowed"].table.read().count() == 8
+
+
+def test_write_combiner_batches_and_fails_atomically(spark, tmp_path):
+    """S4 combiner semantics: concurrent submits land as ONE file, every
+    submitter acks after the batch is durable, and a failed flush
+    (admission reject) fails every submitter in the batch."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from zombi_spark.streaming.ingest import (
+        AdmissionRejected,
+        StreamingIngest,
+        WriteCombiner,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "combined")
+    ing = StreamingIngest(spark, landing, table, str(tmp_path / "ckpt"))
+    comb = WriteCombiner(ing, max_events=512, max_wait_ms=30.0)
+
+    def ev(i):
+        return {
+            "topic": "combined",
+            "partition": 0,
+            "payload": f"p-{i}",
+            "timestamp_ms": 1704067200000 + i,
+            "idempotency_key": None,
+            "ingest_order": i,
+        }
+
+    with ThreadPoolExecutor(16) as ex:
+        list(ex.map(lambda i: comb.submit(ev(i)), range(64)))
+    files = [f for f in os.listdir(landing) if f.endswith(".json")]
+    assert 1 <= len(files) <= 8  # 64 events in a handful of files, not 64
+    total = sum(1 for f in files for _l in open(os.path.join(landing, f)))
+    assert total == 64
+    comb.close()
+
+    # atomic failure: an over-budget ingest rejects the WHOLE batch
+    ing2 = StreamingIngest(
+        spark, str(tmp_path / "landing2"), table, str(tmp_path / "ckpt2"),
+        landing_byte_budget=1,
+    )
+    comb2 = WriteCombiner(ing2, max_wait_ms=10.0)
+    comb2.submit(ev(0))  # first batch admitted (semaphore last-permit)
+    import pytest
+
+    with pytest.raises(AdmissionRejected):
+        comb2.submit(ev(1))
+    comb2.close()

@@ -1,0 +1,133 @@
+"""HTTP-edge load scenarios — the reference's L5 ``zombi-load`` CLI
+analogue (tools/zombi_load.py scenarios single-write / bulk-write), run
+against :class:`~zombi_spark.streaming.http_edge.HttpIngestEdge`.
+
+Usage:
+    python tools/edge_load.py [--single N] [--bulk N --per P] [--conc C]
+
+Prints one JSON line per scenario:
+    {"scenario": "single_write", "req_s": ..., "events_s": ..., ...}
+
+Measured on this container (local[8] session alive, 32 CPUs):
+  single-write ~1.0-1.2k req/s (stdlib http.server is GIL-bound; the
+  reference's compiled axum edge does 13.6k — the documented gap),
+  bulk-write ~45k events/s at 100/batch, ~115-140k events/s at
+  1000-5000/batch — past the reference's PERF-2 gate (>100k bulk ev/s,
+  AB_PERFORMANCE_TESTING.md:646-647). The write combiner (S4) keeps
+  landing-file count at one per few ms regardless of request rate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import http.client
+import json
+import sys
+import tempfile
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+
+def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
+    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    from pyspark.sql import SparkSession
+
+    from zombi_spark.streaming.http_edge import HttpIngestEdge
+    from zombi_spark.streaming.ingest import StreamingIngest
+    from zombi_spark.table.event_table import EventTable
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    tmp = tempfile.mkdtemp(prefix="edge-load-")
+    ingests: dict[str, StreamingIngest] = {}
+
+    def resolver(name: str) -> StreamingIngest:
+        if name not in ingests:
+            ingests[name] = StreamingIngest(
+                spark, f"{tmp}/landing-{name}", EventTable(spark, tmp, name), f"{tmp}/ckpt-{name}"
+            )
+        return ingests[name]
+
+    local = threading.local()
+    results = []
+    with HttpIngestEdge(resolver) as srv:
+        host, port = srv._httpd.server_address[:2]
+
+        def post(path: str, body: bytes) -> int:
+            conn = getattr(local, "conn", None)
+            if conn is None:
+                conn = local.conn = http.client.HTTPConnection(host, port)
+            conn.request("POST", path, body)
+            r = conn.getresponse()
+            r.read()
+            return r.status
+
+        if single:
+            body = json.dumps({"payload": '{"k":1,"v":"load"}', "partition": 0}).encode()
+            for _ in range(min(100, single)):  # warm
+                post("/tables/single", body)
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(conc) as ex:
+                codes = list(ex.map(lambda _i: post("/tables/single", body), range(single)))
+            dt = time.perf_counter() - t0
+            results.append(
+                {
+                    "scenario": "single_write",
+                    "requests": single,
+                    "concurrency": conc,
+                    "req_s": round(single / dt, 1),
+                    "events_s": round(single / dt, 1),
+                    "acked": sum(1 for s in codes if s == 202),
+                }
+            )
+        if bulk:
+            body = json.dumps(
+                {
+                    "records": [
+                        {
+                            "payload": json.dumps({"k": i}),
+                            "partition": i % 8,
+                            "timestamp_ms": 1704067200000 + i,
+                        }
+                        for i in range(per)
+                    ]
+                }
+            ).encode()
+            post("/tables/bulked/bulk", body)  # warm
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(conc) as ex:
+                codes = list(
+                    ex.map(lambda _i: post("/tables/bulked/bulk", body), range(bulk))
+                )
+            dt = time.perf_counter() - t0
+            results.append(
+                {
+                    "scenario": "bulk_write",
+                    "requests": bulk,
+                    "events_per_request": per,
+                    "concurrency": conc,
+                    "req_s": round(bulk / dt, 1),
+                    "events_s": round(bulk * per / dt, 1),
+                    "acked": sum(1 for s in codes if s == 202),
+                }
+            )
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--single", type=int, default=4000)
+    ap.add_argument("--bulk", type=int, default=200)
+    ap.add_argument("--per", type=int, default=1000)
+    ap.add_argument("--conc", type=int, default=16)
+    args = ap.parse_args()
+    for row in run_scenarios(args.single, args.bulk, args.per, args.conc):
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

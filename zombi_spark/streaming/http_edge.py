@@ -45,7 +45,7 @@ from zombi_spark.ingest.protobuf import (
     decode_bulk_write_request,
     decode_event,
 )
-from zombi_spark.streaming.ingest import AdmissionRejected, StreamingIngest
+from zombi_spark.streaming.ingest import AdmissionRejected, StreamingIngest, WriteCombiner
 
 # the reference's validated projection surface (handlers.rs:737-764)
 _KNOWN_FIELDS = (
@@ -102,6 +102,11 @@ def negotiate_format(accept_header: str) -> str:
 class _Handler(BaseHTTPRequestHandler):
     server_version = "zombi-spark-edge/1.0"
     protocol_version = "HTTP/1.1"
+    # keep-alive + Nagle + tiny unbuffered writes = the classic 40 ms
+    # delayed-ACK stall (~25 req/s per connection); TCP_NODELAY plus a
+    # buffered writer sends each response as one segment
+    disable_nagle_algorithm = True
+    wbufsize = 64 * 1024
 
     def log_message(self, *args) -> None:  # quiet under pytest
         pass
@@ -109,6 +114,9 @@ class _Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------------ plumbing
     def _ingest(self, table: str) -> StreamingIngest:
         return self.server.resolver(table)  # type: ignore[attr-defined]
+
+    def _combiner(self, table: str) -> WriteCombiner | None:
+        return self.server.combiner_for(table)  # type: ignore[attr-defined]
 
     def _send_json(self, obj, status: int = 200) -> None:
         self._send_bytes(json.dumps(obj).encode(), "application/json", status)
@@ -215,7 +223,15 @@ class _Handler(BaseHTTPRequestHandler):
                 for i, e in enumerate(events):
                     e["topic"] = table
                     e["ingest_order"] = order_base + i
-                landed = ing.produce(f"edge-{uuid.uuid4().hex}", events)
+                combiner = self._combiner(table)
+                if action is None and combiner is not None:
+                    # S4 combined path: ack after the combined batch
+                    # lands (per-event oneshot semantics)
+                    combiner.submit(events[0])
+                    landed = None
+                else:
+                    # bulk requests are already a batch: land directly
+                    landed = ing.produce(f"edge-{uuid.uuid4().hex}", events)
                 self._send_json(
                     {"table": table, "count": len(events), "landed": landed, "accepted": True},
                     202,
@@ -348,13 +364,40 @@ class _Handler(BaseHTTPRequestHandler):
 class HttpIngestEdge:
     """Daemon-threaded ingest edge. ``resolver(table_name)`` returns the
     table's :class:`StreamingIngest` (creating it lazily on first write —
-    the reference creates tables lazily too, handlers.rs:1287)."""
+    the reference creates tables lazily too, handlers.rs:1287).
 
-    def __init__(self, resolver, host: str = "127.0.0.1", port: int = 0):
+    ``combine=True`` (default) routes single-event POSTs through a
+    per-table :class:`WriteCombiner` — one landing file per few
+    milliseconds instead of per request, acked after the batch lands
+    (S4, combiner.rs:98-225). Bulk requests always land directly."""
+
+    def __init__(
+        self,
+        resolver,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        combine: bool = True,
+        combine_max_events: int = 512,
+        combine_max_wait_ms: float = 4.0,
+    ):
         self.resolver = resolver
+        self.combine = combine
+        self._combine_args = (combine_max_events, combine_max_wait_ms)
+        self._combiners: dict[str, WriteCombiner] = {}
+        self._combiner_lock = threading.Lock()
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def combiner_for(self, table: str) -> WriteCombiner | None:
+        if not self.combine:
+            return None
+        with self._combiner_lock:
+            if table not in self._combiners:
+                self._combiners[table] = WriteCombiner(
+                    self.resolver(table), *self._combine_args
+                )
+            return self._combiners[table]
 
     @property
     def base_url(self) -> str:
@@ -365,6 +408,7 @@ class HttpIngestEdge:
     def start(self) -> "HttpIngestEdge":
         self._httpd = ThreadingHTTPServer((self._host, self._port), _Handler)
         self._httpd.resolver = self.resolver  # type: ignore[attr-defined]
+        self._httpd.combiner_for = self.combiner_for  # type: ignore[attr-defined]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
@@ -373,6 +417,10 @@ class HttpIngestEdge:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
+        with self._combiner_lock:
+            for c in self._combiners.values():
+                c.close()  # drain: in-flight batches land before exit (T11)
+            self._combiners.clear()
 
     def __enter__(self) -> "HttpIngestEdge":
         return self.start()

@@ -59,6 +59,92 @@ class AdmissionRejected(RuntimeError):
     (handlers.rs:64-232)."""
 
 
+class WriteCombiner:
+    """S4 write combiner, the real thing (combiner.rs:98-225): single
+    writes queue up and flush as ONE landing file when the batch reaches
+    ``max_events`` or ``max_wait_ms`` elapses, and every submitter is
+    acked only after its batch has durably landed (the reference's
+    per-event oneshot ack after the RocksDB WriteBatch). Turns
+    one-file-per-request into one file per few milliseconds — the
+    difference between ~500 and several thousand HTTP acks/s here, and
+    between 10⁶ landing files/hour and a few hundred at a real edge.
+
+    A failed flush (e.g. AdmissionRejected when the landing zone is over
+    budget) fails EVERY submitter in that batch — the whole batch is one
+    atomic landing file, so there is no partial-accept state to report.
+    """
+
+    class _Batch:
+        __slots__ = ("events", "done", "err")
+
+        def __init__(self):
+            import threading
+
+            self.events: list[dict] = []
+            self.done = threading.Event()
+            self.err: Exception | None = None
+
+    def __init__(
+        self,
+        ingest: "StreamingIngest",
+        max_events: int = 512,
+        max_wait_ms: float = 4.0,
+    ):
+        import threading
+
+        self.ingest = ingest
+        self.max_events = max_events
+        self.max_wait = max_wait_ms / 1000.0
+        self._cv = threading.Condition()
+        self._batch = self._Batch()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, event: dict) -> None:
+        """Enqueue one event; returns once its batch has landed (or
+        raises the batch's failure)."""
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("combiner is closed")
+            batch = self._batch
+            batch.events.append(event)
+            self._cv.notify_all()
+        batch.done.wait()
+        if batch.err is not None:
+            raise batch.err
+
+    def _run(self) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        while True:
+            with self._cv:
+                while not self._batch.events and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._batch.events:
+                    return
+                # linger for up to max_wait to fill the batch
+                deadline = _time.monotonic() + self.max_wait
+                while len(self._batch.events) < self.max_events:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch, self._batch = self._batch, self._Batch()
+            try:
+                self.ingest.produce(f"combined-{_uuid.uuid4().hex}", batch.events)
+            except Exception as exc:  # the whole batch shares one fate
+                batch.err = exc
+            batch.done.set()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
+
+
 class StreamingIngest:
     """File-landing-zone streaming source → EventTable sink.
 
