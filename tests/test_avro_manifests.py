@@ -421,3 +421,34 @@ def test_rewrite_manifests_merges_list_without_touching_data(spark, tmp_path):
     )
     assert len(MF.read_manifest_list(cur3["manifest-list"])) == 2
     assert read_via_iceberg_metadata(spark, t.path).count() == 20
+
+
+def test_manifest_carry_forward_across_rebase_boundary(spark, tmp_path):
+    """The engine's snapshot log materializes a full file list every
+    _REBASE_EVERY commits; the Avro manifest chain must keep
+    carrying forward through that boundary without duplicating or losing
+    files (rebase snapshots carry BOTH 'files' and 'added')."""
+    from zombi_spark.table import event_table as ET
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    orig = ET._REBASE_EVERY
+    ET._REBASE_EVERY = 4  # cross several rebase points cheaply
+    try:
+        t = EventTable(spark, str(tmp_path), "events")
+        n_commits = 10
+        for s in range(n_commits):
+            t.append(
+                prepare_events(_batch(spark, s * 2, 2), existing=t.read() if s else None)
+            )
+        meta = _current_meta(t)
+        cur = next(
+            s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        # one manifest per append, carried forward through every rebase
+        assert len(MF.read_manifest_list(cur["manifest-list"])) == n_commits
+        live = [df["file_path"] for df in MF.live_data_files(cur["manifest-list"])]
+        assert len(live) == len(set(live))  # no duplicates
+        assert set(live) == {os.path.abspath(e["file_path"]) for e in t.scan_files()}
+        assert read_via_iceberg_metadata(spark, t.path).count() == n_commits * 2
+    finally:
+        ET._REBASE_EVERY = orig

@@ -54,6 +54,7 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
 
     local = threading.local()
     results = []
+    warm_events = 0
     with HttpIngestEdge(resolver) as srv:
         host, port = srv._httpd.server_address[:2]
 
@@ -68,8 +69,10 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
 
         if single:
             body = json.dumps({"payload": '{"k":1,"v":"load"}', "partition": 0}).encode()
-            for _ in range(min(100, single)):  # warm
+            n_warm = min(100, single)
+            for _ in range(n_warm):  # warm
                 post("/tables/single", body)
+            warm_events += n_warm
             t0 = time.perf_counter()
             with ThreadPoolExecutor(conc) as ex:
                 codes = list(ex.map(lambda _i: post("/tables/single", body), range(single)))
@@ -98,6 +101,7 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
                 }
             ).encode()
             post("/tables/bulked/bulk", body)  # warm
+            warm_events += per
             t0 = time.perf_counter()
             with ThreadPoolExecutor(conc) as ex:
                 codes = list(
@@ -113,6 +117,43 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
                     "req_s": round(bulk / dt, 1),
                     "events_s": round(bulk * per / dt, 1),
                     "acked": sum(1 for s in codes if s == 202),
+                }
+            )
+
+        # consistency scenario (the reference's L5 `consistency` re-check
+        # of INV-2/INV-3: everything acked is durable, exactly once, in
+        # per-partition sequence order) — flush over HTTP, read back
+        acked = warm_events + sum(
+            r.get("acked", 0) * r.get("events_per_request", 1) for r in results
+        )
+        if acked:
+            t0 = time.perf_counter()
+            for tbl in ("single",) * bool(single) + ("bulked",) * bool(bulk):
+                post(f"/tables/{tbl}/flush", b"")
+            flush_s = time.perf_counter() - t0
+            committed = sum(
+                ingests[tbl].table.read().count()
+                for tbl in set(("single",) * bool(single) + ("bulked",) * bool(bulk))
+            )
+            gapless = True
+            for tbl in set(("single",) * bool(single) + ("bulked",) * bool(bulk)):
+                from pyspark.sql import functions as F
+
+                df = ingests[tbl].table.read().groupBy("partition").agg(
+                    F.count("*").alias("n"), F.max("sequence").alias("hwm"),
+                    F.countDistinct("sequence").alias("d"),
+                )
+                for row in df.collect():
+                    if not (row.n == row.d == row.hwm):
+                        gapless = False
+            results.append(
+                {
+                    "scenario": "consistency",
+                    "acked_events": acked,
+                    "committed_rows": committed,
+                    "all_acked_durable": committed == acked,
+                    "sequences_gapless": gapless,
+                    "flush_s": round(flush_s, 2),
                 }
             )
     return results
