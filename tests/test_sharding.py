@@ -70,3 +70,48 @@ def test_shards_balanced_and_byte_stable(spark, tmp_path):
     # every row lands in exactly one shard
     total = spark.read.parquet(str(tmp_path / "e1")).count()
     assert total == docs.count()
+
+
+def test_pack_sequences_respects_budget_and_determinism(spark):
+    """Sequence packing: no pack exceeds the token budget (except a
+    single over-budget doc, which gets its own pack, never dropped or
+    split), packs are contiguous by position, and the assignment is
+    byte-stable across reruns and row orderings."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators.sharding import pack_sequences
+
+    rows = [(i, 100 + (i * 37) % 400) for i in range(500)] + [(9999, 5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = pack_sequences(docs, budget_tokens=1024, n_bins=8)
+    pdf = packed.toPandas().sort_values(["pack_id", "pack_pos"]).reset_index(drop=True)
+    assert len(pdf) == 501  # every doc packed exactly once
+
+    per_pack = pdf.groupby("pack_id").agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "size"), maxtok=("n_tokens", "max")
+    )
+    # budget respected unless the pack is a single over-budget doc
+    viol = per_pack[(per_pack.total > 1024) & (per_pack.n > 1)]
+    assert viol.empty, viol
+    over = pdf[pdf.doc_id == 9999]
+    assert len(over) == 1
+    assert int(per_pack.loc[int(over.pack_id.iloc[0])].n) == 1  # own pack
+
+    # positions are 0..n-1 within each pack
+    for _pid, grp in pdf.groupby("pack_id"):
+        assert sorted(grp.pack_pos) == list(range(len(grp)))
+
+    # packing efficiency: most packs land reasonably full
+    multi = per_pack[per_pack.n > 1]
+    assert (multi.total >= 512).mean() > 0.9
+
+    # determinism under re-run AND input reordering
+    again = (
+        pack_sequences(docs.orderBy(F.rand(42)), budget_tokens=1024, n_bins=8)
+        .toPandas()
+        .sort_values(["pack_id", "pack_pos"])
+        .reset_index(drop=True)
+    )
+    assert (pdf[["doc_id", "pack_id", "pack_pos"]].values == again[
+        ["doc_id", "pack_id", "pack_pos"]
+    ].values).all()

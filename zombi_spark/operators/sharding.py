@@ -61,6 +61,77 @@ def shard_id(id_col: Column, n_shards: int, seed: int = 11) -> Column:
     ).cast("int")
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_bins: int = 256,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    seed: int = 13,
+) -> DataFrame:
+    """Sequence packing: group documents into training sequences of at
+    most ``budget_tokens`` tokens each (the packing step before
+    tokenizer sharding — fixed-length training batches want documents
+    concatenated up to a context budget, not one sequence per doc).
+
+    Deterministic next-fit within hash bins: each doc hashes to one of
+    ``n_bins`` bins (uniform in the id, RNG-free); within a bin, docs
+    are ordered by id and packed greedily — a doc opens a new pack when
+    adding it would cross the budget. Output adds ``pack_bin``,
+    ``pack_id`` (unique per (bin, pack)), ``pack_pos`` (0-based order
+    inside the pack).
+
+    Shape: ONE shuffle on the bin id, then a per-bin window (cumulative
+    sum + the recursive pack boundary computed per partition). Next-fit
+    within a bin wastes at most one doc's tokens per boundary versus
+    global first-fit-decreasing, but it is order-stable, rerun-stable,
+    and embarrassingly parallel — the property that matters at 10⁹ docs.
+    Docs longer than the budget get a pack of their own (never dropped,
+    never split — truncation is the tokenizer's decision, not the
+    packer's).
+
+    Window-function note: the pack boundary is inherently sequential
+    within a bin (whether doc i opens a pack depends on every prior
+    boundary), which a plain cumsum can't express; the per-bin pass runs
+    in applyInPandas with plain integer arithmetic — bins bound the
+    state, Arrow bounds the transfer, and n_bins controls parallelism.
+    """
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    bin_col = F.pmod(
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":pack:{seed}"))),
+        F.lit(n_bins),
+    ).cast("int")
+    binned = df.withColumn("pack_bin", bin_col)
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in binned.schema.fields]
+        + ["pack_id long", "pack_pos int"]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_id = int(pdf["pack_bin"].iloc[0]) if len(pdf) else 0
+        pack_ids, pack_pos = [], []
+        pack_no, acc, pos = 0, 0, 0
+        for tokens in pdf[token_col]:
+            t = int(tokens)
+            if acc > 0 and acc + t > budget_tokens:
+                pack_no += 1
+                acc, pos = 0, 0
+            acc += t
+            pack_ids.append(bin_id * 1_000_000_000 + pack_no)
+            pack_pos.append(pos)
+            pos += 1
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_pos"] = pd.Series(pack_pos, dtype="int32")
+        return pdf
+
+    return binned.groupBy("pack_bin").applyInPandas(_pack, out_schema)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
