@@ -452,3 +452,39 @@ def test_manifest_carry_forward_across_rebase_boundary(spark, tmp_path):
         assert read_via_iceberg_metadata(spark, t.path).count() == n_commits * 2
     finally:
         ET._REBASE_EVERY = orig
+
+
+def test_avro_reader_rejects_corrupt_containers(tmp_path):
+    """The decoder fails loudly, never silently, on damaged inputs:
+    wrong magic, truncated data, flipped sync marker, unknown codec."""
+    import pytest
+
+    schema = {"type": "record", "name": "t", "fields": [{"name": "x", "type": "long"}]}
+    path = str(tmp_path / "good.avro")
+    avro_io.write_container(path, schema, [{"x": i} for i in range(10)])
+    raw = open(path, "rb").read()
+
+    bad_magic = str(tmp_path / "magic.avro")
+    open(bad_magic, "wb").write(b"Nope" + raw[4:])
+    with pytest.raises(ValueError, match="not an Avro container"):
+        avro_io.read_container(bad_magic)
+
+    truncated = str(tmp_path / "trunc.avro")
+    open(truncated, "wb").write(raw[:-7])
+    with pytest.raises((EOFError, ValueError)):
+        avro_io.read_container(truncated)
+
+    flipped = str(tmp_path / "sync.avro")
+    broken = bytearray(raw)
+    broken[-1] ^= 0xFF  # last byte of the trailing sync marker
+    open(flipped, "wb").write(bytes(broken))
+    with pytest.raises(ValueError, match="sync marker"):
+        avro_io.read_container(flipped)
+
+    # unsupported codec is refused, not mis-decoded
+    deflated = str(tmp_path / "deflate.avro")
+    avro_io.write_container(deflated, schema, [])
+    raw2 = open(deflated, "rb").read().replace(b"null", b"defl", 1)
+    open(deflated, "wb").write(raw2)
+    with pytest.raises(ValueError, match="codec"):
+        avro_io.read_container(deflated)

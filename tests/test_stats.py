@@ -130,3 +130,26 @@ def test_prometheus_exposition(spark, tmp_path):
             name_labels, value = line.rsplit(" ", 1)
             float(value)
             assert "{" in name_labels and name_labels.endswith("}")
+
+
+def test_prometheus_admission_gauges(spark, tmp_path):
+    """T10 admission state exported in the /metrics exposition."""
+    from zombi_spark.streaming.ingest import StreamingIngest
+    from zombi_spark.table.stats import prometheus_ingest_text
+
+    table = EventTable(spark, str(tmp_path), "metered")
+    ing = StreamingIngest(
+        spark, str(tmp_path / "landing"), table, str(tmp_path / "ckpt"),
+        landing_byte_budget=256,
+    )
+    text = prometheus_ingest_text([ing])
+    assert 'zombi_landing_backlog_bytes{table="metered"} 0' in text
+    assert 'zombi_landing_budget_bytes{table="metered"} 256' in text
+    assert 'zombi_landing_accepting{table="metered"} 1' in text
+    # push past the budget: backlog shows, accepting flips to 0
+    ing.produce("b0", [
+        {"topic": "metered", "partition": 0, "payload": "x" * 300,
+         "timestamp_ms": 1, "idempotency_key": None, "ingest_order": 0}
+    ])
+    text = prometheus_ingest_text([ing])
+    assert 'zombi_landing_accepting{table="metered"} 0' in text

@@ -273,3 +273,41 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
         im_rows,
     )
     return "\n".join(out) + "\n"
+
+
+def prometheus_ingest_text(ingests: list) -> str:
+    """T10 admission gauges per ingest edge — backlog, budget, and the
+    200/503 accepting flag — appended to the /metrics exposition (the
+    reference's edge exports its permit counters the same way)."""
+    out: list[str] = []
+
+    def gauge(name: str, help_: str, rows: list[tuple[str, float]]) -> None:
+        if not rows:
+            return
+        out.append(f"# HELP {name} {help_}")
+        out.append(f"# TYPE {name} gauge")
+        out.extend(f"{name}{labels} {value}" for labels, value in rows)
+
+    states = [(ing, ing.admission_status()) for ing in ingests]
+    gauge(
+        "zombi_landing_backlog_bytes",
+        "Un-ingested landing-zone bytes behind the checkpoint",
+        [(f'{{table="{ing.table.name}"}}', st["backlog_bytes"]) for ing, st in states],
+    )
+    gauge(
+        "zombi_landing_budget_bytes",
+        "Admission-control byte budget (0 = unbounded)",
+        [
+            (f'{{table="{ing.table.name}"}}', st["budget_bytes"] or 0)
+            for ing, st in states
+        ],
+    )
+    gauge(
+        "zombi_landing_accepting",
+        "1 when produce() is admitted, 0 when the edge would 503",
+        [
+            (f'{{table="{ing.table.name}"}}', 1 if st["accepting"] else 0)
+            for ing, st in states
+        ],
+    )
+    return "\n".join(out) + "\n" if out else ""
