@@ -488,3 +488,41 @@ def test_avro_reader_rejects_corrupt_containers(tmp_path):
     open(deflated, "wb").write(raw2)
     with pytest.raises(ValueError, match="codec"):
         avro_io.read_container(deflated)
+
+
+def test_metadata_versions_stay_monotonic_across_rewrites(spark, tmp_path):
+    """Metadata file numbering is monotonic in the version-hint, never
+    derived from snapshot versions: a commit AFTER rewrite actions
+    (rewrite_manifests / expire) must mint a fresh higher-numbered file
+    — never overwrite a committed one or regress the hint — and the
+    newest snapshot must be visible through the hint-resolved chain."""
+    import json as _json
+
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(3):
+        t.append(prepare_events(_batch(spark, s * 3, 3), existing=t.read() if s else None))
+    mdir = os.path.join(t.path, "metadata")
+
+    def hint():
+        return int(open(os.path.join(mdir, "version-hint.text")).read())
+
+    h0 = hint()
+    t.rewrite_manifests()
+    t.rewrite_manifests()
+    h1 = hint()
+    assert h1 == h0 + 2  # each rewrite minted a new metadata version
+    frozen = open(os.path.join(mdir, f"v{h1}.metadata.json")).read()
+
+    t.append(prepare_events(_batch(spark, 9, 3), existing=t.read()))
+    h2 = hint()
+    assert h2 == h1 + 1  # commit continued FROM the hint (no regression)
+    # the pre-commit metadata file was not overwritten in place
+    assert open(os.path.join(mdir, f"v{h1}.metadata.json")).read() == frozen
+    meta = _json.load(open(os.path.join(mdir, f"v{h2}.metadata.json")))
+    assert len(meta["snapshots"]) == 4
+    assert read_via_iceberg_metadata(spark, t.path).count() == 12
+    # the superseded file is recorded in the metadata-log chain
+    logged = {e["metadata-file"] for e in meta["metadata-log"]}
+    assert os.path.abspath(os.path.join(mdir, f"v{h1}.metadata.json")) in logged

@@ -28,8 +28,11 @@ def _call(url, method="GET", body=None, headers=None):
 def edge(spark, tmp_path):
     ingests: dict[str, StreamingIngest] = {}
 
-    def resolver(name: str) -> StreamingIngest:
-        if name not in ingests:  # lazy create on first write (S1 contract)
+    def resolver(name: str, create: bool) -> StreamingIngest:
+        if name not in ingests:
+            if not create:  # reads on unknown tables must 404
+                raise KeyError(name)
+            # lazy create on first write (S1 contract)
             table = EventTable(spark, str(tmp_path), name)
             ingests[name] = StreamingIngest(
                 spark,
@@ -266,3 +269,28 @@ def test_write_combiner_batches_and_fails_atomically(spark, tmp_path):
     with pytest.raises(AdmissionRejected):
         comb2.submit(ev(1))
     comb2.close()
+
+
+def test_reads_on_unknown_tables_404_and_scalar_bodies_400(edge):
+    """Read-only traffic never fabricates table state (GET/flush/compact
+    on an unknown table → 404), and degenerate JSON bodies (scalars)
+    return 400 instead of dropping the connection."""
+    srv, ingests = edge
+    base = srv.base_url
+    for path, method in (
+        ("/tables/ghost", "GET"),
+        ("/tables/ghost/health", "GET"),
+        ("/tables/ghost/metadata", "GET"),
+        ("/tables/ghost/flush", "POST"),
+        ("/tables/ghost/compact", "POST"),
+    ):
+        status, body = _call(f"{base}{path}", method, b"" if method == "POST" else None)
+        assert status == 404, (path, status)
+    assert "ghost" not in ingests  # nothing was created
+
+    status, _ = _call(f"{base}/tables/events", "POST", b"42")
+    assert status == 400
+    status, _ = _call(f"{base}/tables/events/bulk", "POST", b'{"records": [1, 2]}')
+    assert status == 400
+    status, _ = _call(f"{base}/tables/events/bulk", "POST", b'[{"payload": "x"}]')
+    assert status == 400

@@ -45,8 +45,10 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
     tmp = tempfile.mkdtemp(prefix="edge-load-")
     ingests: dict[str, StreamingIngest] = {}
 
-    def resolver(name: str) -> StreamingIngest:
+    def resolver(name: str, create: bool = True) -> StreamingIngest:
         if name not in ingests:
+            if not create:
+                raise KeyError(name)
             ingests[name] = StreamingIngest(
                 spark, f"{tmp}/landing-{name}", EventTable(spark, tmp, name), f"{tmp}/ckpt-{name}"
             )

@@ -163,13 +163,19 @@ def extract_payload(events: DataFrame, config: TableSchemaConfig) -> DataFrame:
         overflow_json = _overflow_column_nested(events, config)
     else:
         # flat-only fast path: drop extracted top-level keys from the
-        # shared parsed map — pure Column program, zero Python
+        # shared parsed map — pure Column program, zero Python. A
+        # payload that does not parse as a JSON object (array, scalar,
+        # malformed → NULL map) passes through WHOLE, the same
+        # everything-is-overflow rule as the nested path and the
+        # reference (payload_extractor.rs:88-90)
         flat_keys = [f.json_path for f in config.fields]
         pruned = F.map_filter(top_map_shared, lambda k, _v: ~k.isin(flat_keys))
-        overflow_json = F.when(
-            top_map_shared.isNull() | (F.size(F.map_keys(pruned)) == 0),
-            F.lit(None).cast("string"),
-        ).otherwise(F.to_json(pruned))
+        overflow_json = (
+            F.when(payload_str.isNull(), F.lit(None).cast("string"))
+            .when(top_map_shared.isNull(), payload_str)
+            .when(F.size(F.map_keys(pruned)) == 0, F.lit(None).cast("string"))
+            .otherwise(F.to_json(pruned))
+        )
 
     system_cols = [c for c in events.columns if c != "payload"]
     return events.select(

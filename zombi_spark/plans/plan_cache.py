@@ -3,10 +3,17 @@
 Memoized DataFrames (lazy plans, persisted shared stages) are only valid
 for the SparkSession that built them. Keying a module-level dict by
 ``id(spark)`` is unsafe: CPython reuses ids after garbage collection, so
-a new session could be served a plan bound to a dead one — and dead
-sessions' entries would never be evicted. A ``WeakKeyDictionary`` keyed
-on the live session object fixes both: identity can't be confused with a
-new session, and a collected session drops its whole cache with it.
+a new session could be served a plan bound to a dead one. A
+``WeakKeyDictionary`` keyed on the live session object fixes the
+identity half outright.
+
+Eviction needs one more step: cached DataFrames strongly reference
+their session, and a WeakKeyDictionary holds its VALUES strongly — the
+value would pin its own key forever (the documented WeakKeyDictionary
+caveat). So every lookup also purges entries whose session has been
+STOPPED (``sparkContext._jsc is None``): a stopped session's plans are
+unusable anyway, and dropping them releases the session object for
+collection.
 """
 
 from __future__ import annotations
@@ -16,9 +23,18 @@ import weakref
 _SESSION_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def _is_stopped(session) -> bool:
+    try:
+        return session.sparkContext._jsc is None
+    except Exception:
+        return False  # not a real session (tests) or state unknown: keep
+
+
 def session_cache(spark, namespace: str) -> dict:
     """The mutable cache dict for (``spark``, ``namespace``) — created on
-    first use, garbage-collected with the session."""
+    first use, dropped once the session is stopped or collected."""
+    for dead in [k for k in list(_SESSION_CACHES) if _is_stopped(k)]:
+        del _SESSION_CACHES[dead]
     per_session = _SESSION_CACHES.get(spark)
     if per_session is None:
         per_session = {}

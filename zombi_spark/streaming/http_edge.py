@@ -112,8 +112,12 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     # ------------------------------------------------------------ plumbing
-    def _ingest(self, table: str) -> StreamingIngest:
-        return self.server.resolver(table)  # type: ignore[attr-defined]
+    def _ingest(self, table: str, create: bool = True) -> StreamingIngest:
+        """Resolve the table's ingest. Writes create lazily (the S1
+        contract, handlers.rs:1287); READS must not fabricate state —
+        the resolver raises KeyError for unknown tables when
+        ``create=False`` and the caller 404s."""
+        return self.server.resolver(table, create)  # type: ignore[attr-defined]
 
     def _combiner(self, table: str) -> WriteCombiner | None:
         return self.server.combiner_for(table)  # type: ignore[attr-defined]
@@ -154,8 +158,8 @@ class _Handler(BaseHTTPRequestHandler):
             key = ev["idempotency_key"]
         else:
             body = json.loads(self._body() or b"{}")
-            if "payload" not in body:
-                raise ValueError("body must carry a 'payload' field")
+            if not isinstance(body, dict) or "payload" not in body:
+                raise ValueError("body must be a JSON object with a 'payload' field")
             partition = int(body.get("partition", 0))
             payload = body["payload"]
             ts = int(body.get("timestamp_ms", now_ms))
@@ -185,13 +189,13 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             return out
         body = json.loads(self._body() or b"{}")
-        records = body.get("records")
+        records = body.get("records") if isinstance(body, dict) else None
         if not isinstance(records, list) or not records:
             raise ValueError("body must carry a non-empty 'records' array")
         out = []
         for r in records:
-            if "payload" not in r:
-                raise ValueError("every record needs a 'payload'")
+            if not isinstance(r, dict) or "payload" not in r:
+                raise ValueError("every record must be an object with a 'payload'")
             out.append(
                 {
                     "partition": int(r.get("partition", 0)),
@@ -215,8 +219,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(body, status)
             return
         action = parts[2] if len(parts) == 3 else None
+        # writes create lazily; maintenance actions on unknown tables 404
         try:
-            ing = self._ingest(table)
+            ing = self._ingest(table, create=action in (None, "bulk"))
+        except KeyError:
+            status, body = _err(404, f"table {table} not found")
+            self._send_json(body, status)
+            return
+        try:
             if action is None or action == "bulk":
                 events = [self._parse_single()] if action is None else self._parse_bulk()
                 order_base = time.monotonic_ns()
@@ -263,7 +273,7 @@ class _Handler(BaseHTTPRequestHandler):
         except ProtoDecodeError as exc:  # S2: malformed protobuf → 400
             status, body = _err(400, f"protobuf decode: {exc}")
             self._send_json(body, status)
-        except (ValueError, KeyError) as exc:
+        except (ValueError, KeyError, TypeError) as exc:
             status, body = _err(400, str(exc))
             self._send_json(body, status)
 
@@ -280,7 +290,12 @@ class _Handler(BaseHTTPRequestHandler):
             status, body = _err(400, str(exc))
             self._send_json(body, status)
             return
-        ing = self._ingest(table)
+        try:
+            ing = self._ingest(table, create=False)
+        except KeyError:
+            status, body = _err(404, f"table {table} not found")
+            self._send_json(body, status)
+            return
         if len(parts) == 3 and parts[2] == "health":
             from zombi_spark.table.stats import health
 
@@ -307,7 +322,7 @@ class _Handler(BaseHTTPRequestHandler):
             # M5 watermark endpoint: committed (snapshot-summary) marks
             wm = {
                 f"{topic}/{part}": seq
-                for (topic, part), seq in self._ingest(table).table.watermark_map().items()
+                for (topic, part), seq in ing.table.watermark_map().items()
             }
             self._send_json({"table": table, "committed_watermarks": wm})
             return
@@ -362,9 +377,12 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class HttpIngestEdge:
-    """Daemon-threaded ingest edge. ``resolver(table_name)`` returns the
-    table's :class:`StreamingIngest` (creating it lazily on first write —
-    the reference creates tables lazily too, handlers.rs:1287).
+    """Daemon-threaded ingest edge. ``resolver(table_name, create)``
+    returns the table's :class:`StreamingIngest` — creating it lazily
+    only when ``create`` is True (first WRITE, the reference's lazy
+    table creation, handlers.rs:1287) and raising ``KeyError`` for an
+    unknown table when ``create`` is False (reads/maintenance → 404, so
+    read-only traffic can never fabricate per-table state).
 
     ``combine=True`` (default) routes single-event POSTs through a
     per-table :class:`WriteCombiner` — one landing file per few
@@ -395,7 +413,7 @@ class HttpIngestEdge:
         with self._combiner_lock:
             if table not in self._combiners:
                 self._combiners[table] = WriteCombiner(
-                    self.resolver(table), *self._combine_args
+                    self.resolver(table, True), *self._combine_args
                 )
             return self._combiners[table]
 

@@ -196,6 +196,51 @@ def _fresh_metadata(table_path: str, table_name: str, spark_schema=None) -> dict
     }
 
 
+def _current_hint(mdir: str) -> int:
+    hint_path = os.path.join(mdir, "version-hint.text")
+    if not os.path.isfile(hint_path):
+        return 0
+    with open(hint_path) as fh:
+        return int(fh.read().strip())
+
+
+def _write_next_metadata(mdir: str, meta: dict) -> str:
+    """Write ``meta`` as ``v{hint+1}.metadata.json`` and advance the
+    hint. Metadata files are immutable, so numbering is monotonic in the
+    HINT — never derived from snapshot versions, which would collide
+    with the extra metadata versions the rewrite paths (expire,
+    rewrite_manifests) mint and overwrite committed files in place."""
+    cur = _current_hint(mdir)
+    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
+    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
+    os.replace(tmp, out)
+    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(cur + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    return out
+
+
+def _append_metadata_log(mdir: str, meta: dict) -> None:
+    """Record the file being superseded in the metadata-log (capped),
+    so the previous-metadata chain survives every writer — commits AND
+    rewrites."""
+    cur = _current_hint(mdir)
+    prev = os.path.join(mdir, f"v{cur}.metadata.json")
+    if os.path.isfile(prev):
+        meta["metadata-log"] = (
+            meta.get("metadata-log", [])
+            + [
+                {
+                    "timestamp-ms": meta.get("last-updated-ms", 0),
+                    "metadata-file": os.path.abspath(prev),
+                }
+            ]
+        )[-100:]
+
+
 def _field_ids(meta: dict) -> dict[str, int]:
     schema = meta["schemas"][meta["current-schema-id"]]
     return {f["name"]: f["id"] for f in schema["fields"]}
@@ -371,18 +416,7 @@ def write_metadata_for_commit(
     if meta["current-snapshot-id"] != -1 and parent_hex is not None:
         ice_snap["parent-snapshot-id"] = snapshot_id_long(parent_hex)
 
-    prev_file = f"v{version}.metadata.json"  # metadata files are 1-based: v{N}=after snap N-1
-    if os.path.isfile(os.path.join(mdir, prev_file)):
-        meta["metadata-log"] = (
-            meta.get("metadata-log", [])
-            + [
-                {
-                    "timestamp-ms": meta["last-updated-ms"],
-                    "metadata-file": os.path.abspath(os.path.join(mdir, prev_file)),
-                }
-            ]
-        )[-100:]
-
+    _append_metadata_log(mdir, meta)
     meta["snapshots"].append(ice_snap)
     meta["snapshot-log"] = (
         meta.get("snapshot-log", [])
@@ -391,17 +425,7 @@ def write_metadata_for_commit(
     meta["current-snapshot-id"] = sid
     meta["last-sequence-number"] = version + 1
     meta["last-updated-ms"] = snap["committed_at_ms"]
-
-    out = os.path.join(mdir, f"v{version + 1}.metadata.json")
-    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.replace(tmp, out)
-    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(version + 1))
-    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
-    return out
+    return _write_next_metadata(mdir, meta)
 
 
 def rebuild_metadata(
@@ -414,14 +438,30 @@ def rebuild_metadata(
     Iceberg requires a STABLE table-uuid across the table's whole life —
     clients validating uuid continuity reject a table whose uuid changes
     — so a rebuild adopts the prior metadata's uuid when one exists and
-    mints a fresh one only for a genuinely new table."""
+    mints a fresh one only for a genuinely new table. The prior SCHEMA
+    HISTORY and each snapshot's commit-time schema-id are carried over
+    the same way (the engine's own snapshot log doesn't record schema
+    evolution points, so without the prior metadata a rebuild can only
+    resolve every snapshot against the current schema — documented
+    information loss in the corrupt-prior case)."""
     meta = _fresh_metadata(table_path, table_name, spark_schema)
     try:
         prior = current_metadata(table_path)
     except Exception:
         prior = None  # corrupt prior metadata: rebuild proceeds fresh
-    if prior is not None and prior.get("table-uuid"):
-        meta["table-uuid"] = prior["table-uuid"]
+    prior_schema_ids: dict[int, int] = {}
+    if prior is not None:
+        if prior.get("table-uuid"):
+            meta["table-uuid"] = prior["table-uuid"]
+        # keep the evolution history: prior schemas superset the fresh
+        # single-entry list whenever the table evolved
+        if len(prior.get("schemas", [])) > len(meta["schemas"]):
+            meta["schemas"] = prior["schemas"]
+            meta["current-schema-id"] = prior["current-schema-id"]
+            meta["last-column-id"] = prior["last-column-id"]
+        prior_schema_ids = {
+            s["snapshot-id"]: s.get("schema-id", 0) for s in prior.get("snapshots", [])
+        }
     mdir = metadata_dir(table_path)
     os.makedirs(mdir, exist_ok=True)
     from zombi_spark.table import manifests as MF
@@ -464,7 +504,9 @@ def rebuild_metadata(
                 "added-data-files": str(len(snap.get("added", []))),
                 "removed-data-files": str(len(snap.get("removed", []))),
             },
-            "schema-id": meta["current-schema-id"],
+            # commit-time schema-id recovered from the prior metadata
+            # when it survives; current schema otherwise (see docstring)
+            "schema-id": prior_schema_ids.get(sid, meta["current-schema-id"]),
         }
         if prev_sid is not None:
             ice["parent-snapshot-id"] = prev_sid
@@ -479,21 +521,7 @@ def rebuild_metadata(
         prev_sid = sid
     meta["snapshot-log"] = meta["snapshot-log"][-100:]
 
-    hint_path = os.path.join(mdir, "version-hint.text")
-    cur = 0
-    if os.path.isfile(hint_path):
-        with open(hint_path) as fh:
-            cur = int(fh.read().strip())
-    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
-    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.replace(tmp, out)
-    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(cur + 1))
-    os.replace(hint_tmp, hint_path)
-    return out
+    return _write_next_metadata(mdir, meta)
 
 
 def _gc_unreferenced_metadata(mdir: str, meta: dict, current_file: str) -> list[str]:
@@ -565,19 +593,9 @@ def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
         json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"]),
     )
     cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
+    _append_metadata_log(mdir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
-
-    with open(os.path.join(mdir, "version-hint.text")) as fh:
-        v = int(fh.read().strip())
-    out = os.path.join(mdir, f"v{v + 1}.metadata.json")
-    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.replace(tmp, out)
-    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(v + 1))
-    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    out = _write_next_metadata(mdir, meta)
     _gc_unreferenced_metadata(mdir, meta, out)
     return out
 
@@ -603,16 +621,7 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
         )
 
     mdir = metadata_dir(table_path)
-    with open(os.path.join(mdir, "version-hint.text")) as fh:
-        cur = int(fh.read().strip())
-    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
-    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
-    os.replace(tmp, out)
-    hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
-    with open(hint_tmp, "w") as fh:
-        fh.write(str(cur + 1))
-    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    _append_metadata_log(mdir, meta)
+    out = _write_next_metadata(mdir, meta)
     _gc_unreferenced_metadata(mdir, meta, out)
     return out

@@ -207,11 +207,7 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
     out: list[str] = []
 
     def gauge(name: str, help_: str, rows: list[tuple[str, float]]) -> None:
-        if not rows:
-            return
-        out.append(f"# HELP {name} {help_}")
-        out.append(f"# TYPE {name} gauge")
-        out.extend(f"{name}{labels} {value}" for labels, value in rows)
+        _emit_gauge(out, name, help_, rows)
 
     stats = [(t, table_stats(t)) for t in tables]
     gauge(
@@ -275,34 +271,41 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
     return "\n".join(out) + "\n"
 
 
+def _emit_gauge(out: list[str], name: str, help_: str, rows: list[tuple[str, float]]) -> None:
+    if not rows:
+        return
+    out.append(f"# HELP {name} {help_}")
+    out.append(f"# TYPE {name} gauge")
+    out.extend(f"{name}{labels} {value}" for labels, value in rows)
+
+
 def prometheus_ingest_text(ingests: list) -> str:
     """T10 admission gauges per ingest edge — backlog, budget, and the
     200/503 accepting flag — appended to the /metrics exposition (the
-    reference's edge exports its permit counters the same way)."""
+    reference's edge exports its permit counters the same way). The
+    budget row is OMITTED for unbounded edges rather than emitted as 0 —
+    a budget of 0 is a valid reject-everything configuration and must
+    stay distinguishable from 'no budget'."""
     out: list[str] = []
-
-    def gauge(name: str, help_: str, rows: list[tuple[str, float]]) -> None:
-        if not rows:
-            return
-        out.append(f"# HELP {name} {help_}")
-        out.append(f"# TYPE {name} gauge")
-        out.extend(f"{name}{labels} {value}" for labels, value in rows)
-
     states = [(ing, ing.admission_status()) for ing in ingests]
-    gauge(
+    _emit_gauge(
+        out,
         "zombi_landing_backlog_bytes",
         "Un-ingested landing-zone bytes behind the checkpoint",
         [(f'{{table="{ing.table.name}"}}', st["backlog_bytes"]) for ing, st in states],
     )
-    gauge(
+    _emit_gauge(
+        out,
         "zombi_landing_budget_bytes",
-        "Admission-control byte budget (0 = unbounded)",
+        "Admission-control byte budget (row absent = unbounded)",
         [
-            (f'{{table="{ing.table.name}"}}', st["budget_bytes"] or 0)
+            (f'{{table="{ing.table.name}"}}', st["budget_bytes"])
             for ing, st in states
+            if st["budget_bytes"] is not None
         ],
     )
-    gauge(
+    _emit_gauge(
+        out,
         "zombi_landing_accepting",
         "1 when produce() is admitted, 0 when the edge would 503",
         [
