@@ -294,3 +294,35 @@ def test_reads_on_unknown_tables_404_and_scalar_bodies_400(edge):
     assert status == 400
     status, _ = _call(f"{base}/tables/events/bulk", "POST", b'[{"payload": "x"}]')
     assert status == 400
+
+
+def test_concurrent_maintenance_409(edge):
+    """The reference 409s a concurrent compaction (per-topic in-progress
+    set, compaction.rs:98-137); the edge serializes flush/compact per
+    table the same way — one proceeds, overlapping requests 409."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    srv, _ = edge
+    base = srv.base_url
+    for i in range(40):
+        _call(
+            f"{base}/tables/racy",
+            "POST",
+            json.dumps(
+                {"payload": f"p-{i}", "partition": 0, "timestamp_ms": 1704067200000 + i}
+            ).encode(),
+        )
+    with ThreadPoolExecutor(4) as ex:
+        codes = sorted(
+            s
+            for s, _b in ex.map(
+                lambda _i: _call(f"{base}/tables/racy/flush", "POST", b""), range(4)
+            )
+        )
+    assert codes.count(200) >= 1 and codes.count(409) >= 1
+    assert set(codes) <= {200, 409}
+    # everything still drains with a final serial flush
+    _call(f"{base}/tables/racy/flush", "POST", b"")
+    status, got = _call(f"{base}/tables/racy?limit=100&fields=sequence,committed")
+    assert status == 200
+    assert sum(1 for r in got["records"] if r["committed"]) == 40

@@ -246,24 +246,36 @@ class _Handler(BaseHTTPRequestHandler):
                     {"table": table, "count": len(events), "landed": landed, "accepted": True},
                     202,
                 )
-            elif action == "flush":
-                q = ing.start(available_now=True)
-                q.awaitTermination(600)
-                self._send_json({"table": table, "flushed": True})
-            elif action == "compact":
-                # M1 over HTTP (handlers.rs:1379-1408); min_input_files
-                # mirrors the reference's CompactionConfig knob
-                result = ing.table.compact(
-                    min_input_files=int(_q.get("min_input_files", 3))
-                )
-                self._send_json(
-                    {
-                        "table": table,
-                        "files_rewritten": result.get("files_rewritten", 0),
-                        "partitions": result.get("partitions", []),
-                        "version": result.get("version"),
-                    }
-                )
+            elif action in ("flush", "compact"):
+                # one maintenance action per table at a time — concurrent
+                # requests get 409, the reference's in-progress contract
+                # (compaction.rs:98-137); two drains would also collide
+                # on the shared streaming checkpoint
+                if not ing.maintenance_lock.acquire(blocking=False):
+                    status, body = _err(409, f"{action} already in progress for {table}")
+                    self._send_json(body, status)
+                    return
+                try:
+                    if action == "flush":
+                        q = ing.start(available_now=True)
+                        q.awaitTermination(600)
+                        self._send_json({"table": table, "flushed": True})
+                    else:
+                        # M1 over HTTP (handlers.rs:1379-1408);
+                        # min_input_files mirrors CompactionConfig
+                        result = ing.table.compact(
+                            min_input_files=int(_q.get("min_input_files", 3))
+                        )
+                        self._send_json(
+                            {
+                                "table": table,
+                                "files_rewritten": result.get("files_rewritten", 0),
+                                "partitions": result.get("partitions", []),
+                                "version": result.get("version"),
+                            }
+                        )
+                finally:
+                    ing.maintenance_lock.release()
             else:
                 status, body = _err(404, f"no such action {action}")
                 self._send_json(body, status)

@@ -195,6 +195,13 @@ class StreamingIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.landing_byte_budget = landing_byte_budget
+        # serializes drain/maintenance actions per table (the reference
+        # 409s a concurrent compaction via its per-topic in-progress set,
+        # compaction.rs:98-137; two drains on one checkpoint would also
+        # collide inside Spark) — callers try-acquire and surface 409
+        import threading
+
+        self.maintenance_lock = threading.Lock()
 
     def _raw_stream(self) -> DataFrame:
         json_schema = (
