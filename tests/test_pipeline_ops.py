@@ -565,3 +565,50 @@ def test_repetition_features_on_documents_table(spark, sf_dir):
         docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tok")), "doc_id"
     )
     assert joined.where(F.col("n_grams") != F.col("n_tok") - 1).count() == 0
+
+
+def test_minhash_index_incremental_cross_batch_dedup(spark, sf_dir):
+    """Materialized MinHash index lifecycle (the dedup twin of the IVF
+    index): build on a base corpus, append a delta, probe a new batch —
+    near-dups of INDEXED docs are found via band-bucket matches with
+    signature-agreement Jaccard estimates; append+probe equals a fresh
+    full build exactly (hashing is deterministic)."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import dedup as D
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+
+    import tempfile
+
+    inc = tempfile.mkdtemp(prefix="mh-inc-") + "/idx"
+    D.build_minhash_index(base, inc)
+    D.append_minhash_index(delta, inc)
+    fresh = tempfile.mkdtemp(prefix="mh-fresh-") + "/idx"
+    D.build_minhash_index(docs, fresh)
+
+    # new batch = exact copies of some indexed docs under NEW ids —
+    # the probe must find their originals at estimate 1000
+    copies = docs.where(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    hits_inc = D.check_against_index(spark, inc, copies, threshold_pm=900)
+    hits_fresh = D.check_against_index(spark, fresh, copies, threshold_pm=900)
+    got = {(r.new_id, r.indexed_id): r.est_jaccard_pm for r in hits_inc.collect()}
+    assert got == {
+        (r.new_id, r.indexed_id): r.est_jaccard_pm for r in hits_fresh.collect()
+    }
+    planted = {r.doc_id for r in copies.select("doc_id").collect()}
+    for new_id in planted:
+        assert got.get((new_id, new_id - 1_000_000)) == 1000, new_id
+
+    # an unrelated batch produces no high-estimate hits
+    fresh_docs = spark.createDataFrame(
+        [(5_000_000 + i, f"entirely novel content block number {i} zz{i} qq{i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert D.check_against_index(spark, inc, fresh_docs, threshold_pm=900).count() == 0

@@ -162,19 +162,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+def band_signatures(
+    signatures: DataFrame, rows_per_band: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """LSH banding: docs agreeing on ALL rows of any band become candidates.
-
-    band signature = md5 of the ordered min-hashes in the band; candidates
-    are generated per (band, signature) bucket via a self-join *within the
-    bucket* — never a global cross join. Output: distinct (id_a < id_b).
-    """
+    """(id, band, band_sig) per document: band signature = comma-joined
+    min-hashes in seed order (portable: the DuckDB oracle uses
+    string_agg(... ORDER BY seed)) — the LSH bucket key shared by
+    in-corpus pair generation and the materialized-index probe."""
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    # band signature = comma-joined min-hashes in seed order (portable:
-    # DuckDB oracle uses string_agg(... ORDER BY seed))
-    band_sigs = (
+    return (
         banded.groupBy(id_col, "band")
         .agg(F.sort_array(F.collect_list(F.struct("seed", "min_hash"))).alias("sig_rows"))
         .select(
@@ -185,6 +181,18 @@ def lsh_candidate_pairs(
             ).alias("band_sig"),
         )
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL rows of any band become candidates.
+
+    band signature = md5 of the ordered min-hashes in the band; candidates
+    are generated per (band, signature) bucket via a self-join *within the
+    bucket* — never a global cross join. Output: distinct (id_a < id_b).
+    """
+    band_sigs = band_signatures(signatures, rows_per_band, id_col)
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
@@ -465,4 +473,121 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") 
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized MinHash index: incremental cross-batch dedup (the dedup
+# twin of the IVF index lifecycle — build once, append deltas, probe new
+# batches against the corpus without recomputing it).
+# ---------------------------------------------------------------------------
+def _index_rows(
+    docs: DataFrame, num_hashes: int, shingle_n: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """(id, band, band_sig, sig) rows for the materialized index: one row
+    per (doc, band), each carrying the doc's FULL k-hash signature so the
+    probe can estimate Jaccard from signature agreement without touching
+    document text (the standard MinHash estimator: P[minhash match] =
+    Jaccard). Signatures are ~k longs per doc — the index is metadata-
+    sized relative to the corpus."""
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n, id_col=id_col)
+    full = (
+        sigs.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "min_hash"))).alias("rows"))
+        .select(
+            F.col(id_col),
+            F.transform(F.col("rows"), lambda r: r["min_hash"]).alias("sig"),
+        )
+    )
+    return band_signatures(sigs, rows_per_band, id_col).join(full, id_col)
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 12,
+    shingle_n: int = 2,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the corpus's LSH state as parquet partitioned by band:
+    one linear pass over the corpus, rewritten only when the banding
+    parameters change."""
+    (
+        _index_rows(docs, num_hashes, shingle_n, rows_per_band, id_col)
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def append_minhash_index(
+    delta: DataFrame,
+    path: str,
+    num_hashes: int = 12,
+    shingle_n: int = 2,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental maintenance: hash ONLY the delta corpus and append its
+    rows into the band partitions — identical parameters required (the
+    band key is a function of them)."""
+    (
+        _index_rows(delta, num_hashes, shingle_n, rows_per_band, id_col)
+        .repartition("band")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def check_against_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    threshold_pm: int = 500,
+    num_hashes: int = 12,
+    shingle_n: int = 2,
+    rows_per_band: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probe a NEW batch against the materialized index: candidates are
+    band-bucket matches (equi-join on (band, band_sig) — never all
+    pairs), scored by signature agreement (matching min-hash fraction,
+    the unbiased MinHash Jaccard estimator) and thresholded. Returns
+    (new_id, indexed_id, est_jaccard_pm). Cost: the new batch pays one
+    shingle+hash pass; index I/O is the matched buckets — at 100 TB the
+    probe tracks the BATCH, not the corpus. (Self-matches are excluded
+    by id, so re-checking already-indexed docs is safe.)"""
+    probe = _index_rows(new_docs, num_hashes, shingle_n, rows_per_band, id_col)
+    idx = spark.read.parquet(path)
+    cands = (
+        probe.alias("n")
+        .join(
+            idx.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.band_sig") == F.col("i.band_sig"))
+            & (F.col(f"n.{id_col}") != F.col(f"i.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("indexed_id"),
+            F.col("n.sig").alias("sig_n"),
+            F.col("i.sig").alias("sig_i"),
+        )
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_n", "sig_i", lambda a, b: a == b), lambda m: m)
+    )
+    return (
+        cands.select(
+            "new_id",
+            "indexed_id",
+            F.floor(F.lit(1000) * agree / F.lit(num_hashes)).cast("long").alias(
+                "est_jaccard_pm"
+            ),
+        )
+        .where(F.col("est_jaccard_pm") >= threshold_pm)
     )
