@@ -326,3 +326,51 @@ def test_concurrent_maintenance_409(edge):
     status, got = _call(f"{base}/tables/racy?limit=100&fields=sequence,committed")
     assert status == 200
     assert sum(1 for r in got["records"] if r["committed"]) == 40
+
+
+def test_keep_alive_survives_errors_and_negotiation_honors_q0(edge):
+    """Protocol hardening from review: error responses drain the request
+    body so a keep-alive connection stays usable; negative limits 400;
+    q=0 means not-acceptable (no Arrow for a client that refused it);
+    empty proto bulk 400s like the JSON path; flush reports honestly."""
+    import http.client
+
+    srv, _ = edge
+    host, port = srv._httpd.server_address[:2]
+    conn = http.client.HTTPConnection(host, port)
+
+    # a 400 WITH a body, then a valid request on the SAME connection
+    conn.request("POST", "/tables/9bad", json.dumps({"payload": "x" * 500}).encode())
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    conn.request("POST", "/tables/events", json.dumps({"payload": "ok"}).encode())
+    r = conn.getresponse()
+    assert r.status == 202  # connection not desynced by the unread body
+    r.read()
+
+    # negative limit → 400, not a dropped connection
+    conn.request("GET", "/tables/events?limit=-2")
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+
+    # q=0 Arrow is NOT acceptable → JSON comes back
+    conn.request(
+        "GET",
+        "/tables/events?limit=1",
+        headers={"Accept": "application/vnd.apache.arrow.stream;q=0, */*;q=0.1"},
+    )
+    r = conn.getresponse()
+    assert r.headers["Content-Type"].startswith("application/json")
+    r.read()
+
+    # empty protobuf bulk body → 400 (parity with the JSON branch)
+    conn.request(
+        "POST", "/tables/events/bulk", b"",
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    r = conn.getresponse()
+    assert r.status == 400
+    r.read()
+    conn.close()

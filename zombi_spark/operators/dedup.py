@@ -481,25 +481,41 @@ def simhash_dup_groups(docs: DataFrame, bits: int = 16, id_col: str = "doc_id") 
 # twin of the IVF index lifecycle — build once, append deltas, probe new
 # batches against the corpus without recomputing it).
 # ---------------------------------------------------------------------------
-def _index_rows(
+def _index_frames(
     docs: DataFrame, num_hashes: int, shingle_n: int, rows_per_band: int, id_col: str
-) -> DataFrame:
-    """(id, band, band_sig, sig) rows for the materialized index: one row
-    per (doc, band), each carrying the doc's FULL k-hash signature so the
-    probe can estimate Jaccard from signature agreement without touching
-    document text (the standard MinHash estimator: P[minhash match] =
-    Jaccard). Signatures are ~k longs per doc — the index is metadata-
-    sized relative to the corpus."""
-    sigs = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n, id_col=id_col)
-    full = (
-        sigs.groupBy(id_col)
+) -> tuple[DataFrame, DataFrame]:
+    """The two halves of the materialized index, ONE hashing pass:
+    ``bands`` = (id, band, band_sig) bucket keys, ``sigs`` = (id, sig)
+    with the doc's full k-hash signature stored ONCE per doc (storing it
+    per band row would multiply the index and every candidate join by
+    the band count — the probe attaches signatures only to DEDUPED
+    candidate pairs). Signatures are ~k longs per doc — metadata-sized
+    relative to the corpus; the MinHash estimator (P[minhash match] =
+    Jaccard) scores pairs from them without touching document text."""
+    raw = minhash_signatures(docs, num_hashes=num_hashes, shingle_n=shingle_n, id_col=id_col)
+    sigs = (
+        raw.groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("seed", "min_hash"))).alias("rows"))
         .select(
             F.col(id_col),
             F.transform(F.col("rows"), lambda r: r["min_hash"]).alias("sig"),
         )
     )
-    return band_signatures(sigs, rows_per_band, id_col).join(full, id_col)
+    return band_signatures(raw, rows_per_band, id_col), sigs
+
+
+def _write_minhash_index(
+    docs: DataFrame, path: str, mode: str, num_hashes: int, shingle_n: int,
+    rows_per_band: int, id_col: str,
+) -> None:
+    bands, sigs = _index_frames(docs, num_hashes, shingle_n, rows_per_band, id_col)
+    (
+        bands.repartition("band")
+        .write.mode(mode)
+        .partitionBy("band")
+        .parquet(f"{path}/bands")
+    )
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
 
 
 def build_minhash_index(
@@ -510,16 +526,10 @@ def build_minhash_index(
     rows_per_band: int = 3,
     id_col: str = "doc_id",
 ) -> None:
-    """Materialize the corpus's LSH state as parquet partitioned by band:
-    one linear pass over the corpus, rewritten only when the banding
-    parameters change."""
-    (
-        _index_rows(docs, num_hashes, shingle_n, rows_per_band, id_col)
-        .repartition("band")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(path)
-    )
+    """Materialize the corpus's LSH state: ``{path}/bands`` parquet
+    partitioned by band + ``{path}/sigs`` signatures, one linear pass
+    over the corpus, rewritten only when banding parameters change."""
+    _write_minhash_index(docs, path, "overwrite", num_hashes, shingle_n, rows_per_band, id_col)
 
 
 def append_minhash_index(
@@ -531,15 +541,9 @@ def append_minhash_index(
     id_col: str = "doc_id",
 ) -> None:
     """Incremental maintenance: hash ONLY the delta corpus and append its
-    rows into the band partitions — identical parameters required (the
-    band key is a function of them)."""
-    (
-        _index_rows(delta, num_hashes, shingle_n, rows_per_band, id_col)
-        .repartition("band")
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(path)
-    )
+    rows into both halves — identical parameters required (the band key
+    is a function of them)."""
+    _write_minhash_index(delta, path, "append", num_hashes, shingle_n, rows_per_band, id_col)
 
 
 def check_against_index(
@@ -557,15 +561,19 @@ def check_against_index(
     pairs), scored by signature agreement (matching min-hash fraction,
     the unbiased MinHash Jaccard estimator) and thresholded. Returns
     (new_id, indexed_id, est_jaccard_pm). Cost: the new batch pays one
-    shingle+hash pass; index I/O is the matched buckets — at 100 TB the
-    probe tracks the BATCH, not the corpus. (Self-matches are excluded
-    by id, so re-checking already-indexed docs is safe.)"""
-    probe = _index_rows(new_docs, num_hashes, shingle_n, rows_per_band, id_col)
-    idx = spark.read.parquet(path)
-    cands = (
-        probe.alias("n")
+    shingle+hash pass; index I/O is the matched buckets, and full
+    signatures attach only to the DEDUPED candidate pairs — at 100 TB
+    the probe tracks the BATCH, not the corpus. (Self-matches are
+    excluded by id, so re-checking already-indexed docs is safe.)"""
+    probe_bands, probe_sigs = _index_frames(
+        new_docs, num_hashes, shingle_n, rows_per_band, id_col
+    )
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    idx_sigs = spark.read.parquet(f"{path}/sigs")
+    pairs = (
+        probe_bands.alias("n")
         .join(
-            idx.alias("i"),
+            idx_bands.alias("i"),
             (F.col("n.band") == F.col("i.band"))
             & (F.col("n.band_sig") == F.col("i.band_sig"))
             & (F.col(f"n.{id_col}") != F.col(f"i.{id_col}")),
@@ -573,10 +581,15 @@ def check_against_index(
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"i.{id_col}").alias("indexed_id"),
-            F.col("n.sig").alias("sig_n"),
-            F.col("i.sig").alias("sig_i"),
         )
         .dropDuplicates(["new_id", "indexed_id"])
+    )
+    cands = pairs.join(
+        probe_sigs.select(F.col(id_col).alias("new_id"), F.col("sig").alias("sig_n")),
+        "new_id",
+    ).join(
+        idx_sigs.select(F.col(id_col).alias("indexed_id"), F.col("sig").alias("sig_i")),
+        "indexed_id",
     )
     agree = F.size(
         F.filter(F.zip_with("sig_n", "sig_i", lambda a, b: a == b), lambda m: m)

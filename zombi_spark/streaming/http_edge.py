@@ -90,8 +90,11 @@ def parse_accept(header: str) -> list[tuple[str, float]]:
 
 def negotiate_format(accept_header: str) -> str:
     """'arrow' when the Arrow stream media type outranks JSON in the
-    Accept header, else 'json' (S12 content negotiation)."""
-    for media, _q in parse_accept(accept_header or "*/*"):
+    Accept header, else 'json' (S12 content negotiation). q=0 means NOT
+    acceptable (RFC 9110) — a zero-weighted entry never wins."""
+    for media, q in parse_accept(accept_header or "*/*"):
+        if q <= 0:
+            continue
         if media == _ARROW_MEDIA:
             return "arrow"
         if media in ("application/json", "*/*", "application/*"):
@@ -138,8 +141,18 @@ class _Handler(BaseHTTPRequestHandler):
         query = {k: v[0] for k, v in urllib.parse.parse_qs(u.query).items()}
         return parts, query
 
+    def _drain_body(self) -> None:
+        # the body must be consumed exactly once per request BEFORE any
+        # response is written: on an HTTP/1.1 keep-alive connection an
+        # unread body would be parsed as the NEXT request line, desyncing
+        # the stream (a 400 on a bad table name used to leave the body in
+        # rfile and poison the connection). Called at handler entry —
+        # handler INSTANCES live for the whole connection, so the slot is
+        # overwritten per request, never cached across them.
+        self._raw_body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+
     def _body(self) -> bytes:
-        return self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        return self._raw_body
 
     def _is_proto(self) -> bool:
         return self.headers.get("Content-Type", "").startswith("application/x-protobuf")
@@ -177,6 +190,8 @@ class _Handler(BaseHTTPRequestHandler):
         now_ms = int(time.time() * 1000)
         if self._is_proto():
             records = decode_bulk_write_request(self._body())
+            if not records:  # same contract as the JSON branch
+                raise ValueError("bulk request decoded to zero records")
             out = []
             for r in records:
                 out.append(
@@ -207,6 +222,7 @@ class _Handler(BaseHTTPRequestHandler):
         return out
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        self._drain_body()
         parts, _q = self._route()
         if len(parts) not in (2, 3) or parts[0] != "tables":
             status, body = _err(404, "no such route")
@@ -258,7 +274,21 @@ class _Handler(BaseHTTPRequestHandler):
                 try:
                     if action == "flush":
                         q = ing.start(available_now=True)
-                        q.awaitTermination(600)
+                        finished = q.awaitTermination(600)
+                        if not finished:
+                            # never report durability that hasn't happened,
+                            # and never release the lock with the query
+                            # still running (a second flush would collide
+                            # on the checkpoint): stop it first, then 504
+                            q.stop()
+                            status, body = _err(
+                                504,
+                                "flush did not drain within 600s; the run was "
+                                "stopped — committed batches are durable, "
+                                "retry to continue draining",
+                            )
+                            self._send_json(body, status)
+                            return
                         self._send_json({"table": table, "flushed": True})
                     else:
                         # M1 over HTTP (handlers.rs:1379-1408);
@@ -291,6 +321,7 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------ read path
     def do_GET(self) -> None:  # noqa: N802
+        self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive
         parts, q = self._route()
         if len(parts) < 2 or parts[0] != "tables":
             status, body = _err(404, "no such route")
@@ -348,6 +379,8 @@ class _Handler(BaseHTTPRequestHandler):
             if unknown:
                 raise ValueError(f"unknown fields: {unknown} (known: {list(_KNOWN_FIELDS)})")
             limit = int(q.get("limit", 100))
+            if limit < 0:
+                raise ValueError(f"limit must be >= 0, got {limit}")
             since_ms = int(q["since_ms"]) if "since_ms" in q else None
             partition = int(q["partition"]) if "partition" in q else None
         except ValueError as exc:

@@ -454,11 +454,17 @@ def rebuild_metadata(
         if prior.get("table-uuid"):
             meta["table-uuid"] = prior["table-uuid"]
         # keep the evolution history: prior schemas superset the fresh
-        # single-entry list whenever the table evolved
+        # single-entry list whenever the table evolved — then RE-EVOLVE
+        # against the current Spark schema, because the lost write may
+        # have been exactly the commit that added a column (the prior
+        # file predates it; without this the rebuilt current schema
+        # would silently drop the new column the data files carry)
         if len(prior.get("schemas", [])) > len(meta["schemas"]):
             meta["schemas"] = prior["schemas"]
             meta["current-schema-id"] = prior["current-schema-id"]
             meta["last-column-id"] = prior["last-column-id"]
+            if spark_schema is not None:
+                _evolve_schema(meta, spark_schema)
         prior_schema_ids = {
             s["snapshot-id"]: s.get("schema-id", 0) for s in prior.get("snapshots", [])
         }
