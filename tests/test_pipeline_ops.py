@@ -612,3 +612,34 @@ def test_minhash_index_incremental_cross_batch_dedup(spark, sf_dir):
         "doc_id long, text string",
     )
     assert D.check_against_index(spark, inc, fresh_docs, threshold_pm=900).count() == 0
+
+
+def test_dataset_card_summarizes_corpus(spark, sf_dir):
+    """The dataset card rolls up the whole corpus in a fixed number of
+    passes: totals reconcile exactly with direct aggregation, per-dim
+    sections cover every document, splits sum to the corpus, and the
+    card is JSON-serializable."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators.dataset_card import dataset_card
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    card = dataset_card(docs, split_weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    _json.dumps(card)  # serializable
+
+    n = docs.count()
+    true_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()["t"]
+    assert card["totals"]["documents"] == n
+    assert card["totals"]["whitespace_tokens"] == true_tokens
+    for section in ("by_source", "by_lang", "by_quality_class"):
+        assert sum(v["documents"] for v in card[section].values()) == n, section
+    assert set(card["by_lang"]) == {
+        r.lang for r in docs.select("lang").distinct().collect()
+    }
+    assert sum(card["splits"].values()) == n
+    assert card["splits"]["train"] > card["splits"]["val"]
