@@ -31,10 +31,9 @@ def dataset_card(
     dims = [c for c in ("source", "lang") if c in docs.columns]
     enriched = feats.join(docs.select(id_col, *dims), id_col) if dims else feats
 
-    # ONE aggregation over the corpus: grouping sets emit the global row
-    # and one row per source / per lang / per quality_class together
+    # ONE aggregation over the corpus at the finest grain; the global
+    # row and each per-dimension section re-aggregate the tiny result
     group_cols = dims + ["quality_class"]
-    sets = [()] + [(c,) for c in group_cols]
     rolled = enriched.groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -58,8 +57,7 @@ def dataset_card(
         "chars": int(total["c"] or 0),
         "piece_tokens": int(total["p"] or 0),
     }
-    for _set in sets[1:]:
-        col = _set[0]
+    for col in group_cols:
         rows = (
             rolled.groupBy(col)
             .agg(F.sum("n_docs").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
