@@ -139,3 +139,119 @@ def test_lsh_simhash_derivations_always_valid(sess, n_rows, vec_dims):
     assert all(1 <= d <= vec_dims for d in planes)
     bits = simhash_bits_for(n_rows)
     assert bits % 4 == 0 and 16 <= bits <= 60
+
+
+# ---------------------------------------------------- round-5 properties
+def test_property_bound_encoding_round_trips():
+    """Iceberg single-value bound serialization round-trips exactly for
+    every supported type across the value range."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.table import manifests as MF
+
+    @given(
+        st.one_of(
+            st.tuples(st.just("long"), st.integers(-(2**63), 2**63 - 1)),
+            st.tuples(st.just("int"), st.integers(-(2**31), 2**31 - 1)),
+            st.tuples(st.just("string"), st.text(max_size=64)),
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(tv):
+        typ, value = tv
+        assert MF.decode_bound(MF.encode_bound(value, typ), typ) == value
+
+    check()
+
+
+def test_property_overflow_never_leaks_extracted_leaves():
+    """For ANY nested JSON object and ANY set of extracted paths, the
+    computed overflow (a) never still contains an extracted leaf, (b)
+    preserves every non-extracted leaf bit-exactly, and (c) contains no
+    empty objects (parents pruned)."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.ingest.extraction import compute_overflow
+
+    keys = st.sampled_from(["a", "b", "c", "d"])
+    values = st.recursive(
+        st.one_of(st.integers(-99, 99), st.text(max_size=5), st.booleans(), st.none()),
+        lambda children: st.dictionaries(keys, children, max_size=3),
+        max_leaves=12,
+    )
+    docs = st.dictionaries(keys, values, min_size=0, max_size=4)
+    paths = st.lists(st.lists(keys, min_size=1, max_size=3), min_size=0, max_size=3)
+
+    def leaves(obj, prefix=()):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                yield from leaves(v, prefix + (k,))
+        else:
+            yield prefix, obj
+
+    def empty_dict_paths(obj, prefix=()):
+        if isinstance(obj, dict):
+            if not obj:
+                yield prefix
+            for k, v in obj.items():
+                yield from empty_dict_paths(v, prefix + (k,))
+
+    @given(doc=docs, extract=paths)
+    @settings(max_examples=300, deadline=None)
+    def check(doc, extract):
+        out = compute_overflow(json.dumps(doc), [list(p) for p in extract])
+        remaining = json.loads(out) if out is not None else {}
+        extracted = {tuple(p) for p in extract}
+        rem_leaves = dict(leaves(remaining))
+        # (a) no extracted leaf survives
+        for p in extracted:
+            assert p not in rem_leaves
+        # (b) every surviving leaf is an original, unmodified leaf whose
+        # path was not extracted (and not under an extracted dict path)
+        orig_leaves = dict(leaves(doc))
+        for p, v in rem_leaves.items():
+            assert p in orig_leaves and orig_leaves[p] == v
+            assert p not in extracted
+        # (c) parents EMPTIED BY REMOVAL are pruned: any empty object in
+        # the overflow must have been empty in the original payload too
+        # (originally-empty objects legitimately pass through — pruning
+        # happens only along removed paths, payload_extractor.rs:150-179)
+        if out is not None:
+            def value_at(obj, path):
+                for k in path:
+                    if not isinstance(obj, dict) or k not in obj:
+                        return None
+                    obj = obj[k]
+                return obj
+
+            for p in empty_dict_paths(remaining):
+                assert value_at(doc, p) == {}, p
+
+    check()
+
+
+def test_property_pack_sequences_budget_invariants(spark):
+    """Random corpora: every pack respects the budget unless it is a
+    single over-budget doc; every doc appears exactly once."""
+    import random
+
+    from zombi_spark.operators.sharding import pack_sequences
+
+    rng = random.Random(31)
+    for trial in range(3):
+        budget = rng.choice([256, 1024, 4096])
+        rows = [
+            (i, rng.choice([5, 60, 200, budget + 50]))
+            for i in range(rng.randint(1, 300))
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        pdf = pack_sequences(docs, budget_tokens=budget, n_bins=4).toPandas()
+        assert len(pdf) == len(rows)
+        assert sorted(pdf.doc_id) == sorted(r[0] for r in rows)
+        per = pdf.groupby("pack_id").agg(total=("n_tokens", "sum"), n=("n_tokens", "size"))
+        bad = per[(per.total > budget) & (per.n > 1)]
+        assert bad.empty, (trial, budget, bad)
