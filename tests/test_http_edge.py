@@ -374,3 +374,23 @@ def test_keep_alive_survives_errors_and_negotiation_honors_q0(edge):
     assert r.status == 400
     r.read()
     conn.close()
+
+
+def test_metrics_exposition_over_http(edge):
+    """GET /metrics serves the Prometheus text exposition for every
+    table the edge has seen — table gauges plus admission state
+    (handlers.rs:1532-1691)."""
+    srv, _ = edge
+    base = srv.base_url
+    _call(f"{base}/tables/metered", "POST", json.dumps({"payload": "x"}).encode())
+    _call(f"{base}/tables/metered/flush", "POST", b"")
+
+    req = urllib.request.Request(f"{base}/metrics")
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert '+zombi_table_rows{table="metered"}'[1:] in text
+    assert 'zombi_landing_backlog_bytes{table="metered"} 0' in text
+    assert 'zombi_landing_accepting{table="metered"} 1' in text
+    assert "# TYPE zombi_table_files gauge" in text

@@ -323,6 +323,17 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802
         self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive
         parts, q = self._route()
+        if parts == ["metrics"]:
+            # M6 /metrics exposition over every table this edge has seen
+            # (handlers.rs:1532-1691): table gauges + admission state
+            from zombi_spark.table.stats import prometheus_ingest_text, prometheus_text
+
+            ingests = self.server.known_ingests()  # type: ignore[attr-defined]
+            text = prometheus_text([i.table for i in ingests]) + prometheus_ingest_text(
+                ingests
+            )
+            self._send_bytes(text.encode(), "text/plain; version=0.0.4")
+            return
         if len(parts) < 2 or parts[0] != "tables":
             status, body = _err(404, "no such route")
             self._send_json(body, status)
@@ -448,9 +459,18 @@ class HttpIngestEdge:
         self._combine_args = (combine_max_events, combine_max_wait_ms)
         self._combiners: dict[str, WriteCombiner] = {}
         self._combiner_lock = threading.Lock()
+        self._known: dict[str, StreamingIngest] = {}
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def _resolve(self, name: str, create: bool) -> StreamingIngest:
+        ing = self.resolver(name, create)
+        self._known[name] = ing  # /metrics scrapes every table seen
+        return ing
+
+    def known_ingests(self) -> list[StreamingIngest]:
+        return list(self._known.values())
 
     def combiner_for(self, table: str) -> WriteCombiner | None:
         if not self.combine:
@@ -470,8 +490,9 @@ class HttpIngestEdge:
 
     def start(self) -> "HttpIngestEdge":
         self._httpd = ThreadingHTTPServer((self._host, self._port), _Handler)
-        self._httpd.resolver = self.resolver  # type: ignore[attr-defined]
+        self._httpd.resolver = self._resolve  # type: ignore[attr-defined]
         self._httpd.combiner_for = self.combiner_for  # type: ignore[attr-defined]
+        self._httpd.known_ingests = self.known_ingests  # type: ignore[attr-defined]
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
         return self
