@@ -394,3 +394,21 @@ def test_metrics_exposition_over_http(edge):
     assert 'zombi_landing_backlog_bytes{table="metered"} 0' in text
     assert 'zombi_landing_accepting{table="metered"} 1' in text
     assert "# TYPE zombi_table_files gauge" in text
+
+
+def test_server_level_health_probes(edge):
+    """Server /health, /health/live, /health/ready
+    (handlers.rs:1035-1041): live always true; ready aggregates every
+    known table's metadata state."""
+    srv, _ = edge
+    base = srv.base_url
+    status, h = _call(f"{base}/health/live")
+    assert status == 200 and h == {"live": True}
+    status, h = _call(f"{base}/health")
+    assert status == 200 and h["live"] is True
+    _call(f"{base}/tables/healthy", "POST", json.dumps({"payload": "x"}).encode())
+    _call(f"{base}/tables/healthy/flush", "POST", b"")
+    status, h = _call(f"{base}/health")
+    assert h["tables"]["healthy"]["ready"] is True
+    status, h = _call(f"{base}/health/ready")
+    assert status == 200 and h == {"ready": True}

@@ -323,6 +323,22 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802
         self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive
         parts, q = self._route()
+        if parts and parts[0] == "health" and len(parts) <= 2:
+            # server-level health (handlers.rs:1035-1041): live = process
+            # up; ready = every known table's metadata resolves
+            from zombi_spark.table.stats import health
+
+            reports = {i.table.name: health(i.table, ingest=i) for i in
+                       self.server.known_ingests()}  # type: ignore[attr-defined]
+            ready = all(r["ready"] for r in reports.values())
+            probe = parts[1] if len(parts) == 2 else None
+            if probe == "live":
+                self._send_json({"live": True})
+            elif probe == "ready":
+                self._send_json({"ready": ready}, 200 if ready else 503)
+            else:
+                self._send_json({"live": True, "ready": ready, "tables": reports})
+            return
         if parts == ["metrics"]:
             # M6 /metrics exposition over every table this edge has seen
             # (handlers.rs:1532-1691): table gauges + admission state
