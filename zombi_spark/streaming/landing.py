@@ -1,0 +1,219 @@
+"""Landing-zone write plane — the filesystem half of ingest, Spark-free.
+
+The reference's edge accepts writes on many OS threads at once
+(api/handlers.rs:64-232); the engine behind it only sees durably-landed
+batches. This module is that boundary with NO pyspark import so it can
+run in plain worker PROCESSES (the multi-process HTTP write plane in
+:mod:`zombi_spark.streaming.http_edge`): producers land atomic files,
+admission control bounds the un-ingested backlog, and the write combiner
+turns per-request writes into per-few-milliseconds files. The
+Spark-attached :class:`~zombi_spark.streaming.ingest.StreamingIngest`
+composes a :class:`LandingZone` and layers the streaming query on top.
+
+Cross-process safety is by construction: landing files are tmp+rename
+with unique names (no writer ever observes a half file, two writers
+never collide), and the checkpoint seen-file list used by admission
+control is read-only here — Spark's file-source log is written only by
+the one streaming query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+
+
+class AdmissionRejected(RuntimeError):
+    """Landing-zone backlog over budget — the 503 the reference's edge
+    returns when its in-flight semaphore is exhausted
+    (handlers.rs:64-232)."""
+
+
+class LandingZone:
+    """Producer-side view of one table's landing zone: atomic batch
+    landing (:meth:`produce`) plus T10 admission control against the
+    streaming checkpoint's committed-file log. Safe to instantiate in
+    any process — only filesystem paths are held."""
+
+    def __init__(
+        self,
+        landing_dir: str,
+        checkpoint_dir: str,
+        byte_budget: int | None = None,
+    ):
+        self.landing_dir = landing_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.byte_budget = byte_budget
+
+    def checkpoint_seen_files(self) -> set[str]:
+        """Landing files the streaming checkpoint has committed (Spark's
+        file source logs them under <ckpt>/sources/0 as JSON entries)."""
+        seen: set[str] = set()
+        src_log = os.path.join(self.checkpoint_dir, "sources", "0")
+        if os.path.isdir(src_log):
+            for logf in os.listdir(src_log):
+                p = os.path.join(src_log, logf)
+                if not os.path.isfile(p):
+                    continue
+                with open(p, errors="ignore") as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if line.startswith("{"):
+                            try:
+                                entry = json.loads(line)
+                                if "path" in entry:
+                                    seen.add(entry["path"].replace("file://", ""))
+                            except ValueError:
+                                pass
+        return seen
+
+    def pending_files(self) -> list[str]:
+        """Landed files the checkpoint has NOT yet committed (the hot
+        tier), sorted. O(landing files); the budget keeps that small."""
+        if not os.path.isdir(self.landing_dir):
+            return []
+        seen = self.checkpoint_seen_files()
+        return sorted(
+            full
+            for f in os.listdir(self.landing_dir)
+            if not f.startswith(".")  # in-flight tmp files (not yet landed)
+            and os.path.isfile(full := os.path.join(self.landing_dir, f))
+            and full not in seen
+        )
+
+    def backlog_bytes(self) -> int:
+        """Bytes in landing files the checkpoint has NOT yet committed —
+        the in-flight work the admission budget bounds."""
+        total = 0
+        for full in self.pending_files():
+            try:
+                total += os.path.getsize(full)
+            except OSError:
+                pass  # raced a cleanup; a vanished file has no backlog
+        return total
+
+    def admission_status(self) -> dict:
+        """The T10 surface ``health()`` reports: current backlog vs
+        budget, and whether a produce() would currently be admitted
+        (``status`` mirrors the reference's HTTP codes: 200 accepting /
+        503 over budget, handlers.rs:64-232)."""
+        backlog = self.backlog_bytes()
+        accepting = self.byte_budget is None or backlog < self.byte_budget
+        return {
+            "backlog_bytes": backlog,
+            "budget_bytes": self.byte_budget,
+            "accepting": accepting,
+            "status": 200 if accepting else 503,
+        }
+
+    def produce(self, name: str, events: list[dict]) -> str:
+        """Admission-controlled producer write: refuse (AdmissionRejected,
+        the 503) when the un-ingested backlog is at/over budget;
+        otherwise land the batch atomically (tmp + rename — a crashed
+        producer never leaves a half file for the stream to read).
+        Returns the landed path."""
+        body = ("\n".join(json.dumps(e) for e in events) + "\n").encode()
+        if self.byte_budget is not None:
+            # semaphore semantics (a writer may take the last permit, so
+            # the zone is bounded by budget + one batch per writer):
+            # admit while the backlog is under budget, refuse at/over
+            backlog = self.backlog_bytes()
+            if backlog >= self.byte_budget:
+                raise AdmissionRejected(
+                    f"landing backlog {backlog} B at/over budget "
+                    f"{self.byte_budget} B — retry after the stream "
+                    "drains (503)"
+                )
+        os.makedirs(self.landing_dir, exist_ok=True)
+        final = os.path.join(self.landing_dir, f"{name}.json")
+        tmp = os.path.join(self.landing_dir, f".{name}.json.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(body)
+        os.replace(tmp, final)
+        return final
+
+
+class WriteCombiner:
+    """S4 write combiner, the real thing (combiner.rs:98-225): single
+    writes queue up and flush as ONE landing file when the batch reaches
+    ``max_events`` or ``max_wait_ms`` elapses, and every submitter is
+    acked only after its batch has durably landed (the reference's
+    per-event oneshot ack after the RocksDB WriteBatch). Turns
+    one-file-per-request into one file per few milliseconds — the
+    difference between ~500 and several thousand HTTP acks/s here, and
+    between 10⁶ landing files/hour and a few hundred at a real edge.
+
+    ``ingest`` is anything with a ``produce(name, events)`` — the
+    Spark-attached :class:`StreamingIngest` or a bare
+    :class:`LandingZone` in an edge worker process.
+
+    A failed flush (e.g. AdmissionRejected when the landing zone is over
+    budget) fails EVERY submitter in that batch — the whole batch is one
+    atomic landing file, so there is no partial-accept state to report.
+    """
+
+    class _Batch:
+        __slots__ = ("events", "done", "err")
+
+        def __init__(self):
+            self.events: list[dict] = []
+            self.done = threading.Event()
+            self.err: Exception | None = None
+
+    def __init__(
+        self,
+        ingest,
+        max_events: int = 512,
+        max_wait_ms: float = 4.0,
+    ):
+        self.ingest = ingest
+        self.max_events = max_events
+        self.max_wait = max_wait_ms / 1000.0
+        self._cv = threading.Condition()
+        self._batch = self._Batch()
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, event: dict) -> None:
+        """Enqueue one event; returns once its batch has landed (or
+        raises the batch's failure)."""
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("combiner is closed")
+            batch = self._batch
+            batch.events.append(event)
+            self._cv.notify_all()
+        batch.done.wait()
+        if batch.err is not None:
+            raise batch.err
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._batch.events and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._batch.events:
+                    return
+                # linger for up to max_wait to fill the batch
+                deadline = time.monotonic() + self.max_wait
+                while len(self._batch.events) < self.max_events:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0 or self._closed:
+                        break
+                    self._cv.wait(timeout=remaining)
+                batch, self._batch = self._batch, self._Batch()
+            try:
+                self.ingest.produce(f"combined-{uuid.uuid4().hex}", batch.events)
+            except Exception as exc:  # the whole batch shares one fate
+                batch.err = exc
+            batch.done.set()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
