@@ -487,6 +487,16 @@ def test_multiprocess_write_plane(spark, tmp_path):
         assert proxied, "no request was served via a worker proxy in 20 tries"
         # flush over HTTP (proxied when a worker answers) and verify the
         # consistency contract
+        # the /internal control plane must never leak onto the public
+        # port — workers 404 it instead of proxying to the internal
+        # listener, matching the parent's public behavior
+        for _ in range(8):
+            conn = http.client.HTTPConnection(host, port)
+            conn.request("POST", "/internal/resolve", json.dumps({"table": "mp"}).encode())
+            r = conn.getresponse()
+            r.read()
+            assert r.status == 404
+            conn.close()
         status, _ = _call(f"http://{host}:{port}/tables/mp/flush", "POST", b"")
         assert status == 200
         procs = [proc for proc, _ready in srv._worker_procs]

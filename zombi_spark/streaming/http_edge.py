@@ -362,15 +362,18 @@ class _Handler(BaseHTTPRequestHandler):
         if parts and parts[0] == "health" and len(parts) <= 2:
             # server-level health (handlers.rs:1035-1041): live = process
             # up; ready = every known table's metadata resolves
+            probe = parts[1] if len(parts) == 2 else None
+            if probe == "live":
+                # liveness must be O(1) — no manifest replay, no landing
+                # scans, or a slow filesystem gets a live process killed
+                self._send_json({"live": True})
+                return
             from zombi_spark.table.stats import health
 
             reports = {i.table.name: health(i.table, ingest=i) for i in
                        self.server.known_ingests()}  # type: ignore[attr-defined]
             ready = all(r["ready"] for r in reports.values())
-            probe = parts[1] if len(parts) == 2 else None
-            if probe == "live":
-                self._send_json({"live": True})
-            elif probe == "ready":
+            if probe == "ready":
                 self._send_json({"ready": ready}, 200 if ready else 503)
             else:
                 self._send_json({"live": True, "ready": ready, "tables": reports})
@@ -580,9 +583,16 @@ class _WriteWorkerHandler(_Handler):
         # generous timeout: flush blocks up to 600 s before its own 504
         conn = http.client.HTTPConnection(*parent, timeout=650)
         try:
-            conn.request(self.command, self.path, self._body() or None, headers)
-            resp = conn.getresponse()
-            payload = resp.read()
+            try:
+                conn.request(self.command, self.path, self._body() or None, headers)
+                resp = conn.getresponse()
+                payload = resp.read()
+            except OSError as exc:
+                # parent down/mid-restart: answer 502 (a retryable HTTP
+                # error) instead of slamming the connection shut
+                status, body = _err(502, f"query plane unavailable: {exc}")
+                self._send_json(body, status)
+                return
             self.send_response(resp.status)
             for k, v in resp.getheaders():
                 if k.lower() in hop + ("content-length", "date", "server"):
@@ -595,8 +605,21 @@ class _WriteWorkerHandler(_Handler):
         finally:
             conn.close()
 
+    def _reject_internal(self, parts: list[str]) -> bool:
+        """The /internal control plane must answer only on the parent's
+        internal listener — proxying it would expose it on the PUBLIC
+        port via any worker. Match the parent's public behavior: 404."""
+        if parts and parts[0] == "internal":
+            self._drain_body()
+            status, body = _err(404, "no such route")
+            self._send_json(body, status)
+            return True
+        return False
+
     def do_POST(self) -> None:  # noqa: N802
         parts, _q = self._route()
+        if self._reject_internal(parts):
+            return
         action = parts[2] if len(parts) == 3 else None
         if len(parts) in (2, 3) and parts[0] == "tables" and action in (None, "bulk"):
             super().do_POST()  # the write plane, served locally
@@ -605,6 +628,9 @@ class _WriteWorkerHandler(_Handler):
             self._proxy()
 
     def do_GET(self) -> None:  # noqa: N802
+        parts, _q = self._route()
+        if self._reject_internal(parts):
+            return
         self._drain_body()
         self._proxy()
 

@@ -57,6 +57,13 @@ from zombi_spark.streaming.landing import (  # noqa: F401 — long-standing impo
 )
 from zombi_spark.table.event_table import EventTable
 
+# the landing-file wire schema — shared by the streaming reader and the
+# hot-tier batch reader so the two paths can never drift
+_LANDING_SCHEMA = (
+    "topic string, partition int, payload string, timestamp_ms long, "
+    "idempotency_key string, ingest_order long"
+)
+
 
 class StreamingIngest:
     """File-landing-zone streaming source → EventTable sink.
@@ -121,11 +128,7 @@ class StreamingIngest:
         self.maintenance_lock = threading.Lock()
 
     def _raw_stream(self) -> DataFrame:
-        json_schema = (
-            "topic string, partition int, payload string, timestamp_ms long, "
-            "idempotency_key string, ingest_order long"
-        )
-        reader = self.spark.readStream.schema(json_schema)
+        reader = self.spark.readStream.schema(_LANDING_SCHEMA)
         if self.max_files_per_trigger is not None:
             reader = reader.option("maxFilesPerTrigger", str(self.max_files_per_trigger))
         if self.max_bytes_per_trigger is not None:
@@ -209,16 +212,21 @@ class StreamingIngest:
         Columns match the canonical committed schema where derivable;
         ``sequence`` is NULL (assigned only at commit) and ``committed``
         is false.
+
+        Tier boundary: the checkpoint COMMIT log (a batch's files leave
+        the hot tier only once its table append has committed — a
+        planned-but-running batch's events stay hot, never invisible).
+        The handoff window is the milliseconds between ``table.append``
+        returning and Spark writing ``commits/<id>``; a tail in that
+        window may see a row in both tiers (committed=true and =false) —
+        the at-least-once edge of the handoff, vs the silent invisibility
+        a planning-time boundary would have for the whole batch duration.
         """
         pending = self.zone.pending_files()
-        json_schema = (
-            "topic string, partition int, payload string, timestamp_ms long, "
-            "idempotency_key string, ingest_order long"
-        )
         if pending:
-            raw = self.spark.read.schema(json_schema).json(pending)
+            raw = self.spark.read.schema(_LANDING_SCHEMA).json(pending)
         else:
-            raw = self.spark.createDataFrame([], json_schema)
+            raw = self.spark.createDataFrame([], _LANDING_SCHEMA)
         return raw.select(
             F.lit(None).cast("long").alias("sequence"),
             "topic",
@@ -292,14 +300,17 @@ class StreamingIngest:
         import time
 
         removed = []
-        if not os.path.isdir(self.landing_dir):
+        land = self.zone.landing_dir  # absolute — matches the seen set
+        if not os.path.isdir(land):
             return removed
-        # only files the checkpoint has seen are eligible: Spark's file
-        # source tracks them in <ckpt>/sources/0 as JSON logs
+        # only files in a COMMITTED batch are eligible — a planned-but-
+        # uncommitted batch's files must survive a crash so the restarted
+        # stream can replay them (deleting at planning time would lose
+        # acked events exactly in the crash window)
         seen = self._checkpoint_seen_files()
         cutoff = time.time() - retention_ms / 1000.0
-        for f in os.listdir(self.landing_dir):
-            full = os.path.join(self.landing_dir, f)
+        for f in os.listdir(land):
+            full = os.path.join(land, f)
             if os.path.isfile(full) and full in seen and os.path.getmtime(full) <= cutoff:
                 os.remove(full)
                 removed.append(full)

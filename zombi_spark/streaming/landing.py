@@ -44,30 +44,89 @@ class LandingZone:
         checkpoint_dir: str,
         byte_budget: int | None = None,
     ):
-        self.landing_dir = landing_dir
-        self.checkpoint_dir = checkpoint_dir
+        # absolute from the start: checkpoint logs record file:// URIs
+        # (always absolute), and every membership test here compares
+        # against paths built from landing_dir — a relative landing_dir
+        # would never match and every committed file would look pending
+        self.landing_dir = os.path.abspath(landing_dir)
+        self.checkpoint_dir = os.path.abspath(checkpoint_dir)
         self.byte_budget = byte_budget
+        self._seen_cache: tuple[tuple, set[str]] | None = None
+
+    def _committed_batch_ids(self) -> set[int]:
+        """Batch ids with a ``<ckpt>/commits/<id>`` marker — the batches
+        whose sink work (our ``EventTable.append``) actually completed."""
+        commits = os.path.join(self.checkpoint_dir, "commits")
+        ids: set[int] = set()
+        if os.path.isdir(commits):
+            for f in os.listdir(commits):
+                if not f.startswith("."):
+                    try:
+                        ids.add(int(f.removesuffix(".compact")))
+                    except ValueError:
+                        pass
+        return ids
 
     def checkpoint_seen_files(self) -> set[str]:
-        """Landing files the streaming checkpoint has committed (Spark's
-        file source logs them under <ckpt>/sources/0 as JSON entries)."""
-        seen: set[str] = set()
+        """Landing files in a COMMITTED micro-batch. Spark's file source
+        writes ``<ckpt>/sources/0/<batchId>`` at batch PLANNING time —
+        before foreachBatch runs — so an entry there alone does not mean
+        the data is durable in the table; the batch is done only once
+        ``<ckpt>/commits/<batchId>`` exists. Each sources entry carries
+        its ``batchId``, so membership is entry-level: a planned-but-
+        uncommitted batch's files stay un-seen (still hot, still backlog,
+        never cleanup-eligible). Parsed once per log state (cached on the
+        log dirs' file list + mtimes) — tail/produce costs stay flat as
+        the stream ages instead of re-reading every batch's log."""
         src_log = os.path.join(self.checkpoint_dir, "sources", "0")
+        commits = os.path.join(self.checkpoint_dir, "commits")
+
+        def _dir_state(d: str) -> tuple:
+            if not os.path.isdir(d):
+                return ()
+            out = []
+            for f in sorted(os.listdir(d)):
+                if f.startswith("."):
+                    continue
+                try:
+                    st = os.stat(os.path.join(d, f))
+                    out.append((f, st.st_mtime_ns, st.st_size))
+                except OSError:
+                    pass
+            return tuple(out)
+
+        key = (_dir_state(src_log), _dir_state(commits))
+        if self._seen_cache is not None and self._seen_cache[0] == key:
+            return self._seen_cache[1]
+        committed = self._committed_batch_ids()
+        seen: set[str] = set()
         if os.path.isdir(src_log):
             for logf in os.listdir(src_log):
                 p = os.path.join(src_log, logf)
-                if not os.path.isfile(p):
+                if logf.startswith(".") or not os.path.isfile(p):
                     continue
+                try:
+                    file_batch = int(logf.removesuffix(".compact"))
+                except ValueError:
+                    file_batch = None
                 with open(p, errors="ignore") as fh:
                     for line in fh:
                         line = line.strip()
                         if line.startswith("{"):
                             try:
                                 entry = json.loads(line)
-                                if "path" in entry:
-                                    seen.add(entry["path"].replace("file://", ""))
                             except ValueError:
-                                pass
+                                continue
+                            if "path" not in entry:
+                                continue
+                            batch = entry.get("batchId", file_batch)
+                            if batch in committed:
+                                seen.add(
+                                    os.path.abspath(
+                                        entry["path"].replace("file://", "")
+                                    )
+                                )
+        self._seen_cache = (key, seen)
         return seen
 
     def pending_files(self) -> list[str]:
