@@ -26,7 +26,7 @@ def test_uncommitted_files_invisible_and_reclaimed(spark, tmp_path):
     shutil.copyfile(committed, orphan)
 
     assert t.read().count() == 10  # INV-5: reader never sees the orphan
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert orphan in removed and not os.path.exists(orphan)
     assert t.read().count() == 10
     # the next real append commits and becomes visible atomically

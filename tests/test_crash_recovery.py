@@ -61,7 +61,7 @@ def test_compact_crash_before_commit_preserves_table(spark, tmp_path, monkeypatc
     assert t.read().count() == rows_before
     # the half-written compacted files are orphans; reclaiming them does
     # not disturb the committed data
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert removed  # the moved-but-uncommitted rewrite output
     assert t.read().count() == rows_before
     # a rerun of the same compaction now succeeds end-to-end
@@ -91,7 +91,7 @@ def test_append_crash_after_move_not_adopted(spark, tmp_path):
     on_disk = {f["file_path"] for f in t._walk_data_files()}
     assert {e["file_path"] for e in moved} <= on_disk
     # orphan sweep reclaims the crashed files, committed data intact
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert {e["file_path"] for e in moved} <= set(removed)
     assert t.read().count() == 15
 
@@ -202,7 +202,7 @@ def test_same_partition_append_race_refuses(spark, tmp_path):
     # the raced writer's commit is intact; the refused writer's files are
     # orphans the sweep reclaims
     assert t.read().count() == 8
-    t.remove_orphans()
+    t.remove_orphans(older_than_s=0)
     assert t.read().count() == 8
 
 
@@ -278,3 +278,36 @@ def test_kill_restart_mid_stream(spark, tmp_path, monkeypatch):
     assert got.select("idempotency_key").distinct().count() == 10
     seqs = sorted(r.sequence for r in got.collect())
     assert seqs == list(range(1, 11))  # gapless across crash + restart
+
+
+def test_append_guard_uses_caller_watermark_baseline(spark, tmp_path):
+    """INV-1 across the read-prepare-append gap: a caller seeds sequences
+    from watermark_map(), a concurrent append commits BEFORE the caller's
+    append() starts, and the guard must still catch the collision — which
+    it only can if the baseline is the caller's read, not a re-read at
+    append start (both sides of a re-read comparison would already
+    reflect the concurrent commit)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 5)))
+
+    def _wm_df(table):
+        wmm = table.watermark_map()
+        if not wmm:
+            return None
+        return spark.createDataFrame(
+            [(tp, p, s) for (tp, p), s in wmm.items()],
+            "topic string, partition int, _base_seq long",
+        )
+
+    # caller reads watermarks (hwm=5 for t/0) and prepares its batch
+    base_wm = {f"zombi.watermark.{k[0]}/{k[1]}": v for k, v in t.watermark_map().items()}
+    outer = prepare_events(_batch(spark, 100, 3), watermarks=_wm_df(t))
+
+    # concurrent writer lands FIRST, advancing the same partition
+    t2 = EventTable(spark, str(tmp_path), "events")
+    t2.append(prepare_events(_batch(spark, 200, 4), watermarks=_wm_df(t2)))
+
+    # with the caller-supplied baseline the stale batch is refused
+    with pytest.raises(CommitConflictError, match="sequences would collide"):
+        t.append(outer, expected_watermarks=base_wm)
+    assert t.read().count() == 9  # first + concurrent only

@@ -21,7 +21,7 @@ def test_remove_orphans_only_touches_temporaries(spark, tmp_path):
     with open(os.path.join(orphan_dir, "part-0.parquet"), "w") as fh:
         fh.write("junk")
 
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert any("deadbeef" in p for p in removed)
     assert not os.path.exists(orphan_dir)
     assert t.read().count() == n_before  # committed data untouched
@@ -55,3 +55,30 @@ def test_landing_zone_retention(spark, tmp_path):
     # processed + past retention → removed
     removed = ing.cleanup_landing_zone(retention_ms=0)
     assert len(removed) == 1 and not os.listdir(landing)
+
+
+def test_remove_orphans_grace_window_protects_fresh_files(spark, tmp_path):
+    """The older_than_s cutoff: a concurrent append's moved-but-
+    uncommitted parquet is unreferenced for the seconds before its
+    commit — a sweep running in that window must leave it alone (the
+    Iceberg remove_orphan_files older_than contract)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(5)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    part_dir = os.path.dirname(t.files()[0]["file_path"])
+    inflight = os.path.join(part_dir, "part-inflight-append.parquet")
+    with open(inflight, "w") as fh:
+        fh.write("moved-but-uncommitted")
+    stage_dir = os.path.join(str(tmp_path), "events", ".append-fresh")
+    os.makedirs(stage_dir)
+    with open(os.path.join(stage_dir, "part-0.parquet"), "w") as fh:
+        fh.write("staging")
+
+    # default grace window: the fresh artifacts survive the sweep
+    assert t.remove_orphans() == []
+    assert os.path.exists(inflight) and os.path.exists(stage_dir)
+    # past the window (cutoff 0 = everything expired) they are reclaimed
+    removed = t.remove_orphans(older_than_s=0)
+    assert inflight in removed
+    assert not os.path.exists(inflight) and not os.path.exists(stage_dir)

@@ -477,6 +477,8 @@ def test_pii_scrub_detects_and_redacts(spark):
             (3, "server at 192.168.1.100 rejected ssn 123-45-6789"),
             (4, "perfectly clean prose with no identifiers at all"),
             (5, "dump: a@b.io c@d.io e@f.io 10.0.0.1 10.0.0.2 555-123-4567"),
+            (6, "ssn 123-45-6789 then phone 123-456-7890"),
+            (7, "amex 3782 822463 10005 and bare 4111111111111111"),
         ],
         "doc_id long, text string",
     )
@@ -495,9 +497,18 @@ def test_pii_scrub_detects_and_redacts(spark):
     # redaction order protects adjacent identifiers: both IPs survive as
     # <IP>, the phone's country-code digit never bites an octet off one
     assert out[5].text.count("<IP>") == 2 and "<PHONE>" in out[5].text
+    # the card pattern's consistent-separator rule: an SSN next to a
+    # phone must NOT merge into one <CARD> with leaked tail digits
+    assert out[6].pii_counts["credit_card"] == 0
+    assert "<SSN>" in out[6].text and "<PHONE>" in out[6].text
+    assert not any(ch.isdigit() for ch in out[6].text)
+    # real card shapes all still hit: amex 4-6-5 and 16 bare digits
+    assert out[7].pii_counts["credit_card"] == 2
+    assert out[7].text.count("<CARD>") == 2
+    assert not any(ch.isdigit() for ch in out[7].text)
 
     capped = P.scrub_documents(docs, max_pii_per_doc=3)
-    assert sorted(r.doc_id for r in capped.collect()) == [1, 2, 3, 4]
+    assert sorted(r.doc_id for r in capped.collect()) == [1, 2, 3, 4, 6, 7]
 
     # pure Column program: whole-stage codegen, no Python in the plan
     import contextlib

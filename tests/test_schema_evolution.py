@@ -255,6 +255,12 @@ def test_compute_overflow_ports_reference_rule():
     # missing path / non-object intermediate: untouched
     out = compute_overflow('{"meta": 5, "x": 1}', [["meta", "nested"], ["gone", "y"]])
     assert json.loads(out) == {"meta": 5, "x": 1}
+    # the reference's exact edge: an ALREADY-empty parent on the
+    # extraction path is pruned even though nothing was removed from it
+    # (remove_nested's leaf arm returns map.is_empty() unconditionally,
+    # payload_extractor.rs:155-161) — parity over intuition
+    out = compute_overflow('{"a": {}, "x": 1}', [["a", "b"]])
+    assert json.loads(out) == {"x": 1}
     # value types preserved (numbers stay numbers)
     out = compute_overflow('{"a": {"b": 1}, "n": 2.5}', [["a", "b"]])
     assert json.loads(out) == {"n": 2.5}

@@ -96,7 +96,7 @@ def test_pending_stats(spark, tmp_path):
     assert sum(p["files"] for p in s["per_partition"].values()) == 2
 
     # the orphan sweep reclaims exactly that pending set
-    t.remove_orphans()
+    t.remove_orphans(older_than_s=0)
     assert pending_stats(t)["pending_files"] == 0
 
 

@@ -48,7 +48,7 @@ def test_time_travel_across_compaction(spark, tmp_path):
     # reclaims the compacted-away inputs, and the latest read still serves
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [0, 1, 2]
-    removed = t.remove_orphans()
+    removed = t.remove_orphans(older_than_s=0)
     assert len(removed) > 0
     assert t.read().count() == 15
 

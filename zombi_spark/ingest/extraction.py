@@ -85,8 +85,15 @@ class TableSchemaConfig:
 def remove_json_path(value, parts: list[str]) -> bool:
     """Port of the reference's recursive leaf removal
     (payload_extractor.rs:145-179 ``remove_nested``): remove the leaf at
-    ``parts``, prune parents that became empty objects. Returns True when
-    ``value`` itself is now an empty object (caller prunes it)."""
+    ``parts``, prune parents left empty. Returns True when ``value``
+    itself is now an empty object (caller prunes it).
+
+    Faithful to the reference's exact rule, including its edge: a parent
+    on the extraction path that was ALREADY empty in the input is pruned
+    too (``remove_nested``'s ``[key] =>`` arm returns ``map.is_empty()``
+    whether or not the remove hit) — e.g. payload ``{"a": {}, "x": 1}``
+    with path ``a.b`` overflows to ``{"x": 1}``. Pinned by
+    ``test_compute_overflow_ports_reference_rule``."""
     if not parts:
         return False
     if not isinstance(value, dict):

@@ -213,6 +213,7 @@ def jaccard_verify(
     shingle_n: int = 2,
     id_col: str = "doc_id",
     shingles: DataFrame | None = None,
+    persist_candidates: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over distinct shingle sets.
 
@@ -223,17 +224,26 @@ def jaccard_verify(
     is shingled once across the pipeline. Output: (id_a, id_b, inter,
     union, jaccard_pm) with jaccard in per-mille (integer — exact
     cross-engine).
+
+    ``persist_candidates`` caches the semi-joined shingle frame for the
+    3 consumers below; the cache lives until the SESSION ends (Spark has
+    no consume-then-release hook for a lazily-returned plan), so a
+    long-running service calling this per batch should pass False — and
+    when ``shingles`` is an already-persisted shared index (the pipeline
+    pattern), the recompute is a cheap join off that cache anyway.
     """
     if shingles is None:
         shingles = shingle_index(docs, n=shingle_n, id_col=id_col)
     ids = pairs.select(F.col("id_a").alias(id_col)).union(
         pairs.select(F.col("id_b"))
     ).distinct()
-    # persist: cand feeds BOTH the size frame and the shingle-intersection
-    # join below — without it the shingle stage (and the semi-join)
-    # recomputes once per consumer. The frame is bounded by the candidate
+    # cand feeds BOTH the size frame and the shingle-intersection join
+    # below — unpersisted, the shingle stage (and the semi-join) would
+    # recompute once per consumer. The frame is bounded by the candidate
     # set (LSH output), not the corpus.
-    cand = shingles.join(ids, id_col, "left_semi").persist()
+    cand = shingles.join(ids, id_col, "left_semi")
+    if persist_candidates:
+        cand = cand.persist()
     sizes = cand.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     expl = cand.select(F.col(id_col), "shingle")
 

@@ -25,7 +25,12 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     ),
     (
         "credit_card",
-        r"\b(?:\d[ -]?){13,16}\b",
+        # grouped card shapes with a CONSISTENT separator (backreference):
+        # 4-4-4-4, amex 4-6-5, or 13-16 bare digits. A naive
+        # (?:\d[ -]?){13,16} lets ONE match greedily bridge two adjacent
+        # distinct items ("123-45-6789 123-456-7890" → "<CARD>7890",
+        # merging an SSN and a phone and leaking the phone's tail digits).
+        r"\b(?:\d{4}([ -])\d{4}\1\d{4}\1\d{4}|\d{4}([ -])\d{6}\2\d{5}|\d{13,16})\b",
         "<CARD>",
     ),
     (

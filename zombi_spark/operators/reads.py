@@ -129,7 +129,10 @@ def negotiate_output_format(accept: str | None) -> str:
             continue
         if mtype == ARROW and q > best_q:
             best, best_q = "arrow", q
-        elif mtype in ("application/json", "*/*") and q > best_q:
+        elif mtype in ("application/json", "*/*") and q >= best_q:
+            # >= so an equal-q json entry wins REGARDLESS of header
+            # order — the documented ties-fall-back-to-json contract
+            # (otherwise the negotiated format flips on client list order)
             best, best_q = "json", q
     return best
 

@@ -353,11 +353,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: search the query's top-``nprobe`` cells.
 
-    The corpus pays ONE assignment projection; the query side assigns only
-    the query rows (semi-join restricts the scan BEFORE the projection, so
-    the per-row centroid scoring doesn't run a second full-corpus pass).
-    The search join is an equi-join on the cell id — candidates per query
-    scale with nprobe · corpus/C, not corpus.
+    The corpus pays ONE assignment projection; the query side assigns the
+    QUERY frame's own vectors directly (same contract as
+    :func:`brute_force_topk` / :func:`lsh_topk`: ``queries`` carries
+    ``vec_col`` and need not be corpus members — a corpus semi-join here
+    would silently drop external queries and, worse, score id-colliding
+    ones with the corpus's vector for that id). The search join is an
+    equi-join on the cell id — candidates per query scale with
+    nprobe · corpus/C, not corpus.
     """
     from pyspark.sql import Window
 
@@ -366,13 +369,7 @@ def ivf_topk(
         if isinstance(centroids, list)
         else prepare_centroids(centroids, id_col, vec_col)
     )
-    q = ivf_query_cells(
-        corpus.join(queries.select(F.col(id_col)), id_col, "left_semi"),
-        prepared,
-        nprobe,
-        id_col,
-        vec_col,
-    )
+    q = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col)
     c = ivf_assign(corpus, prepared, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qvec").alias("c_q"),

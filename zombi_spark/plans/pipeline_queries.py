@@ -56,7 +56,8 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
         pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
         verified = (
-            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx)
+            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx,
+                             persist_candidates=False)
             .where(F.col("jaccard_pm") >= 500)
             .persist()
         )
@@ -175,7 +176,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = min_sh.select(F.col("doc_id").alias("id_b"), "block")
     pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return (
-        D.jaccard_verify(docs, pairs, shingle_n=2, shingles=shingle_index(spark, sf_dir, n=2))
+        D.jaccard_verify(
+            docs, pairs, shingle_n=2,
+            shingles=shingle_index(spark, sf_dir, n=2), persist_candidates=False
+        )
         .where(F.col("jaccard_pm") >= 300)
         .orderBy("id_a", "id_b")
     )

@@ -166,7 +166,17 @@ class StreamingIngest:
             else None
         )
         events = prepare_events(batch_df, history=history, watermarks=watermarks)
-        self.table.append(events)
+        # pass the EXACT watermarks the sequences were seeded from as the
+        # collision-guard baseline — re-reading inside append would hide a
+        # concurrent commit that landed since wm_map was read (both sides
+        # of the guard's comparison would reflect it) and let colliding
+        # sequences commit
+        self.table.append(
+            events,
+            expected_watermarks={
+                f"zombi.watermark.{t}/{p}": s for (t, p), s in wm_map.items()
+            },
+        )
 
     def start(self, available_now: bool = True, processing_time: str = "5 seconds"):
         """Run the ingest query. ``available_now=True`` drains the landing

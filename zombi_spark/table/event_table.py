@@ -716,7 +716,12 @@ class EventTable:
                 os.remove(os.path.join(dirpath, f))
             os.rmdir(dirpath)
 
-    def append(self, events: DataFrame, target_file_bytes: int = 128 * 1024 * 1024) -> dict:
+    def append(
+        self,
+        events: DataFrame,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        expected_watermarks: dict[str, int] | None = None,
+    ) -> dict:
         """Append canonical event rows; returns the committed snapshot.
 
         Physical layout = zombi's flusher output: one shuffle on the storage
@@ -751,11 +756,20 @@ class EventTable:
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
         events = events.select(*cols).persist()
-        # baseline AT APPEND START: the same moment a caller reads
-        # watermark_map() to seed sequences — any commit after this point
-        # is a concurrent writer the retry loop must reason about
-        base = self.latest_snapshot()
-        base_wm: dict[str, int] = dict(base.get("watermarks", {})) if base else {}
+        # collision-guard baseline: the watermarks the SEQUENCES WERE
+        # SEEDED FROM. A caller that read watermark_map() to prepare the
+        # batch must pass that same map as expected_watermarks — a
+        # concurrent commit landing between the caller's read and this
+        # point would otherwise be invisible to the guard (both sides of
+        # the comparison would reflect it) and colliding sequences would
+        # commit undetected. Without the hint, baseline at append start —
+        # correct for callers that seed sequences inside this call's
+        # lineage (prepare_events run on the spot).
+        if expected_watermarks is not None:
+            base_wm: dict[str, int] = dict(expected_watermarks)
+        else:
+            base = self.latest_snapshot()
+            base_wm = dict(base.get("watermarks", {})) if base else {}
         staging = os.path.join(self.path, f".append-{uuid.uuid4().hex}")
         # ONE stats job before the write does double duty (it also
         # materializes the cache the write then reads from):
@@ -997,7 +1011,7 @@ class EventTable:
                         os.path.relpath(os.path.dirname(e["file_path"]), self.data_path),
                     ),
                     "file_size_bytes": e.get("file_size_bytes", os.path.getsize(e["file_path"])),
-                    **{k: e[k] for k in ("row_count", "min_ts", "max_ts", "min_seq", "max_seq") if k in e},
+                    **{k: e[k] for k in ("row_count", "min_ts", "max_ts", "min_seq", "max_seq", "key_nulls") if k in e},
                 }
                 for e in self._active_files(latest)
             ]
@@ -1034,18 +1048,35 @@ class EventTable:
                 live.add(self._norm_entry(e)["file_path"])
         return live
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """M4: delete artifacts no retained snapshot references — crashed
         appends' moved-but-uncommitted parquet, staging trees, interrupted
         meta commits (``remove_orphan_files`` analogue, compaction.rs:350-364,
         iceberg_storage.rs:1587-1600). Files referenced by *any* retained
-        snapshot are live (time travel), not just the latest."""
+        snapshot are live (time travel), not just the latest.
+
+        ``older_than_s`` is the grace window for concurrent writers: an
+        in-flight append's moved-but-uncommitted parquet is unreferenced
+        for the seconds between its move and its commit, and deleting it
+        would corrupt that append's snapshot when it lands — the same
+        hazard Iceberg's ``remove_orphan_files`` guards with its
+        ``older_than`` cutoff (default 3 days there; 1 h here, sized to
+        this engine's sub-minute append path). Pass 0 only when no other
+        writer can be active."""
         removed: list[str] = []
+        cutoff = time.time() - older_than_s
+
+        def _expired(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) <= cutoff
+            except OSError:
+                return False  # vanished underneath us — nothing to do
+
         # 1) data files referenced by no retained snapshot
         if self._snapshot_files():
             live = self._referenced_files()
             for f in self._walk_data_files():
-                if f["file_path"] not in live:
+                if f["file_path"] not in live and _expired(f["file_path"]):
                     os.remove(f["file_path"])
                     removed.append(f["file_path"])
         # 2) walk the table root: crashed stage-and-move trees
@@ -1055,6 +1086,8 @@ class EventTable:
             for d in list(dirs):
                 if d.startswith((".compact-", ".append-")) or d == "_temporary":
                     full = os.path.join(dirpath, d)
+                    if not _expired(full):
+                        continue
                     for sub, _ds, fs in os.walk(full, topdown=False):
                         for f in fs:
                             os.remove(os.path.join(sub, f))
@@ -1062,8 +1095,10 @@ class EventTable:
                         os.rmdir(sub)
             for f in files:
                 if f.startswith(".") and f.endswith(".tmp"):
-                    os.remove(os.path.join(dirpath, f))
-                    removed.append(os.path.join(dirpath, f))
+                    full = os.path.join(dirpath, f)
+                    if _expired(full):
+                        os.remove(full)
+                        removed.append(full)
         return removed
 
     def rewrite_manifests(self) -> str:

@@ -24,9 +24,11 @@ import time
 from zombi_spark.table.event_table import EventTable
 
 
-def table_stats(table: EventTable) -> dict:
-    """The ``/stats`` rollup for one table (handlers.rs:1414-1523 shape)."""
-    snaps = table.snapshots()
+def table_stats(table: EventTable, snaps: list[dict] | None = None) -> dict:
+    """The ``/stats`` rollup for one table (handlers.rs:1414-1523 shape).
+    ``snaps`` lets a caller that already read the snapshot log share it
+    (a /metrics scrape otherwise parses every snapshot file twice)."""
+    snaps = table.snapshots() if snaps is None else snaps
     files = table.scan_files() if snaps else []
     ops: dict[str, int] = {}
     appends = []
@@ -118,19 +120,33 @@ def pending_stats(table: EventTable) -> dict:
     }
 
 
-def ingest_metrics(table: EventTable) -> dict:
+def _pct(sorted_vals: list, p: float):
+    """Nearest-rank percentile over a pre-sorted list (the same
+    element-of-the-data semantics ``percentile_approx`` has on small
+    exact inputs — no interpolation)."""
+    import math
+
+    idx = max(0, min(len(sorted_vals) - 1, math.ceil(p * len(sorted_vals)) - 1))
+    return sorted_vals[idx]
+
+
+def ingest_metrics(table: EventTable, snaps: list[dict] | None = None) -> dict:
     """M6 ingest-metrics rollup: per-batch rates + commit-latency
     percentiles over the append history (the histogram surface of
     metrics/registry.rs / histogram.rs, derived from snapshot summaries —
     zero data files read).
 
-    Percentiles run through ``percentile_approx`` over a tiny DataFrame of
-    per-append samples: metadata-scale input, but the same aggregate the
-    rollup would use over a metrics *table* at fleet scale.
+    Percentiles are computed driver-side: the input is a handful of
+    per-append ints out of snapshot summaries, and launching a Spark job
+    per /metrics scrape for that would put a distributed aggregation on
+    the monitoring hot path (at fleet scale the same rollup runs as an
+    aggregate over a metrics *table* instead). ``snaps`` lets a caller
+    that already read the snapshot log (``prometheus_text``) share it.
     """
-    from pyspark.sql import functions as F
-
-    appends = [s for s in table.snapshots() if s.get("operation") == "append"]
+    appends = [
+        s for s in (snaps if snaps is not None else table.snapshots())
+        if s.get("operation") == "append"
+    ]
     samples = [
         (
             int(s.get("added_rows", 0)),
@@ -146,23 +162,16 @@ def ingest_metrics(table: EventTable) -> dict:
     }
     if not samples:
         return out
-    df = table.spark.createDataFrame(samples, "rows long, latency_ms long")
-    row = df.agg(
-        F.sum("rows").alias("total_rows"),
-        F.percentile_approx("latency_ms", [0.5, 0.9, 0.99]).alias("lat_pcts"),
-        F.max("latency_ms").alias("lat_max"),
-        F.percentile_approx(F.expr("rows / greatest(latency_ms, 1) * 1000"), 0.5).alias(
-            "rate_p50"
-        ),
-    ).first()
+    lats = sorted(lat for _rows, lat in samples)
+    rates = sorted(rows / max(lat, 1) * 1000 for rows, lat in samples)
     out.update(
         {
-            "total_rows": row["total_rows"],
-            "latency_ms_p50": row["lat_pcts"][0],
-            "latency_ms_p90": row["lat_pcts"][1],
-            "latency_ms_p99": row["lat_pcts"][2],
-            "latency_ms_max": row["lat_max"],
-            "rows_per_sec_p50_batch": round(row["rate_p50"], 1),
+            "total_rows": sum(rows for rows, _lat in samples),
+            "latency_ms_p50": _pct(lats, 0.5),
+            "latency_ms_p90": _pct(lats, 0.9),
+            "latency_ms_p99": _pct(lats, 0.99),
+            "latency_ms_max": lats[-1],
+            "rows_per_sec_p50_batch": round(_pct(rates, 0.5), 1),
         }
     )
     return out
@@ -209,7 +218,10 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
     def gauge(name: str, help_: str, rows: list[tuple[str, float]]) -> None:
         _emit_gauge(out, name, help_, rows)
 
-    stats = [(t, table_stats(t)) for t in tables]
+    # one snapshot-log read per table per scrape, shared by the /stats
+    # rollup and the ingest-metrics percentiles below
+    snaps_by = {t.name: t.snapshots() for t in tables}
+    stats = [(t, table_stats(t, snaps=snaps_by[t.name])) for t in tables]
     gauge(
         "zombi_table_files",
         "Active data files in the current snapshot",
@@ -234,8 +246,11 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
     for t, s in stats:
         for key, hwm in s["watermarks"].items():
             topic, _, part = key.removeprefix("zombi.watermark.").rpartition("/")
+            # topics are unvalidated producer strings — a quote, backslash
+            # or newline in a label value would malform the exposition and
+            # Prometheus rejects the WHOLE scrape body, not one row
             wm_rows.append(
-                (f'{{table="{t.name}",topic="{topic}",partition="{part}"}}', hwm)
+                (f'{{table="{t.name}",topic="{_esc_label(topic)}",partition="{part}"}}', hwm)
             )
     gauge("zombi_high_watermark", "Committed high watermark per producer partition", wm_rows)
     gauge(
@@ -258,7 +273,7 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
     )
     im_rows = []
     for t in tables:
-        im = ingest_metrics(t)
+        im = ingest_metrics(t, snaps=snaps_by[t.name])
         for q in ("p50", "p90", "p99"):
             v = im.get(f"latency_ms_{q}")
             if v is not None:
@@ -269,6 +284,12 @@ def prometheus_text(tables: list[EventTable], now_ms: int | None = None) -> str:
         im_rows,
     )
     return "\n".join(out) + "\n"
+
+
+def _esc_label(value: str) -> str:
+    """Prometheus exposition label-value escaping: backslash, quote,
+    newline (the three characters the format reserves)."""
+    return value.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
 
 
 def _emit_gauge(out: list[str], name: str, help_: str, rows: list[tuple[str, float]]) -> None:
