@@ -76,3 +76,32 @@ def test_register_views_sql_surface(spark, tmp_path):
     views = cat.register_views()
     assert views == ["view_events"]
     assert spark.sql("SELECT count(*) AS n FROM view_events").collect()[0].n == 8
+
+
+def test_discover_skips_invalid_directory_names(spark, tmp_path):
+    """Recovery must adopt every valid table even when an operator-made
+    copy dir ('2024-backup') with a _zombi_meta inside fails name
+    validation — skip it, never abort the reconciliation."""
+    import os
+
+    t = EventTable(spark, str(tmp_path), "alpha")
+    t.append(prepare_events(_batch(spark, 2)))
+    t2 = EventTable(spark, str(tmp_path), "zulu")
+    t2.append(prepare_events(_batch(spark, 2)))
+    os.makedirs(str(tmp_path / "2024-backup" / "_zombi_meta"))
+    cat = Catalog(spark, str(tmp_path))
+    # '2024-backup' sorts first — a propagated ValueError would adopt nothing
+    assert cat.discover() == ["alpha", "zulu"]
+
+
+def test_concurrent_registration_loses_no_tables(spark, tmp_path):
+    """register() is a locked read-modify-write: N threads registering
+    distinct tables concurrently must all survive in the registry (tmp +
+    rename alone only prevents torn files, not lost updates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    cat = Catalog(spark, str(tmp_path))
+    names = [f"tab{i}" for i in range(16)]
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(cat.register, names))
+    assert cat.list_tables() == sorted(names)

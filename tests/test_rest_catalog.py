@@ -119,3 +119,26 @@ def test_consumer_offsets_roundtrip(tmp_path):
     assert off.get("g1", 0) == 50
     # persistence: a new instance over the same root sees the offsets
     assert ConsumerOffsets(str(tmp_path / "events")).get("g2", 0) == 99
+
+
+def test_non_object_json_body_gets_400_envelope(served_catalog):
+    """Valid JSON that isn't an object ('[1,2]') must produce the 400
+    ErrorModel envelope, not a dropped connection (TypeError was
+    escaping the except clause and killing the request thread)."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    _cat, server, _client = served_catalog
+    url = f"{server.base_url}/catalog/v1/namespaces/zombi/tables"
+    for payload in (b"[1, 2]", b"null", b'"str"'):
+        req = urllib.request.Request(
+            url, data=payload, method="POST", headers={"Content-Type": "application/json"}
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            body = json.loads(e.read())
+            assert body["error"]["code"] == 400

@@ -12,6 +12,7 @@ from zombi_spark.operators import dedup as D
 from zombi_spark.operators import multimodal as M
 from zombi_spark.operators import similarity as S
 from zombi_spark.operators import text_analysis as TA
+from zombi_spark.plans.relational import _cents
 from zombi_spark.sources.tables import load_table
 
 
@@ -304,13 +305,9 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_returnflag").alias("distinct_returnflag"),
         F.min("l_quantity").cast("long").alias("min_qty"),
         F.max("l_quantity").cast("long").alias("max_qty"),
-        F.sum(_stack_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
     )
     return prof
-
-
-def _stack_cents(col: F.Column) -> F.Column:
-    return F.round(col * 100).cast("long")
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

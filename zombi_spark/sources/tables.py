@@ -29,15 +29,19 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # pin UTC for EVERY table, not just events: orders/lineitem carry
+    # timestamp columns whose year()/date_trunc()/grouping boundaries
+    # shift with the session zone, while the DuckDB oracle stays UTC —
+    # without the pin, hash parity depends on the HOST timezone and on
+    # whether an events query happened to run first in the session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS,false) —
         # which Spark only reads as a long of epoch-nanos — and as
         # timestamp[us] (TIMESTAMP_NTZ). Enable nanosAsLong for the former;
         # the NTZ case reads natively and zombi_events() branches on the
-        # resulting dtype. Pin the session timezone to UTC so NTZ→LTZ casts
-        # (unix_millis path) match DuckDB's epoch_ms exactly.
+        # resulting dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

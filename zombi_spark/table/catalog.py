@@ -17,6 +17,7 @@ upsert semantics (storage/catalog.rs:188-199).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -43,6 +44,29 @@ class Catalog:
         self._registry_path = os.path.join(root, _CATALOG_FILE)
 
     # ------------------------------------------------------------ registry
+    @contextlib.contextmanager
+    def _registry_lock(self):
+        """Exclusive advisory lock for read-modify-write cycles. tmp +
+        rename alone only prevents TORN files — two concurrent
+        register() calls would each rewrite the registry from their own
+        snapshot and the last rename would silently drop the other's
+        entry (the server above this is a ThreadingHTTPServer, and the
+        ingest write-through can race a drop). flock serializes writers
+        across threads AND processes sharing the warehouse root."""
+        os.makedirs(self.root, exist_ok=True)
+        lock_path = os.path.join(self.root, f".{_CATALOG_FILE}.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort, single-process
+                pass
+            yield
+        finally:
+            os.close(fd)  # releases the flock
+
     def _read_registry(self) -> dict[str, dict]:
         if not os.path.isfile(self._registry_path):
             return {}
@@ -61,10 +85,11 @@ class Catalog:
         ``path`` defaults to ``{root}/{name}``; registration persists on
         disk and survives session restarts."""
         validate_table_name(name)
-        reg = self._read_registry()
-        entry = {"name": name, "path": path or os.path.join(self.root, name)}
-        reg[name] = entry
-        self._write_registry(reg)
+        with self._registry_lock():
+            reg = self._read_registry()
+            entry = {"name": name, "path": path or os.path.join(self.root, name)}
+            reg[name] = entry
+            self._write_registry(reg)
         return entry
 
     def create_table(self, name: str) -> EventTable:
@@ -76,11 +101,12 @@ class Catalog:
     def drop(self, name: str) -> None:
         """Unregister; data files are untouched (the reference's catalog is
         a registry, not the store of record)."""
-        reg = self._read_registry()
-        if name not in reg:
-            raise TableNotFoundError(name)
-        del reg[name]
-        self._write_registry(reg)
+        with self._registry_lock():
+            reg = self._read_registry()
+            if name not in reg:
+                raise TableNotFoundError(name)
+            del reg[name]
+            self._write_registry(reg)
 
     # ---------------------------------------------------------- discovery
     def discover(self) -> list[str]:
@@ -96,7 +122,13 @@ class Catalog:
                     d not in reg
                     and os.path.isdir(os.path.join(full, "_zombi_meta"))
                 ):
-                    self.register(d, full)
+                    try:
+                        self.register(d, full)
+                    except ValueError:
+                        # an operator-made dir ('2024-backup', 'old.events')
+                        # that fails name validation must not abort the
+                        # whole recovery — skip it, adopt the rest
+                        continue
                     adopted.append(d)
         return adopted
 

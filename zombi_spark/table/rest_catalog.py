@@ -116,7 +116,30 @@ class _Handler(BaseHTTPRequestHandler):
     def _namespace_ok(self, ns: str) -> bool:
         return ns in self.catalog.namespaces()
 
+    def _dispatch(self, handler) -> None:
+        """Every handler answers with the ErrorModel envelope, even on an
+        unexpected exception (corrupt registry JSON, unreadable table
+        metadata) — a bare traceback would close the socket with no
+        response and the client would see a connection error instead of
+        the documented 5xx body."""
+        try:
+            handler()
+        except Exception as exc:  # noqa: BLE001 — the envelope of last resort
+            try:
+                self._send(500, _error_body(500, f"{type(exc).__name__}: {exc}"))
+            except OSError:
+                pass  # client already gone
+
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        self._dispatch(self._get)
+
+    def do_HEAD(self) -> None:  # noqa: N802
+        self._dispatch(self._head)
+
+    def do_POST(self) -> None:  # noqa: N802
+        self._dispatch(self._post)
+
+    def _get(self) -> None:
         _, parts = self._route()
         if parts == ["config"]:
             # api/catalog.rs:193-214 — hand the engine its warehouse root
@@ -153,7 +176,7 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, _error_body(404, "no such route"))
 
-    def do_HEAD(self) -> None:  # noqa: N802
+    def _head(self) -> None:
         _, parts = self._route()
         if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
             # api/catalog.rs:414-431 — existence probe, empty body
@@ -162,7 +185,7 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._send(404, b"", head_only=True)
 
-    def do_POST(self) -> None:  # noqa: N802
+    def _post(self) -> None:
         _, parts = self._route()
         if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
             if not self._namespace_ok(parts[1]):
@@ -172,7 +195,8 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 body = json.loads(self.rfile.read(length) or b"{}")
                 name = body["name"]
-            except (ValueError, KeyError):
+            except (ValueError, KeyError, TypeError):
+                # TypeError: valid JSON that isn't an object ('[1,2]', 'null')
                 self._send(400, _error_body(400, "body must be JSON with a 'name' field"))
                 return
             try:
