@@ -82,3 +82,16 @@ def test_remove_orphans_grace_window_protects_fresh_files(spark, tmp_path):
     removed = t.remove_orphans(older_than_s=0)
     assert inflight in removed
     assert not os.path.exists(inflight) and not os.path.exists(stage_dir)
+
+
+def test_files_entries_carry_key_nulls_stat(spark, tmp_path):
+    """compact()'s skip-blooms-for-provably-unkeyed-inputs reads the
+    key_nulls footer stat out of files(); a passthrough whitelist that
+    drops it silently turns the optimization into dead code (it did)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(10)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    entries = t.files()
+    assert entries and all("key_nulls" in f for f in entries)
+    # unkeyed batch: every key is null → the all-unkeyed rule holds
+    assert sum(f["key_nulls"] for f in entries) == sum(f["row_count"] for f in entries)

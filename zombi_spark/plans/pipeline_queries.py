@@ -57,8 +57,11 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
         pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
         verified = (
-            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx,
-                             persist_candidates=False)
+            # cand persist is load-bearing here: its 3 consumers would each
+            # recompute the LSH-pair lineage (measured 1.8s -> 9s without);
+            # the plan is session-cached so the cache is one-per-session,
+            # not per-batch - the leak persist_candidates=False guards
+            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx)
             .where(F.col("jaccard_pm") >= 500)
             .persist()
         )
@@ -178,8 +181,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return (
         D.jaccard_verify(
-            docs, pairs, shingle_n=2,
-            shingles=shingle_index(spark, sf_dir, n=2), persist_candidates=False
+            docs, pairs, shingle_n=2, shingles=shingle_index(spark, sf_dir, n=2)
         )
         .where(F.col("jaccard_pm") >= 300)
         .orderBy("id_a", "id_b")
