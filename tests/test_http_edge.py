@@ -511,3 +511,65 @@ def test_multiprocess_write_plane(spark, tmp_path):
             assert row.n == row.d == row.hwm, f"sequence gap in partition {row}"
     # after stop(): worker processes are gone
     assert len(procs) == 2 and not any(p.is_alive() for p in procs)
+
+
+def test_consumer_offsets_over_http(edge):
+    """T12 route parity (handlers.rs:1146-1188): commit is a last-write-
+    wins put keyed (group, topic, partition); a new group reads null; an
+    unknown topic 404s without fabricating table state."""
+    srv, ingests = edge
+    base = srv.base_url
+    # the topic's table must exist first (write-through creates it)
+    _call(f"{base}/tables/events", "POST", json.dumps({"payload": "x"}).encode())
+
+    status, body = _call(
+        f"{base}/consumers/g1/commit",
+        "POST",
+        json.dumps({"topic": "events", "partition": 0, "offset": 42}).encode(),
+    )
+    assert status == 200 and body == {
+        "group": "g1", "topic": "events", "partition": 0, "offset": 42
+    }
+    # last-write-wins
+    _call(
+        f"{base}/consumers/g1/commit",
+        "POST",
+        json.dumps({"topic": "events", "partition": 0, "offset": 57}).encode(),
+    )
+    status, body = _call(f"{base}/consumers/g1/offset?topic=events&partition=0")
+    assert status == 200 and body["offset"] == 57
+    # new group: null offset (client starts at the low watermark)
+    status, body = _call(f"{base}/consumers/fresh/offset?topic=events&partition=0")
+    assert status == 200 and body["offset"] is None
+    # unknown topic: 404, and no table state fabricated
+    status, _ = _call(
+        f"{base}/consumers/g1/commit",
+        "POST",
+        json.dumps({"topic": "ghost", "partition": 0, "offset": 1}).encode(),
+    )
+    assert status == 404 and "ghost" not in ingests
+    # survives restart via the library store (same file the offline
+    # ConsumerOffsets reads)
+    from zombi_spark.streaming.offsets import ConsumerOffsets
+
+    assert ConsumerOffsets(ingests["events"].table.path).get("g1", 0) == 57
+
+
+def test_server_stats_rollup(edge):
+    """GET /stats (handlers.rs:1070-1143 shape): uptime + process
+    request counters + durable per-table rollups with admission state."""
+    srv, _ingests = edge
+    base = srv.base_url
+    for i in range(3):
+        _call(f"{base}/tables/metered", "POST", json.dumps({"payload": f"x{i}"}).encode())
+    _call(f"{base}/tables/metered?limit=2")  # one read
+    _call(f"{base}/tables/9badname", "POST", b"{}")  # one error (400)
+    status, body = _call(f"{base}/stats")
+    assert status == 200
+    assert body["uptime_secs"] > 0
+    assert body["writes"]["events"] >= 3 and body["writes"]["bytes_total"] > 0
+    assert body["reads"]["requests"] >= 1
+    assert body["errors_total"] >= 1
+    t = body["tables"]["metered"]
+    assert t["admission"]["status"] in (200, 503)
+    assert "total_rows" in t and "current_version" in t

@@ -17,6 +17,14 @@ Routes (api/handlers.rs):
   GET  /tables/{t}/health M6: live/ready + admission state
   POST /tables/{t}/flush  M5 flush endpoint: drain the landing zone into
                           the table (availableNow run, blocks)
+  POST /consumers/{g}/commit  T12 consumer-offset commit (body: topic,
+                          partition, offset — handlers.rs:1146-1169)
+  GET  /consumers/{g}/offset  committed offset (?topic=&partition= —
+                          handlers.rs:1171-1188; offset null = new group)
+  GET  /stats             server rollup (handlers.rs:1070-1143 shape):
+                          uptime + THIS process's request counters +
+                          durable per-table stats (snapshot-derived, so
+                          consistent across write-plane processes)
 
 Deviation, documented: the reference acks with the assigned offset
 (sequence) because its memtable assigns synchronously; here the 202 acks
@@ -133,6 +141,8 @@ class _Handler(BaseHTTPRequestHandler):
         return self.server.combiner_for(table)  # type: ignore[attr-defined]
 
     def _send_json(self, obj, status: int = 200) -> None:
+        if status >= 400:
+            self.server.counters.count_error()  # type: ignore[attr-defined]
         self._send_bytes(json.dumps(obj).encode(), "application/json", status)
 
     def _send_bytes(self, payload: bytes, content_type: str, status: int = 200) -> None:
@@ -260,6 +270,33 @@ class _Handler(BaseHTTPRequestHandler):
                 }
             )
             return
+        if len(parts) == 3 and parts[0] == "consumers" and parts[2] == "commit":
+            # T12 over HTTP (handlers.rs:1146-1169): body {topic,
+            # partition, offset} → last-write-wins KV put on the topic's
+            # table root; unknown topic 404s (a commit must never
+            # fabricate table state)
+            from zombi_spark.streaming.offsets import ConsumerOffsets
+
+            group = parts[1]
+            try:
+                body = json.loads(self._body() or b"{}")
+                topic = validate_table_name(body["topic"])
+                partition, offset = int(body["partition"]), int(body["offset"])
+            except (ValueError, KeyError, TypeError) as exc:
+                status, payload = _err(400, f"body must carry topic/partition/offset: {exc}")
+                self._send_json(payload, status)
+                return
+            try:
+                ing = self._ingest(topic, create=False)
+            except KeyError:
+                status, payload = _err(404, f"table {topic} not found")
+                self._send_json(payload, status)
+                return
+            ConsumerOffsets(ing.table.path).commit(group, partition, offset)
+            self._send_json(
+                {"group": group, "topic": topic, "partition": partition, "offset": offset}
+            )
+            return
         if len(parts) not in (2, 3) or parts[0] != "tables":
             status, body = _err(404, "no such route")
             self._send_json(body, status)
@@ -294,6 +331,9 @@ class _Handler(BaseHTTPRequestHandler):
                 else:
                     # bulk requests are already a batch: land directly
                     landed = ing.produce(f"edge-{uuid.uuid4().hex}", events)
+                # counted only after the durable landing (the reference
+                # increments writes_total on success, handlers.rs:1081)
+                self.server.counters.count_write(len(events), len(self._body()))  # type: ignore[attr-defined]
                 self._send_json(
                     {"table": table, "count": len(events), "landed": landed, "accepted": True},
                     202,
@@ -377,6 +417,64 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json({"ready": ready}, 200 if ready else 503)
             else:
                 self._send_json({"live": True, "ready": ready, "tables": reports})
+            return
+        if len(parts) == 3 and parts[0] == "consumers" and parts[2] == "offset":
+            # handlers.rs:1171-1188 — ?topic=&partition=; offset null for
+            # a new group (clients start at the low watermark)
+            from zombi_spark.streaming.offsets import ConsumerOffsets
+
+            group = parts[1]
+            try:
+                topic = validate_table_name(q["topic"])
+                partition = int(q["partition"])
+            except (ValueError, KeyError) as exc:
+                status, body = _err(400, f"topic and partition query params required: {exc}")
+                self._send_json(body, status)
+                return
+            try:
+                ing = self._ingest(topic, create=False)
+            except KeyError:
+                status, body = _err(404, f"table {topic} not found")
+                self._send_json(body, status)
+                return
+            offset = ConsumerOffsets(ing.table.path).get(group, partition)
+            self._send_json(
+                {"group": group, "topic": topic, "partition": partition, "offset": offset}
+            )
+            return
+        if parts == ["stats"]:
+            # server rollup (handlers.rs:1070-1143 StatsResponse shape).
+            # Request counters are per-PROCESS (a write-plane worker
+            # proxies this route to the parent, whose counters cover only
+            # requests the parent served); the tables section is derived
+            # from snapshot summaries, so it is consistent no matter
+            # which process landed the writes.
+            from zombi_spark.table.stats import table_stats
+
+            self._send_json(
+                {
+                    **self.server.counters.snapshot(),  # type: ignore[attr-defined]
+                    "tables": {
+                        i.table.name: {
+                            **{
+                                k: v
+                                for k, v in table_stats(i.table).items()
+                                if k
+                                in (
+                                    "current_version",
+                                    "total_rows",
+                                    "total_bytes",
+                                    "file_count",
+                                    "ingest_rows_per_sec",
+                                    "last_commit_at_ms",
+                                )
+                            },
+                            "admission": i.admission_status(),
+                        }
+                        for i in self.server.known_ingests()  # type: ignore[attr-defined]
+                    },
+                }
+            )
             return
         if parts == ["metrics"]:
             # M6 /metrics exposition over every table this edge has seen
@@ -465,6 +563,7 @@ class _Handler(BaseHTTPRequestHandler):
             tbl = tail_df.select(*fields).toArrow()
             has_more = tbl.num_rows > limit
             tbl = tbl.slice(0, limit)
+            self.server.counters.count_read(tbl.num_rows)  # type: ignore[attr-defined]
             sink = io.BytesIO()
             with pa.ipc.new_stream(sink, tbl.schema) as writer:
                 writer.write_table(tbl)
@@ -478,6 +577,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         rows = tail_df.collect()
         has_more = len(rows) > limit
+        self.server.counters.count_read(min(len(rows), limit))  # type: ignore[attr-defined]
         records = []
         for r in rows[:limit]:
             d = r.asDict()
@@ -485,6 +585,57 @@ class _Handler(BaseHTTPRequestHandler):
                 d["payload"] = bytes(d["payload"]).decode("utf-8", errors="replace")
             records.append({k: d.get(k) for k in fields})
         self._send_json({"records": records, "has_more": has_more})
+
+
+class _Counters:
+    """Per-process request counters behind ``GET /stats``
+    (handlers.rs:1070-1143's in-memory metrics registry analogue).
+    Durable per-table truth lives in snapshot summaries; these cover the
+    HTTP plane of THIS process."""
+
+    def __init__(self):
+        self.started = time.time()
+        self._lock = threading.Lock()
+        self.write_requests = 0
+        self.write_events = 0
+        self.write_bytes = 0
+        self.read_requests = 0
+        self.read_records = 0
+        self.errors_total = 0
+
+    def count_write(self, events: int, nbytes: int) -> None:
+        with self._lock:
+            self.write_requests += 1
+            self.write_events += events
+            self.write_bytes += nbytes
+
+    def count_read(self, records: int) -> None:
+        with self._lock:
+            self.read_requests += 1
+            self.read_records += records
+
+    def count_error(self) -> None:
+        with self._lock:
+            self.errors_total += 1
+
+    def snapshot(self) -> dict:
+        uptime = max(time.time() - self.started, 1e-9)
+        with self._lock:
+            return {
+                "uptime_secs": round(uptime, 3),
+                "scope": "process",  # workers proxy /stats to the parent
+                "writes": {
+                    "requests": self.write_requests,
+                    "events": self.write_events,
+                    "bytes_total": self.write_bytes,
+                    "events_per_sec": round(self.write_events / uptime, 1),
+                },
+                "reads": {
+                    "requests": self.read_requests,
+                    "records": self.read_records,
+                },
+                "errors_total": self.errors_total,
+            }
 
 
 class _ReusePortServer(ThreadingHTTPServer):
@@ -643,6 +794,7 @@ def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready) -> 
     state = _WorkerState(tuple(parent_addr), combine, tuple(combine_args))
     srv = _ReusePortServer((host, port), _WriteWorkerHandler)
     srv.state = state  # type: ignore[attr-defined]
+    srv.counters = _Counters()  # type: ignore[attr-defined]
 
     def _graceful_stop() -> None:
         state.close()
@@ -706,6 +858,7 @@ class HttpIngestEdge:
         self._internal_httpd: ThreadingHTTPServer | None = None
         self._worker_procs: list = []
         self._thread: threading.Thread | None = None
+        self._counters = _Counters()
 
     def _resolve(self, name: str, create: bool) -> StreamingIngest:
         ing = self.resolver(name, create)
@@ -736,6 +889,7 @@ class HttpIngestEdge:
         httpd.combiner_for = self.combiner_for  # type: ignore[attr-defined]
         httpd.known_ingests = self.known_ingests  # type: ignore[attr-defined]
         httpd.is_internal = internal  # type: ignore[attr-defined]
+        httpd.counters = self._counters  # type: ignore[attr-defined]  # shared: one process
 
     def start(self) -> "HttpIngestEdge":
         server_cls = _ReusePortServer if self.workers else ThreadingHTTPServer
