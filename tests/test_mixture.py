@@ -1,0 +1,82 @@
+"""Mixture sampling (operators/mixture.py): epoch-weighted,
+deterministic, shuffle-free source re-weighting for training exports."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from zombi_spark.operators import mixture as M
+from zombi_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_epoch_weights_hit_expected_counts(docs):
+    """w=2.5 → every doc twice plus a ~half gated third pass; w=1 → one
+    pass exactly; w=0 / unlisted → dropped."""
+    n = docs.where("source = 'src0'").count()
+    out = M.mixture_sample(docs, {"src0": 2.5, "src1": 1.0, "src2": 0.0})
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["src1"] == n
+    assert "src2" not in by and "src3" not in by
+    # 2n certain + gated extra within a generous binomial tolerance
+    assert 2 * n <= by["src0"] <= 3 * n
+    assert abs(by["src0"] - 2.5 * n) <= 0.35 * n
+    # epochs are 0,1 for all docs and 2 only for the gated subset
+    epochs = {r["epoch"] for r in out.where("source = 'src0'").select("epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+    extra = out.where("source = 'src0' AND epoch = 2").count()
+    assert extra == by["src0"] - 2 * n
+
+
+def test_deterministic_and_row_order_stable(docs):
+    """Same (corpus, weights, seed) → identical doc selection even after
+    a repartition; a different seed picks a different fractional subset."""
+    w = {"src0": 0.4}
+    a = sorted(r.doc_id for r in M.mixture_sample(docs, w).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in M.mixture_sample(docs.repartition(13), w).select("doc_id").collect()
+    )
+    assert a == b and 0 < len(a) < docs.where("source='src0'").count()
+    c = sorted(r.doc_id for r in M.mixture_sample(docs, w, seed=7).select("doc_id").collect())
+    assert c != a
+
+
+def test_no_shuffle_in_sample_plan(docs):
+    """The sample is narrow — literal map + explode + hash gate; any
+    Exchange would mean the mixture pass re-shuffles 100 TB for nothing."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        M.mixture_sample(docs, {"src0": 1.5, "src1": 0.5}).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_report_reconciles(docs):
+    w = {"src0": 2.0, "src1": 1.0, "src4": 1.0}
+    rep = {r["source"]: r for r in M.mixture_report(docs, w, token_col="n_chars").collect()}
+    assert set(rep) == set(w)
+    sampled = M.mixture_sample(docs, w)
+    direct = {r["source"]: r["n"] for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for s in w:
+        assert rep[s]["sampled_rows"] == direct[s]
+        assert rep[s]["weight"] == w[s]
+    assert rep["src0"]["target_share_pm"] == 500
+    assert rep["src0"]["sampled_tokens"] > 0
+    # integer epochs duplicate tokens too: src0 tokens = 2 × its corpus tokens
+    base = docs.where("source='src0'").agg(F.sum("n_chars")).first()[0]
+    assert rep["src0"]["sampled_tokens"] == 2 * base
+
+
+def test_weight_validation(docs):
+    with pytest.raises(ValueError):
+        M.mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        M.mixture_sample(docs, {"src0": -1.0})

@@ -1,0 +1,123 @@
+"""Data-mixture sampling for training runs — hit a target source mix
+with per-source EPOCH weights (the "sample source A 2.3 times, B 0.4
+times" knob every large pretraining data pipeline has; same family as
+the sampling the reference's training exports would feed).
+
+A weight w for a source means every doc of that source appears
+floor(w) times for certain, plus once more with probability frac(w) —
+decided by a deterministic hash gate on (id, seed), the same
+RNG-free device as ``sharding.split_assignment``. Properties that
+matter at 100 TB:
+
+- NO shuffle: the whole transform is a literal-map lookup + sequence +
+  explode + hash filter — narrow, pipelined inside one stage, scales
+  with input splits.
+- Rerun- and row-order-stable: the gate depends only on (id, seed), so
+  re-running on a repartitioned corpus selects the SAME docs, and the
+  emitted ``epoch`` column is the same — resumable exports.
+- Fractional-epoch selection is doc-level (not row-duplication noise):
+  the docs that get the extra pass are a fixed pseudo-random subset, so
+  two exporters at the same seed agree on it.
+
+``mixture_report`` reconciles the achieved mix (rows and optionally a
+token column) against the target shares — the check a dataset card
+wants before a run starts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GATE_M = 1_000_000  # per-mille-of-per-mille gate resolution
+
+
+def _hash_gate(id_col: Column, seed: int) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from (id, seed)."""
+    return F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(_GATE_M)) / F.lit(_GATE_M)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Epoch-weighted mixture sample. Output = input columns + ``epoch``
+    (0-based pass number; a doc with weight 2.3 appears with epoch 0, 1
+    and — for the gated 30% subset — 2). Sources absent from
+    ``weights`` are dropped (weight 0)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    w_col = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )[F.col(source_col)].cast("double"),
+        F.lit(0.0),
+    )
+    whole = F.floor(w_col).cast("int")
+    frac = w_col - whole
+    # full epochs 0..whole-1, plus epoch `whole` for the hash-gated
+    # fractional subset; empty array = dropped doc (filtered by explode)
+    epochs = F.concat(
+        F.when(whole > 0, F.sequence(F.lit(0), whole - 1)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        F.when(
+            (frac > 0) & (_hash_gate(F.col(id_col), seed) < frac),
+            F.array(whole),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    return docs.withColumn("epoch", F.explode(epochs))
+
+
+def mixture_report(
+    docs: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Per-source achieved vs target mix for the sample
+    :func:`mixture_sample` would emit — one aggregate pass over the
+    corpus. Columns: source, input_docs, weight, sampled_rows,
+    achieved_share_pm, target_share_pm (+ sampled_tokens with
+    ``token_col``). Shares are per-mille integers (exact cross-engine)."""
+    sampled = mixture_sample(docs, weights, source_col, id_col, seed)
+    aggs = [
+        F.count("*").alias("sampled_rows"),
+        F.countDistinct(id_col).alias("input_docs"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("sampled_tokens"))
+    per_source = sampled.groupBy(source_col).agg(*aggs)
+    total = float(sum(weights.values()))
+    target = F.create_map(
+        *[
+            x
+            for s, w in weights.items()
+            for x in (F.lit(s), F.lit(int(round(1000 * w / total))))
+        ]
+    )
+    grand = per_source.agg(F.sum("sampled_rows")).first()[0] or 1
+    return per_source.select(
+        source_col,
+        "input_docs",
+        F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in weights.items() for x in kv]
+            )[F.col(source_col)].cast("double"),
+            F.lit(0.0),
+        ).alias("weight"),
+        "sampled_rows",
+        *( ["sampled_tokens"] if token_col is not None else [] ),
+        F.floor(F.lit(1000) * F.col("sampled_rows") / F.lit(grand))
+        .cast("long")
+        .alias("achieved_share_pm"),
+        target[F.col(source_col)].cast("long").alias("target_share_pm"),
+    ).orderBy(source_col)
