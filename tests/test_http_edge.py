@@ -573,3 +573,66 @@ def test_server_stats_rollup(edge):
     t = body["tables"]["metered"]
     assert t["admission"]["status"] in (200, 503)
     assert "total_rows" in t and "current_version" in t
+
+
+def test_worker_sigkill_loses_no_acked_writes(spark, tmp_path):
+    """Hard-kill (SIGKILL — no graceful drain) one write-plane worker
+    mid-traffic: every event acked 202 by ANY process must survive to
+    the committed table exactly once, and the port must keep serving
+    (the kernel drops the dead listener from the SO_REUSEPORT group).
+    Acks happen only after the combiner's durable landing, so a kill can
+    lose at most unacked in-flight requests — which clients retry with
+    idempotency keys, the reference's own contract."""
+    import http.client
+    import os
+    import signal as _signal
+    import time
+
+    ingests: dict[str, StreamingIngest] = {}
+
+    def resolver(name: str, create: bool) -> StreamingIngest:
+        if name not in ingests:
+            if not create:
+                raise KeyError(name)
+            table = EventTable(spark, str(tmp_path), name)
+            ingests[name] = StreamingIngest(
+                spark,
+                str(tmp_path / f"landing-{name}"),
+                table,
+                str(tmp_path / f"ckpt-{name}"),
+            )
+        return ingests[name]
+
+    def post_event(host, port, key):
+        body = json.dumps(
+            {"payload": f'{{"k":"{key}"}}', "partition": 0, "idempotency_key": key}
+        ).encode()
+        for _attempt in range(6):  # retry across the kill window
+            try:
+                conn = http.client.HTTPConnection(host, port, timeout=30)
+                conn.request("POST", "/tables/chaos", body)
+                r = conn.getresponse()
+                r.read()
+                conn.close()
+                if r.status == 202:
+                    return True
+            except OSError:
+                time.sleep(0.1)
+        return False
+
+    with HttpIngestEdge(resolver, workers=2, combine_max_wait_ms=2.0) as srv:
+        host, port = srv._httpd.server_address[:2]
+        acked = [f"pre-{i}" for i in range(30) if post_event(host, port, f"pre-{i}")]
+        victim = srv._worker_procs[0][0]
+        os.kill(victim.pid, _signal.SIGKILL)
+        victim.join(timeout=10)
+        assert not victim.is_alive()
+        acked += [f"post-{i}" for i in range(30) if post_event(host, port, f"post-{i}")]
+        assert len(acked) == 60  # the surviving listeners kept serving
+        status, _ = _call(f"http://{host}:{port}/tables/chaos/flush", "POST", b"")
+        assert status == 200
+        rows = ingests["chaos"].table.read().select("idempotency_key").collect()
+        keys = [r.idempotency_key for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate committed events"
+        missing = set(acked) - set(keys)
+        assert not missing, f"acked events lost: {sorted(missing)[:5]}"
