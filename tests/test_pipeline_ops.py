@@ -654,3 +654,47 @@ def test_dataset_card_summarizes_corpus(spark, sf_dir):
     }
     assert sum(card["splits"].values()) == n
     assert card["splits"]["train"] > card["splits"]["val"]
+
+
+def test_semantic_decontamination_catches_paraphrase_embeddings(spark):
+    """Embedding-space contamination: identical AND scaled (cosine-
+    equal) benchmark vectors flag their corpus rows; unrelated vectors
+    survive; the anti-join removes exactly the flagged set."""
+    from zombi_spark.operators import decontaminate as DC
+    from zombi_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    # benchmark = two verbatim corpus vectors + one "paraphrase"
+    # (same direction, different magnitude — cosine 1.0 exactly)
+    planted = emb.where("vec_id IN (3, 7)").select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    scaled = emb.where("vec_id = 11").select(
+        F.lit(900).alias("bench_id"),
+        F.transform("embedding", lambda x: x * 3).alias("embedding"),
+    )
+    bench = planted.unionByName(scaled)
+
+    scores = DC.semantic_contamination_scores(emb, bench, threshold_e6=999_000)
+    flagged = {r.vec_id for r in scores.select("vec_id").distinct().collect()}
+    assert {3, 7, 11} <= flagged
+    # near-threshold: random 64-dim vectors are far from cosine 0.999,
+    # so ONLY the planted rows flag
+    assert flagged == {3, 7, 11}
+    # cosine_e6 floors after float norms, so "exactly 1.0" lands at
+    # 999_999-1_000_000; both verbatim and scaled copies sit at the top
+    top = {r.vec_id: r.cos_e6 for r in scores.collect()}
+    assert top[3] >= 999_999 and top[11] >= 999_000
+
+    clean = DC.semantic_decontaminate(emb, bench, threshold_e6=999_000)
+    assert clean.count() == emb.count() - 3
+    assert clean.where("vec_id IN (3, 7, 11)").count() == 0
+
+    # scale shape: the bench side is broadcast (no corpus shuffle)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        DC.semantic_contamination_scores(emb, bench).explain("formatted")
+    assert "Broadcast" in buf.getvalue()

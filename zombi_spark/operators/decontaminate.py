@@ -96,3 +96,57 @@ def decontaminate(
     join on the flagged id set — one broadcastable small side)."""
     bad = contaminated_ids(docs, benchmark, n, threshold_pm, id_col, bench_id_col)
     return docs.join(bad.select(id_col), id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ semantic
+def semantic_contamination_scores(
+    corpus_embs: DataFrame,
+    bench_embs: DataFrame,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space contamination: (doc, benchmark item) pairs whose
+    cosine reaches ``threshold_e6`` (cosine × 10⁶, the exact integer
+    scale the similarity family uses). Catches paraphrased/reformatted
+    eval items that n-gram containment misses — the complementary check
+    modern decontamination runs alongside verbatim overlap.
+
+    Scale shape mirrors :func:`contamination_scores`: the benchmark side
+    is small by construction and BROADCAST; the corpus pays one
+    projection pass (corpus × |bench| comparisons inside one stage, no
+    corpus shuffle). Output: (id, bench item, cos_e6), only pairs at/
+    above threshold."""
+    from zombi_spark.operators.similarity import cosine_e6_prequantized, with_quantized
+
+    c = with_quantized(corpus_embs, vec_col).select(
+        F.col(id_col), F.col("qvec").alias("_c_q"), F.col("vnorm").alias("_c_n")
+    )
+    b = with_quantized(bench_embs, vec_col).select(
+        F.col(bench_id_col), F.col("qvec").alias("_b_q"), F.col("vnorm").alias("_b_n")
+    )
+    cos = cosine_e6_prequantized(
+        F.col("_b_q"), F.col("_c_q"), F.col("_b_n"), F.col("_c_n")
+    )
+    return (
+        c.join(F.broadcast(b))
+        .select(id_col, bench_id_col, cos.alias("cos_e6"))
+        .where(F.col("cos_e6") >= threshold_e6)
+    )
+
+
+def semantic_decontaminate(
+    corpus_embs: DataFrame,
+    bench_embs: DataFrame,
+    threshold_e6: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """The cleaned corpus: rows whose embedding is semantically close to
+    NO benchmark item (left-anti on the flagged id set)."""
+    bad = semantic_contamination_scores(
+        corpus_embs, bench_embs, threshold_e6, id_col, vec_col, bench_id_col
+    ).select(id_col).distinct()
+    return corpus_embs.join(bad, id_col, "left_anti")
