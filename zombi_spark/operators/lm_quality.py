@@ -1,0 +1,133 @@
+"""Language-model quality scoring — the CCNet-style perplexity filter
+(Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+from Web Crawl Data"): score each document by a character n-gram model
+trained on a trusted reference corpus and drop the worst tail. The
+heavyweight public pipelines use a KenLM 5-gram over wordpieces; the
+distributed shape is identical with a char-trigram model, which needs
+no external artifacts and trains in two aggregations.
+
+Model: add-one-smoothed conditional trigram probabilities
+
+    P(c₃ | c₁c₂) = (count(c₁c₂c₃) + 1) / (count(c₁c₂) + V)
+
+with V = training charset size. Scale shape:
+
+- TRAIN: one explode over the reference corpus + two hash aggregates
+  (trigram counts, bigram-context counts). The model is bounded by
+  charset³ (~1M rows for full ASCII), far under charset-agnostic
+  corpus size — it broadcasts.
+- SCORE: one explode per document + a broadcast left join against the
+  model + one re-aggregate per doc. No corpus shuffle beyond the
+  per-doc aggregate; unseen trigrams back off to the smoothed floor,
+  unseen contexts to 1/V.
+
+Scores are average log-probability per trigram × 10⁶ (integer,
+higher = more reference-like); gibberish and non-language byte soup
+score far below natural text, which is the filtering signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Array of character n-grams (substring over a position sequence —
+    pure Column, codegen'd; empty array when len(text) < n)."""
+    return F.when(
+        F.length(text) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - (n - 1)),
+            lambda i: text.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_trigram_model(
+    reference_docs: DataFrame, text_col: str = "text"
+) -> dict:
+    """Train on a trusted corpus → {'tri': DataFrame(ctx, nxt, n_tri),
+    'bi': DataFrame(ctx, n_ctx), 'vocab_size': V}. Two aggregates, both
+    keyed on strings of length ≤ 3 — partial aggregation collapses them
+    map-side, so the shuffle is O(distinct ngrams), not O(corpus)."""
+    lowered = F.lower(F.col(text_col))
+    tris = reference_docs.select(
+        F.explode(char_ngrams(lowered, 3)).alias("tri")
+    )
+    tri = (
+        tris.groupBy("tri")
+        .agg(F.count("*").alias("n_tri"))
+        .select(
+            F.substring("tri", 1, 2).alias("ctx"),
+            F.substring("tri", 3, 1).alias("nxt"),
+            "n_tri",
+        )
+    )
+    bi = (
+        reference_docs.select(F.explode(char_ngrams(lowered, 2)).alias("bi"))
+        .groupBy("bi")
+        .agg(F.count("*").alias("n_ctx"))
+        .withColumnRenamed("bi", "ctx")
+    )
+    vocab = (
+        reference_docs.select(F.explode(char_ngrams(lowered, 1)).alias("c"))
+        .agg(F.countDistinct("c"))
+        .first()[0]
+    )
+    return {"tri": tri, "bi": bi, "vocab_size": int(vocab or 1)}
+
+
+def score_documents(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``docs`` + ``lm_logprob_e6`` (avg log P per trigram × 10⁶;
+    higher = more reference-like) and ``lm_trigrams`` (how much evidence
+    the score rests on — callers should gate very short docs
+    themselves). Docs with no trigrams score NULL."""
+    V = model["vocab_size"]
+    per_tri = docs.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.lower(F.col(text_col)), 3)).alias("tri"),
+    ).select(
+        id_col,
+        F.substring("tri", 1, 2).alias("ctx"),
+        F.substring("tri", 3, 1).alias("nxt"),
+    )
+    joined = (
+        per_tri.join(F.broadcast(model["tri"]), ["ctx", "nxt"], "left")
+        .join(F.broadcast(model["bi"]), "ctx", "left")
+        .select(
+            id_col,
+            # add-one smoothing; unseen context backs off to 1/V
+            F.log(
+                (F.coalesce(F.col("n_tri"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("n_ctx"), F.lit(0)) + F.lit(V))
+            ).alias("lp"),
+        )
+    )
+    scores = joined.groupBy(id_col).agg(
+        F.floor(F.avg("lp") * 1_000_000).cast("long").alias("lm_logprob_e6"),
+        F.count("*").alias("lm_trigrams"),
+    )
+    return docs.join(scores, id_col, "left")
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    model: dict,
+    min_logprob_e6: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep docs at/above the log-prob floor (CCNet keeps the best
+    perplexity tail; the floor is the knob). Unscorable docs (< 3
+    chars) are dropped — no evidence either way, and the reference
+    pipelines discard them on length grounds anyway."""
+    return (
+        score_documents(docs, model, text_col, id_col)
+        .where(F.col("lm_logprob_e6") >= min_logprob_e6)
+    )
