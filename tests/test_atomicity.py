@@ -75,3 +75,10 @@ def test_accept_header_negotiation():
     assert negotiate_output_format(f"application/json;q=0.1, {arrow};q=0.9") == "arrow"
     assert negotiate_output_format("text/html") == "json"  # unknown → default
     assert negotiate_output_format(f"{arrow};q=notanumber") == "json"  # bad q → 0
+    # RFC 7231 specificity: an exact type outranks */* at equal q — the
+    # standard "preferred type + wildcard fallback" header gets arrow
+    assert negotiate_output_format(f"{arrow}, */*") == "arrow"
+    assert negotiate_output_format(f"*/*, {arrow}") == "arrow"
+    # exact-vs-exact equal-q tie falls back to json, either order
+    assert negotiate_output_format(f"{arrow}, application/json") == "json"
+    assert negotiate_output_format(f"application/json, {arrow}") == "json"

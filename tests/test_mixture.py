@@ -70,9 +70,23 @@ def test_report_reconciles(docs):
         assert rep[s]["weight"] == w[s]
     assert rep["src0"]["target_share_pm"] == 500
     assert rep["src0"]["sampled_tokens"] > 0
+    # input_docs is the CORPUS census, not the sampled-doc count
+    for s in w:
+        assert rep[s]["input_docs"] == docs.where(F.col("source") == s).count()
     # integer epochs duplicate tokens too: src0 tokens = 2 × its corpus tokens
     base = docs.where("source='src0'").agg(F.sum("n_chars")).first()[0]
     assert rep["src0"]["sampled_tokens"] == 2 * base
+
+
+def test_report_keeps_zero_sample_sources(docs):
+    """A weighted source whose hash gate selects nothing must still
+    appear in the report (achieved 0 vs its target), not vanish."""
+    rep = {r["source"]: r for r in M.mixture_report(docs, {"src9": 1e-6, "src0": 1.0}).collect()}
+    assert set(rep) == {"src0", "src9"}
+    assert rep["src9"]["sampled_rows"] == 0
+    assert rep["src9"]["input_docs"] == docs.where("source='src9'").count()
+    assert rep["src9"]["achieved_share_pm"] == 0
+    assert rep["src9"]["target_share_pm"] == 0  # rounds from 1e-6/1.000001
 
 
 def test_weight_validation(docs):

@@ -89,13 +89,33 @@ def mixture_report(
     achieved_share_pm, target_share_pm (+ sampled_tokens with
     ``token_col``). Shares are per-mille integers (exact cross-engine)."""
     sampled = mixture_sample(docs, weights, source_col, id_col, seed)
-    aggs = [
-        F.count("*").alias("sampled_rows"),
-        F.countDistinct(id_col).alias("input_docs"),
-    ]
+    aggs = [F.count("*").alias("sampled_rows")]
     if token_col is not None:
         aggs.append(F.sum(token_col).alias("sampled_tokens"))
     per_source = sampled.groupBy(source_col).agg(*aggs)
+    # input_docs comes from the CORPUS, and every weighted source gets a
+    # row even when the sample is empty (a fractional weight whose hash
+    # gate selected nothing must surface achieved=0 vs its target, not
+    # vanish from the reconciliation)
+    inputs = (
+        docs.where(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .agg(F.countDistinct(id_col).alias("input_docs"))
+    )
+    listed = docs.sparkSession.createDataFrame(
+        [(s,) for s in weights], f"{source_col} string"
+    )
+    per_source = (
+        listed.join(inputs, source_col, "left")
+        .join(per_source, source_col, "left")
+        .na.fill(
+            {
+                "input_docs": 0,
+                "sampled_rows": 0,
+                **({"sampled_tokens": 0} if token_col is not None else {}),
+            }
+        )
+    )
     total = float(sum(weights.values()))
     target = F.create_map(
         *[

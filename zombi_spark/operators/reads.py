@@ -113,7 +113,12 @@ def negotiate_output_format(accept: str | None) -> str:
     ARROW = "application/vnd.apache.arrow.stream"
     if not accept:
         return "json"
-    best, best_q = "json", -1.0
+    # rank by (q, specificity): RFC 7231 — an exact media type outranks
+    # application/* outranks */* at equal q, so "arrow, */*" (explicit
+    # preference + standard wildcard fallback) negotiates arrow. Among
+    # entries EQUAL on both, json wins regardless of header order — the
+    # documented ties-fall-back-to-json default.
+    best, best_key = "json", (-1.0, -1)
     for part in accept.split(","):
         bits = part.strip().split(";")
         mtype = bits[0].strip().lower()
@@ -127,13 +132,19 @@ def negotiate_output_format(accept: str | None) -> str:
                     q = 0.0
         if q <= 0:  # q=0 (or unparsable) means "not acceptable"
             continue
-        if mtype == ARROW and q > best_q:
-            best, best_q = "arrow", q
-        elif mtype in ("application/json", "*/*") and q >= best_q:
-            # >= so an equal-q json entry wins REGARDLESS of header
-            # order — the documented ties-fall-back-to-json contract
-            # (otherwise the negotiated format flips on client list order)
-            best, best_q = "json", q
+        if mtype == ARROW:
+            fmt, spec = "arrow", 2
+        elif mtype == "application/json":
+            fmt, spec = "json", 2
+        elif mtype == "application/*":
+            fmt, spec = "json", 1
+        elif mtype == "*/*":
+            fmt, spec = "json", 0
+        else:
+            continue
+        key = (q, spec)
+        if key > best_key or (key == best_key and fmt == "json"):
+            best, best_key = fmt, key
     return best
 
 

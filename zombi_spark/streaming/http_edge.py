@@ -106,10 +106,21 @@ def parse_accept(header: str) -> list[tuple[str, float]]:
 def negotiate_format(accept_header: str) -> str:
     """'arrow' when the Arrow stream media type outranks JSON in the
     Accept header, else 'json' (S12 content negotiation). q=0 means NOT
-    acceptable (RFC 9110) — a zero-weighted entry never wins."""
-    for media, q in parse_accept(accept_header or "*/*"):
-        if q <= 0:
-            continue
+    acceptable (RFC 9110) — a zero-weighted entry never wins. At equal
+    q an exact media type outranks a wildcard (RFC 7231 specificity),
+    so 'Accept: */*, application/vnd.apache.arrow.stream' negotiates
+    arrow; exact-vs-exact ties keep header order."""
+
+    def _spec(media: str) -> int:
+        if media == "*/*":
+            return 0
+        return 1 if media.endswith("/*") else 2
+
+    ranked = sorted(
+        ((m, q) for m, q in parse_accept(accept_header or "*/*") if q > 0),
+        key=lambda t: (-t[1], -_spec(t[0])),
+    )
+    for media, _q in ranked:
         if media == _ARROW_MEDIA:
             return "arrow"
         if media in ("application/json", "*/*", "application/*"):
@@ -394,6 +405,16 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, KeyError, TypeError) as exc:
             status, body = _err(400, str(exc))
             self._send_json(body, status)
+        except Exception as exc:  # noqa: BLE001 — envelope of last resort
+            # e.g. StreamingQueryException out of a failed flush drain
+            # (a concurrent append can fail the batch via the sequence
+            # collision guard): answer 500 so the client can retry,
+            # never a closed socket with no response
+            import contextlib as _ctx
+
+            with _ctx.suppress(OSError):
+                status, body = _err(500, f"{type(exc).__name__}: {exc}")
+                self._send_json(body, status)
 
     # ------------------------------------------------------------ read path
     def do_GET(self) -> None:  # noqa: N802
@@ -773,7 +794,17 @@ class _WriteWorkerHandler(_Handler):
             return
         action = parts[2] if len(parts) == 3 else None
         if len(parts) in (2, 3) and parts[0] == "tables" and action in (None, "bulk"):
-            super().do_POST()  # the write plane, served locally
+            try:
+                super().do_POST()  # the write plane, served locally
+            except OSError as exc:
+                # first write for an uncached table resolves via the
+                # parent; if the parent is down that's a retryable 502,
+                # not a slammed connection (the worker itself is fine)
+                import contextlib as _ctx
+
+                with _ctx.suppress(OSError):
+                    status, body = _err(502, f"query plane unavailable: {exc}")
+                    self._send_json(body, status)
         else:
             self._drain_body()
             self._proxy()
@@ -783,6 +814,13 @@ class _WriteWorkerHandler(_Handler):
         if self._reject_internal(parts):
             return
         self._drain_body()
+        if parts == ["health", "live"]:
+            # liveness of THIS worker, answered locally in O(1) — a
+            # proxied probe would tie worker liveness to parent
+            # availability and an orchestrator would kill a healthy
+            # write plane over a busy query plane
+            self._send_json({"live": True})
+            return
         self._proxy()
 
 
@@ -900,8 +938,12 @@ class HttpIngestEdge:
         if self.workers:
             # internal listener (control plane + proxy target) — only the
             # parent binds it, so a worker's proxied GET can never
-            # ricochet to another worker
-            self._internal_httpd = ThreadingHTTPServer((self._host, 0), _Handler)
+            # ricochet to another worker. ALWAYS loopback: workers are
+            # local by construction, and binding the public host would
+            # expose the unauthenticated /internal/resolve route (which
+            # lazily creates tables and returns filesystem paths) to the
+            # network whenever the edge serves 0.0.0.0
+            self._internal_httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
             self._attach(self._internal_httpd, internal=True)
             threading.Thread(
                 target=self._internal_httpd.serve_forever, daemon=True

@@ -14,6 +14,7 @@ never touching data files; at any scale this stays a few KB.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import threading
@@ -23,11 +24,35 @@ _OFFSETS_FILE = "_zombi_offsets.json"
 
 
 class ConsumerOffsets:
-    """Per-table consumer-group offset store."""
+    """Per-table consumer-group offset store.
+
+    Commits are serialized with an flock on a sibling lockfile, not
+    just the in-process mutex: the HTTP edge constructs a FRESH
+    instance per request (and a follower may hold a long-lived one in
+    another process), so a per-instance threading.Lock alone would
+    leave the read-modify-write racy — two concurrent commits would
+    each rewrite the JSON from their own snapshot and the last rename
+    would silently drop the other's offset (the same lost-update class
+    ``Catalog._registry_lock`` guards)."""
 
     def __init__(self, table_root: str):
         self.path = os.path.join(table_root, _OFFSETS_FILE)
         self._lock = threading.Lock()
+
+    @contextlib.contextmanager
+    def _file_lock(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd = os.open(f"{self.path}.lock", os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: in-process lock only
+                pass
+            yield
+        finally:
+            os.close(fd)  # releases the flock
 
     def _read(self) -> dict:
         if not os.path.isfile(self.path):
@@ -49,7 +74,7 @@ class ConsumerOffsets:
     def commit(self, group: str, partition: int, offset: int) -> None:
         """``PUT /offsets/{group}`` (handlers.rs:1144-1165): last-write-wins,
         like the reference's unconditional KV put."""
-        with self._lock:
+        with self._lock, self._file_lock():
             data = self._read()
             data[self._key(group, partition)] = int(offset)
             self._write(data)
