@@ -1,0 +1,109 @@
+"""Incremental materialized rollup (table/rollup.py): delta-only
+refreshes, exact agreement with a full recompute, and crash-safe
+atomic (state, position) commits."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.event_table import EventTable
+from zombi_spark.table.rollup import MaterializedRollup
+
+
+def _batch(spark, start, n, topic="t", hour_spread_ms=0):
+    rows = [
+        (topic, i % 2, f"p{start + i}".encode(),
+         1704067200000 + (start + i) * (hour_spread_ms or 1000), None, start + i)
+        for i in range(n)
+    ]
+    return prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA))
+
+
+def _expected(table, keys):
+    return (
+        table.read()
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("payload_bytes"),
+            F.min("timestamp_ms").alias("min_ts"),
+            F.max("timestamp_ms").alias("max_ts"),
+            F.max("sequence").alias("max_seq"),
+        )
+    )
+
+
+def _same(a, b, keys):
+    ka = sorted(tuple(r) for r in a.collect())
+    kb = sorted(tuple(r) for r in b.collect())
+    return ka == kb
+
+
+KEYS = ("topic", "partition", "event_date", "event_hour")
+
+
+def test_refresh_matches_full_recompute_and_is_incremental(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    assert roll.read().count() == 0  # empty state, real schema
+
+    t.append(_batch(spark, 0, 40, hour_spread_ms=120_000))  # spans hours
+    rep = roll.refresh()
+    assert rep["to_version"] == t.latest_version() and rep["delta_rows"] == 40
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+    # second append: the refresh consumes ONLY the delta
+    t.append(_batch(spark, 40, 25, hour_spread_ms=120_000))
+    rep2 = roll.refresh()
+    assert rep2["delta_rows"] == 25  # not 65 — delta, not a rescan
+    assert rep2["from_version"] == rep["to_version"]
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+    # nothing new → no-op report, state untouched
+    rep3 = roll.refresh()
+    assert rep3["to_version"] is None and rep3["delta_rows"] == 0
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+
+def test_crash_between_state_write_and_pointer_is_exactly_once(spark, tmp_path):
+    """The pointer swing is the only visibility point: a stale state dir
+    written by a crashed refresh must not double-count when the retry
+    runs, and the old (state, position) pair keeps serving meanwhile."""
+    t = EventTable(spark, str(tmp_path), "events")
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    t.append(_batch(spark, 0, 10))
+    roll.refresh()
+    before = sorted(tuple(r) for r in roll.read().collect())
+    ptr_before = json.load(open(tmp_path / "rollup" / "ROLLUP.json"))
+
+    # simulate the crash: new data lands, a refresh computes and writes
+    # its state dir, then dies BEFORE the pointer swing
+    t.append(_batch(spark, 10, 10))
+    delta = t.read_changes(ptr_before["version"], t.latest_version())
+    orphan = tmp_path / "rollup" / "state-crashed00000"
+    roll._merge(roll.read(), roll._agg(delta)).write.parquet(str(orphan))
+    # pointer unchanged → reads still serve the old consistent state
+    assert sorted(tuple(r) for r in roll.read().collect()) == before
+
+    # the retry (a fresh instance, as after a process restart) refreshes
+    # from the OLD position and lands exactly-once
+    roll2 = MaterializedRollup(t, str(tmp_path / "rollup"))
+    rep = roll2.refresh()
+    assert rep["delta_rows"] == 10
+    assert _same(roll2.read(), _expected(t, KEYS), KEYS)
+    total = roll2.read().agg(F.sum("n_events")).first()[0]
+    assert total == 20  # no double count despite the orphan state dir
+
+
+def test_survives_restart_and_custom_keys(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_batch(spark, 0, 12))
+    path = str(tmp_path / "rollup")
+    MaterializedRollup(t, path, keys=("topic",)).refresh()
+    # a new instance (new process) sees the committed position and state
+    roll = MaterializedRollup(t, path, keys=("topic",))
+    assert roll.position == t.latest_version()
+    row = roll.read().collect()[0]
+    assert row.topic == "t" and row.n_events == 12 and row.max_seq == 6
