@@ -636,3 +636,30 @@ def test_worker_sigkill_loses_no_acked_writes(spark, tmp_path):
         assert len(keys) == len(set(keys)), "duplicate committed events"
         missing = set(acked) - set(keys)
         assert not missing, f"acked events lost: {sorted(missing)[:5]}"
+
+
+def test_rollup_over_http(edge):
+    """POST /tables/{t}/rollup folds only the new appends; GET serves
+    the O(keys) state with the position it reflects."""
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(6):
+        _call(
+            f"{base}/tables/rolled",
+            "POST",
+            json.dumps(
+                {"payload": f"p{i}", "partition": i % 2, "timestamp_ms": 1704067200000 + i}
+            ).encode(),
+        )
+    _call(f"{base}/tables/rolled/flush", "POST", b"")
+    status, rep = _call(f"{base}/tables/rolled/rollup", "POST", b"")
+    assert status == 200 and rep["delta_rows"] == 6
+    status, body = _call(f"{base}/tables/rolled/rollup")
+    assert status == 200
+    assert body["position"] == ingests["rolled"].table.latest_version()
+    assert sum(r["n_events"] for r in body["rows"]) == 6
+    assert {r["partition"] for r in body["rows"]} == {0, 1}
+    assert all(r["max_ts"] >= r["min_ts"] for r in body["rows"])
+    # idempotent: nothing new → no-op refresh
+    status, rep2 = _call(f"{base}/tables/rolled/rollup", "POST", b"")
+    assert status == 200 and rep2["to_version"] is None

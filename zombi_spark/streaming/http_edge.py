@@ -17,6 +17,12 @@ Routes (api/handlers.rs):
   GET  /tables/{t}/health M6: live/ready + admission state
   POST /tables/{t}/flush  M5 flush endpoint: drain the landing zone into
                           the table (availableNow run, blocks)
+  POST /tables/{t}/rollup refresh the incremental materialized rollup
+                          (delta-only fold; 409 while another
+                          maintenance action runs)
+  GET  /tables/{t}/rollup the rollup state (per topic/partition/hour
+                          counts, bytes, ts bounds, hwm) — served from
+                          the O(keys) state, never a table scan
   POST /consumers/{g}/commit  T12 consumer-offset commit (body: topic,
                           partition, offset — handlers.rs:1146-1169)
   GET  /consumers/{g}/offset  committed offset (?topic=&partition= —
@@ -393,6 +399,25 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                 finally:
                     ing.maintenance_lock.release()
+            elif action == "rollup":
+                # refresh the incremental materialized rollup — a
+                # maintenance action like flush/compact (shares the
+                # per-table lock; concurrent refreshes would race the
+                # pointer swing into a lost-delta retry)
+                from zombi_spark.table.rollup import MaterializedRollup
+
+                if not ing.maintenance_lock.acquire(blocking=False):
+                    status, body = _err(409, f"maintenance already in progress for {table}")
+                    self._send_json(body, status)
+                    return
+                try:
+                    roll = MaterializedRollup(
+                        ing.table, os.path.join(ing.table.path, "_rollup")
+                    )
+                    report = roll.refresh()
+                    self._send_json({"table": table, **report})
+                finally:
+                    ing.maintenance_lock.release()
             else:
                 status, body = _err(404, f"no such action {action}")
                 self._send_json(body, status)
@@ -545,6 +570,24 @@ class _Handler(BaseHTTPRequestHandler):
                 for s in t.snapshots()
             ]
             self._send_json({"table_metadata": t.table_metadata(), "snapshots": snaps})
+            return
+        if len(parts) == 3 and parts[2] == "rollup":
+            # the materialized per-hour rollup — O(keys) state read, the
+            # dashboard query that must never scan the event table
+            from zombi_spark.table.rollup import MaterializedRollup
+
+            roll = MaterializedRollup(ing.table, os.path.join(ing.table.path, "_rollup"))
+            limit = int(q.get("limit", 1000))
+            rows = roll.read().orderBy(*roll.keys).limit(limit).collect()
+            records = []
+            for r in rows:
+                d = r.asDict()
+                if d.get("event_date") is not None:
+                    d["event_date"] = str(d["event_date"])
+                records.append(d)
+            self._send_json(
+                {"table": table, "position": roll.position, "rows": records}
+            )
             return
         if len(parts) == 3 and parts[2] == "watermark":
             # M5 watermark endpoint: committed (snapshot-summary) marks
