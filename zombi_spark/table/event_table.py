@@ -574,13 +574,7 @@ class EventTable:
             e["file_path"]
             for e in self.plan_latest_files(n, version=version, topic=topic, partition=partition)
         ]
-        if not files:
-            return self.spark.createDataFrame([], self.table_schema())
-        return (
-            self.spark.read.schema(self.table_schema())
-            .option("basePath", self.data_path)
-            .parquet(*files)
-        )
+        return self._read_file_list(files)
 
     # --------------------------------------------------------------- write
     def _target_records_per_file(self, target_file_bytes: int) -> int | None:
@@ -851,6 +845,35 @@ class EventTable:
         raise CommitConflictError("append could not commit after 5 rebases")
 
     # ---------------------------------------------------------------- read
+    def _read_file_list(self, files: list[str]) -> DataFrame:
+        """Read an explicit manifest-derived file list. Passing more
+        paths than ``spark.sql.sources.parallelPartitionDiscovery.
+        threshold`` (default 32) makes Spark launch a one-task-PER-PATH
+        listing job before any data is touched — for a 1440-file
+        compaction that is 1440 ~4 ms no-op tasks (~5 s of pure
+        scheduling) to stat files whose sizes the manifest already
+        carries. Raising the threshold for the duration of plan
+        construction lets the driver stat the paths directly (trivial on
+        a local filesystem; on object storage at cluster scale, leave
+        the threshold alone and tune ``...parallelPartitionDiscovery.
+        parallelism`` instead — this override only widens the
+        driver-side path, it never narrows it below Spark's default)."""
+        if not files:
+            return self.spark.createDataFrame([], self.table_schema())
+        conf = self.spark.conf
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prior = conf.get(key)
+        try:
+            if int(prior) < len(files) + 1:
+                conf.set(key, str(len(files) + 1))
+            return (
+                self.spark.read.schema(self.table_schema())
+                .option("basePath", self.data_path)
+                .parquet(*files)
+            )
+        finally:
+            conf.set(key, prior)
+
     def read(
         self,
         version: int | None = None,
@@ -891,13 +914,7 @@ class EventTable:
             e["file_path"]
             for e in self.scan_files(version=version, ts_min=ts_min, ts_max=ts_max)
         ]
-        if not files:
-            return self.spark.createDataFrame([], self.table_schema())
-        return (
-            self.spark.read.schema(self.table_schema())
-            .option("basePath", self.data_path)
-            .parquet(*files)
-        )
+        return self._read_file_list(files)
 
     def added_files(self, from_version: int | None, to_version: int | None = None) -> list[dict]:
         """Manifest entries of files carrying data APPENDED in versions
@@ -929,13 +946,7 @@ class EventTable:
         not the history). Files stay readable across compaction because
         physical deletion is deferred to snapshot expiration."""
         files = [e["file_path"] for e in self.added_files(from_version, to_version)]
-        if not files:
-            return self.spark.createDataFrame([], self.table_schema())
-        return (
-            self.spark.read.schema(self.table_schema())
-            .option("basePath", self.data_path)
-            .parquet(*files)
-        )
+        return self._read_file_list(files)
 
     def export_json(self, out_dir: str) -> None:
         """S6 legacy JSON segment sink (s3.rs:136-185): dump the committed
@@ -981,11 +992,8 @@ class EventTable:
                 cutoff = max(known) - retention_hours * 3_600_000
                 entries = self.scan_files(ts_min=cutoff)
         files = [e["file_path"] for e in entries]
-        return (
-            self.spark.read.schema(self.table_schema())
-            .option("basePath", self.data_path)
-            .parquet(*files)
-            .select("topic", "partition", "idempotency_key")
+        return self._read_file_list(files).select(
+            "topic", "partition", "idempotency_key"
         )
 
     def high_watermarks(self) -> DataFrame:
@@ -1203,11 +1211,7 @@ class EventTable:
             # on the storage key, write sorted into a staging tree, then
             # move the rewritten files in.
             all_paths = [f["file_path"] for fs in candidates.values() for f in fs]
-            df = (
-                self.spark.read.schema(self.table_schema())
-                .option("basePath", self.data_path)
-                .parquet(*all_paths)
-            )
+            df = self._read_file_list(all_paths)
             staging = os.path.join(self.path, f".compact-{uuid.uuid4().hex}")
             # task count: each storage partition hashes to exactly ONE
             # shuffle partition, so one-task-per-candidate just multiplies

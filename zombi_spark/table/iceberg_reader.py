@@ -66,4 +66,13 @@ def read_via_iceberg_metadata(
     if not files:
         return spark.createDataFrame([], schema)
     data_root = os.path.join(os.path.abspath(table_path), "data")
-    return spark.read.schema(schema).option("basePath", data_root).parquet(*files)
+    # suppress the one-task-per-path listing job for big file lists (the
+    # manifests already carry the stats) — see EventTable._read_file_list
+    conf, key = spark.conf, "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    prior = conf.get(key)
+    try:
+        if int(prior) < len(files) + 1:
+            conf.set(key, str(len(files) + 1))
+        return spark.read.schema(schema).option("basePath", data_root).parquet(*files)
+    finally:
+        conf.set(key, prior)
