@@ -663,3 +663,8 @@ def test_rollup_over_http(edge):
     # idempotent: nothing new → no-op refresh
     status, rep2 = _call(f"{base}/tables/rolled/rollup", "POST", b"")
     assert status == 200 and rep2["to_version"] is None
+    # malformed / negative limit → 400 envelope, not a dropped socket
+    status, body = _call(f"{base}/tables/rolled/rollup?limit=abc")
+    assert status == 400
+    status, body = _call(f"{base}/tables/rolled/rollup?limit=-1")
+    assert status == 400 and "limit" in body["error"]["message"]

@@ -107,3 +107,39 @@ def test_survives_restart_and_custom_keys(spark, tmp_path):
     assert roll.position == t.latest_version()
     row = roll.read().collect()[0]
     assert row.topic == "t" and row.n_events == 12 and row.max_seq == 6
+
+
+def test_rollup_on_extraction_table_without_payload(spark, tmp_path):
+    """Extraction tables drop the raw payload column at write — the
+    rollup must carry zero bytes, not an unresolved-column failure."""
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="v", json_path="v", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    rows = [("t", 0, json.dumps({"v": i}).encode(), 1704067200000 + i, None, i) for i in range(6)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    assert "payload" not in t.read().columns  # the precondition
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    rep = roll.refresh()
+    assert rep["delta_rows"] == 6
+    row = roll.read().collect()[0]
+    assert row.n_events == 6 and row.payload_bytes == 0
+
+
+def test_refresh_gc_reclaims_orphan_state_dirs(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_batch(spark, 0, 5))
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    roll.refresh()
+    first_state = json.load(open(tmp_path / "rollup" / "ROLLUP.json"))["state_dir"]
+    # a crashed refresh's orphan + a new append + a successful refresh
+    os.makedirs(tmp_path / "rollup" / "state-orphan000000")
+    t.append(_batch(spark, 5, 5))
+    roll.refresh()
+    dirs = {d for d in os.listdir(tmp_path / "rollup") if d.startswith("state-")}
+    assert "state-orphan000000" not in dirs  # orphan reclaimed
+    assert first_state in dirs  # one generation of grace for readers
+    assert len(dirs) == 2

@@ -88,50 +88,17 @@ def _err(status: int, message: str) -> tuple[int, dict]:
 _ARROW_MEDIA = "application/vnd.apache.arrow.stream"
 
 
-def parse_accept(header: str) -> list[tuple[str, float]]:
-    """F9 media-type q-value parsing (handlers.rs:906-932): Accept header
-    → [(media_type, q)] sorted by descending q (ties keep header order).
-    Malformed q values default to 1.0, matching lenient servers."""
-    out = []
-    for i, part in enumerate(header.split(",")):
-        bits = [b.strip() for b in part.split(";")]
-        if not bits or not bits[0]:
-            continue
-        q = 1.0
-        for param in bits[1:]:
-            if param.startswith("q="):
-                try:
-                    q = float(param[2:])
-                except ValueError:
-                    q = 1.0
-        out.append((bits[0], q, i))
-    out.sort(key=lambda t: (-t[1], t[2]))
-    return [(m, q) for m, q, _i in out]
-
-
 def negotiate_format(accept_header: str) -> str:
     """'arrow' when the Arrow stream media type outranks JSON in the
-    Accept header, else 'json' (S12 content negotiation). q=0 means NOT
-    acceptable (RFC 9110) — a zero-weighted entry never wins. At equal
-    q an exact media type outranks a wildcard (RFC 7231 specificity),
-    so 'Accept: */*, application/vnd.apache.arrow.stream' negotiates
-    arrow; exact-vs-exact ties keep header order."""
+    Accept header, else 'json' (S12 content negotiation). ONE
+    negotiation implementation serves the library and the wire —
+    :func:`zombi_spark.operators.reads.negotiate_output_format` (q=0 /
+    malformed q = not acceptable, RFC 7231 specificity at equal q, ties
+    fall back to json); two divergent copies answered the same header
+    differently."""
+    from zombi_spark.operators.reads import negotiate_output_format
 
-    def _spec(media: str) -> int:
-        if media == "*/*":
-            return 0
-        return 1 if media.endswith("/*") else 2
-
-    ranked = sorted(
-        ((m, q) for m, q in parse_accept(accept_header or "*/*") if q > 0),
-        key=lambda t: (-t[1], -_spec(t[0])),
-    )
-    for media, _q in ranked:
-        if media == _ARROW_MEDIA:
-            return "arrow"
-        if media in ("application/json", "*/*", "application/*"):
-            return "json"
-    return "json"
+    return negotiate_output_format(accept_header)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -169,6 +136,7 @@ class _Handler(BaseHTTPRequestHandler):
         # which process served this — observable proof the multi-process
         # write plane is actually spreading load (and a debugging aid)
         self.send_header("X-Edge-Pid", str(os.getpid()))
+        self._responded = True
         self.end_headers()
         self.wfile.write(payload)
 
@@ -443,6 +411,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     # ------------------------------------------------------------ read path
     def do_GET(self) -> None:  # noqa: N802
+        # same envelope-of-last-resort as do_POST: a Spark/IO exception
+        # on a read route must answer 500, never slam the socket. The
+        # _responded flag (set by _send_bytes, reset here — handler
+        # instances persist across keep-alive requests) keeps a failure
+        # AFTER headers went out from appending a second response.
+        self._responded = False
+        try:
+            self._do_get()
+        except Exception as exc:  # noqa: BLE001
+            if not self._responded:
+                import contextlib as _ctx
+
+                with _ctx.suppress(OSError):
+                    status, body = _err(500, f"{type(exc).__name__}: {exc}")
+                    self._send_json(body, status)
+
+    def _do_get(self) -> None:
         self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive
         parts, q = self._route()
         if parts and parts[0] == "health" and len(parts) <= 2:
@@ -577,17 +562,33 @@ class _Handler(BaseHTTPRequestHandler):
             from zombi_spark.table.rollup import MaterializedRollup
 
             roll = MaterializedRollup(ing.table, os.path.join(ing.table.path, "_rollup"))
-            limit = int(q.get("limit", 1000))
-            rows = roll.read().orderBy(*roll.keys).limit(limit).collect()
+            try:
+                limit = int(q.get("limit", 1000))
+                if limit < 0:
+                    raise ValueError(f"limit must be >= 0, got {limit}")
+            except ValueError as exc:
+                status, body = _err(400, str(exc))
+                self._send_json(body, status)
+                return
+            # a concurrent refresh may GC the state dir this read's
+            # pointer snapshot references (one-generation grace covers
+            # almost all of the window); retry once against the fresh
+            # pointer before giving up
+            for attempt in (0, 1):
+                try:
+                    position, state = roll.snapshot()  # one pointer read
+                    rows = state.orderBy(*roll.keys).limit(limit).collect()
+                    break
+                except Exception:  # noqa: BLE001 — state-dir swap race
+                    if attempt:
+                        raise  # second failure is real → 500 envelope
             records = []
             for r in rows:
                 d = r.asDict()
                 if d.get("event_date") is not None:
                     d["event_date"] = str(d["event_date"])
                 records.append(d)
-            self._send_json(
-                {"table": table, "position": roll.position, "rows": records}
-            )
+            self._send_json({"table": table, "position": position, "rows": records})
             return
         if len(parts) == 3 and parts[2] == "watermark":
             # M5 watermark endpoint: committed (snapshot-summary) marks
@@ -636,6 +637,7 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("X-Has-More", "true" if has_more else "false")
             payload = sink.getvalue()
             self.send_header("Content-Length", str(len(payload)))
+            self._responded = True
             self.end_headers()
             self.wfile.write(payload)
             return

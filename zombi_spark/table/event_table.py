@@ -78,6 +78,34 @@ class CommitConflictError(RuntimeError):
     """Another commit reached this snapshot version first (M3 guard)."""
 
 
+import contextlib
+import threading
+
+# serializes the parallelPartitionDiscovery.threshold set/restore:
+# spark.conf is PROCESS-global, so two threads doing unguarded
+# set→build→restore can interleave into one restoring the OTHER's
+# elevated value — permanently widening the threshold for the session
+_DISCOVERY_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def _discovery_threshold(spark: SparkSession, n_files: int):
+    """Raise spark.sql.sources.parallelPartitionDiscovery.threshold for
+    the duration of one plan construction (see _read_file_list), under a
+    lock so concurrent builders can't clobber each other's restore. The
+    override only ever WIDENS the driver-side listing path; it never
+    lowers the threshold below its configured value."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    with _DISCOVERY_LOCK:
+        prior = spark.conf.get(key)
+        try:
+            if int(prior) < n_files + 1:
+                spark.conf.set(key, str(n_files + 1))
+            yield
+        finally:
+            spark.conf.set(key, prior)
+
+
 def _parquet_file_entry(path: str, data_path: str) -> dict:
     """Per-file manifest entry: size + row count + (ts, seq) bounds read
     from the parquet footer — O(1) metadata reads, no data scan (the
@@ -860,19 +888,12 @@ class EventTable:
         driver-side path, it never narrows it below Spark's default)."""
         if not files:
             return self.spark.createDataFrame([], self.table_schema())
-        conf = self.spark.conf
-        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-        prior = conf.get(key)
-        try:
-            if int(prior) < len(files) + 1:
-                conf.set(key, str(len(files) + 1))
+        with _discovery_threshold(self.spark, len(files)):
             return (
                 self.spark.read.schema(self.table_schema())
                 .option("basePath", self.data_path)
                 .parquet(*files)
             )
-        finally:
-            conf.set(key, prior)
 
     def read(
         self,

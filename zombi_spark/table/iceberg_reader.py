@@ -67,12 +67,9 @@ def read_via_iceberg_metadata(
         return spark.createDataFrame([], schema)
     data_root = os.path.join(os.path.abspath(table_path), "data")
     # suppress the one-task-per-path listing job for big file lists (the
-    # manifests already carry the stats) — see EventTable._read_file_list
-    conf, key = spark.conf, "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    prior = conf.get(key)
-    try:
-        if int(prior) < len(files) + 1:
-            conf.set(key, str(len(files) + 1))
+    # manifests already carry the stats) — shared locked helper, see
+    # EventTable._read_file_list
+    from zombi_spark.table.event_table import _discovery_threshold
+
+    with _discovery_threshold(spark, len(files)):
         return spark.read.schema(schema).option("basePath", data_root).parquet(*files)
-    finally:
-        conf.set(key, prior)

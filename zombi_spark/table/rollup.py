@@ -25,6 +25,7 @@ is what makes delta-merge correct: merged(old, delta) == full recompute.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -55,6 +56,28 @@ class MaterializedRollup:
         self.keys = list(keys)
 
     # ------------------------------------------------------------- pointer
+    @contextlib.contextmanager
+    def _refresh_lock(self):
+        """flock serializing refreshes ACROSS processes: two concurrent
+        refreshes that both snapshot the same position would each fold
+        the same delta — the second one on top of the first one's
+        already-folded state (its merge re-reads the pointer), silently
+        double-counting every key in the delta. The edge's per-table
+        maintenance lock covers only its own process; this is the
+        cross-process guard (same pattern as Catalog._registry_lock)."""
+        os.makedirs(self.path, exist_ok=True)
+        fd = os.open(os.path.join(self.path, ".refresh.lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except ImportError:
+                pass
+            yield
+        finally:
+            os.close(fd)
+
     def _pointer(self) -> dict | None:
         p = os.path.join(self.path, _POINTER)
         if not os.path.isfile(p):
@@ -70,9 +93,13 @@ class MaterializedRollup:
 
     # --------------------------------------------------------------- state
     def _agg(self, df: DataFrame) -> DataFrame:
+        # extraction tables drop the raw payload column at write
+        # (schema-on-write, §1.3) — their rollup carries zero bytes
+        # rather than an unresolved-column failure
+        bytes_col = F.length("payload") if "payload" in df.columns else F.lit(0)
         return df.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("payload_bytes"),
+            F.sum(F.coalesce(bytes_col, F.lit(0))).alias("payload_bytes"),
             F.min("timestamp_ms").alias("min_ts"),
             F.max("timestamp_ms").alias("max_ts"),
             F.max("sequence").alias("max_seq"),
@@ -92,42 +119,75 @@ class MaterializedRollup:
             )
         )
 
-    def read(self) -> DataFrame:
-        """The current rollup — a metadata-cheap parquet read of the
-        state the pointer references (empty frame before any refresh)."""
+    def snapshot(self) -> tuple[int | None, DataFrame]:
+        """(position, state) from ONE pointer read — the pair a server
+        response should report together (reading them separately lets a
+        concurrent refresh slip between, pairing new rows with an old
+        position)."""
         ptr = self._pointer()
         if ptr is None:
             # empty state with the exact output schema: aggregate an
             # empty slice of the table itself
-            return self._agg(self.table.read().limit(0))
-        return self.spark.read.parquet(os.path.join(self.path, ptr["state_dir"]))
+            return None, self._agg(self.table.read().limit(0))
+        return ptr["version"], self.spark.read.parquet(
+            os.path.join(self.path, ptr["state_dir"])
+        )
+
+    def read(self) -> DataFrame:
+        """The current rollup — a metadata-cheap parquet read of the
+        state the pointer references (empty frame before any refresh)."""
+        return self.snapshot()[1]
 
     def refresh(self) -> dict:
         """Fold appends since :attr:`position` into the state. Returns
         ``{from_version, to_version, delta_rows, state_rows}``; a no-op
-        report (``to_version is None``) when nothing is new."""
-        latest = self.table.latest_version()
-        pos = self.position
-        if latest is None or (pos is not None and pos >= latest):
-            return {"from_version": pos, "to_version": None, "delta_rows": 0}
-        delta = self.table.read_changes(pos, latest)
-        partial = self._agg(delta)
-        merged = partial if pos is None else self._merge(self.read(), partial)
-        state_dir = f"state-{uuid.uuid4().hex[:12]}"
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, state_dir)
-        merged.write.mode("overwrite").parquet(out)
-        n_state = self.spark.read.parquet(out).count()
-        # atomic (state, position) commit: the pointer swing is the ONLY
-        # visibility point — a crash before it leaves the old pair intact
-        old = self._pointer()
-        tmp = os.path.join(self.path, f".{_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"version": latest, "state_dir": state_dir}, fh)
-        os.replace(tmp, os.path.join(self.path, _POINTER))
-        if old is not None:  # previous state is unreferenced now
-            shutil.rmtree(os.path.join(self.path, old["state_dir"]), ignore_errors=True)
-        delta_rows = delta.count()
+        report (``to_version is None``) when nothing is new.
+
+        Serialized cross-process by :meth:`_refresh_lock`; the pointer
+        is read ONCE and everything (old state, delta range, GC) derives
+        from that snapshot — re-reading it mid-refresh is how a
+        concurrent refresh's result would get folded in twice. The delta
+        parquet is scanned exactly once: the partial aggregate (O(keys
+        touched) rows) is collected and re-lifted, which both feeds the
+        merge without a second scan and gives ``delta_rows`` for free."""
+        with self._refresh_lock():
+            ptr = self._pointer()
+            pos = None if ptr is None else ptr["version"]
+            latest = self.table.latest_version()
+            if latest is None or (pos is not None and pos >= latest):
+                return {"from_version": pos, "to_version": None, "delta_rows": 0}
+            delta = self.table.read_changes(pos, latest)
+            partial_plan = self._agg(delta)
+            partial_rows = partial_plan.collect()  # the ONE delta scan
+            delta_rows = sum(r["n_events"] for r in partial_rows)
+            partial = self.spark.createDataFrame(partial_rows, partial_plan.schema)
+            if ptr is None:
+                merged = partial
+            else:
+                old_state = self.spark.read.parquet(
+                    os.path.join(self.path, ptr["state_dir"])
+                )
+                merged = self._merge(old_state, partial)
+            state_dir = f"state-{uuid.uuid4().hex[:12]}"
+            out = os.path.join(self.path, state_dir)
+            merged.write.mode("overwrite").parquet(out)
+            n_state = self.spark.read.parquet(out).count()
+            # atomic (state, position) commit: the pointer swing is the
+            # ONLY visibility point — a crash before it leaves the old
+            # pair intact
+            tmp = os.path.join(self.path, f".{_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"version": latest, "state_dir": state_dir}, fh)
+            os.replace(tmp, os.path.join(self.path, _POINTER))
+            # GC with one generation of grace: keep the new state and the
+            # immediately-previous one (a lock-free reader that loaded
+            # the old pointer may still be collecting from it); every
+            # other state-* dir — older generations AND orphans from
+            # crashed refreshes — is reclaimed
+            keep = {state_dir} | ({ptr["state_dir"]} if ptr else set())
+            for d in os.listdir(self.path):
+                if d.startswith("state-") and d not in keep:
+                    shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return {
             "from_version": pos,
             "to_version": latest,
