@@ -113,6 +113,18 @@ def main() -> None:
         im = ingest_metrics(table2)
         extras["append_latency_ms_p50"] = im.get("latency_ms_p50")
         extras["append_latency_ms_p99"] = im.get("latency_ms_p99")
+        # incremental materialized rollup: maintenance cost (delta-only
+        # fold of the whole table's appends) and the dashboard-query cost
+        # against the O(keys) state — the read that replaces a table scan
+        from zombi_spark.table.rollup import MaterializedRollup
+
+        roll = MaterializedRollup(table2, os.path.join(tmp, "bench2-rollup"))
+        t0 = time.perf_counter()
+        roll.refresh()
+        extras["rollup_refresh_sec"] = round(time.perf_counter() - t0, 4)
+        t0 = time.perf_counter()
+        extras["rollup_keys"] = roll.read().count()
+        extras["rollup_query_sec"] = round(time.perf_counter() - t0, 4)
     except Exception as exc:  # noqa: BLE001
         errors["_ingest_extras"] = f"{type(exc).__name__}: {exc}"[:500]
     finally:
