@@ -3,6 +3,8 @@
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
 from zombi_spark.streaming.ingest import StreamingIngest
 from zombi_spark.table.event_table import EventTable
@@ -95,3 +97,45 @@ def test_files_entries_carry_key_nulls_stat(spark, tmp_path):
     assert entries and all("key_nulls" in f for f in entries)
     # unkeyed batch: every key is null → the all-unkeyed rule holds
     assert sum(f["key_nulls"] for f in entries) == sum(f["row_count"] for f in entries)
+
+
+def test_retention_delete_is_metadata_only_and_file_aligned(spark, tmp_path):
+    """expire_data_older_than drops whole provably-expired files in one
+    metadata commit: no rewrite, straddling files kept, time travel
+    intact, watermarks carried, physical reclaim deferred to
+    expire_snapshots + remove_orphans."""
+    t = EventTable(spark, str(tmp_path), "events")
+    day = 24 * 3600 * 1000
+    base = 1704067200000
+
+    def batch(start_seq, ts0, n, step_ms=1000):
+        rows = [("t", 0, b"x", ts0 + i * step_ms, None, start_seq + i) for i in range(n)]
+        return prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA))
+
+    t.append(batch(0, base, 10))              # day 1 — fully expired
+    t.append(batch(10, base + 30 * day, 10))  # day 31 — fully live
+    # a straddling file: rows on both sides of the cutoff INSIDE one hour
+    cutoff = base + 15 * day + 1800_000  # mid-hour on day 16
+    t.append(batch(20, cutoff - 600_000, 4, step_ms=300_000))
+    v_before = t.latest_version()
+    wm_before = t.watermark_map()
+    files_before = len(t.files())
+
+    rep = t.expire_data_older_than(cutoff)
+    assert rep["files_removed"] >= 1 and rep["rows_removed"] == 10
+    # only day-1 rows gone; the straddling file is KEPT whole
+    assert t.read().count() == 14
+    assert t.read().where(F.col("timestamp_ms") < cutoff).count() == 2
+    # metadata-only: no rewrite means no new data files
+    assert len(t.files()) == files_before - rep["files_removed"]
+    # time travel to the pre-delete snapshot still serves everything
+    assert t.read(version=v_before).count() == 24
+    # sequences stay monotonic: watermarks untouched
+    assert t.watermark_map() == wm_before
+    # idempotent: nothing else provably expired
+    assert t.expire_data_older_than(cutoff)["files_removed"] == 0
+    # physical reclaim is the expire+orphans pipeline's job
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphans(older_than_s=0)
+    assert removed  # the dropped day-1 parquet is physically gone
+    assert t.read().count() == 14  # live data intact

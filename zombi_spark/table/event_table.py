@@ -1144,6 +1144,57 @@ class EventTable:
             raise ValueError("no snapshot to rewrite manifests for")
         return rewrite_manifests(self.path, self._active_files(latest))
 
+    def expire_data_older_than(self, ts_ms: int) -> dict:
+        """Cold-tier retention — the table-level sibling of the landing
+        zone's T8 cleanup (the reference ages out whole hours with a
+        ``delete_range ≤ watermark``, rocksdb.rs:1150-1237; the lakehouse
+        equivalent is a partition-aligned DELETE): drop every data file
+        whose NEWEST row is provably older than ``ts_ms``, as a
+        METADATA-ONLY commit. No rewrite: the layout hour-splits and
+        sorts, so age-outs align with whole files; a file straddling the
+        cutoff (or missing timestamp stats) is KEPT — retention is
+        file/hour-aligned, exactly the reference's hourly granularity,
+        and correctness always beats reclamation. Dropped files stay on
+        disk serving older snapshots (time travel) until
+        :meth:`expire_snapshots` + :meth:`remove_orphans` reclaim them.
+        Watermarks carry forward untouched — sequences stay monotonic
+        across retention (INV-1 outlives the data)."""
+        if self.latest_version() is None:
+            return {"files_removed": 0, "rows_removed": 0, "version": None}
+        for _attempt in range(5):
+            expected = self.latest_version()
+            prior = self.latest_snapshot()
+            # plan against the CURRENT parent each attempt: a concurrent
+            # compact may have replaced some of the expired files
+            doomed = [
+                e
+                for e in self._active_files(expected)
+                if "max_ts" in e and e["max_ts"] < ts_ms
+            ]
+            if not doomed:
+                return {"files_removed": 0, "rows_removed": 0, "version": expected}
+            summary = {
+                "operation": "retention-delete",
+                "watermarks": dict(prior.get("watermarks", {})) if prior else {},
+                "retention_cutoff_ms": ts_ms,
+                "files_removed": len(doomed),
+                "rows_removed": sum(e.get("row_count", 0) for e in doomed),
+            }
+            try:
+                snap = self._commit_snapshot(
+                    summary,
+                    removed=[e["file_path"] for e in doomed],
+                    expected_parent=expected,
+                )
+                return {
+                    "files_removed": len(doomed),
+                    "rows_removed": summary["rows_removed"],
+                    "version": snap["version"],
+                }
+            except CommitConflictError:
+                continue  # raced another commit: re-plan and retry
+        raise CommitConflictError("retention delete could not commit after 5 rebases")
+
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         ``expire_snapshots``). The oldest survivor is rewritten with a

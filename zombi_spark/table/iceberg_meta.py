@@ -405,7 +405,9 @@ def write_metadata_for_commit(
         "timestamp-ms": snap["committed_at_ms"],
         "manifest-list": manifest_list,
         "summary": {
-            "operation": "append" if snap.get("operation") == "append" else "replace",
+            "operation": {"append": "append", "retention-delete": "delete"}.get(
+                snap.get("operation"), "replace"
+            ),
             "added-data-files": str(len(snap.get("added", []))),
             "removed-data-files": str(len(snap.get("removed", []))),
         },
@@ -506,7 +508,9 @@ def rebuild_metadata(
             "timestamp-ms": snap["committed_at_ms"],
             "manifest-list": mlist,
             "summary": {
-                "operation": "append" if snap.get("operation") == "append" else "replace",
+                "operation": {"append": "append", "retention-delete": "delete"}.get(
+                snap.get("operation"), "replace"
+            ),
                 "added-data-files": str(len(snap.get("added", []))),
                 "removed-data-files": str(len(snap.get("removed", []))),
             },
