@@ -143,3 +143,36 @@ def test_refresh_gc_reclaims_orphan_state_dirs(spark, tmp_path):
     assert "state-orphan000000" not in dirs  # orphan reclaimed
     assert first_state in dirs  # one generation of grace for readers
     assert len(dirs) == 2
+
+
+def test_streaming_maintains_rollup_continuously(spark, tmp_path):
+    """maintain_rollup=True: every micro-batch folds itself into the
+    rollup right after its snapshot commits — a continuous aggregate
+    with no explicit refresh calls."""
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    ing = StreamingIngest(
+        spark,
+        str(tmp_path / "landing"),
+        EventTable(spark, str(tmp_path), "cont"),
+        str(tmp_path / "ckpt"),
+        maintain_rollup=True,
+    )
+    ing.produce("b1", [
+        {"topic": "cont", "partition": 0, "payload": f"p{i}",
+         "timestamp_ms": 1704067200000 + i, "idempotency_key": None, "ingest_order": i}
+        for i in range(8)
+    ])
+    q = ing.start(available_now=True)
+    q.awaitTermination(300)
+    assert ing.rollup.position == ing.table.latest_version()
+    assert ing.rollup.read().agg(F.sum("n_events")).first()[0] == 8
+    # a second batch through the stream keeps it current
+    ing.produce("b2", [
+        {"topic": "cont", "partition": 1, "payload": "x",
+         "timestamp_ms": 1704067300000, "idempotency_key": None, "ingest_order": 99}
+    ])
+    q = ing.start(available_now=True)
+    q.awaitTermination(300)
+    assert ing.rollup.position == ing.table.latest_version()
+    assert ing.rollup.read().agg(F.sum("n_events")).first()[0] == 9

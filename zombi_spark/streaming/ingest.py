@@ -96,6 +96,7 @@ class StreamingIngest:
         max_files_per_trigger: int | None = None,
         max_bytes_per_trigger: int | None = None,
         landing_byte_budget: int | None = None,
+        maintain_rollup: bool = False,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -126,6 +127,19 @@ class StreamingIngest:
         import threading
 
         self.maintenance_lock = threading.Lock()
+        # continuous-aggregate mode: fold each micro-batch's snapshot
+        # into the materialized rollup right after the append commits —
+        # the rollup is then always one batch behind at most, with no
+        # explicit refresh calls (TimescaleDB continuous-aggregate
+        # semantics). The refresh re-reads only the batch's own files
+        # (a manifest delta), so the added cost tracks the batch.
+        self.rollup = None
+        if maintain_rollup:
+            from zombi_spark.table.rollup import MaterializedRollup
+
+            self.rollup = MaterializedRollup(
+                table, os.path.join(table.path, "_rollup")
+            )
 
     def _raw_stream(self) -> DataFrame:
         reader = self.spark.readStream.schema(_LANDING_SCHEMA)
@@ -177,6 +191,11 @@ class StreamingIngest:
                 f"zombi.watermark.{t}/{p}": s for (t, p), s in wm_map.items()
             },
         )
+        if self.rollup is not None:
+            # after the data commit: a crash in between just leaves the
+            # rollup one batch behind, and the next refresh (here or
+            # manual) folds the missed delta — never lost, never doubled
+            self.rollup.refresh()
 
     def start(self, available_now: bool = True, processing_time: str = "5 seconds"):
         """Run the ingest query. ``available_now=True`` drains the landing
