@@ -176,3 +176,35 @@ def test_streaming_maintains_rollup_continuously(spark, tmp_path):
     q.awaitTermination(300)
     assert ing.rollup.position == ing.table.latest_version()
     assert ing.rollup.read().agg(F.sum("n_events")).first()[0] == 9
+
+
+def test_retention_delete_triggers_full_rebuild(spark, tmp_path):
+    """A row-removing snapshot (retention delete) can't be folded
+    additively — the next refresh must detect it and rebuild from the
+    live table, keeping merged == full recompute. Compaction stays on
+    the cheap additive path (row-preserving)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    day = 24 * 3600 * 1000
+    old_rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(6)]
+    new_rows = [("t", 0, b"y", 1704067200000 + 30 * day + i, None, 6 + i) for i in range(4)]
+    t.append(prepare_events(spark.createDataFrame(old_rows, RAW_EVENT_SCHEMA)))
+    t.append(prepare_events(spark.createDataFrame(new_rows, RAW_EVENT_SCHEMA)))
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    roll.refresh()
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 10
+
+    rep = t.expire_data_older_than(1704067200000 + 15 * day)
+    assert rep["rows_removed"] == 6
+    rep2 = roll.refresh()
+    assert rep2["rebuilt"] is True
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 4  # not 10
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+    # compaction does NOT force a rebuild: append more, compact, refresh
+    t.append(prepare_events(spark.createDataFrame(
+        [("t", 0, b"z", 1704067200000 + 30 * day + 100 + i, None, 10 + i) for i in range(3)],
+        RAW_EVENT_SCHEMA)))
+    t.compact(min_input_files=2)
+    rep3 = roll.refresh()
+    assert rep3["rebuilt"] is False
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)

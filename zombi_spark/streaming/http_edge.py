@@ -426,6 +426,12 @@ class _Handler(BaseHTTPRequestHandler):
                 with _ctx.suppress(OSError):
                     status, body = _err(500, f"{type(exc).__name__}: {exc}")
                     self._send_json(body, status)
+            else:
+                # headers already went out and the body may be short of
+                # its promised Content-Length — the keep-alive stream is
+                # desynced; close it so the client sees clean EOF rather
+                # than the NEXT response spliced into this one's body
+                self.close_connection = True
 
     def _do_get(self) -> None:
         self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive

@@ -192,10 +192,18 @@ class StreamingIngest:
             },
         )
         if self.rollup is not None:
-            # after the data commit: a crash in between just leaves the
-            # rollup one batch behind, and the next refresh (here or
-            # manual) folds the missed delta — never lost, never doubled
-            self.rollup.refresh()
+            # BEST-EFFORT, after the data commit: a refresh failure here
+            # would fail the micro-batch post-commit and force a Spark
+            # replay that re-appends UNKEYED events — a maintenance
+            # error must never convert into data duplication. A skipped
+            # or failed fold just leaves the rollup a batch behind; the
+            # next refresh folds the missed delta. Non-blocking so a
+            # foreign process's slow refresh can't stall the ingest
+            # cadence either.
+            try:
+                self.rollup.refresh(blocking=False)
+            except Exception:  # noqa: BLE001 — maintenance stays best-effort
+                pass
 
     def start(self, available_now: bool = True, processing_time: str = "5 seconds"):
         """Run the ingest query. ``available_now=True`` drains the landing

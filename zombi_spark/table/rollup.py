@@ -57,24 +57,47 @@ class MaterializedRollup:
 
     # ------------------------------------------------------------- pointer
     @contextlib.contextmanager
-    def _refresh_lock(self):
+    def _refresh_lock(self, blocking: bool = True):
         """flock serializing refreshes ACROSS processes: two concurrent
         refreshes that both snapshot the same position would each fold
         the same delta — the second one on top of the first one's
         already-folded state (its merge re-reads the pointer), silently
         double-counting every key in the delta. The edge's per-table
         maintenance lock covers only its own process; this is the
-        cross-process guard (same pattern as Catalog._registry_lock)."""
+        cross-process guard (same pattern as Catalog._registry_lock).
+
+        ``blocking=False`` yields ``False`` instead of waiting when
+        another refresh holds the lock — for callers on a latency path
+        (the per-micro-batch continuous fold) that must not couple their
+        cadence to a foreign process's refresh duration."""
         os.makedirs(self.path, exist_ok=True)
         fd = os.open(os.path.join(self.path, ".refresh.lock"), os.O_CREAT | os.O_RDWR)
         try:
             try:
                 import fcntl
 
-                fcntl.flock(fd, fcntl.LOCK_EX)
+                try:
+                    fcntl.flock(
+                        fd,
+                        fcntl.LOCK_EX | (0 if blocking else fcntl.LOCK_NB),
+                    )
+                except OSError:
+                    yield False  # held elsewhere; non-blocking caller skips
+                    return
             except ImportError:
-                pass
-            yield
+                # no flock on this platform: the cross-process
+                # double-count guard is ABSENT, not just degraded — warn
+                # loudly so an operator can tell the guarantee is gone
+                import warnings
+
+                warnings.warn(
+                    "fcntl unavailable: rollup refreshes are not "
+                    "serialized across processes — concurrent refreshes "
+                    "can double-count deltas",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+            yield True
         finally:
             os.close(fd)
 
@@ -138,10 +161,25 @@ class MaterializedRollup:
         state the pointer references (empty frame before any refresh)."""
         return self.snapshot()[1]
 
-    def refresh(self) -> dict:
+    def _rows_were_removed_in(self, from_version: int | None, to_version: int) -> bool:
+        """True when a snapshot in ``(from_version, to_version]`` removed
+        ROWS from the table (retention delete). Compaction also records
+        removed files but is row-preserving (its adds carry the same
+        rows), so the additive fold stays valid across it."""
+        for s in self.table.snapshots():
+            if (from_version is None or s["version"] > from_version) and s[
+                "version"
+            ] <= to_version:
+                if s.get("removed") and s.get("operation") != "compact":
+                    return True
+        return False
+
+    def refresh(self, blocking: bool = True) -> dict:
         """Fold appends since :attr:`position` into the state. Returns
         ``{from_version, to_version, delta_rows, state_rows}``; a no-op
-        report (``to_version is None``) when nothing is new.
+        report (``to_version is None``) when nothing is new, and a
+        ``{"skipped": True}`` report when ``blocking=False`` and another
+        process's refresh holds the lock (the next refresh catches up).
 
         Serialized cross-process by :meth:`_refresh_lock`; the pointer
         is read ONCE and everything (old state, delta range, GC) derives
@@ -149,20 +187,38 @@ class MaterializedRollup:
         concurrent refresh's result would get folded in twice. The delta
         parquet is scanned exactly once: the partial aggregate (O(keys
         touched) rows) is collected and re-lifted, which both feeds the
-        merge without a second scan and gives ``delta_rows`` for free."""
-        with self._refresh_lock():
+        merge without a second scan and gives ``delta_rows`` for free.
+
+        Row-REMOVING snapshots in the range (retention deletes) can't be
+        folded additively — the refresh detects them and recomputes the
+        state from the live table instead, so ``merged == full
+        recompute`` holds across retention too (compaction is
+        row-preserving and stays on the cheap additive path)."""
+        with self._refresh_lock(blocking=blocking) as held:
+            if not held:
+                return {"skipped": True, "to_version": None, "delta_rows": 0}
             ptr = self._pointer()
             pos = None if ptr is None else ptr["version"]
             latest = self.table.latest_version()
             if latest is None or (pos is not None and pos >= latest):
                 return {"from_version": pos, "to_version": None, "delta_rows": 0}
-            delta = self.table.read_changes(pos, latest)
+            if pos is not None and self._rows_were_removed_in(pos, latest):
+                # retention delete in range: additive fold would keep
+                # counting the dropped rows — rebuild from the live table
+                source = self.table.read(version=latest)
+            else:
+                source = None
+            delta = (
+                source
+                if source is not None
+                else self.table.read_changes(pos, latest)
+            )
             partial_plan = self._agg(delta)
             partial_rows = partial_plan.collect()  # the ONE delta scan
             delta_rows = sum(r["n_events"] for r in partial_rows)
             partial = self.spark.createDataFrame(partial_rows, partial_plan.schema)
-            if ptr is None:
-                merged = partial
+            if ptr is None or source is not None:
+                merged = partial  # first build, or full rebuild
             else:
                 old_state = self.spark.read.parquet(
                     os.path.join(self.path, ptr["state_dir"])
@@ -193,4 +249,5 @@ class MaterializedRollup:
             "to_version": latest,
             "delta_rows": delta_rows,
             "state_rows": n_state,
+            "rebuilt": source is not None,
         }
