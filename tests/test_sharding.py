@@ -115,3 +115,52 @@ def test_pack_sequences_respects_budget_and_determinism(spark):
     assert (pdf[["doc_id", "pack_id", "pack_pos"]].values == again[
         ["doc_id", "pack_id", "pack_pos"]
     ].values).all()
+
+
+def test_chunk_documents_windows_with_overlap(spark):
+    """Long docs split into max_tokens windows with stride overlap; the
+    short side passes through whole; boundaries are text-deterministic
+    and the plan is narrow (no Exchange, no Python)."""
+    import contextlib
+    import io
+
+    from zombi_spark.operators.sharding import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.chunk_id): r for r in chunk_documents(docs, 4, overlap_tokens=1).collect()}
+    assert out[(1, 0)].text == "w0 w1 w2 w3"
+    assert out[(1, 1)].text == "w3 w4 w5 w6"  # 1-token overlap
+    assert out[(1, 2)].text == "w6 w7 w8 w9"
+    assert len([k for k in out if k[0] == 1]) == 3
+    # every source token survives in order (coverage, minus overlaps)
+    rebuilt = []
+    for cid in range(3):
+        toks = out[(1, cid)].text.split(" ")
+        rebuilt.extend(toks if cid == 0 else toks[1:])
+    assert rebuilt == [f"w{i}" for i in range(10)]
+    assert out[(2, 0)].text == "short doc" and out[(2, 0)].chunk_tokens == 2
+    assert out[(3, 0)].chunk_tokens == 0
+    # no-overlap variant: disjoint windows, exact tiling
+    flat = chunk_documents(docs.where("doc_id = 1"), 5)
+    texts = [r.text for r in flat.orderBy("chunk_id").collect()]
+    assert texts == ["w0 w1 w2 w3 w4", "w5 w6 w7 w8 w9"]
+    # validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, 4, overlap_tokens=4)
+    # narrow plan over a real parquet scan (a createDataFrame input
+    # plans through a Python RDD scan, which would false-positive)
+    from zombi_spark.sources.tables import load_table
+
+    corpus = load_table(spark, "/root/testdata/sf0.01", "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents(corpus, 64, overlap_tokens=8).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan and "Python" not in plan

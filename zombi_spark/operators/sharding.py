@@ -151,3 +151,67 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split long documents into training-window chunks of at most
+    ``max_tokens`` whitespace tokens, with ``overlap_tokens`` of stride
+    overlap between consecutive chunks — the windowing step a
+    context-bounded training run applies to documents longer than its
+    sequence length (the complement of :func:`pack_sequences`, which
+    handles the SHORT side).
+
+    Pure Column program: split to a token array once, then a
+    ``sequence`` of window starts exploded into ``slice`` + rejoin — no
+    Python in the plan, no shuffle (narrow: one explode). Deterministic
+    and row-order-stable: chunk boundaries depend only on the text.
+    Output: input columns with ``text`` replaced by the chunk, plus
+    ``chunk_id`` (0-based), ``chunk_tokens``. Docs at/under the budget
+    pass through whole as chunk 0; empty docs yield one empty chunk.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap_tokens < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap_tokens}"
+        )
+    stride = max_tokens - overlap_tokens
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # window starts: 1, 1+stride, ... while start <= n - overlap (so the
+    # last window isn't a pure-overlap repeat); single window when n <=
+    # max_tokens
+    starts = F.when(
+        n <= max_tokens, F.array(F.lit(1))
+    ).otherwise(
+        F.sequence(
+            F.lit(1),
+            n - F.lit(overlap_tokens),
+            F.lit(stride),
+        )
+    )
+    out = (
+        df.withColumn("_toks", toks)
+        .select("*", F.posexplode(starts).alias("pos", "_start"))
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.col("pos").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_start"), max_tokens)).alias(
+                text_col
+            ),
+            F.least(
+                F.lit(max_tokens), F.size("_toks") - F.col("_start") + 1
+            ).alias("chunk_tokens"),
+        )
+    )
+    # split("") yields [""] (size 1) — an empty doc's chunk carries 0
+    return out.withColumn(
+        "chunk_tokens",
+        F.when(F.col(text_col) == "", F.lit(0)).otherwise(F.col("chunk_tokens")),
+    )
