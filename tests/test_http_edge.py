@@ -668,3 +668,26 @@ def test_rollup_over_http(edge):
     assert status == 400
     status, body = _call(f"{base}/tables/rolled/rollup?limit=-1")
     assert status == 400 and "limit" in body["error"]["message"]
+
+
+def test_retention_over_http(edge):
+    """POST /tables/{t}/retention?older_than_ms= — the metadata-only
+    cold-tier delete with validation and the shared maintenance lock."""
+    srv, ingests = edge
+    base = srv.base_url
+    day = 24 * 3600 * 1000
+    old_t, new_t = 1704067200000, 1704067200000 + 30 * day
+    for ts in (old_t, old_t + 1, new_t, new_t + 1):
+        _call(
+            f"{base}/tables/aged",
+            "POST",
+            json.dumps({"payload": "x", "timestamp_ms": ts}).encode(),
+        )
+    _call(f"{base}/tables/aged/flush", "POST", b"")
+    status, body = _call(f"{base}/tables/aged/retention", "POST", b"")
+    assert status == 400  # cutoff required
+    status, rep = _call(
+        f"{base}/tables/aged/retention?older_than_ms={old_t + 15 * day}", "POST", b""
+    )
+    assert status == 200 and rep["rows_removed"] == 2
+    assert ingests["aged"].table.read().count() == 2

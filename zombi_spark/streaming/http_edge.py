@@ -367,6 +367,25 @@ class _Handler(BaseHTTPRequestHandler):
                         )
                 finally:
                     ing.maintenance_lock.release()
+            elif action == "retention":
+                # cold-tier retention over HTTP: metadata-only
+                # partition-aligned delete (same maintenance-lock
+                # contract as flush/compact/rollup)
+                try:
+                    cutoff = int(_q["older_than_ms"])
+                except (KeyError, ValueError) as exc:
+                    status, body = _err(400, f"older_than_ms query param required: {exc}")
+                    self._send_json(body, status)
+                    return
+                if not ing.maintenance_lock.acquire(blocking=False):
+                    status, body = _err(409, f"maintenance already in progress for {table}")
+                    self._send_json(body, status)
+                    return
+                try:
+                    report = ing.table.expire_data_older_than(cutoff)
+                    self._send_json({"table": table, **report})
+                finally:
+                    ing.maintenance_lock.release()
             elif action == "rollup":
                 # refresh the incremental materialized rollup — a
                 # maintenance action like flush/compact (shares the
