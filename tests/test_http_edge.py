@@ -691,3 +691,65 @@ def test_retention_over_http(edge):
     )
     assert status == 200 and rep["rows_removed"] == 2
     assert ingests["aged"].table.read().count() == 2
+
+
+def test_body_framing_protections(edge):
+    """Malformed framing must answer an error and close the connection,
+    never hang a thread or desync keep-alive: bad/negative
+    Content-Length → 400, over-cap → 413 WITHOUT buffering, chunked →
+    501; an out-of-int32 partition → 400 instead of a 202 whose row the
+    landing-schema read would silently null."""
+    import http.client
+
+    srv, _ = edge
+    host, port = srv._httpd.server_address[:2]
+
+    def raw_post(headers_body: bytes):
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.connect()
+        conn.sock.sendall(headers_body)
+        resp = http.client.HTTPResponse(conn.sock, method="POST")
+        resp.begin()
+        body = resp.read()
+        conn.close()
+        return resp.status, body
+
+    # non-numeric Content-Length
+    status, _ = raw_post(
+        b"POST /tables/events HTTP/1.1\r\nHost: x\r\nContent-Length: abc\r\n\r\n"
+    )
+    assert status == 400
+    # negative Content-Length (rfile.read(-1) would block forever)
+    status, _ = raw_post(
+        b"POST /tables/events HTTP/1.1\r\nHost: x\r\nContent-Length: -1\r\n\r\n"
+    )
+    assert status == 400
+    # oversized: refused from the header alone, nothing buffered
+    status, _ = raw_post(
+        b"POST /tables/events HTTP/1.1\r\nHost: x\r\nContent-Length: 99999999999\r\n\r\n"
+    )
+    assert status == 413
+    # chunked transfer encoding: explicit 501, not silent desync
+    status, _ = raw_post(
+        b"POST /tables/events HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n"
+    )
+    assert status == 501
+
+    # partition past int32 → 400 (the protobuf decoder's rule, applied
+    # to the JSON path too)
+    status, body = _call(
+        f"http://{host}:{port}/tables/events",
+        "POST",
+        json.dumps({"payload": "x", "partition": 2**32}).encode(),
+    )
+    assert status == 400 and "partition" in body["error"]["message"]
+    status, _ = _call(
+        f"http://{host}:{port}/tables/events",
+        "POST",
+        json.dumps({"payload": "x", "partition": -1}).encode(),
+    )
+    assert status == 400
+    # tail limit is capped (the collect lands on the serving process)
+    status, body = _call(f"http://{host}:{port}/tables/events?limit=100000000")
+    assert status == 400 and "limit" in body["error"]["message"]

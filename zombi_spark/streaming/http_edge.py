@@ -88,6 +88,17 @@ def _err(status: int, message: str) -> tuple[int, dict]:
 _ARROW_MEDIA = "application/vnd.apache.arrow.stream"
 
 
+def _parse_partition(value) -> int:
+    """Partition must fit the table's int32 column — the same 400
+    boundary the protobuf decoder enforces (protobuf.py u32→i32 rule).
+    A 202-acked event with an overflowing partition would otherwise be
+    NULLed by the landing-schema read and silently vanish."""
+    part = int(value)
+    if not 0 <= part <= 0x7FFFFFFF:
+        raise ValueError(f"partition {part} out of range [0, 2^31)")
+    return part
+
+
 def negotiate_format(accept_header: str) -> str:
     """'arrow' when the Arrow stream media type outranks JSON in the
     Accept header, else 'json' (S12 content negotiation). ONE
@@ -129,22 +140,42 @@ class _Handler(BaseHTTPRequestHandler):
             self.server.counters.count_error()  # type: ignore[attr-defined]
         self._send_bytes(json.dumps(obj).encode(), "application/json", status)
 
-    def _send_bytes(self, payload: bytes, content_type: str, status: int = 200) -> None:
+    def _send_err(self, status: int, message: str) -> None:
+        st, body = _err(status, message)
+        self._send_json(body, st)
+
+    def _send_bytes(
+        self,
+        payload: bytes,
+        content_type: str,
+        status: int = 200,
+        extra_headers: dict | None = None,
+    ) -> None:
         self.send_response(status)
         self.send_header("Content-Type", content_type)
         self.send_header("Content-Length", str(len(payload)))
         # which process served this — observable proof the multi-process
         # write plane is actually spreading load (and a debugging aid)
         self.send_header("X-Edge-Pid", str(os.getpid()))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self._responded = True
         self.end_headers()
         self.wfile.write(payload)
+        # release the request body: a keep-alive connection idling after
+        # a large bulk POST must not pin megabytes on its handler slot
+        self._raw_body = b""
 
     def _route(self) -> tuple[list[str], dict]:
         u = urllib.parse.urlparse(self.path)
         parts = [urllib.parse.unquote(p) for p in u.path.rstrip("/").split("/") if p]
         query = {k: v[0] for k, v in urllib.parse.parse_qs(u.query).items()}
         return parts, query
+
+    # the reference bounds in-flight request bytes with its 64 MB
+    # semaphore (handlers.rs:64-232) — the same cap here guards the
+    # buffered read; admission control only counts already-LANDED files
+    _MAX_BODY_BYTES = 64 * 1024 * 1024
 
     def _drain_body(self) -> None:
         # the body must be consumed exactly once per request BEFORE any
@@ -154,7 +185,46 @@ class _Handler(BaseHTTPRequestHandler):
         # rfile and poison the connection). Called at handler entry —
         # handler INSTANCES live for the whole connection, so the slot is
         # overwritten per request, never cached across them.
-        self._raw_body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        #
+        # Malformed framing can't be drained and MUST close the
+        # connection (the bytes left in rfile would poison it):
+        # ``_body_error`` carries the status the route answers first.
+        self._raw_body = b""
+        self._body_error: tuple[int, str] | None = None
+        if self.headers.get("Transfer-Encoding"):
+            # we only speak Content-Length framing; silently ignoring a
+            # chunked body would desync every later request
+            self._body_error = (501, "chunked transfer encoding not supported")
+            self.close_connection = True
+            return
+        raw_len = self.headers.get("Content-Length", "0")
+        try:
+            n = int(raw_len)
+        except ValueError:
+            self._body_error = (400, f"invalid Content-Length {raw_len!r}")
+            self.close_connection = True
+            return
+        if n < 0:
+            # rfile.read(-1) would block until the peer closes — a
+            # permanently pinned handler thread per such request
+            self._body_error = (400, f"invalid Content-Length {n}")
+            self.close_connection = True
+            return
+        if n > self._MAX_BODY_BYTES:
+            # refuse WITHOUT reading: buffering an attacker-chosen size
+            # is the OOM, not the landing
+            self._body_error = (413, f"body of {n} B exceeds {self._MAX_BODY_BYTES} B cap")
+            self.close_connection = True
+            return
+        self._raw_body = self.rfile.read(n)
+
+    def _reject_bad_body(self) -> bool:
+        """Answer the framing error recorded by :meth:`_drain_body` (and
+        close the now-undrainable connection). True = request handled."""
+        if self._body_error is not None:
+            self._send_err(*self._body_error)
+            return True
+        return False
 
     def _body(self) -> bytes:
         return self._raw_body
@@ -170,7 +240,7 @@ class _Handler(BaseHTTPRequestHandler):
         now_ms = int(time.time() * 1000)
         if self._is_proto():
             ev = decode_event(self._body())  # ProtoDecodeError → 400
-            partition = int(self.headers.get("X-Partition", 0))
+            partition = _parse_partition(self.headers.get("X-Partition", 0))
             payload = ev["payload"]
             ts = ev["timestamp_ms"] if ev["timestamp_ms"] is not None else now_ms
             key = ev["idempotency_key"]
@@ -178,7 +248,7 @@ class _Handler(BaseHTTPRequestHandler):
             body = json.loads(self._body() or b"{}")
             if not isinstance(body, dict) or "payload" not in body:
                 raise ValueError("body must be a JSON object with a 'payload' field")
-            partition = int(body.get("partition", 0))
+            partition = _parse_partition(body.get("partition", 0))
             payload = body["payload"]
             ts = int(body.get("timestamp_ms", now_ms))
             key = body.get("idempotency_key")
@@ -218,7 +288,7 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError("every record must be an object with a 'payload'")
             out.append(
                 {
-                    "partition": int(r.get("partition", 0)),
+                    "partition": _parse_partition(r.get("partition", 0)),
                     "payload": r["payload"],
                     "timestamp_ms": int(r.get("timestamp_ms", now_ms)),
                     "idempotency_key": r.get("idempotency_key"),
@@ -228,6 +298,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         self._drain_body()
+        if self._reject_bad_body():
+            return
         parts, _q = self._route()
         if parts == ["internal", "resolve"] and getattr(self.server, "is_internal", False):
             # control-plane route (internal listener only): an edge
@@ -245,6 +317,9 @@ class _Handler(BaseHTTPRequestHandler):
             except (ValueError, TypeError) as exc:
                 status, body = _err(400, str(exc))
                 self._send_json(body, status)
+                return
+            except Exception as exc:  # noqa: BLE001 — resolver blew up
+                self._send_err(500, f"{type(exc).__name__}: {exc}")
                 return
             self._send_json(
                 {
@@ -454,6 +529,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _do_get(self) -> None:
         self._drain_body()  # a GET body is legal; leaving it desyncs keep-alive
+        if self._reject_bad_body():
+            return
         parts, q = self._route()
         if parts and parts[0] == "health" and len(parts) <= 2:
             # server-level health (handlers.rs:1035-1041): live = process
@@ -471,8 +548,11 @@ class _Handler(BaseHTTPRequestHandler):
             ready = all(r["ready"] for r in reports.values())
             if probe == "ready":
                 self._send_json({"ready": ready}, 200 if ready else 503)
-            else:
+            elif probe is None:
                 self._send_json({"live": True, "ready": ready, "tables": reports})
+            else:
+                # a typo'd probe name must not read as 200-healthy
+                self._send_err(404, f"no such health probe {probe!r}")
             return
         if len(parts) == 3 and parts[0] == "consumers" and parts[2] == "offset":
             # handlers.rs:1171-1188 — ?topic=&partition=; offset null for
@@ -589,8 +669,8 @@ class _Handler(BaseHTTPRequestHandler):
             roll = MaterializedRollup(ing.table, os.path.join(ing.table.path, "_rollup"))
             try:
                 limit = int(q.get("limit", 1000))
-                if limit < 0:
-                    raise ValueError(f"limit must be >= 0, got {limit}")
+                if not 0 <= limit <= 100_000:
+                    raise ValueError(f"limit must be in [0, 100000], got {limit}")
             except ValueError as exc:
                 status, body = _err(400, str(exc))
                 self._send_json(body, status)
@@ -633,8 +713,11 @@ class _Handler(BaseHTTPRequestHandler):
             if unknown:
                 raise ValueError(f"unknown fields: {unknown} (known: {list(_KNOWN_FIELDS)})")
             limit = int(q.get("limit", 100))
-            if limit < 0:
-                raise ValueError(f"limit must be >= 0, got {limit}")
+            if not 0 <= limit <= 100_000:
+                raise ValueError(
+                    f"limit must be in [0, 100000], got {limit} "
+                    "(the tail collects to the serving process)"
+                )
             since_ms = int(q["since_ms"]) if "since_ms" in q else None
             partition = int(q["partition"]) if "partition" in q else None
         except ValueError as exc:
@@ -657,14 +740,11 @@ class _Handler(BaseHTTPRequestHandler):
             sink = io.BytesIO()
             with pa.ipc.new_stream(sink, tbl.schema) as writer:
                 writer.write_table(tbl)
-            self.send_response(200)
-            self.send_header("Content-Type", _ARROW_MEDIA)
-            self.send_header("X-Has-More", "true" if has_more else "false")
-            payload = sink.getvalue()
-            self.send_header("Content-Length", str(len(payload)))
-            self._responded = True
-            self.end_headers()
-            self.wfile.write(payload)
+            self._send_bytes(
+                sink.getvalue(),
+                _ARROW_MEDIA,
+                extra_headers={"X-Has-More": "true" if has_more else "false"},
+            )
             return
         rows = tail_df.collect()
         has_more = len(rows) > limit
@@ -829,9 +909,10 @@ class _WriteWorkerHandler(_Handler):
                 conn.request(self.command, self.path, self._body() or None, headers)
                 resp = conn.getresponse()
                 payload = resp.read()
-            except OSError as exc:
-                # parent down/mid-restart: answer 502 (a retryable HTTP
-                # error) instead of slamming the connection shut
+            except (OSError, http.client.HTTPException) as exc:
+                # parent down/mid-restart (refused, or died mid-response
+                # → IncompleteRead): answer 502 (a retryable HTTP error)
+                # instead of slamming the connection shut
                 status, body = _err(502, f"query plane unavailable: {exc}")
                 self._send_json(body, status)
                 return
@@ -866,7 +947,7 @@ class _WriteWorkerHandler(_Handler):
         if len(parts) in (2, 3) and parts[0] == "tables" and action in (None, "bulk"):
             try:
                 super().do_POST()  # the write plane, served locally
-            except OSError as exc:
+            except (OSError, http.client.HTTPException) as exc:
                 # first write for an uncached table resolves via the
                 # parent; if the parent is down that's a retryable 502,
                 # not a slammed connection (the worker itself is fine)
@@ -877,6 +958,8 @@ class _WriteWorkerHandler(_Handler):
                     self._send_json(body, status)
         else:
             self._drain_body()
+            if self._reject_bad_body():
+                return
             self._proxy()
 
     def do_GET(self) -> None:  # noqa: N802
@@ -884,6 +967,8 @@ class _WriteWorkerHandler(_Handler):
         if self._reject_internal(parts):
             return
         self._drain_body()
+        if self._reject_bad_body():
+            return
         if parts == ["health", "live"]:
             # liveness of THIS worker, answered locally in O(1) — a
             # proxied probe would tie worker liveness to parent
