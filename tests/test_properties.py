@@ -255,3 +255,78 @@ def test_property_pack_sequences_budget_invariants(spark):
         per = pdf.groupby("pack_id").agg(total=("n_tokens", "sum"), n=("n_tokens", "size"))
         bad = per[(per.total > budget) & (per.n > 1)]
         assert bad.empty, (trial, budget, bad)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.from_regex(r"[a-z0-9]{1,6}", fullmatch=True), min_size=1, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    max_tokens=st.integers(min_value=2, max_value=12),
+    data=st.data(),
+)
+def test_chunking_rebuilds_every_document(spark, texts, max_tokens, data):
+    """chunk_documents invariants for arbitrary corpora: chunks within
+    budget, stride arithmetic exact, and stitching the windows (dropping
+    each chunk's leading overlap) reproduces the document verbatim."""
+    import math
+
+    from zombi_spark.operators.sharding import chunk_documents
+
+    overlap = data.draw(st.integers(min_value=0, max_value=max_tokens - 1))
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(texts)], "doc_id long, text string"
+    )
+    out: dict[int, list] = {}
+    for r in chunk_documents(docs, max_tokens, overlap_tokens=overlap).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    stride = max_tokens - overlap
+    for i, toks in enumerate(texts):
+        chunks = sorted(out[i], key=lambda r: r.chunk_id)
+        n = len(toks)
+        expect_k = 1 if n <= max_tokens else math.ceil((n - overlap) / stride)
+        assert len(chunks) == expect_k
+        assert all(1 <= c.chunk_tokens <= max_tokens for c in chunks)
+        rebuilt = []
+        for c in chunks:
+            ct = c.text.split(" ")
+            assert len(ct) == c.chunk_tokens
+            rebuilt.extend(ct if c.chunk_id == 0 else ct[overlap:])
+        assert rebuilt == toks
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_docs=st.integers(min_value=1, max_value=40),
+    weight_tenths=st.integers(min_value=0, max_value=35),
+    seed=st.integers(min_value=0, max_value=100),
+)
+def test_mixture_multiplicity_bounds(spark, n_docs, weight_tenths, seed):
+    """Every doc appears floor(w) or ceil(w) times, epochs are exactly
+    0..multiplicity-1, and the same seed reproduces the same selection."""
+    from zombi_spark.operators.mixture import mixture_sample
+
+    w = weight_tenths / 10.0
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(n_docs)], "doc_id long, source string"
+    )
+    if w == 0:
+        assert mixture_sample(docs, {"s": 0.0}, seed=seed).count() == 0
+        return
+    rows = mixture_sample(docs, {"s": w}, seed=seed).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.epoch)
+    import math
+
+    lo, hi = math.floor(w), math.ceil(w)
+    for i in range(n_docs):
+        epochs = sorted(per_doc.get(i, []))
+        assert len(epochs) in (lo, hi)
+        assert epochs == list(range(len(epochs)))
+    again = mixture_sample(docs, {"s": w}, seed=seed).collect()
+    assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
+        (r.doc_id, r.epoch) for r in rows
+    )
