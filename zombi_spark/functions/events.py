@@ -45,7 +45,13 @@ def hex_sequence(sequence: Column) -> Column:
 
 
 def utf8_payload(payload: Column) -> Column:
-    """Binary payload → UTF-8 string (lossy decode for JSON views)."""
+    """Binary payload → UTF-8 string for JSON views. The cast wraps the
+    bytes without validation JVM-side; invalid sequences surface as
+    U+FFFD only at the Arrow/collect boundary — full from_utf8_lossy
+    parity (handlers.rs:775,795) holds for every SURFACED value, while
+    JVM-side comparisons on invalid UTF-8 see the raw bytes (Spark ships
+    no replace-mode decode; strict `decode` would error the query on one
+    bad payload, the worse trade for an ingest engine)."""
     return payload.cast("string")
 
 

@@ -54,14 +54,19 @@ def decode_stub(content: bytes, media_type: str) -> dict:
     """STUB codec: deterministic fake decode derived from the content hash.
 
     Real deployment replaces this body with PIL / soundfile / pyav decode.
-    Raises for unknown media types (the real decoder would too).
+    Raises for unknown media types (the real decoder would too). The
+    returned ``sha256`` lets callers reuse the digest — hashing is the
+    dominant cost of a stub pass, and re-hashing per caller would double
+    it over a 100 TB corpus.
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
-    h = hashlib.sha256(content).digest()
+    sha = hashlib.sha256(content)
+    h = sha.digest()
+    out = {"sha256": sha.hexdigest()}
     if media_type == "image":
-        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "duration_ms": None}
-    return {"width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
+        return {**out, "width": 64 + h[0] % 192, "height": 64 + h[1] % 192, "duration_ms": None}
+    return {**out, "width": None, "height": None, "duration_ms": 1000 + int.from_bytes(h[2:4], "big")}
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -84,7 +89,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                         "media_id": mid,
                         "media_type": mtype,
                         "n_bytes": len(raw),
-                        "content_sha": hashlib.sha256(raw).hexdigest(),
+                        "content_sha": d["sha256"],  # hashed once, in decode
                         "width": d["width"],
                         "height": d["height"],
                         "duration_ms": d["duration_ms"],
@@ -118,6 +123,8 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     no shuffle, no Python row boundary; output size is rows × frames,
     which a real pipeline bounds with every_ms.
     """
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     ensure_package_on_workers(media.sparkSession)
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

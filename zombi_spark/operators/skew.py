@@ -38,7 +38,14 @@ def salted_join(
             f"salted_join supports {sorted(allowed)} (big-side preserving); "
             f"got how={how!r} — replica rows would duplicate unmatched small-side rows"
         )
-    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("input already carries a '_salt' column — rename it first")
+    # salt from the partition-local row position (monotonically_increasing_id:
+    # partition_id << 33 | offset — deterministic for a given partitioning,
+    # so speculative retries of the same task agree), NOT a hash of the row
+    # values: a hot key whose rows are byte-identical duplicates would hash
+    # to ONE salt bucket and keep the single hot reducer this exists to split
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     big_salted = big.withColumn("_salt", salt)
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -65,7 +72,9 @@ def salted_aggregate(
     for fn in aggs.values():
         if fn not in fns:
             raise ValueError(f"non-decomposable aggregate {fn!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    if "_salt" in df.columns:
+        raise ValueError("input already carries a '_salt' column — rename it first")
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

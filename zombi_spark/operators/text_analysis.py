@@ -80,7 +80,11 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     stop_ct = marker_score(text, STOPWORDS)
     distinct_ratio_pm = F.floor(F.lit(1000) * n_distinct / n_tokens).cast("long")
     quality_class = (
-        F.when(n_tokens < 10, "too_short")
+        # NULL text first: every later condition is NULL (treated as
+        # false) for a null doc, which would fall through to 'ok' —
+        # the one class an absent document must never earn
+        F.when(text.isNull(), "too_short")
+        .when(n_tokens < 10, "too_short")
         .when(distinct_ratio_pm < 300, "repetitive")
         .when(stop_ct == 0, "no_function_words")
         .otherwise("ok")

@@ -121,6 +121,16 @@ def sessionize_stream(
     batch analogue is q_sessionization's window/gap logic; this is the
     same computation with O(1) state per key instead of a shuffle over
     history.
+
+    Cross-batch LATE events (intra-batch order is sorted here): an event
+    inside or within ``gap_ms`` of the open session's [start, end] span
+    EXTENDS the session's bounds (min/max — the end can never regress
+    below the start); an event more than a gap before the span opens no
+    time machine — it closes the open session and starts a new one, the
+    same compromise the reference's in-order session tracker makes.
+    NULL keys sessionize as their own group (the schema's key column is
+    nullable); ``key_col`` must be an integral column matching
+    SESSION_SCHEMA's first field.
     """
     ensure_package_on_workers(events.sparkSession)
     gap = int(gap_ms)
@@ -129,7 +139,9 @@ def sessionize_stream(
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        user = int(key[0])
+        # a NULL group key must not crash the query (int(None) would);
+        # its events sessionize under the null key
+        user = None if key[0] is None else int(key[0])
         cols = ["user_id", "session_start", "session_end", "n_events"]
         if state.hasTimedOut:
             start, last, n = state.get
@@ -145,12 +157,18 @@ def sessionize_stream(
         for pdf in pdfs:
             ts_all.extend(int(t) for t in pdf[ts_col])
         for ts in sorted(ts_all):
-            if last is not None and ts - last > gap:
+            if last is not None and (ts - last > gap or start - ts > gap):
+                # beyond the gap on either side of the open span
                 closed.append((user, start, last, n))
-                start, n = None, 0
+                start = last = None
+                n = 0
             if start is None:
-                start = ts
-            last = ts
+                start = last = ts
+            else:
+                # min/max so a late-but-in-session event can never
+                # regress the end below the start
+                start = min(start, ts)
+                last = max(last, ts)
             n += 1
         if start is not None:
             state.update((start, last, n))
