@@ -204,3 +204,51 @@ def test_sessionization_resume_from_checkpoint(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     ]
     assert rows == [(7, T0, T0 + 60_000, 2)]
+
+
+def test_late_event_cannot_regress_session_end(spark, tmp_path):
+    """A cross-batch LATE event inside the open session's span extends
+    bounds via min/max — it must never produce session_end <
+    session_start (the `last = ts` regression) or mis-split the
+    follow-on events; null keys sessionize instead of crashing."""
+    src = str(tmp_path / "src")
+    # batch 1: user 1 opens at T0+120s
+    _write(src, "f1.json", [(1, T0 + 120_000), (None, T0)])
+    # batch 2: a LATE event 60s BEFORE the session start (within gap) —
+    # must extend the session backwards, not regress its end
+    _write(src, "f2.json", [(1, T0 + 60_000)])
+    # batch 3: an event one minute later continues the session (would be
+    # mis-split if `last` had regressed); far-future closes everything
+    _write(src, "f3.json", [(1, T0 + 180_000)])
+    _write(src, "f4.json", [(1, T0 + 9 * 3600_000), (None, T0 + 9 * 3600_000)])
+    # the file source orders batches by MODIFICATION TIME — fast
+    # successive writes can tie (and then order arbitrarily), so pin
+    # strictly increasing mtimes to make the batch sequence the test's
+    for i, name in enumerate(["f1.json", "f2.json", "f3.json", "f4.json"]):
+        os.utime(os.path.join(src, name), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("user_id long, timestamp_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_ms=GAP)
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from late_sessions").collect()
+    ]
+    for _u, start, end, _n in rows:
+        assert end >= start, f"regressed session bounds: {rows}"
+    # ONE session for user 1 spanning the late event through batch 3
+    assert (1, T0 + 60_000, T0 + 180_000, 3) in rows
+    # the null-key group sessionized rather than crashing the query
+    assert (None, T0, T0, 1) in rows

@@ -139,9 +139,10 @@ def sessionize_stream(
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # a NULL group key must not crash the query (int(None) would);
+        # a NULL group key must not crash the query (int(None) would;
+        # Arrow surfaces a nullable long key as float NaN in pandas);
         # its events sessionize under the null key
-        user = None if key[0] is None else int(key[0])
+        user = None if key[0] is None or pd.isna(key[0]) else int(key[0])
         cols = ["user_id", "session_start", "session_end", "n_events"]
         if state.hasTimedOut:
             start, last, n = state.get
