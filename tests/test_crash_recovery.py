@@ -311,3 +311,50 @@ def test_append_guard_uses_caller_watermark_baseline(spark, tmp_path):
     with pytest.raises(CommitConflictError, match="sequences would collide"):
         t.append(outer, expected_watermarks=base_wm)
     assert t.read().count() == 9  # first + concurrent only
+
+
+def test_replayed_batch_is_skipped_exactly_once_for_unkeyed(spark, tmp_path):
+    """The foreachBatch transactional sink: re-running a micro-batch
+    with an already-committed batch id is a NO-OP, so UNKEYED events
+    survive a crash-between-table-commit-and-checkpoint replay exactly
+    once — and the streams map survives an intervening compaction."""
+    from pyspark.sql import Row
+
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    ing = StreamingIngest(
+        spark,
+        str(tmp_path / "landing"),
+        EventTable(spark, str(tmp_path), "events"),
+        str(tmp_path / "ckpt"),
+    )
+    batch = spark.createDataFrame(
+        [("t", 0, b"u1", 1704067200000, None, 1), ("t", 0, b"u2", 1704067201000, None, 2)],
+        "topic string, partition int, payload binary, timestamp_ms long, "
+        "idempotency_key string, ingest_order long",
+    )
+    ing._process_batch(batch, batch_id=0)
+    assert ing.table.read().count() == 2
+    v_after = ing.table.latest_version()
+
+    # crash replay: same batch id re-runs → recognized, skipped, no commit
+    ing._process_batch(batch, batch_id=0)
+    assert ing.table.read().count() == 2
+    assert ing.table.latest_version() == v_after
+
+    # maintenance between batches must not erase the replay guard
+    ing.table.compact(min_input_files=1)
+    ing._process_batch(batch, batch_id=0)  # replay after compact: still a no-op
+    assert ing.table.read().count() == 2
+
+    # the NEXT batch id commits normally and advances the guard
+    batch2 = spark.createDataFrame(
+        [("t", 0, b"u3", 1704067202000, None, 3)],
+        batch.schema,
+    )
+    ing._process_batch(batch2, batch_id=1)
+    assert ing.table.read().count() == 3
+    sid = __import__("os").path.abspath(str(tmp_path / "ckpt"))
+    assert ing.table.last_stream_batch(sid) == 1
+    # a different stream identity is unaffected by this one's guard
+    assert ing.table.last_stream_batch("/elsewhere/ckpt") is None

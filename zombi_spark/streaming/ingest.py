@@ -22,14 +22,18 @@ which this container does not ship (verified: the state server crashes on
 ``google.protobuf`` import). foreachBatch + table-watermark lookup gives
 the same sequences with checkpointed exactly-once batch boundaries.
 
-Exactly-once discussion (the honest deviation from SPEC.md INV-1/INV-4,
-flagged in SURVEY.md §7): sequences are assigned deterministically inside
-``foreachBatch`` from (existing table watermark + arrival order), and the
-batch is deduplicated against the table by idempotency key before append.
-If a batch retries *after* a partially-visible append, keyed events are
-suppressed by the idempotency anti-join (exactly-once for keyed events);
-unkeyed events would duplicate — the same contract zombi documents for
-clients that don't send idempotency keys (SPEC.md:752).
+Exactly-once (SPEC.md INV-1/INV-4, both sides closed): sequences are
+assigned deterministically inside ``foreachBatch`` from (existing table
+watermark + arrival order), the batch is deduplicated against the table
+by idempotency key before append, AND the append commit atomically
+records (stream identity → micro-batch id) in the snapshot summary —
+the foreachBatch transactional-sink pattern. A batch replayed after a
+crash between the table commit and the checkpoint commit is recognized
+by its id and skipped, so UNKEYED events are exactly-once across
+retries too (previously the documented deviation: they would duplicate,
+the contract zombi itself documents for keyless clients, SPEC.md:752 —
+this engine now does strictly better). The streams map is carried
+forward by every commit (compact/retention included), like watermarks.
 
 Scale notes: each micro-batch does ONE shuffle keyed by
 (topic, partition) for sequence assignment, reused by the partitioned
@@ -158,6 +162,17 @@ class StreamingIngest:
         )
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch transactional sink (INV-1/INV-4 closed for
+        # UNKEYED events too): the table snapshot records (stream id →
+        # batch id) atomically WITH the data, so a batch replayed after
+        # a crash between the append commit and the checkpoint commit is
+        # recognized and skipped — the re-run is a no-op, not a
+        # duplicate. The stream identity is the checkpoint path: stable
+        # across restarts, distinct per query.
+        stream_id = os.path.abspath(self.checkpoint_dir)
+        last = self.table.last_stream_batch(stream_id)
+        if last is not None and batch_id <= last:
+            return  # this exact batch is already durable in the table
         if batch_df.isEmpty():
             return
         # Bounded metadata-driven write path — NEVER a full-table rescan:
@@ -190,6 +205,7 @@ class StreamingIngest:
             expected_watermarks={
                 f"zombi.watermark.{t}/{p}": s for (t, p), s in wm_map.items()
             },
+            stream_commit=(stream_id, batch_id),
         )
         if self.rollup is not None:
             # BEST-EFFORT, after the data commit: a refresh failure here

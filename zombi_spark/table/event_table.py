@@ -344,6 +344,16 @@ class EventTable:
         version = 0 if current is None else current + 1
         added = added or []
         removed = removed or []
+        # the streams map (stream identity → last committed micro-batch
+        # id, the foreachBatch transactional-sink pattern) must survive
+        # EVERY commit, or a compact/retention between a batch's commit
+        # and its checkpoint write would erase the replay guard and a
+        # crash-replay would append unkeyed events twice — carry it
+        # forward exactly like watermarks
+        if "streams" not in summary:
+            parent_snap = self.latest_snapshot()
+            if parent_snap and parent_snap.get("streams"):
+                summary = {**summary, "streams": dict(parent_snap["streams"])}
         snap = {
             "version": version,
             "parent_version": current,
@@ -743,6 +753,7 @@ class EventTable:
         events: DataFrame,
         target_file_bytes: int = 128 * 1024 * 1024,
         expected_watermarks: dict[str, int] | None = None,
+        stream_commit: tuple[str, int] | None = None,
     ) -> dict:
         """Append canonical event rows; returns the committed snapshot.
 
@@ -846,6 +857,15 @@ class EventTable:
         for _attempt in range(5):
             prior = self.latest_snapshot()
             wm = dict(prior.get("watermarks", {})) if prior else {}
+            # foreachBatch transactional-sink record: (stream identity →
+            # last committed micro-batch id), merged over the parent's
+            # map so multiple streams into one table don't clobber each
+            # other — the replay guard that makes UNKEYED events
+            # exactly-once across batch retries (keyed events already
+            # are, via the idempotency anti-join)
+            streams = dict(prior.get("streams", {})) if prior else {}
+            if stream_commit is not None:
+                streams[stream_commit[0]] = int(stream_commit[1])
             for key, hwm in batch_wm.items():
                 if wm.get(key, 0) != base_wm.get(key, 0):
                     raise CommitConflictError(
@@ -859,6 +879,7 @@ class EventTable:
                     {
                         "operation": "append",
                         "watermarks": wm,
+                        "streams": streams,
                         "added_rows": sum(e.get("row_count", 0) for e in added),
                         # end-to-end append latency (stage+move+stats+commit)
                         # — the per-batch sample the M6 ingest-metrics
@@ -981,6 +1002,19 @@ class EventTable:
         name = view_name or self.name.replace("-", "_")
         self.read().createOrReplaceTempView(name)
         return name
+
+    def last_stream_batch(self, stream_id: str) -> int | None:
+        """Last micro-batch id this stream identity committed (None =
+        never) — read from the latest snapshot summary, zero data files.
+        The replay guard of the foreachBatch transactional-sink pattern:
+        a restarted stream re-runs its last planned batch, and skipping
+        batch ids ≤ this value makes the re-run a no-op instead of a
+        duplicate append of unkeyed events."""
+        snap = self.latest_snapshot()
+        if not snap:
+            return None
+        val = snap.get("streams", {}).get(stream_id)
+        return None if val is None else int(val)
 
     def watermark_map(self) -> dict[tuple[str, int], int]:
         """Committed high watermarks per (topic, partition), straight from
