@@ -354,7 +354,20 @@ def test_replayed_batch_is_skipped_exactly_once_for_unkeyed(spark, tmp_path):
     )
     ing._process_batch(batch2, batch_id=1)
     assert ing.table.read().count() == 3
-    sid = __import__("os").path.abspath(str(tmp_path / "ckpt"))
-    assert ing.table.last_stream_batch(sid) == 1
+    assert ing.table.last_stream_batch(ing._stream_identity()) == 1
     # a different stream identity is unaffected by this one's guard
     assert ing.table.last_stream_batch("/elsewhere/ckpt") is None
+
+    # a DELETED-AND-RECREATED checkpoint restarts batch ids at 0 with a
+    # fresh query id — its batch 0 is genuinely new data and must
+    # append, not be swallowed by the old guard
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    with open(tmp_path / "ckpt" / "metadata", "w") as fh:
+        fh.write('{"id": "fresh-query-uuid"}')
+    batch3 = spark.createDataFrame(
+        [("t", 0, b"u4", 1704067203000, None, 4)],
+        batch.schema,
+    )
+    ing._process_batch(batch3, batch_id=0)  # id 0 again, NEW identity
+    assert ing.table.read().count() == 4
+    assert "#fresh-query-uuid" in ing._stream_identity()

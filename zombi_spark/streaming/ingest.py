@@ -145,6 +145,22 @@ class StreamingIngest:
                 table, os.path.join(table.path, "_rollup")
             )
 
+    def _stream_identity(self) -> str:
+        """checkpoint-path#query-id — the replay-guard key. The query id
+        comes from ``<ckpt>/metadata`` (written by Spark at query start,
+        stable across restarts of the SAME checkpoint, fresh when the
+        checkpoint is recreated)."""
+        base = os.path.abspath(self.checkpoint_dir)
+        meta = os.path.join(base, "metadata")
+        try:
+            import json as _json
+
+            with open(meta) as fh:
+                qid = _json.load(fh).get("id", "")
+        except (OSError, ValueError):
+            qid = ""
+        return f"{base}#{qid}" if qid else base
+
     def _raw_stream(self) -> DataFrame:
         reader = self.spark.readStream.schema(_LANDING_SCHEMA)
         if self.max_files_per_trigger is not None:
@@ -167,9 +183,12 @@ class StreamingIngest:
         # batch id) atomically WITH the data, so a batch replayed after
         # a crash between the append commit and the checkpoint commit is
         # recognized and skipped — the re-run is a no-op, not a
-        # duplicate. The stream identity is the checkpoint path: stable
-        # across restarts, distinct per query.
-        stream_id = os.path.abspath(self.checkpoint_dir)
+        # duplicate. The stream identity binds the checkpoint PATH to
+        # the checkpoint's query id: a deleted-and-recreated checkpoint
+        # restarts batch ids at 0, and a path-only identity would then
+        # silently SKIP genuinely new batches — the fresh query id makes
+        # it a fresh guard instead.
+        stream_id = self._stream_identity()
         last = self.table.last_stream_batch(stream_id)
         if last is not None and batch_id <= last:
             return  # this exact batch is already durable in the table
