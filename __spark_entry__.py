@@ -899,7 +899,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(1000 * (n_chars - (n_tokens - 1)) / n_tokens) AS BIGINT) AS avg_token_len_pm,
                stopword_count,
                CAST(floor(1000 * n_distinct_tokens / n_tokens) AS BIGINT) AS distinct_ratio_pm,
-               CASE WHEN n_tokens < 10 THEN 'too_short'
+               CASE WHEN n_tokens IS NULL THEN 'too_short'
+                    WHEN n_tokens < 10 THEN 'too_short'
                     WHEN floor(1000 * n_distinct_tokens / n_tokens) < 300 THEN 'repetitive'
                     WHEN stopword_count = 0 THEN 'no_function_words'
                     ELSE 'ok' END AS quality_class

@@ -328,6 +328,11 @@ def test_replayed_batch_is_skipped_exactly_once_for_unkeyed(spark, tmp_path):
         EventTable(spark, str(tmp_path), "events"),
         str(tmp_path / "ckpt"),
     )
+    # Spark writes <ckpt>/metadata at query start; the guard keys on its
+    # query id (no readable id → guard safely OFF, not path-keyed)
+    os.makedirs(tmp_path / "ckpt", exist_ok=True)
+    with open(tmp_path / "ckpt" / "metadata", "w") as fh:
+        fh.write('{"id": "original-query-uuid"}')
     batch = spark.createDataFrame(
         [("t", 0, b"u1", 1704067200000, None, 1), ("t", 0, b"u2", 1704067201000, None, 2)],
         "topic string, partition int, payload binary, timestamp_ms long, "
@@ -371,3 +376,13 @@ def test_replayed_batch_is_skipped_exactly_once_for_unkeyed(spark, tmp_path):
     ing._process_batch(batch3, batch_id=0)  # id 0 again, NEW identity
     assert ing.table.read().count() == 4
     assert "#fresh-query-uuid" in ing._stream_identity()
+
+    # unreadable metadata: the guard fails SAFE — off (at-least-once),
+    # never a stale path-keyed match that would drop new data
+    os.remove(tmp_path / "ckpt" / "metadata")
+    assert ing._stream_identity() is None
+    batch4 = spark.createDataFrame(
+        [("t", 0, b"u5", 1704067204000, None, 5)], batch.schema
+    )
+    ing._process_batch(batch4, batch_id=0)  # guard off → still appends
+    assert ing.table.read().count() == 5

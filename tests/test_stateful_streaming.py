@@ -217,14 +217,18 @@ def test_late_event_cannot_regress_session_end(spark, tmp_path):
     # batch 2: a LATE event 60s BEFORE the session start (within gap) —
     # must extend the session backwards, not regress its end
     _write(src, "f2.json", [(1, T0 + 60_000)])
-    # batch 3: an event one minute later continues the session (would be
-    # mis-split if `last` had regressed); far-future closes everything
+    # batch 3: an ANCIENT straggler (2h before the span) — emitted as
+    # its own single-event session, the open session left untouched
+    _write(src, "f2b.json", [(1, T0 - 2 * 3600_000)])
+    # batch 4: an event one minute later continues the session (would be
+    # mis-split if `last` had regressed OR if the straggler had closed
+    # the live session); far-future closes everything
     _write(src, "f3.json", [(1, T0 + 180_000)])
     _write(src, "f4.json", [(1, T0 + 9 * 3600_000), (None, T0 + 9 * 3600_000)])
     # the file source orders batches by MODIFICATION TIME — fast
     # successive writes can tie (and then order arbitrarily), so pin
     # strictly increasing mtimes to make the batch sequence the test's
-    for i, name in enumerate(["f1.json", "f2.json", "f3.json", "f4.json"]):
+    for i, name in enumerate(["f1.json", "f2.json", "f2b.json", "f3.json", "f4.json"]):
         os.utime(os.path.join(src, name), (1_700_000_000 + i, 1_700_000_000 + i))
 
     stream = (
@@ -248,7 +252,10 @@ def test_late_event_cannot_regress_session_end(spark, tmp_path):
     ]
     for _u, start, end, _n in rows:
         assert end >= start, f"regressed session bounds: {rows}"
-    # ONE session for user 1 spanning the late event through batch 3
+    # ONE session for user 1 spanning the late event through batch 4 —
+    # neither the regression nor the straggler split it
     assert (1, T0 + 60_000, T0 + 180_000, 3) in rows
+    # the ancient straggler became its own single-event session
+    assert (1, T0 - 2 * 3600_000, T0 - 2 * 3600_000, 1) in rows
     # the null-key group sessionized rather than crashing the query
     assert (None, T0, T0, 1) in rows

@@ -40,12 +40,17 @@ def salted_join(
         )
     if "_salt" in big.columns or "_salt" in small.columns:
         raise ValueError("input already carries a '_salt' column — rename it first")
-    # salt from the partition-local row position (monotonically_increasing_id:
-    # partition_id << 33 | offset — deterministic for a given partitioning,
-    # so speculative retries of the same task agree), NOT a hash of the row
-    # values: a hot key whose rows are byte-identical duplicates would hash
-    # to ONE salt bucket and keep the single hot reducer this exists to split
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # salt = hash of the row VALUES: deterministic under task recompute
+    # and speculation — the property that matters for correctness. A
+    # row-position salt (monotonically_increasing_id) would split
+    # byte-identical duplicate rows across buckets, but its value
+    # changes when a lost shuffle output is recomputed with a different
+    # fetch order, silently duplicating/dropping rows (the
+    # SPARK-23207 class of bug). CAVEAT, documented: byte-identical
+    # duplicates of the hot key all land in one bucket — pre-aggregate
+    # or add a distinguishing column if the hot key's rows are true
+    # duplicates.
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
     big_salted = big.withColumn("_salt", salt)
     small_rep = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
@@ -74,7 +79,9 @@ def salted_aggregate(
             raise ValueError(f"non-decomposable aggregate {fn!r}")
     if "_salt" in df.columns:
         raise ValueError("input already carries a '_salt' column — rename it first")
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    # content-hash salt: retry-deterministic (see salted_join); true
+    # duplicate rows share a bucket — the documented caveat
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -145,21 +145,39 @@ class StreamingIngest:
                 table, os.path.join(table.path, "_rollup")
             )
 
-    def _stream_identity(self) -> str:
+    def _stream_identity(self) -> str | None:
         """checkpoint-path#query-id — the replay-guard key. The query id
         comes from ``<ckpt>/metadata`` (written by Spark at query start,
         stable across restarts of the SAME checkpoint, fresh when the
-        checkpoint is recreated)."""
+        checkpoint is recreated).
+
+        Returns None when the id cannot be read: a replay guard's safe
+        failure direction is NO guard (an at-least-once window) — a
+        guard under a path-only identity could match a STALE entry from
+        a recreated checkpoint and silently drop genuinely new batches.
+        Cached per metadata-file mtime (the id is immutable per
+        checkpoint incarnation; a stat beats an open+parse per batch)."""
         base = os.path.abspath(self.checkpoint_dir)
         meta = os.path.join(base, "metadata")
+        try:
+            mtime = os.stat(meta).st_mtime_ns
+        except OSError:
+            return None
+        cached = getattr(self, "_sid_cache", None)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         try:
             import json as _json
 
             with open(meta) as fh:
                 qid = _json.load(fh).get("id", "")
         except (OSError, ValueError):
-            qid = ""
-        return f"{base}#{qid}" if qid else base
+            return None
+        if not qid:
+            return None
+        sid = f"{base}#{qid}"
+        self._sid_cache = (mtime, sid)
+        return sid
 
     def _raw_stream(self) -> DataFrame:
         reader = self.spark.readStream.schema(_LANDING_SCHEMA)
@@ -189,9 +207,10 @@ class StreamingIngest:
         # silently SKIP genuinely new batches — the fresh query id makes
         # it a fresh guard instead.
         stream_id = self._stream_identity()
-        last = self.table.last_stream_batch(stream_id)
-        if last is not None and batch_id <= last:
-            return  # this exact batch is already durable in the table
+        if stream_id is not None:
+            last = self.table.last_stream_batch(stream_id)
+            if last is not None and batch_id <= last:
+                return  # this exact batch is already durable in the table
         if batch_df.isEmpty():
             return
         # Bounded metadata-driven write path — NEVER a full-table rescan:
@@ -224,7 +243,7 @@ class StreamingIngest:
             expected_watermarks={
                 f"zombi.watermark.{t}/{p}": s for (t, p), s in wm_map.items()
             },
-            stream_commit=(stream_id, batch_id),
+            stream_commit=None if stream_id is None else (stream_id, batch_id),
         )
         if self.rollup is not None:
             # BEST-EFFORT, after the data commit: a refresh failure here

@@ -125,12 +125,13 @@ def sessionize_stream(
     Cross-batch LATE events (intra-batch order is sorted here): an event
     inside or within ``gap_ms`` of the open session's [start, end] span
     EXTENDS the session's bounds (min/max — the end can never regress
-    below the start); an event more than a gap before the span opens no
-    time machine — it closes the open session and starts a new one, the
-    same compromise the reference's in-order session tracker makes.
-    NULL keys sessionize as their own group (the schema's key column is
-    nullable); ``key_col`` must be an integral column matching
-    SESSION_SCHEMA's first field.
+    below the start); an ANCIENT straggler more than a gap before the
+    span is emitted as its own single-event session and the open
+    session stays untouched — closing the live session for it would
+    mis-split the very next in-gap event. NULL keys sessionize as their
+    own group (the schema's key column is nullable); events with a NULL
+    timestamp are dropped (they cannot be placed in time); ``key_col``
+    must be an integral column matching SESSION_SCHEMA's first field.
     """
     ensure_package_on_workers(events.sparkSession)
     gap = int(gap_ms)
@@ -156,10 +157,17 @@ def sessionize_stream(
         closed: list[tuple] = []
         ts_all: list[int] = []
         for pdf in pdfs:
-            ts_all.extend(int(t) for t in pdf[ts_col])
+            # a NULL timestamp (NaN through Arrow) cannot be placed in
+            # time — drop it rather than kill the query on int(NaN)
+            ts_all.extend(int(t) for t in pdf[ts_col] if not pd.isna(t))
         for ts in sorted(ts_all):
-            if last is not None and (ts - last > gap or start - ts > gap):
-                # beyond the gap on either side of the open span
+            if last is not None and start - ts > gap:
+                # ancient straggler, more than a gap BEFORE the open
+                # span: its own single-event session — closing the live
+                # session for it would mis-split the next in-gap event
+                closed.append((user, ts, ts, 1))
+                continue
+            if last is not None and ts - last > gap:
                 closed.append((user, start, last, n))
                 start = last = None
                 n = 0

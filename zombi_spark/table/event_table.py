@@ -865,7 +865,21 @@ class EventTable:
             # are, via the idempotency anti-join)
             streams = dict(prior.get("streams", {})) if prior else {}
             if stream_commit is not None:
-                streams[stream_commit[0]] = int(stream_commit[1])
+                streams[stream_commit[0]] = {
+                    "batch": int(stream_commit[1]),
+                    "at_ms": int(time.time() * 1000),
+                }
+            # bound the map: a recreated checkpoint mints a fresh key and
+            # orphans the old one forever — prune guards idle past 7 days
+            # (replays happen immediately after crashes; a week is far
+            # beyond any replay horizon, and losing an ancient guard only
+            # degrades that stream to at-least-once, never loses data)
+            cutoff = int(time.time() * 1000) - 7 * 24 * 3600 * 1000
+            streams = {
+                k: v
+                for k, v in streams.items()
+                if not (isinstance(v, dict) and v.get("at_ms", 0) < cutoff)
+            }
             for key, hwm in batch_wm.items():
                 if wm.get(key, 0) != base_wm.get(key, 0):
                     raise CommitConflictError(
@@ -1014,7 +1028,11 @@ class EventTable:
         if not snap:
             return None
         val = snap.get("streams", {}).get(stream_id)
-        return None if val is None else int(val)
+        if val is None:
+            return None
+        # entries are {"batch": id, "at_ms": ...}; bare ints accepted for
+        # forward-compat with hand-written summaries
+        return int(val["batch"]) if isinstance(val, dict) else int(val)
 
     def watermark_map(self) -> dict[tuple[str, int], int]:
         """Committed high watermarks per (topic, partition), straight from
