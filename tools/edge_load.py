@@ -17,8 +17,9 @@ multi-process server demands a multi-process client.
 Measured on this container (local[8] session alive, 32 CPUs):
   single-write ~1.6k req/s at workers=0 (one GIL-bound stdlib
   http.server process), ~6.5k at workers=4, ~10.5k at workers=8,
-  ~13.9k at workers=14 — near-linear per process, PASSING the
-  reference's compiled axum edge (13.6k req/s) from pure Python; bulk-write ~45k events/s
+  ~12.7-14.6k at workers=14 (idle best 14.6k) — near-linear per
+  process, at/past the reference's compiled axum edge (13.6k req/s)
+  from pure Python; bulk-write ~45k events/s
   at 100/batch, ~115-140k events/s at 1000-5000/batch — past the
   reference's PERF-2 gate (>100k bulk ev/s,
   AB_PERFORMANCE_TESTING.md:646-647). The write combiner (S4) keeps
