@@ -448,3 +448,28 @@ def test_full_metadata_loss_rebuilds_on_next_commit(spark, tmp_path):
     for ice in meta["snapshots"]:
         df = read_via_iceberg_metadata(spark, t.path, snapshot_id=ice["snapshot-id"])
         assert df.count() == 4 * ice["sequence-number"]
+
+
+def test_scan_files_topic_partition_pruning(spark, tmp_path):
+    """Equality filters on topic/partition prune files by the per-file
+    bounds BEFORE any footer opens — the same stats that make latest-n
+    planning filter-aware, applied to the general scan path."""
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for topic, part in (("alpha", 0), ("beta", 1)):
+        rows = [(topic, part, b"x", 1704067200000 + i, None, i) for i in range(5)]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    all_files = t.scan_files()
+    alpha = t.scan_files(topic="alpha")
+    assert 0 < len(alpha) < len(all_files)
+    assert all(e["min_topic"] == e["max_topic"] == "alpha" for e in alpha)
+    p1 = t.scan_files(partition=1)
+    assert 0 < len(p1) < len(all_files)
+    # read() with the filter scans only the admitted files' rows
+    assert t.read(topic="alpha").count() == 5
+    assert set(r.topic for r in t.read(topic="alpha").collect()) == {"alpha"}
+    assert t.read(partition=1).count() == 5
+    # a value no file admits plans zero files
+    assert t.scan_files(topic="zzz") == []
+    assert t.read(topic="zzz").count() == 0

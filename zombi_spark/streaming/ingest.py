@@ -353,7 +353,7 @@ class StreamingIngest:
         TakeOrderedAndProject over the union — no global sort.
         """
         if since_ms is not None:
-            cold = self.table.read(ts_min=since_ms)
+            cold = self.table.read(ts_min=since_ms, topic=topic, partition=partition)
         else:
             cold = self.table.scan_latest(limit, topic=topic, partition=partition)
         # extraction tables drop the raw payload column at write

@@ -468,11 +468,17 @@ class EventTable:
         version: int | None = None,
         ts_min: int | None = None,
         ts_max: int | None = None,
+        topic: str | None = None,
+        partition: int | None = None,
     ) -> list[dict]:
         """Scan planning: the snapshot's file entries, pruned by the
-        recorded (timestamp_ms) bounds — Iceberg-style file skipping
-        before Spark ever opens a footer. Files without stats are kept
-        (skipping is an optimization, never a correctness gate)."""
+        recorded (timestamp_ms) bounds and — when the caller filters on
+        them — the per-file topic/partition bounds — Iceberg-style file
+        skipping before Spark ever opens a footer. Files without stats
+        are kept (skipping is an optimization, never a correctness
+        gate). On a multi-topic table an equality filter on topic prunes
+        every file whose bounds exclude the value, the same entries that
+        make latest-n planning filter-aware."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -482,6 +488,18 @@ class EventTable:
             if ts_min is not None and "max_ts" in e and e["max_ts"] < ts_min:
                 continue
             if ts_max is not None and "min_ts" in e and e["min_ts"] > ts_max:
+                continue
+            if (
+                topic is not None
+                and "min_topic" in e
+                and not (e["min_topic"] <= topic <= e["max_topic"])
+            ):
+                continue
+            if (
+                partition is not None
+                and "min_part" in e
+                and not (e["min_part"] <= partition <= e["max_part"])
+            ):
                 continue
             out.append(e)
         return out
@@ -935,6 +953,8 @@ class EventTable:
         version: int | None = None,
         ts_min: int | None = None,
         ts_max: int | None = None,
+        topic: str | None = None,
+        partition: int | None = None,
     ) -> DataFrame:
         """Scan the table (partition-pruned + stats-skipped by Catalyst).
 
@@ -946,10 +966,11 @@ class EventTable:
         which stay on disk until :meth:`expire_snapshots` +
         :meth:`remove_orphans` reclaim them.
 
-        ``ts_min``/``ts_max`` additionally prune the file list by the
-        manifest's recorded (timestamp_ms) bounds BEFORE Spark opens a
-        footer (:meth:`scan_files` — Iceberg scan planning); the rows-level
-        predicate is still the caller's job.
+        ``ts_min``/``ts_max``/``topic``/``partition`` additionally prune
+        the file list by the manifest's recorded bounds BEFORE Spark
+        opens a footer (:meth:`scan_files` — Iceberg scan planning); the
+        rows-level predicate is still the caller's job (file bounds
+        admit a value; only the rows prove it).
         """
         latest = self.latest_version()
         if version is None:
@@ -968,7 +989,13 @@ class EventTable:
             raise ValueError(f"no snapshot version {version}; have {have}")
         files = [
             e["file_path"]
-            for e in self.scan_files(version=version, ts_min=ts_min, ts_max=ts_max)
+            for e in self.scan_files(
+                version=version,
+                ts_min=ts_min,
+                ts_max=ts_max,
+                topic=topic,
+                partition=partition,
+            )
         ]
         return self._read_file_list(files)
 
