@@ -255,8 +255,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hour_grouping": _EV
         + """
-        SELECT strftime(make_timestamp(timestamp_ms * 1000), '%Y-%m-%d') AS event_date,
-               CAST(hour(make_timestamp(timestamp_ms * 1000)) AS INTEGER) AS event_hour,
+        SELECT strftime(make_timestamp(greatest(timestamp_ms, 0) * 1000), '%Y-%m-%d') AS event_date,
+               CAST(hour(make_timestamp(greatest(timestamp_ms, 0) * 1000)) AS INTEGER) AS event_hour,
                count(*) AS n_events,
                count(DISTINCT partition) AS n_partitions
         FROM ev
@@ -330,7 +330,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (PARTITION BY topic, partition ORDER BY arrival) AS BIGINT) AS sequence
           FROM ev
         ), d AS (
-          SELECT *, CAST(make_timestamp(timestamp_ms * 1000) AS DATE) AS dt FROM seq
+          SELECT *, CAST(make_timestamp(greatest(timestamp_ms, 0) * 1000) AS DATE) AS dt FROM seq
         )
         SELECT arrival,
                'evt:' || topic || ':' || partition::VARCHAR || ':' || printf('%016x', sequence) AS event_key,
@@ -590,8 +590,12 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         """,
         "explode_tokens": """
-        SELECT token, count(*) AS n, min(doc_id) AS first_doc FROM (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        SELECT token, count(*) AS n, min(doc_id) AS first_doc,
+               min(ord) AS first_pos
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS ord
           FROM documents WHERE doc_id < 100
         ) GROUP BY token ORDER BY n DESC, token LIMIT 40
         """,

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from zombi_spark.functions.events import (
+    derive_partition_columns,
+    format_partition_date,
+)
 from zombi_spark.sources.tables import load_table
 
 N_PARTITIONS = 8
@@ -68,15 +72,15 @@ def q_sequence_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = zombi_events(spark, sf_dir)
     w = Window.partitionBy("topic", "partition").orderBy("arrival")
-    ts = F.timestamp_millis(F.greatest(F.col("timestamp_ms"), F.lit(0).cast("long")))
+    d_col, h_col = derive_partition_columns(F.col("timestamp_ms"))
     return ev.select(
         "topic",
         "partition",
         "arrival",
         F.row_number().over(w).cast("long").alias("sequence"),
         "timestamp_ms",
-        F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("event_date"),
-        F.hour(ts).cast("int").alias("event_hour"),
+        format_partition_date(d_col).alias("event_date"),
+        h_col.cast("int").alias("event_hour"),
     )
 
 
@@ -156,11 +160,13 @@ def q_hour_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/T4: flush batch grouping by (event_date, event_hour) — the
     hour-boundary split invariant (flusher/mod.rs:398-437)."""
     ev = zombi_events(spark, sf_dir)
-    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    # SAME clamp as sequence assignment / the physical layout
+    # (parquet.rs:44-48): the F1 partition derivation has one definition
+    d_col, h_col = derive_partition_columns(F.col("timestamp_ms"))
     return (
         ev.select(
-            F.date_format(F.to_date(ts), "yyyy-MM-dd").alias("event_date"),
-            F.hour(ts).cast("int").alias("event_hour"),
+            format_partition_date(d_col).alias("event_date"),
+            h_col.cast("int").alias("event_hour"),
             "partition",
         )
         .groupBy("event_date", "event_hour")
@@ -266,7 +272,7 @@ def q_hex_keys_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zombi_spark.functions.events import hex_sequence
 
     seq = q_sequence_assign(spark, sf_dir)
-    ts = F.timestamp_millis(F.col("timestamp_ms"))
+    ts = F.timestamp_millis(F.greatest(F.col("timestamp_ms"), F.lit(0).cast("long")))
     d = F.to_date(ts)
     return seq.select(
         "arrival",

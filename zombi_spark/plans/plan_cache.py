@@ -18,9 +18,15 @@ collection.
 
 from __future__ import annotations
 
+import threading
 import weakref
 
 _SESSION_CACHES: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# get/check/set below must be atomic: two threads racing the first
+# lookup for a session would each mint a dict, one gets orphaned, and
+# anything the loser caches (persisted shared stages!) becomes an
+# unreachable, never-unpersistable pin on executor storage
+_CACHE_LOCK = threading.Lock()
 
 
 def _is_stopped(session) -> bool:
@@ -33,10 +39,11 @@ def _is_stopped(session) -> bool:
 def session_cache(spark, namespace: str) -> dict:
     """The mutable cache dict for (``spark``, ``namespace``) — created on
     first use, dropped once the session is stopped or collected."""
-    for dead in [k for k in list(_SESSION_CACHES) if _is_stopped(k)]:
-        del _SESSION_CACHES[dead]
-    per_session = _SESSION_CACHES.get(spark)
-    if per_session is None:
-        per_session = {}
-        _SESSION_CACHES[spark] = per_session
-    return per_session.setdefault(namespace, {})
+    with _CACHE_LOCK:
+        for dead in [k for k in list(_SESSION_CACHES) if _is_stopped(k)]:
+            del _SESSION_CACHES[dead]
+        per_session = _SESSION_CACHES.get(spark)
+        if per_session is None:
+            per_session = {}
+            _SESSION_CACHES[spark] = per_session
+        return per_session.setdefault(namespace, {})

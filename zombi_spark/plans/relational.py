@@ -63,16 +63,31 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand still runs per mode, but over dozens of rows, not the table).
     Spark has no cross-branch common-subplan elimination, so without the
     persist each union branch would rescan orders: 3 table scans → 1.
-    At 100× the data the scan dominates; this keeps it single."""
-    o = load_table(spark, sf_dir, "orders")
-    base = (
-        o.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count("*").alias("_n"),
-            F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
+    At 100× the data the scan dominates; this keeps it single.
+
+    The persisted base is SESSION-CACHED per (session, sf) — a bare
+    per-call persist would pin one more InMemoryRelation per invocation
+    for the session lifetime — and the GROUPING SETS branch registers a
+    UNIQUE temp-view name: a fixed global name would let a concurrent
+    call for a different sf swap the data out from under this call's
+    SQL analysis (internally inconsistent merged output, no error)."""
+    import uuid as _uuid
+
+    from zombi_spark.plans.plan_cache import session_cache
+
+    cache = session_cache(spark, "relational")
+    key = (sf_dir, "grouping_base")
+    if key not in cache:
+        o = load_table(spark, sf_dir, "orders")
+        cache[key] = (
+            o.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("_n"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
+            )
+            .persist()
         )
-        .persist()
-    )
+    base = cache[key]
     aggs = [
         F.sum("_n").alias("n_orders"),
         F.sum("_cents").alias("total_cents"),
@@ -83,16 +98,18 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = base.cube("o_orderstatus", "o_orderpriority").agg(*aggs).select(
         F.lit("cube").alias("mode"), "o_orderstatus", "o_orderpriority", "n_orders", "total_cents"
     )
-    base.createOrReplaceTempView("orders_gs_base")
+    view = f"orders_gs_base_{_uuid.uuid4().hex[:8]}"
+    base.createOrReplaceTempView(view)
     gs = spark.sql(
-        """
+        f"""
         SELECT 'sets' AS mode, o_orderstatus, o_orderpriority,
                sum(_n) AS n_orders,
                sum(_cents) AS total_cents
-        FROM orders_gs_base
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+    spark.catalog.dropTempView(view)  # the analyzed plan no longer needs it
     return ro.unionByName(cu).unionByName(gs).orderBy(
         "mode",
         F.col("o_orderstatus").asc_nulls_first(),
@@ -160,8 +177,10 @@ def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1+J2 composed (TPC-H Q5 shape): lineitem⋈orders⋈customer⋈supplier⋈
-    nation⋈region with broadcast dims and a date predicate."""
+    """J1+J2 composed (TPC-H Q5 shape, minus the region arm): lineitem⋈
+    orders⋈customer⋈supplier⋈nation with broadcast dims and a date
+    predicate — nation is the broadcast chain's top; region adds no
+    operator not already exercised."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -470,15 +489,22 @@ def q_scalar_library(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_explode_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F11 array/lateral: split+explode document text into tokens (UDTF-style
-    expansion via built-in generator, §2.12) with per-token positions."""
+    """F11 array/lateral: split+posexplode document text into tokens
+    (UDTF-style expansion via built-in generator, §2.12). The per-token
+    POSITION is part of the verified output (earliest 0-based position
+    per token) — the positional half of the generator surface is
+    hash-checked, not just computed and discarded."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.where(F.col("doc_id") < 100).select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
     return (
         toks.groupBy("token")
-        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("first_doc"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
         .orderBy(F.col("n").desc(), F.col("token"))
         .limit(40)
     )
