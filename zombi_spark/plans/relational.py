@@ -76,18 +76,18 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zombi_spark.plans.plan_cache import session_cache
 
     cache = session_cache(spark, "relational")
-    key = (sf_dir, "grouping_base")
-    if key not in cache:
-        o = load_table(spark, sf_dir, "orders")
-        cache[key] = (
-            o.groupBy("o_orderstatus", "o_orderpriority")
-            .agg(
-                F.count("*").alias("_n"),
-                F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
-            )
-            .persist()
+    key = (sf_dir, "grouping_analytics")
+    if key in cache:
+        return cache[key]
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("_cents"),
         )
-    base = cache[key]
+        .persist()
+    )
     aggs = [
         F.sum("_n").alias("n_orders"),
         F.sum("_cents").alias("total_cents"),
@@ -109,12 +109,16 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
-    spark.catalog.dropTempView(view)  # the analyzed plan no longer needs it
-    return ro.unionByName(cu).unionByName(gs).orderBy(
+    # do NOT dropTempView here: Spark uncaches the view's plan on drop —
+    # and the view's plan IS the persisted base, so dropping it would
+    # silently unpersist the scan-once cache. The whole built query is
+    # session-cached, so exactly one view registers per (session, sf).
+    cache[key] = ro.unionByName(cu).unionByName(gs).orderBy(
         "mode",
         F.col("o_orderstatus").asc_nulls_first(),
         F.col("o_orderpriority").asc_nulls_first(),
     )
+    return cache[key]
 
 
 def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
