@@ -150,11 +150,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": EQ.q_funnel,
         "cohort_retention": EQ.q_cohort_retention,
         "sliding_window": EQ.q_sliding_window,
-        "hex_keys_dates": EQ.q_hex_keys_dates,  # F6 keys + F1/F2 date library
         "latest_per_key": EQ.q_latest_per_key,
         # [delegated] relational surface (SURVEY.md §2.4-2.9)
         "percentiles": RQ.q_percentiles,  # exact + approx-sketch invariant
-        "small_qty_revenue": RQ.q_small_quantity_revenue,
         "unshipped_topk": RQ.q_unshipped_topk,
         "pivot": RQ.q_pivot,
         "grouping_analytics": RQ.q_grouping_analytics,  # rollup + cube + grouping sets
@@ -166,8 +164,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_outer": RQ.q_join_outer,
         "join_range": RQ.q_join_range,
         "join_asof": RQ.q_join_asof,
-        "window_funcs": RQ.q_window_funcs,  # ranking + analytic families
-        "window_running": RQ.q_window_running,
+        "window_funcs": RQ.q_window_funcs,  # ranking + analytic + frame families
         "set_ops": RQ.q_set_ops,  # union/intersect/except + dropDuplicates
         "scalar_library": RQ.q_scalar_library,
         "explode_tokens": RQ.q_explode_array,
@@ -175,7 +172,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_dedup": PQ.q_content_dedup,  # exact md5 + token-set fingerprint
         "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,  # signatures → bands → verify
         "dedup_clusters": PQ.q_dedup_clusters,
-        "dedup_keep": PQ.q_dedup_keep,
         "simhash_near_dup": PQ.q_simhash_near_dup,  # simhash + pigeonhole blocks
         "ngram_jaccard": PQ.q_ngram_jaccard,
         "ann_topk": PQ.q_ann_topk,  # brute-force + sign-LSH, tagged
@@ -189,6 +185,33 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": PQ.q_column_profile,
         "media_pipeline": PQ.q_media_pipeline,  # mapInPandas features + dedup
         "media_frames": PQ.q_media_frames,  # mapInPandas row expansion (frame sampling)
+        # round-5 LLM-pipeline wave, rotated INTO the driver's 50-entry
+        # window in round 6 (VERDICT r5 #1) in place of four redundant
+        # entries (small_qty_revenue, window_running, dedup_keep,
+        # hex_keys_dates — still built and oracle-checked locally via
+        # extra_queries()/tests/test_oracle_parity.py)
+        "perplexity_scores": PQ.q_perplexity_scores,  # CCNet-style LM filter
+        "decontamination": PQ.q_decontamination,  # n-gram benchmark overlap
+        "mixture_epochs": PQ.q_mixture_epochs,  # epoch-weighted sampling
+        "pii_scrub": PQ.q_pii_scrub,  # detection + ordered redaction
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-checked queries that do NOT occupy a slot in the driver's
+    50-entry window: the four entries rotated out in round 6 (their
+    operators stay hash-verified by tests/test_oracle_parity.py, which
+    runs this registry with the same harness) plus in-repo-only oracles
+    for operators the window never had room for."""
+    return {
+        name: _memoized(name, fn)
+        for name, fn in {
+            "small_qty_revenue": RQ.q_small_quantity_revenue,
+            "window_running": RQ.q_window_running,
+            "dedup_keep": PQ.q_dedup_keep,
+            "hex_keys_dates": EQ.q_hex_keys_dates,
+            "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
+        }.items()
     }
 
 
@@ -323,27 +346,6 @@ def oracle_sql() -> dict[str, str]:
         FROM assigned
         GROUP BY window_start_ms ORDER BY window_start_ms
         """,
-        "hex_keys_dates": _EV
-        + """
-        , seq AS (
-          SELECT topic, partition, arrival, timestamp_ms,
-                 CAST(row_number() OVER (PARTITION BY topic, partition ORDER BY arrival) AS BIGINT) AS sequence
-          FROM ev
-        ), d AS (
-          SELECT *, CAST(make_timestamp(greatest(timestamp_ms, 0) * 1000) AS DATE) AS dt FROM seq
-        )
-        SELECT arrival,
-               'evt:' || topic || ':' || partition::VARCHAR || ':' || printf('%016x', sequence) AS event_key,
-               printf('%016x', sequence) AS seq_hex,
-               CAST(year(dt) AS INTEGER) AS y,
-               CAST(month(dt) AS INTEGER) AS m,
-               CAST(day(dt) AS INTEGER) AS dom,
-               strftime(dt + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
-               strftime(last_day(dt), '%Y-%m-%d') AS month_end,
-               CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
-               CAST(quarter(dt) AS INTEGER) AS q
-        FROM d
-        """,
         "ingest_stats": _EV
         + """
         , agg AS (
@@ -359,15 +361,6 @@ def oracle_sql() -> dict[str, str]:
                     THEN n_events * 3600000 // (last_event_ms - first_event_ms) END AS events_per_hour,
                last_event_ms
         FROM agg ORDER BY partition
-        """,
-        "small_qty_revenue": """
-        WITH aq AS (
-          SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
-        )
-        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-               count(*) AS n_items
-        FROM lineitem JOIN aq USING (l_partkey)
-        WHERE l_quantity < 0.2 * avg_qty
         """,
         "unshipped_topk": """
         SELECT o_orderkey, o_orderpriority,
@@ -543,17 +536,6 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ) WHERE rn <= 3
         """,
-        "window_running": """
-        SELECT o_custkey, o_orderkey,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wr AS BIGINT) AS running_cents,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wm AS BIGINT) AS moving3_cents,
-               count(*) OVER wr AS n_so_far
-        FROM orders
-        WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-               wm AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        """,
         "set_ops": """
         WITH custs AS (SELECT c_custkey AS k FROM customer),
              buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
@@ -617,25 +599,6 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT id_a, id_b, n_inter, n_union, jaccard_pm FROM verified
         ORDER BY id_a, id_b
-        """,
-        "dedup_keep": _MINHASH_VERIFIED_SQL
-        + """
-        , undirected AS (
-          SELECT id_a AS src, id_b AS dst FROM verified
-          UNION SELECT id_b, id_a FROM verified
-        ), reach AS (
-          SELECT src AS a, dst AS b FROM undirected
-          UNION
-          SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
-        ), comp AS (
-          SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
-        ), losers AS (
-          SELECT node AS doc_id FROM comp WHERE node != component
-        )
-        SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_doc
-        FROM documents d
-        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-        GROUP BY d.lang ORDER BY d.lang
         """,
         "dedup_clusters": _MINHASH_VERIFIED_SQL
         + """
@@ -1019,5 +982,249 @@ def oracle_sql() -> dict[str, str]:
         SELECT x.doc_id, x.token_xor_hash,
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
         FROM x JOIN documents d ON d.doc_id = x.doc_id
+        """,
+        # CCNet-style perplexity filter (operators/lm_quality.py): train the
+        # add-one-smoothed char-trigram model on the lang='en' slice, score
+        # every doc as the exact integer SUM of per-trigram
+        # floor(ln((n_tri+1)/(n_ctx+V))·1000). The log argument is an exact
+        # IEEE division of two integers, so both engines floor the same
+        # value (ln agrees to < 1 ulp; the 10⁻³ grid makes a boundary flip
+        # astronomically unlikely — same device as the cosine family).
+        "perplexity_scores": """
+        WITH lowered AS (
+          SELECT doc_id, lang, lower(text) AS lt FROM documents
+        ), ref AS (
+          SELECT lt FROM lowered WHERE lang = 'en'
+        ), tri AS (
+          SELECT substr(lt, i, 2) AS ctx, substr(lt, i + 2, 1) AS nxt, count(*) AS n_tri
+          FROM (SELECT lt, unnest(generate_series(1, length(lt) - 2))::INT AS i FROM ref)
+          GROUP BY 1, 2
+        ), bi AS (
+          SELECT substr(lt, i, 2) AS ctx, count(*) AS n_ctx
+          FROM (SELECT lt, unnest(generate_series(1, length(lt) - 1))::INT AS i FROM ref)
+          GROUP BY 1
+        ), voc AS (
+          SELECT count(DISTINCT substr(lt, i, 1)) AS v
+          FROM (SELECT lt, unnest(generate_series(1, length(lt)))::INT AS i FROM ref)
+        ), doc_tri AS (
+          SELECT doc_id, substr(lt, i, 2) AS ctx, substr(lt, i + 2, 1) AS nxt
+          FROM (SELECT doc_id, lt, unnest(generate_series(1, length(lt) - 2))::INT AS i
+                FROM lowered)
+        ), scored AS (
+          SELECT d.doc_id,
+                 CAST(floor(ln((coalesce(t.n_tri, 0) + 1)::DOUBLE
+                               / (coalesce(b.n_ctx, 0) + voc.v)::DOUBLE) * 1000)
+                      AS BIGINT) AS lp
+          FROM doc_tri d
+          LEFT JOIN tri t ON t.ctx = d.ctx AND t.nxt = d.nxt
+          LEFT JOIN bi b ON b.ctx = d.ctx
+          CROSS JOIN voc
+        ), agg AS (
+          SELECT doc_id, CAST(sum(lp) AS BIGINT) AS lm_logprob_q,
+                 count(*) AS lm_trigrams
+          FROM scored GROUP BY doc_id
+        )
+        SELECT l.doc_id, l.lang, a.lm_logprob_q, a.lm_trigrams
+        FROM lowered l LEFT JOIN agg a USING (doc_id)
+        """,
+        # Benchmark decontamination (operators/decontaminate.py): bench
+        # items = first 12 tokens of every 50th doc; 8-gram containment
+        # >= 0.5 flags; worst = max (containment, bench_id) per doc.
+        "decontamination": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), doc_sh AS (
+          SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 8
+                   THEN list_transform(range(1, len(t) - 6), i ->
+                        t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                        t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+                   ELSE [] END)) AS shingle
+          FROM d
+        ), b AS (
+          SELECT doc_id AS bench_id, list_slice(t, 1, 12) AS bt FROM d
+          WHERE doc_id % 50 = 0
+        ), bench_sh AS (
+          SELECT bench_id, unnest(list_distinct(CASE WHEN len(bt) >= 8
+                   THEN list_transform(range(1, len(bt) - 6), i ->
+                        bt[i] || ' ' || bt[i+1] || ' ' || bt[i+2] || ' ' || bt[i+3] || ' ' ||
+                        bt[i+4] || ' ' || bt[i+5] || ' ' || bt[i+6] || ' ' || bt[i+7])
+                   ELSE [] END)) AS shingle
+          FROM b
+        ), sizes AS (
+          SELECT bench_id, count(*) AS n_item FROM bench_sh GROUP BY 1
+        ), overlap AS (
+          SELECT ds.doc_id, bs.bench_id, count(*) AS n_shared
+          FROM doc_sh ds JOIN bench_sh bs USING (shingle)
+          GROUP BY 1, 2
+        ), flagged AS (
+          SELECT o.doc_id, o.bench_id,
+                 CAST(floor(1000 * o.n_shared / s.n_item) AS BIGINT) AS containment_pm
+          FROM overlap o JOIN sizes s USING (bench_id)
+          WHERE floor(1000 * o.n_shared / s.n_item) >= 500
+        ), ranked AS (
+          SELECT doc_id, bench_id, containment_pm,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY containment_pm DESC, bench_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY doc_id) AS n_items_matched
+          FROM flagged
+        )
+        SELECT doc_id, bench_id AS worst_item,
+               containment_pm AS worst_containment_pm, n_items_matched
+        FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
+        # Epoch-weighted mixture sampling (operators/mixture.py): the md5
+        # hash gate makes the fractional-epoch SUBSET itself recomputable;
+        # sum/min/max of doc_id fingerprint the selected set exactly.
+        "mixture_epochs": """
+        WITH w(source, wt) AS (
+          VALUES ('src0', CAST(2.3 AS DOUBLE)), ('src1', CAST(1.0 AS DOUBLE)),
+                 ('src2', CAST(0.4 AS DOUBLE)), ('src3', CAST(1.5 AS DOUBLE)),
+                 ('src4', CAST(0.25 AS DOUBLE))
+        ), params AS (
+          SELECT d.doc_id, d.source, CAST(floor(w.wt) AS INT) AS whole,
+                 w.wt - floor(w.wt) AS frac
+          FROM documents d JOIN w USING (source)
+        ), fulls AS (
+          SELECT source, doc_id,
+                 unnest(generate_series(0, whole - 1))::INT AS epoch
+          FROM params
+        ), extra AS (
+          SELECT source, doc_id, whole::INT AS epoch
+          FROM params
+          WHERE frac > 0
+            AND ((('0x' || substr(md5(doc_id::VARCHAR || ':mix:0'), 1, 15))::BIGINT
+                  % 1000000) / 1000000) < frac
+        ), sampled AS (
+          SELECT * FROM fulls UNION ALL SELECT * FROM extra
+        )
+        SELECT source, epoch, count(*) AS n_rows,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM sampled GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # PII scrub (operators/pii.py) over the planted corpus. RE2 has no
+        # backreferences, so the card pattern is expanded to the explicit
+        # consistent-separator alternation — equivalent on any text whose
+        # grouped card numbers use one separator (the planted data and the
+        # base corpus, which contains no digits at all).
+        "pii_scrub": """
+        WITH planted AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 6
+                   WHEN 0 THEN ' contact a' || doc_id::VARCHAR || '@example.com now'
+                   WHEN 1 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+                   WHEN 2 THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' on file'
+                   WHEN 3 THEN ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' charged'
+                   WHEN 4 THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR || ' up'
+                   ELSE '' END AS text
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                 CAST(len(regexp_extract_all(text, '\\b(?:\\d{4}-\\d{4}-\\d{4}-\\d{4}|\\d{4} \\d{4} \\d{4} \\d{4}|\\d{4}-\\d{6}-\\d{5}|\\d{4} \\d{6} \\d{5}|\\d{13,16})\\b')) AS INT) AS n_card,
+                 CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+                 CAST(len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ip,
+                 CAST(len(regexp_extract_all(text, '(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b')) AS INT) AS n_phone
+          FROM planted
+        )
+        SELECT doc_id, n_email, n_card, n_ssn, n_ip, n_phone,
+               n_email + n_card + n_ssn + n_ip + n_phone AS pii_total,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b(?:\\d{4}-\\d{4}-\\d{4}-\\d{4}|\\d{4} \\d{4} \\d{4} \\d{4}|\\d{4}-\\d{6}-\\d{5}|\\d{4} \\d{6} \\d{5}|\\d{13,16})\\b', '<CARD>', 'g'),
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                 '(?:\\+?\\d{1,2}[ .-]?)?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}\\b', '<PHONE>', 'g') AS redacted_text
+        FROM counted ORDER BY doc_id
+        """,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for :func:`extra_queries` — same hash-match contract,
+    checked by tests/test_oracle_parity.py instead of the driver."""
+    return {
+        "small_qty_revenue": """
+        WITH aq AS (
+          SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               count(*) AS n_items
+        FROM lineitem JOIN aq USING (l_partkey)
+        WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "window_running": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wr AS BIGINT) AS running_cents,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wm AS BIGINT) AS moving3_cents,
+               count(*) OVER wr AS n_so_far
+        FROM orders
+        WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wm AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "dedup_keep": _MINHASH_VERIFIED_SQL
+        + """
+        , undirected AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ), reach AS (
+          SELECT src AS a, dst AS b FROM undirected
+          UNION
+          SELECT r.a, u.dst FROM reach r JOIN undirected u ON r.b = u.src
+        ), comp AS (
+          SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a
+        ), losers AS (
+          SELECT node AS doc_id FROM comp WHERE node != component
+        )
+        SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS first_doc
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        GROUP BY d.lang ORDER BY d.lang
+        """,
+        "hex_keys_dates": _EV
+        + """
+        , seq AS (
+          SELECT topic, partition, arrival, timestamp_ms,
+                 CAST(row_number() OVER (PARTITION BY topic, partition ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        ), d AS (
+          SELECT *, CAST(make_timestamp(greatest(timestamp_ms, 0) * 1000) AS DATE) AS dt FROM seq
+        )
+        SELECT arrival,
+               'evt:' || topic || ':' || partition::VARCHAR || ':' || printf('%016x', sequence) AS event_key,
+               printf('%016x', sequence) AS seq_hex,
+               CAST(year(dt) AS INTEGER) AS y,
+               CAST(month(dt) AS INTEGER) AS m,
+               CAST(day(dt) AS INTEGER) AS dom,
+               strftime(dt + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_week,
+               strftime(last_day(dt), '%Y-%m-%d') AS month_end,
+               CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
+               CAST(quarter(dt) AS INTEGER) AS q
+        FROM d
+        """,
+        "chunk_docs": """
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), st AS (
+          SELECT doc_id, t, len(t) AS n,
+                 CASE WHEN len(t) <= 40 THEN [CAST(1 AS BIGINT)]
+                      ELSE generate_series(1, len(t) - 8, 32) END AS starts
+          FROM d
+        ), ex AS (
+          SELECT doc_id, t, n,
+                 generate_subscripts(starts, 1) - 1 AS chunk_id,
+                 unnest(starts) AS s
+          FROM st
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               array_to_string(list_slice(t, s, s + 39), ' ') AS chunk_text,
+               CAST(least(40, n - s + 1) AS INT) AS chunk_tokens
+        FROM ex ORDER BY doc_id, chunk_id
         """,
     }

@@ -60,6 +60,15 @@ def _canon_pdf(pdf):
 
 
 QUERY_NAMES = sorted(entrymod.queries().keys())
+EXTRA_NAMES = sorted(entrymod.extra_queries().keys())
+
+
+def _lookup(name):
+    """Resolve a query + oracle from either registry (driver window or
+    the local-only extras)."""
+    if name in entrymod.queries():
+        return entrymod.queries()[name], entrymod.oracle_sql().get(name)
+    return entrymod.extra_queries()[name], entrymod.extra_oracle_sql().get(name)
 
 
 @pytest.fixture(scope="module")
@@ -67,17 +76,16 @@ def duck_con(oracle_dir):
     return _duck(oracle_dir)
 
 
-@pytest.mark.parametrize("name", QUERY_NAMES)
+@pytest.mark.parametrize("name", QUERY_NAMES + EXTRA_NAMES)
 def test_query_matches_oracle(spark, oracle_dir, duck_con, name):
-    q = entrymod.queries()[name]
-    oracles = entrymod.oracle_sql()
+    q, oracle = _lookup(name)
     sdf = q(spark, oracle_dir)
     spark_pdf = sdf.toPandas()
 
-    if name not in oracles:
+    if oracle is None:
         pytest.skip(f"{name}: no oracle (rows-only check); rows={len(spark_pdf)}")
 
-    duck_pdf = duck_con.execute(oracles[name]).df()
+    duck_pdf = duck_con.execute(oracle).df()
 
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), f"{name}: column names differ"
     assert len(spark_pdf) == len(duck_pdf), f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
@@ -101,13 +109,21 @@ def test_exactly_50_queries_all_with_oracles():
     """The driver checks the FIRST 50 queries() entries (observed:
     CORRECTNESS_r03 silently dropped the registered 51st). Pin the
     contract: exactly 50 entries, every one with an oracle, so nothing
-    ships driver-unverified."""
+    ships driver-unverified. Rotated-out/extra queries live in
+    extra_queries() with the same oracle contract, disjoint from the
+    driver window."""
     qs = entrymod.queries()
     os_ = entrymod.oracle_sql()
     assert len(qs) == 50, f"driver checks first 50; got {len(qs)}"
     missing = [k for k in qs if k not in os_]
     assert not missing, f"queries without oracles: {missing}"
     assert set(os_) <= set(qs), f"orphan oracles: {set(os_) - set(qs)}"
+    ex_q = entrymod.extra_queries()
+    ex_o = entrymod.extra_oracle_sql()
+    assert set(ex_o) <= set(ex_q), f"orphan extra oracles: {set(ex_o) - set(ex_q)}"
+    assert not (set(ex_q) & set(qs)), "extras must not shadow driver-window names"
+    missing_extra = [k for k in ex_q if k not in ex_o]
+    assert not missing_extra, f"extra queries without oracles: {missing_extra}"
 
 
 def test_plan_cache_is_session_scoped_and_gc_safe():

@@ -83,11 +83,22 @@ def score_documents(
     model: dict,
     text_col: str = "text",
     id_col: str = "doc_id",
+    quantize_unit: int | None = None,
 ) -> DataFrame:
     """``docs`` + ``lm_logprob_e6`` (avg log P per trigram × 10⁶;
     higher = more reference-like) and ``lm_trigrams`` (how much evidence
     the score rests on — callers should gate very short docs
-    themselves). Docs with no trigrams score NULL."""
+    themselves). Docs with no trigrams score NULL.
+
+    ``quantize_unit``: when set, each trigram's log-prob is floored to an
+    integer grid (``floor(lp · unit)``) BEFORE aggregation and the output
+    column is ``lm_logprob_q`` = the exact integer SUM of quantized
+    log-probs. Integer summation is order-independent, so the score is
+    bit-identical across engines, partitionings and reruns — the form the
+    DuckDB-oracle gate and resumable exports hash-check. (The default
+    float average is fine for filtering; it is just not a cross-engine
+    hash target: float addition is order-sensitive and ``log`` is not
+    IEEE-correctly-rounded.)"""
     V = model["vocab_size"]
     per_tri = docs.select(
         F.col(id_col),
@@ -97,22 +108,28 @@ def score_documents(
         F.substring("tri", 1, 2).alias("ctx"),
         F.substring("tri", 3, 1).alias("nxt"),
     )
-    joined = (
-        per_tri.join(F.broadcast(model["tri"]), ["ctx", "nxt"], "left")
-        .join(F.broadcast(model["bi"]), "ctx", "left")
-        .select(
-            id_col,
-            # add-one smoothing; unseen context backs off to 1/V
-            F.log(
-                (F.coalesce(F.col("n_tri"), F.lit(0)) + 1)
-                / (F.coalesce(F.col("n_ctx"), F.lit(0)) + F.lit(V))
-            ).alias("lp"),
+    # add-one smoothing; unseen context backs off to 1/V. The ratio is an
+    # exact IEEE division of two integers, so both engines log() the same
+    # double.
+    lp = F.log(
+        (F.coalesce(F.col("n_tri"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("n_ctx"), F.lit(0)) + F.lit(V))
+    )
+    if quantize_unit is not None:
+        lp = F.floor(lp * F.lit(quantize_unit)).cast("long")
+    joined = per_tri.join(F.broadcast(model["tri"]), ["ctx", "nxt"], "left").join(
+        F.broadcast(model["bi"]), "ctx", "left"
+    ).select(id_col, lp.alias("lp"))
+    if quantize_unit is not None:
+        scores = joined.groupBy(id_col).agg(
+            F.sum("lp").alias("lm_logprob_q"),
+            F.count("*").alias("lm_trigrams"),
         )
-    )
-    scores = joined.groupBy(id_col).agg(
-        F.floor(F.avg("lp") * 1_000_000).cast("long").alias("lm_logprob_e6"),
-        F.count("*").alias("lm_trigrams"),
-    )
+    else:
+        scores = joined.groupBy(id_col).agg(
+            F.floor(F.avg("lp") * 1_000_000).cast("long").alias("lm_logprob_e6"),
+            F.count("*").alias("lm_trigrams"),
+        )
     return docs.join(scores, id_col, "left")
 
 

@@ -29,12 +29,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from zombi_spark.functions.hashing import md5_long
+
 _GATE_M = 1_000_000  # per-mille-of-per-mille gate resolution
 
 
 def _hash_gate(id_col: Column, seed: int) -> Column:
-    """Deterministic uniform-ish value in [0, 1) from (id, seed)."""
-    return F.pmod(F.xxhash64(id_col, F.lit(seed)), F.lit(_GATE_M)) / F.lit(_GATE_M)
+    """Deterministic uniform-ish value in [0, 1) from (id, seed) —
+    md5-derived like the sampling/sharding gates, so the DuckDB oracle
+    can recompute the exact selected subset (xxhash64 would be marginally
+    cheaper but has no cross-engine twin; this is one hash per doc)."""
+    h = md5_long(F.concat(id_col.cast("string"), F.lit(f":mix:{seed}")))
+    return F.pmod(h, F.lit(_GATE_M)) / F.lit(_GATE_M)
 
 
 def mixture_sample(
@@ -124,20 +130,28 @@ def mixture_report(
             for x in (F.lit(s), F.lit(int(round(1000 * w / total))))
         ]
     )
-    grand = per_source.agg(F.sum("sampled_rows")).first()[0] or 1
-    return per_source.select(
-        source_col,
-        "input_docs",
-        F.coalesce(
-            F.create_map(
-                *[F.lit(x) for kv in weights.items() for x in kv]
-            )[F.col(source_col)].cast("double"),
-            F.lit(0.0),
-        ).alias("weight"),
-        "sampled_rows",
-        *( ["sampled_tokens"] if token_col is not None else [] ),
-        F.floor(F.lit(1000) * F.col("sampled_rows") / F.lit(grand))
-        .cast("long")
-        .alias("achieved_share_pm"),
-        target[F.col(source_col)].cast("long").alias("target_share_pm"),
-    ).orderBy(source_col)
+    # grand total enters as a broadcast one-row aggregate (no eager
+    # .first() action — the report plan stays lazy end-to-end, like tfidf)
+    grand = per_source.agg(
+        F.greatest(F.lit(1).cast("long"), F.sum("sampled_rows")).alias("_grand")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(grand))
+        .select(
+            source_col,
+            "input_docs",
+            F.coalesce(
+                F.create_map(
+                    *[F.lit(x) for kv in weights.items() for x in kv]
+                )[F.col(source_col)].cast("double"),
+                F.lit(0.0),
+            ).alias("weight"),
+            "sampled_rows",
+            *(["sampled_tokens"] if token_col is not None else []),
+            F.floor(F.lit(1000) * F.col("sampled_rows") / F.col("_grand"))
+            .cast("long")
+            .alias("achieved_share_pm"),
+            target[F.col(source_col)].cast("long").alias("target_share_pm"),
+        )
+        .orderBy(source_col)
+    )

@@ -8,8 +8,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zombi_spark.operators import decontaminate as DC
 from zombi_spark.operators import dedup as D
+from zombi_spark.operators import lm_quality as LM
+from zombi_spark.operators import mixture as MX
 from zombi_spark.operators import multimodal as M
+from zombi_spark.operators import pii as PII
 from zombi_spark.operators import similarity as S
 from zombi_spark.operators import text_analysis as TA
 from zombi_spark.plans.relational import _cents
@@ -363,6 +367,125 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rnk", "term", "tf", "df", "score_pm")
         .orderBy("doc_id", "rnk")
     )
+
+
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (operators/lm_quality.py), fully
+    hash-checked: train the char-trigram model on the ``lang='en'`` slice
+    (the "trusted reference corpus"), score EVERY document against it with
+    per-trigram integer quantization (``quantize_unit=1000`` — millinats),
+    so the per-doc score is an exact integer sum the DuckDB oracle
+    recomputes bit-for-bit. Non-English docs score visibly worse — the
+    filtering signal this operator exists to produce."""
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "perplexity_scores")
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
+        scored = LM.score_documents(docs, model, quantize_unit=1000)
+        cache[key] = scored.select(
+            "doc_id", "lang", "lm_logprob_q", "lm_trigrams"
+        ).orderBy("doc_id")
+    return cache[key]
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): the
+    benchmark set is a deterministic derivation — the first 12 tokens of
+    every 50th document stand in for eval items (so each item verbatim-
+    contaminates its source doc and any near-duplicates). 8-gram
+    containment ≥ 0.5 flags a doc; output is the contaminated-id report
+    (worst offending item + score + number of items matched) that the
+    ``decontaminate`` anti-join consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ").alias("text"),
+    )
+    return DC.contaminated_ids(docs, bench, n=8, threshold_pm=500).orderBy("doc_id")
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixture sampling (operators/mixture.py): weights
+    {src0: 2.3, src1: 1.0, src2: 0.4, src3: 1.5, src4: 0.25} over the
+    ``source`` column; the emitted (source, epoch) census carries exact
+    integer set-fingerprints (sum/min/max of doc_id) so the hash gate's
+    SELECTED SUBSET — not just its size — is oracle-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = MX.mixture_sample(
+        docs, {"src0": 2.3, "src1": 1.0, "src2": 0.4, "src3": 1.5, "src4": 0.25}
+    )
+    return (
+        sampled.groupBy("source", "epoch")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py) over a planted corpus: the synthetic
+    documents contain no digits or '@' (verified), so each doc gets a
+    deterministic PII suffix derived from its id (email / phone / SSN /
+    card / IP / clean by ``doc_id % 6``), then the real detection +
+    redaction pass runs and the oracle recomputes both the per-kind
+    counts and the redacted text. The map column is projected to typed
+    count columns (map ordering is not a stable hash target)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tail4 = F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")
+    planted = (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.lit(" contact a"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(F.col("doc_id") % 6 == 1, F.concat(F.lit(" call 415-555-"), tail4, F.lit(" today")))
+        .when(F.col("doc_id") % 6 == 2, F.concat(F.lit(" ssn 123-45-"), tail4, F.lit(" on file")))
+        .when(F.col("doc_id") % 6 == 3, F.concat(F.lit(" card 4111-1111-1111-"), tail4, F.lit(" charged")))
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(
+                F.lit(" host 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit("."),
+                F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select("doc_id", F.concat(F.col("text"), planted).alias("text"))
+    scrubbed = PII.scrub_documents(seeded)
+    return scrubbed.select(
+        "doc_id",
+        F.col("pii_counts")["email"].alias("n_email"),
+        F.col("pii_counts")["credit_card"].alias("n_card"),
+        F.col("pii_counts")["ssn"].alias("n_ssn"),
+        F.col("pii_counts")["ipv4"].alias("n_ip"),
+        F.col("pii_counts")["phone"].alias("n_phone"),
+        "pii_total",
+        F.col("text").alias("redacted_text"),
+    ).orderBy("doc_id")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/sharding.py::chunk_documents):
+    40-token windows with 8 tokens of overlap (stride 32) — the pure-Column
+    sequence+slice explode, hash-checked against a DuckDB recomputation of
+    every chunk boundary and chunk text."""
+    from zombi_spark.operators.sharding import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=40, overlap_tokens=8)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.col("text").alias("chunk_text"),
+        "chunk_tokens",
+    ).orderBy("doc_id", "chunk_id")
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
