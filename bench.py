@@ -6,9 +6,13 @@
    "queries": {name: sec, ...}, "sf": <dir>}
 
 Each query is forced end-to-end with the ``noop`` sink (full execution,
-no driver collect). An ingest-rate micro-benchmark (events/s through the
-batch write path, BASELINE.md bulk-write analogue) is included under the
-"ingest_events_per_s" key of "extras".
+no driver collect). Phase order (round 6): the ingest/maintenance
+micro-benchmarks run FIRST — in rounds 4-5 they ran after the ~100
+query executions and absorbed whatever co-tenant load had accumulated
+(isolated probes measured 26.7-32.9k ev/s vs 22.9k in-suite; see
+COVERAGE.md "Bench-variance investigations") — then the 50-query suite,
+then the 10× scale-smoke of the pairwise operator family
+(zombi_spark/plans/scalebench.py; skip with SPARK_GRAFT_SCALE_SMOKE=0).
 """
 
 from __future__ import annotations
@@ -27,21 +31,100 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
+def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
+    """Ingest rate (events table → full zombi write path → partitioned
+    table), incremental/full read, compaction, latency percentiles, and
+    the materialized-rollup maintenance/query costs."""
     from pyspark.sql import functions as F
 
-    import __spark_entry__ as entrymod
     from zombi_spark.ingest.batch import prepare_events
-    from zombi_spark.session import get_spark
+    from zombi_spark.plans.event_queries import _ts_to_millis
     from zombi_spark.sources.tables import load_table
     from zombi_spark.table.event_table import EventTable
 
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.lit("bench").alias("topic"),
+        (F.col("user_id") % 8).cast("int").alias("partition"),
+        F.col("props").cast("binary").alias("payload"),
+        _ts_to_millis(ev).alias("timestamp_ms"),
+        F.lit(None).cast("string").alias("idempotency_key"),
+        F.col("event_id").alias("ingest_order"),
+    )
+    n = raw.count()
+    # min-of-three identical appends into fresh tables: run 1 pays the
+    # one-time codegen/scan warmup, min() shields transient load spikes
+    runs = []
+    for i in range(3):
+        table = EventTable(spark, tmp, f"bench-{i}")
+        t0 = time.perf_counter()
+        table.append(prepare_events(raw))
+        runs.append(time.perf_counter() - t0)
+    dt = min(runs)
+    extras["ingest_events_per_s"] = round(n / dt, 1)
+    extras["ingest_sec"] = round(dt, 4)
+    extras["ingest_rows"] = n
+    # maintenance: small-file compaction wall-clock (M1 — the
+    # rewrite_data_files analogue; BASELINE.md "Our benchmark plan" #3)
+    half = raw.where(F.col("ingest_order") % 2 == 0)
+    table2 = EventTable(spark, tmp, "bench2")
+    table2.append(prepare_events(half))
+    table2.append(prepare_events(half.withColumn("ingest_order", F.col("ingest_order") + n)))
+    files_before = len(table2.files())
+    # incremental read (read_changes): a consumer checkpointed at the
+    # first append reads ONLY the second append's files — compare with
+    # the full-table scan cost at the same point
+    t0 = time.perf_counter()
+    inc_rows = table2.read_changes(0).count()
+    extras["incremental_read_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    table2.read().count()
+    extras["full_read_sec"] = round(time.perf_counter() - t0, 4)
+    extras["incremental_read_rows"] = inc_rows
+    t0 = time.perf_counter()
+    table2.compact(min_input_files=2)
+    extras["compact_sec"] = round(time.perf_counter() - t0, 4)
+    extras["compact_files_before"] = files_before
+    extras["compact_files_after"] = len(table2.files())
+    # M6 ingest metrics rollup over the appends this bench just ran
+    from zombi_spark.table.stats import ingest_metrics
+
+    im = ingest_metrics(table2)
+    extras["append_latency_ms_p50"] = im.get("latency_ms_p50")
+    extras["append_latency_ms_p99"] = im.get("latency_ms_p99")
+    # incremental materialized rollup: maintenance cost (delta-only
+    # fold of the whole table's appends) and the dashboard-query cost
+    # against the O(keys) state — the read that replaces a table scan
+    from zombi_spark.table.rollup import MaterializedRollup
+
+    roll = MaterializedRollup(table2, os.path.join(tmp, "bench2-rollup"))
+    t0 = time.perf_counter()
+    roll.refresh()
+    extras["rollup_refresh_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    extras["rollup_keys"] = roll.read().count()
+    extras["rollup_query_sec"] = round(time.perf_counter() - t0, 4)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import __spark_entry__ as entrymod
+    from zombi_spark.session import get_spark
+
     spark = get_spark("zombi-spark-bench")
 
-    timings: dict[str, float] = {}
+    extras: dict = {}
     errors: dict[str, str] = {}
+    tmp = tempfile.mkdtemp(prefix="zombi-bench-")
+    try:  # noqa: SIM105 — fault isolation per phase
+        run_ingest_extras(spark, sf_dir, tmp, extras)
+    except Exception as exc:  # noqa: BLE001
+        errors["_ingest_extras"] = f"{type(exc).__name__}: {exc}"[:500]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    timings: dict[str, float] = {}
     for name, q in sorted(entrymod.queries().items()):
         # two timed end-to-end executions, report the min: the first warms
         # scan metadata/codegen, and min() shields the number from
@@ -57,78 +140,19 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — keep benching the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # Ingest rate: events table → full zombi write path → partitioned table.
-    extras: dict[str, float] = {}
-    tmp = tempfile.mkdtemp(prefix="zombi-bench-")
-    try:  # noqa: SIM105 — same fault isolation as the query loop
-        from zombi_spark.plans.event_queries import _ts_to_millis
+    # 10× scale smoke of the pairwise family (content_dedup, minhash,
+    # ngram_jaccard, embedding_near_dup, ann_topk): per-op seconds at 1×
+    # and 10× plus the growth ratio — sub-quadratic means ratio ≲ 15
+    if os.environ.get("SPARK_GRAFT_SCALE_SMOKE", "1") != "0":
+        tmp2 = tempfile.mkdtemp(prefix="zombi-scale-")
+        try:
+            from zombi_spark.plans.scalebench import scale_smoke
 
-        ev = load_table(spark, sf_dir, "events")
-        raw = ev.select(
-            F.lit("bench").alias("topic"),
-            (F.col("user_id") % 8).cast("int").alias("partition"),
-            F.col("props").cast("binary").alias("payload"),
-            _ts_to_millis(ev).alias("timestamp_ms"),
-            F.lit(None).cast("string").alias("idempotency_key"),
-            F.col("event_id").alias("ingest_order"),
-        )
-        n = raw.count()
-        # min-of-two like the queries: run the identical append into two
-        # fresh tables; the first also pays one-time codegen/scan warmup
-        runs = []
-        for i in range(2):
-            table = EventTable(spark, tmp, f"bench-{i}")
-            t0 = time.perf_counter()
-            table.append(prepare_events(raw))
-            runs.append(time.perf_counter() - t0)
-        dt = min(runs)
-        extras["ingest_events_per_s"] = round(n / dt, 1)
-        extras["ingest_sec"] = round(dt, 4)
-        extras["ingest_rows"] = n
-        # maintenance: small-file compaction wall-clock (M1 — the
-        # rewrite_data_files analogue; BASELINE.md "Our benchmark plan" #3)
-        half = raw.where(F.col("ingest_order") % 2 == 0)
-        table2 = EventTable(spark, tmp, "bench2")
-        table2.append(prepare_events(half))
-        table2.append(prepare_events(half.withColumn("ingest_order", F.col("ingest_order") + n)))
-        files_before = len(table2.files())
-        # incremental read (read_changes): a consumer checkpointed at the
-        # first append reads ONLY the second append's files — compare with
-        # the full-table scan cost at the same point
-        t0 = time.perf_counter()
-        inc_rows = table2.read_changes(0).count()
-        extras["incremental_read_sec"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        table2.read().count()
-        extras["full_read_sec"] = round(time.perf_counter() - t0, 4)
-        extras["incremental_read_rows"] = inc_rows
-        t0 = time.perf_counter()
-        table2.compact(min_input_files=2)
-        extras["compact_sec"] = round(time.perf_counter() - t0, 4)
-        extras["compact_files_before"] = files_before
-        extras["compact_files_after"] = len(table2.files())
-        # M6 ingest metrics rollup over the appends this bench just ran
-        from zombi_spark.table.stats import ingest_metrics
-
-        im = ingest_metrics(table2)
-        extras["append_latency_ms_p50"] = im.get("latency_ms_p50")
-        extras["append_latency_ms_p99"] = im.get("latency_ms_p99")
-        # incremental materialized rollup: maintenance cost (delta-only
-        # fold of the whole table's appends) and the dashboard-query cost
-        # against the O(keys) state — the read that replaces a table scan
-        from zombi_spark.table.rollup import MaterializedRollup
-
-        roll = MaterializedRollup(table2, os.path.join(tmp, "bench2-rollup"))
-        t0 = time.perf_counter()
-        roll.refresh()
-        extras["rollup_refresh_sec"] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        extras["rollup_keys"] = roll.read().count()
-        extras["rollup_query_sec"] = round(time.perf_counter() - t0, 4)
-    except Exception as exc:  # noqa: BLE001
-        errors["_ingest_extras"] = f"{type(exc).__name__}: {exc}"[:500]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+            extras.update(scale_smoke(spark, sf_dir, tmp2, factor=10))
+        except Exception as exc:  # noqa: BLE001
+            errors["_scale_smoke"] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
 
     # explicit BASELINE.md comparison rows (the reference publishes
     # ingest-path numbers only; see README.md "Performance vs BASELINE.md")

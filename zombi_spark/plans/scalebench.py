@@ -1,0 +1,162 @@
+"""Scale-smoke harness: measure how the pairwise operator family grows
+when the corpus grows 10× — the empirical check behind the "no 100×
+scale-killers" claim (VERDICT r5 #6). The scale story for MinHash/LSH,
+n-gram blocking and sign-LSH bucketing is argued from plans (candidate
+generation is within-bucket only, bucket sizes bounded by derived
+parameters); this module measures it once per bench run.
+
+The scaled corpus is a deterministic derivation, not new test data:
+replica k of a document prefixes every token with ``r{k}_`` (replicas
+share ZERO shingles, so each replica carries the original near-dup
+structure and none across replicas — true pairs grow exactly linearly);
+replica k of an embedding is the vector rotated k positions (a
+permutation applied to both members of a pair preserves their cosine,
+while cross-replica cosines stay at the random-pair level). Both scales
+are materialized to parquet first so the measured cost is the operator,
+not the derivation, and both read through the identical I/O path.
+
+Derived parameters (``lsh_planes_for``, ``simhash_bits_for``) are
+recomputed per scale and reported — at 10× they must actually change,
+which is what keeps bucket populations (and therefore within-bucket pair
+generation) bounded.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zombi_spark.operators import dedup as D
+from zombi_spark.operators import similarity as S
+from zombi_spark.sources.tables import load_table
+
+
+def scaled_documents(docs: DataFrame, factor: int) -> DataFrame:
+    """``factor`` decorrelated replicas of the corpus (see module doc)."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    tagged = docs.select("doc_id", "text", "lang", "source", rep)
+    retok = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("_"), t),
+        ),
+        " ",
+    )
+    return tagged.select(
+        (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(retok).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def scaled_embeddings(emb: DataFrame, factor: int) -> DataFrame:
+    """``factor`` replicas; replica k rotates the vector k positions."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    tagged = emb.select("vec_id", "embedding", rep)
+    dims = F.size(F.col("embedding"))
+    rotated = F.concat(
+        F.slice(F.col("embedding"), F.col("rep") + 1, dims - F.col("rep")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("rep")),
+    )
+    return tagged.select(
+        (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(rotated).alias("embedding"),
+    )
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    idx = D.shingle_index(docs, n=2)
+    sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    # single consumer: the candidate persist that the session-cached plans
+    # rely on (3 consumers) would only add overhead here
+    return D.jaccard_verify(
+        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False
+    ).where(F.col("jaccard_pm") >= 500)
+
+
+def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    idx = D.shingle_index(docs, n=2)
+    min_sh = idx.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.min(D.affine_hash(F.col("base"), F.lit(101))).cast("string"),
+            F.min(D.affine_hash(F.col("base"), F.lit(102))).cast("string"),
+        ).alias("block")
+    )
+    a = min_sh.select(F.col("doc_id").alias("id_a"), "block")
+    b = min_sh.select(F.col("doc_id").alias("id_b"), "block")
+    pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return D.jaccard_verify(
+        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False
+    ).where(F.col("jaccard_pm") >= 300)
+
+
+def _content_dedup(docs: DataFrame) -> DataFrame:
+    return D.exact_dedup(docs).unionByName(
+        D.fingerprint_dedup(docs).withColumnRenamed("fingerprint", "content_hash")
+        .withColumnRenamed("n_docs", "n_copies")
+    )
+
+
+def _family(docs: DataFrame, emb: DataFrame, n_emb: int) -> dict[str, DataFrame]:
+    """The pairwise family on a given corpus, with scale-DERIVED LSH
+    parameters (the fixed demo dims would go quadratic per bucket)."""
+    planes = S.lsh_planes_for(n_emb, 64)
+    queries = emb.where(F.col("vec_id") < 8)
+    return {
+        "content_dedup": _content_dedup(docs),
+        "minhash_lsh_pairs": _minhash_pairs(docs),
+        "ngram_jaccard": _ngram_jaccard_pairs(docs),
+        "embedding_near_dup": S.embedding_near_dup(
+            emb, threshold_e6=350000, dims=planes
+        ),
+        "ann_topk": S.brute_force_topk(emb, queries, k=5).unionByName(
+            S.lsh_topk(emb, queries, k=5, dims=planes).select(
+                "query_id", "rank", "neighbor_id", "cos_e6"
+            )
+        ),
+    }
+
+
+def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) -> dict:
+    """Time the pairwise family at 1× and ``factor``× and report
+    per-op seconds + growth ratio (sub-quadratic for 10× means ≲15×;
+    the within-bucket designs should land near-linear). Returns a flat
+    extras dict for bench.py."""
+
+    def _force(df: DataFrame) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    out: dict = {"scale_factor": factor}
+    corpora: dict[int, tuple[DataFrame, DataFrame, int]] = {}
+    docs0 = load_table(spark, sf_dir, "documents")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    n_docs, n_emb = docs0.count(), emb0.count()
+    for fac, d, e in ((1, docs0, emb0), (factor, scaled_documents(docs0, factor), scaled_embeddings(emb0, factor))):
+        dp, ep = os.path.join(tmp, f"docs_x{fac}"), os.path.join(tmp, f"emb_x{fac}")
+        # materialize both scales through the same parquet path so the
+        # measured cost is the operator, not the replica derivation
+        d.repartition(32).write.mode("overwrite").parquet(dp)
+        e.repartition(32).write.mode("overwrite").parquet(ep)
+        corpora[fac] = (spark.read.parquet(dp), spark.read.parquet(ep), n_emb * fac)
+    out["scale_lsh_planes_1x"] = len(S.lsh_planes_for(n_emb, 64))
+    out[f"scale_lsh_planes_{factor}x"] = len(S.lsh_planes_for(n_emb * factor, 64))
+    out["scale_simhash_bits_1x"] = D.simhash_bits_for(n_docs)
+    out[f"scale_simhash_bits_{factor}x"] = D.simhash_bits_for(n_docs * factor)
+    for fac in (1, factor):
+        d, e, n = corpora[fac]
+        for name, df in _family(d, e, n).items():
+            t0 = time.perf_counter()
+            _force(df)
+            out[f"scale_{name}_x{fac}_sec"] = round(time.perf_counter() - t0, 4)
+    for name in ("content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
+        base = out.get(f"scale_{name}_x1_sec")
+        big = out.get(f"scale_{name}_x{factor}_sec")
+        if base and big:
+            out[f"scale_{name}_ratio"] = round(big / base, 2)
+    return out

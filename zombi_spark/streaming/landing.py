@@ -38,6 +38,12 @@ class LandingZone:
     streaming checkpoint's committed-file log. Safe to instantiate in
     any process — only filesystem paths are held."""
 
+    #: seconds between backlog-counter resyncs against the filesystem —
+    #: the admitted-while-stale window (bounded the same way the permit
+    #: semantics already are: budget + one batch per writer, plus up to
+    #: one interval of other-process produces)
+    RESYNC_INTERVAL_S = 0.5
+
     def __init__(
         self,
         landing_dir: str,
@@ -52,6 +58,13 @@ class LandingZone:
         self.checkpoint_dir = os.path.abspath(checkpoint_dir)
         self.byte_budget = byte_budget
         self._seen_cache: tuple[tuple, set[str]] | None = None
+        # O(1) admission accounting (the reference keeps atomic in-flight
+        # counters, handlers.rs:64-232): produce() bumps this cached
+        # backlog-byte counter; the O(backlog) directory walk runs only as
+        # the periodic resync / refusal-confirmation path
+        self._backlog_lock = threading.Lock()
+        self._backlog_bytes: int | None = None
+        self._backlog_synced_at = 0.0
 
     def _committed_batch_ids(self) -> set[int]:
         """Batch ids with a ``<ckpt>/commits/<id>`` marker — the batches
@@ -145,7 +158,9 @@ class LandingZone:
 
     def backlog_bytes(self) -> int:
         """Bytes in landing files the checkpoint has NOT yet committed —
-        the in-flight work the admission budget bounds."""
+        the in-flight work the admission budget bounds. This is the
+        WALKING form (O(backlog) stats); the admission hot path uses
+        :meth:`_cached_backlog` and reaches here only to resync."""
         total = 0
         for full in self.pending_files():
             try:
@@ -154,12 +169,38 @@ class LandingZone:
                 pass  # raced a cleanup; a vanished file has no backlog
         return total
 
+    def _resync_backlog(self) -> int:
+        """Recount from the filesystem and reset the cached counter."""
+        total = self.backlog_bytes()
+        with self._backlog_lock:
+            self._backlog_bytes = total
+            self._backlog_synced_at = time.monotonic()
+        return total
+
+    def _cached_backlog(self) -> int:
+        """The O(1) admission read: the in-process counter, resynced from
+        the directory at most every ``RESYNC_INTERVAL_S`` (which is also
+        how drain by the streaming query and other processes' produces
+        become visible)."""
+        with self._backlog_lock:
+            fresh = (
+                self._backlog_bytes is not None
+                and time.monotonic() - self._backlog_synced_at < self.RESYNC_INTERVAL_S
+            )
+            if fresh:
+                return self._backlog_bytes
+        return self._resync_backlog()
+
     def admission_status(self) -> dict:
         """The T10 surface ``health()`` reports: current backlog vs
         budget, and whether a produce() would currently be admitted
         (``status`` mirrors the reference's HTTP codes: 200 accepting /
-        503 over budget, handlers.rs:64-232)."""
-        backlog = self.backlog_bytes()
+        503 over budget, handlers.rs:64-232). A would-be 503 is always
+        confirmed against the filesystem first — monitoring must never
+        report not-accepting off a stale counter after the stream drained."""
+        backlog = self._cached_backlog()
+        if self.byte_budget is not None and backlog >= self.byte_budget:
+            backlog = self._resync_backlog()
         accepting = self.byte_budget is None or backlog < self.byte_budget
         return {
             "backlog_bytes": backlog,
@@ -173,13 +214,23 @@ class LandingZone:
         the 503) when the un-ingested backlog is at/over budget;
         otherwise land the batch atomically (tmp + rename — a crashed
         producer never leaves a half file for the stream to read).
-        Returns the landed path."""
+        Returns the landed path.
+
+        The under-budget hot path does NO directory walk: admission reads
+        the cached counter and the landed bytes are added to it, so a
+        thousand-file backlog costs each write one integer compare, not a
+        thousand stats (the reference's atomic in-flight counters,
+        handlers.rs:64-232). Refusal is never issued from a stale counter:
+        a would-be 503 recounts from the filesystem first, so a drained
+        zone is admitted again immediately, not an interval later."""
         body = ("\n".join(json.dumps(e) for e in events) + "\n").encode()
         if self.byte_budget is not None:
             # semaphore semantics (a writer may take the last permit, so
             # the zone is bounded by budget + one batch per writer):
             # admit while the backlog is under budget, refuse at/over
-            backlog = self.backlog_bytes()
+            backlog = self._cached_backlog()
+            if backlog >= self.byte_budget:
+                backlog = self._resync_backlog()
             if backlog >= self.byte_budget:
                 raise AdmissionRejected(
                     f"landing backlog {backlog} B at/over budget "
@@ -192,6 +243,9 @@ class LandingZone:
         with open(tmp, "wb") as fh:
             fh.write(body)
         os.replace(tmp, final)
+        with self._backlog_lock:
+            if self._backlog_bytes is not None:
+                self._backlog_bytes += len(body)
         return final
 
 
