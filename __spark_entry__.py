@@ -615,10 +615,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT component, count(*) AS n_docs FROM comp
         GROUP BY component ORDER BY component
         """,
+        # Full-corpus, derived-width simhash (16 bits at this corpus size,
+        # which is what simhash_bits_for derives — pinned here): tokens are
+        # prefixed with their doc id (decorrelates the template-generated
+        # corpus) and every 50th doc gets a planted near-dup (id + 1e6,
+        # last two tokens dropped).
         "simhash_near_dup": """
-        WITH d AS (
-          SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-          FROM documents WHERE doc_id < 300
+        WITH base AS (
+          SELECT doc_id,
+                 list_transform(string_split(text, ' '),
+                                t -> 'd' || doc_id::VARCHAR || '_' || t) AS toks
+          FROM documents
+        ), planted AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 list_slice(toks, 1, len(toks) - 2) AS toks
+          FROM base WHERE doc_id % 50 = 0
+        ), d AS (
+          SELECT doc_id, list_distinct(toks) AS toks FROM base
+          UNION ALL
+          SELECT doc_id, list_distinct(toks) AS toks FROM planted
         ), tk AS (
           SELECT doc_id, ('0x' || substr(md5(unnest(toks)), 1, 15))::BIGINT AS h FROM d
         ), votes AS (

@@ -145,19 +145,45 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-≤3 near-dup pairs over a deterministic slice.
+    """SimHash hamming-≤3 near-dup pairs over the FULL corpus with the
+    scale-DERIVED hash width (``bits=None`` →
+    :func:`zombi_spark.operators.dedup.simhash_bits_for`) — no slice.
 
-    Why the slice: the synthetic corpus is template-generated, so most
-    documents land within hamming ≤3 of each other and the TRUE near-dup
-    pair set is Θ(n²) — 25k pairs from 300 docs at sf0.01. The slice
-    bounds the oracle-compared *output*, not the algorithm: candidate
-    generation is the same pigeonhole chunk blocking at any n, and
-    :func:`zombi_spark.operators.dedup.simhash_bits_for` (exercised in
-    tests/test_scale_params.py) derives the hash width that keeps those
-    chunk buckets ~target-sized on real, non-degenerate corpora.
+    The raw synthetic corpus is template-generated, so most documents
+    land within hamming ≤3 of each other and its true pair set is Θ(n²)
+    (a data degeneracy, not an algorithm property). The query therefore
+    runs on a deterministic derivation both engines construct: every
+    token is prefixed with its document id (documents become mutually
+    token-disjoint — simhashes spread uniformly, like a real corpus) and
+    every 50th document gets a planted near-duplicate (id + 10⁶, last
+    two tokens dropped — hamming-close by construction). The pair set is
+    then the realistic one: planted near-dups plus the expected thin
+    tail of random hamming-≤3 collisions at the derived width.
     """
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
-    return D.simhash_near_dup(docs, bits=16, max_hamming=3).orderBy("id_a", "id_b")
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "simhash_near_dup")
+    if key not in cache:
+        docs = load_table(spark, sf_dir, "documents")
+        pref = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.concat(
+                    F.lit("d"), F.col("doc_id").cast("string"), F.lit("_"), t
+                ),
+            ),
+            " ",
+        )
+        base = docs.select("doc_id", pref.alias("text"))
+        toks = F.split(F.col("text"), " ")
+        planted = base.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+        )
+        corpus = base.unionByName(planted)
+        cache[key] = D.simhash_near_dup(corpus, bits=None, max_hamming=3).orderBy(
+            "id_a", "id_b"
+        )
+    return cache[key]
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
