@@ -698,3 +698,66 @@ def test_semantic_decontamination_catches_paraphrase_embeddings(spark):
     with contextlib.redirect_stdout(buf):
         DC.semantic_contamination_scores(emb, bench).explain("formatted")
     assert "Broadcast" in buf.getvalue()
+
+
+def test_ivf_maintenance_policy_rebuilds_on_drift(spark, tmp_path, sf_dir):
+    """maintain_ivf_index — the compaction-candidates analogue
+    (compaction.rs:128-171): same-distribution appends stay cheap
+    (append + drift check, NO rebuild); an append that shifts the data
+    distribution pushes retrained centroids away, drift crosses the
+    threshold, and the rebuild fires exactly once. After maintenance the
+    index searches identically to a fresh build with the active
+    centroid set."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import similarity as S
+    from zombi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.where("vec_id < 200")
+    # start from a CONVERGED layout so stable appends measure ~zero drift
+    fitted = S.kmeans_fit(
+        base, emb.where("200 <= vec_id AND 200 + 4 > vec_id"), iterations=4
+    )
+    path = str(tmp_path / "ivf-maint")
+    S.build_ivf_index(base, fitted, path)
+
+    # the drifting delta concentrates in one orthant (componentwise abs):
+    # an isotropic delta — even a negated one — would NOT shift the
+    # distribution, which is itself part of what this pins
+    clusterize = F.transform(F.col("embedding"), lambda x: F.abs(x).cast("float"))
+    stable = emb.where("200 <= vec_id AND vec_id < 250").withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    shifted = (
+        emb.where("250 <= vec_id AND vec_id < 500")
+        .select((F.col("vec_id") + 20_000).alias("vec_id"), clusterize.alias("embedding"))
+    )
+
+    corpus = base.unionByName(stable)
+    r1 = S.maintain_ivf_index(
+        spark, path, stable, corpus, fitted, drift_threshold=0.1
+    )
+    assert r1["appended"] == 50 and not r1["rebuilt"]
+    assert r1["drift"] < 0.1
+    assert r1["centroids"] == fitted  # active set unchanged without rebuild
+
+    corpus = corpus.unionByName(shifted)
+    r2 = S.maintain_ivf_index(
+        spark, path, shifted, corpus, r1["centroids"], drift_threshold=0.1
+    )
+    assert r2["rebuilt"] and r2["drift"] >= 0.1
+    assert r2["centroids"] != fitted
+
+    # rebuild count across the whole stream: exactly one
+    assert [r1["rebuilt"], r2["rebuilt"]] == [False, True]
+
+    # the maintained index ≡ a fresh build with the active centroids
+    queries = emb.where("vec_id < 4")
+    fresh_path = str(tmp_path / "ivf-maint-fresh")
+    S.build_ivf_index(corpus, r2["centroids"], fresh_path)
+    got = S.search_ivf_index(spark, path, queries, r2["centroids"], k=5)
+    want = S.search_ivf_index(spark, fresh_path, queries, r2["centroids"], k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # and its post-rebuild drift against its own centroids is zero
+    assert S.ivf_drift_report(spark, path, r2["centroids"])["moved"] == 0

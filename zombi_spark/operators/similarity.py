@@ -554,6 +554,68 @@ def ivf_drift_report(
     return {"n_vectors": n, "moved": moved, "drift": (moved / n) if n else 0.0}
 
 
+def maintain_ivf_index(
+    spark,
+    path: str,
+    delta: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    drift_threshold: float = 0.2,
+    retrain_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """The IVF maintenance policy — the index analogue of compaction's
+    candidates rule (compaction.rs:128-171: cheap incremental work every
+    time, the expensive rewrite only when a measured condition says the
+    layout has degraded):
+
+    1. APPEND the delta into its cell partitions with the index's CURRENT
+       centroids (one projection over the delta, never a rebuild);
+    2. retrain a CANDIDATE centroid set (a few k-means rounds over
+       ``corpus`` seeded from the current centroids — at 100 TB this runs
+       on a sample; the policy is the same);
+    3. measure :func:`ivf_drift_report` of the materialized index against
+       the candidate — the share of indexed vectors whose nearest
+       centroid would change;
+    4. REBUILD with the candidate only when drift ≥ ``drift_threshold``.
+
+    ``corpus`` is the full raw corpus including every appended delta (the
+    rebuild source — the index stores quantized vectors, which must not
+    be re-quantized). Returns ``{"appended", "drift", "rebuilt",
+    "centroids"}`` where ``centroids`` is the ACTIVE prepared set after
+    maintenance (pass it back in on the next call). The rebuild is an
+    overwrite of the index directory; as with compaction, run one
+    maintainer per index."""
+    prepared = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
+    )
+    n_appended = delta.count()
+    append_ivf_index(delta, prepared, path, id_col, vec_col)
+    # candidate = retrained centroids, seeded from the active set
+    # (de-quantized — the seed only needs direction, and assignment is
+    # cosine so the 1e6 scale cancels)
+    seed = spark.createDataFrame(
+        [(cid, [x / 1e6 for x in q]) for cid, q in prepared],
+        f"{id_col} long, {vec_col} array<float>",
+    )
+    candidate = kmeans_fit(
+        corpus, seed, iterations=retrain_iterations, id_col=id_col, vec_col=vec_col
+    )
+    report = ivf_drift_report(spark, path, candidate, id_col, vec_col)
+    rebuilt = report["drift"] >= drift_threshold
+    if rebuilt:
+        build_ivf_index(corpus, candidate, path, id_col, vec_col)
+    return {
+        "appended": n_appended,
+        "drift": report["drift"],
+        "rebuilt": rebuilt,
+        "centroids": candidate if rebuilt else prepared,
+    }
+
+
 def search_ivf_index(
     spark,
     path: str,
