@@ -208,3 +208,56 @@ def test_retention_delete_triggers_full_rebuild(spark, tmp_path):
     rep3 = roll.refresh()
     assert rep3["rebuilt"] is False
     assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+
+def test_sharded_state_rewrites_only_touched_shards(spark, tmp_path):
+    """High-cardinality contract: past the shard threshold the state is
+    hash-partitioned by key and a refresh rewrites ONLY the shards its
+    delta touches — every untouched shard's files carry over by hardlink
+    (same inode), so write cost tracks keys touched, not keys
+    accumulated. Reads and the full-recompute invariant are unchanged
+    across the sharded layout."""
+    t = EventTable(spark, str(tmp_path), "events")
+    # threshold 0 with a recorded state → second refresh transitions to
+    # the sharded layout; high key cardinality via per-event hours
+    roll = MaterializedRollup(
+        t, str(tmp_path / "rollup"), n_shards=8, shard_threshold_rows=0
+    )
+    t.append(_batch(spark, 0, 60, hour_spread_ms=3_600_000))  # 60 distinct hours
+    r1 = roll.refresh()
+    assert r1["state_rows"] == roll.read().count()
+
+    t.append(_batch(spark, 60, 20, hour_spread_ms=3_600_000))
+    r2 = roll.refresh()  # transition: full write, now sharded
+    state_dir2 = os.path.join(str(tmp_path / "rollup"), roll._pointer()["state_dir"])
+    assert roll._pointer()["n_shards"] == 8
+    assert any(d.startswith("_shard=") for d in os.listdir(state_dir2))
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+    # record inode per shard dir, then touch ONE key (one event into an
+    # existing hour) and refresh
+    def shard_inodes(d):
+        out = {}
+        for sh in os.listdir(d):
+            if sh.startswith("_shard="):
+                files = sorted(
+                    f for f in os.listdir(os.path.join(d, sh)) if not f.startswith((".", "_"))
+                )
+                out[sh] = [os.stat(os.path.join(d, sh, f)).st_ino for f in files]
+        return out
+    before = shard_inodes(state_dir2)
+    t.append(_batch(spark, 0, 1, hour_spread_ms=3_600_000))  # key of event 0 again
+    r3 = roll.refresh()
+    assert r3["delta_rows"] == 1
+    state_dir3 = os.path.join(str(tmp_path / "rollup"), roll._pointer()["state_dir"])
+    after = shard_inodes(state_dir3)
+    assert set(after) == set(before)  # all 8 populated shards present
+    rewritten = [sh for sh in after if after[sh] != before.get(sh)]
+    assert len(rewritten) == 1, f"expected exactly one rewritten shard, got {rewritten}"
+    carried = [sh for sh in after if after[sh] == before.get(sh)]
+    assert len(carried) == len(after) - 1  # hardlinked, not copied
+    # state_rows accounting without a full-state count stays exact
+    assert r3["state_rows"] == roll.read().count()
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+    # read() hides the internal _shard column
+    assert "_shard" not in roll.read().columns

@@ -21,7 +21,16 @@ no torn state (the same invariant the engine's snapshot commits use).
 
 All aggregates kept are DECOMPOSABLE (sum/min/max re-aggregate), which
 is what makes delta-merge correct: merged(old, delta) == full recompute.
-"""
+
+State scalability: below ``shard_threshold_rows`` the state is one
+parquet directory rewritten per refresh (fine at the thousands of keys a
+topic-hour rollup accumulates). Past the threshold the state shards by
+key hash (``_shard = md5(keys) % n_shards`` partition dirs) and a
+refresh REWRITES ONLY THE SHARDS ITS DELTA TOUCHES — untouched shards
+are hardlinked from the previous state generation into the new one, so
+the atomic pointer-swing contract is unchanged while the write cost
+tracks keys touched, not keys accumulated (the contract a
+high-cardinality key set, e.g. per-user rollups, needs)."""
 
 from __future__ import annotations
 
@@ -49,11 +58,55 @@ class MaterializedRollup:
         table: EventTable,
         path: str,
         keys: tuple[str, ...] = _DEFAULT_KEYS,
+        n_shards: int = 32,
+        shard_threshold_rows: int = 100_000,
     ):
         self.table = table
         self.spark = table.spark
         self.path = path
         self.keys = list(keys)
+        self.n_shards = n_shards
+        self.shard_threshold_rows = shard_threshold_rows
+
+    def _shard_col(self, n_shards: int | None = None) -> F.Column:
+        """Deterministic shard of the key tuple — a pure function of the
+        key columns, so a key's rows land in the same shard in every
+        state generation and in every engine with md5. ``n_shards``
+        defaults to the instance setting; the incremental path passes the
+        POINTER's recorded width so an instance constructed with a
+        different setting still addresses the existing layout correctly."""
+        from zombi_spark.functions.hashing import md5_long
+
+        return F.pmod(
+            md5_long(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.keys])),
+            F.lit(n_shards or self.n_shards),
+        ).cast("int")
+
+    def _link_untouched_shards(self, old_dir: str, new_dir: str, touched: set[int]) -> None:
+        """Carry untouched ``_shard=K`` partition dirs from the previous
+        state generation into the new one by HARDLINK (fallback copy):
+        O(1) metadata per file, no data rewrite, and the old generation
+        stays intact for in-flight readers until GC."""
+        if not os.path.isdir(old_dir):
+            return
+        for d in os.listdir(old_dir):
+            if not d.startswith("_shard="):
+                continue
+            try:
+                sh = int(d.split("=", 1)[1])
+            except ValueError:
+                continue
+            if sh in touched:
+                continue
+            src, dst = os.path.join(old_dir, d), os.path.join(new_dir, d)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.startswith(".") or f.startswith("_"):
+                    continue
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
 
     # ------------------------------------------------------------- pointer
     @contextlib.contextmanager
@@ -152,9 +205,9 @@ class MaterializedRollup:
             # empty state with the exact output schema: aggregate an
             # empty slice of the table itself
             return None, self._agg(self.table.read().limit(0))
-        return ptr["version"], self.spark.read.parquet(
-            os.path.join(self.path, ptr["state_dir"])
-        )
+        df = self.spark.read.parquet(os.path.join(self.path, ptr["state_dir"]))
+        # _shard is internal layout (partition-discovered on sharded states)
+        return ptr["version"], df.drop("_shard")
 
     def read(self) -> DataFrame:
         """The current rollup — a metadata-cheap parquet read of the
@@ -217,23 +270,86 @@ class MaterializedRollup:
             partial_rows = partial_plan.collect()  # the ONE delta scan
             delta_rows = sum(r["n_events"] for r in partial_rows)
             partial = self.spark.createDataFrame(partial_rows, partial_plan.schema)
-            if ptr is None or source is not None:
-                merged = partial  # first build, or full rebuild
-            else:
-                old_state = self.spark.read.parquet(
-                    os.path.join(self.path, ptr["state_dir"])
-                )
-                merged = self._merge(old_state, partial)
             state_dir = f"state-{uuid.uuid4().hex[:12]}"
             out = os.path.join(self.path, state_dir)
-            merged.write.mode("overwrite").parquet(out)
-            n_state = self.spark.read.parquet(out).count()
+            old_n_shards = (ptr or {}).get("n_shards")
+            incremental = ptr is not None and source is None
+            # shard from this refresh onward once the accumulated state
+            # crosses the threshold (one refresh of lag — decided off the
+            # pointer's recorded size, no extra count)
+            shard_now = bool(old_n_shards) or (
+                (ptr or {}).get("state_rows", 0) > self.shard_threshold_rows
+            )
+            if incremental and old_n_shards:
+                # SHARDED incremental: merge + rewrite ONLY the shards the
+                # delta touches; untouched shards hardlink across
+                old_dir = os.path.join(self.path, ptr["state_dir"])
+                shard = self._shard_col(old_n_shards)
+                touched = sorted(
+                    {
+                        r["_shard"]
+                        for r in partial.select(shard.alias("_shard")).distinct().collect()
+                    }
+                )
+                n_old_touched = 0
+                if touched:
+                    old_touched = (
+                        self.spark.read.parquet(old_dir)
+                        .where(F.col("_shard").isin(touched))
+                        .drop("_shard")
+                    )
+                    n_old_touched = old_touched.count()
+                    (
+                        self._merge(old_touched, partial)
+                        .withColumn("_shard", shard)
+                        .write.mode("overwrite")
+                        .partitionBy("_shard")
+                        .parquet(out)
+                    )
+                else:
+                    os.makedirs(out, exist_ok=True)
+                # count BEFORE linking: only the rewritten shards are in
+                # `out`, so this never re-reads the whole state
+                n_new_touched = (
+                    self.spark.read.parquet(out).count() if touched else 0
+                )
+                self._link_untouched_shards(old_dir, out, set(touched))
+                n_state = ptr["state_rows"] - n_old_touched + n_new_touched
+                new_shards: int | None = old_n_shards
+            else:
+                if incremental:
+                    old_state = self.spark.read.parquet(
+                        os.path.join(self.path, ptr["state_dir"])
+                    ).drop("_shard")
+                    merged = self._merge(old_state, partial)
+                else:
+                    merged = partial  # first build, or full rebuild
+                if shard_now:
+                    # transition / rebuild into the sharded layout
+                    (
+                        merged.withColumn("_shard", self._shard_col())
+                        .write.mode("overwrite")
+                        .partitionBy("_shard")
+                        .parquet(out)
+                    )
+                    new_shards = self.n_shards
+                else:
+                    merged.write.mode("overwrite").parquet(out)
+                    new_shards = None
+                n_state = self.spark.read.parquet(out).count()
             # atomic (state, position) commit: the pointer swing is the
             # ONLY visibility point — a crash before it leaves the old
             # pair intact
             tmp = os.path.join(self.path, f".{_POINTER}.{uuid.uuid4().hex[:8]}.tmp")
+            new_ptr = {
+                "version": latest,
+                "state_dir": state_dir,
+                "state_rows": n_state,
+            }
+            if new_shards:
+                new_ptr["n_shards"] = new_shards
             with open(tmp, "w") as fh:
-                json.dump({"version": latest, "state_dir": state_dir}, fh)
+                json.dump(new_ptr, fh)
             os.replace(tmp, os.path.join(self.path, _POINTER))
             # GC with one generation of grace: keep the new state and the
             # immediately-previous one (a lock-free reader that loaded
