@@ -1,0 +1,136 @@
+"""Stock-Iceberg interop safety net (VERDICT r5 #3).
+
+Our Avro manifests are validated three ways in-repo (schema-driven
+independent reader, the ported reference decoder, DuckDB parquet-view
+parity) — but every validator shares the in-repo codec, so a shared
+spec-interpretation bug would pass all of them. Two mitigations here:
+
+1. GOLDEN BYTES: a committed manifest + manifest list (deterministic
+   sync marker) with a checked-in hex dump. Any codec change that
+   alters the wire bytes shows up as a fixture/hex-dump diff in review,
+   and decode→re-encode must reproduce the committed bytes exactly.
+2. PYICEBERG GATE: an import-gated test that loads one of our tables
+   through the stock pyiceberg reader and compares rows. It SKIPS in
+   this container (pyiceberg is not installed — no pip installs) and
+   proves interop the day the environment has it. The reference's
+   tables are consumed by stock Iceberg readers (SPEC.md:343-352,
+   docs/aws/ICEBERG_VERIFICATION.md; iceberg_storage.rs:1000-1110), so
+   this is the parity bar.
+"""
+
+import binascii
+import json
+import os
+
+import pytest
+
+from zombi_spark.table import avro_io, manifests
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+GOLDEN_MANIFEST = os.path.join(FIXTURES, "golden_manifest.avro")
+GOLDEN_LIST = os.path.join(FIXTURES, "golden_manifest_list.avro")
+GOLDEN_HEX = os.path.join(FIXTURES, "golden_avro_hexdump.txt")
+_FIXED_SYNC = bytes(range(16))  # the marker the fixtures were written with
+
+
+def test_golden_manifest_decodes_to_expected_records():
+    """Field-level decode of the committed bytes: statuses, ids, typed
+    partition values, and little-endian single-value bounds."""
+    entries = manifests.read_manifest_entries(GOLDEN_MANIFEST)
+    assert [e["status"] for e in entries] == [manifests.ADDED, manifests.DELETED]
+    assert all(e["snapshot_id"] == 4242424242 for e in entries)
+    assert all(e["sequence_number"] == 7 for e in entries)
+    added = entries[0]["data_file"]
+    assert added["file_path"].endswith("event_hour=3/part-00000.parquet")
+    assert added["file_format"] == "PARQUET"
+    # date partition value is days-since-epoch (Iceberg date type)
+    import datetime
+
+    want_days = (datetime.date(2024, 1, 2) - datetime.date(1970, 1, 1)).days
+    assert added["partition"] == {"event_date": want_days, "event_hour": 3}
+    assert added["record_count"] == 128 and added["file_size_in_bytes"] == 9001
+    # bounds: spec single-value serialization, little-endian
+    lower = {kv["key"]: kv["value"] for kv in added["lower_bounds"]}
+    upper = {kv["key"]: kv["value"] for kv in added["upper_bounds"]}
+    assert manifests.decode_bound(lower[1], "long") == 1
+    assert manifests.decode_bound(upper[1], "long") == 128
+    assert lower[1] == (1).to_bytes(8, "little")
+    assert manifests.decode_bound(upper[5], "long") == 1704157199999
+    assert manifests.decode_bound(lower[2], "string") == "events"
+    deleted = entries[1]
+    assert deleted["data_file"]["record_count"] == 64
+
+
+def test_golden_manifest_list_decodes_and_counts():
+    files = manifests.read_manifest_list(GOLDEN_LIST)
+    assert len(files) == 1
+    mf = files[0]
+    assert mf["manifest_path"] == "/data/events/metadata/golden_manifest.avro"
+    assert mf["manifest_length"] == os.path.getsize(GOLDEN_MANIFEST)
+    assert mf["added_files_count"] == 1 and mf["deleted_files_count"] == 1
+    assert mf["added_rows_count"] == 128 and mf["deleted_rows_count"] == 64
+    assert mf["sequence_number"] == 7 and mf["added_snapshot_id"] == 4242424242
+
+
+@pytest.mark.parametrize("path", [GOLDEN_MANIFEST, GOLDEN_LIST])
+def test_golden_bytes_reproduce_through_the_codec(path, tmp_path, monkeypatch):
+    """decode → re-encode reproduces the committed bytes EXACTLY (with
+    the fixture's fixed sync marker): the codec can't drift silently —
+    any wire-format change forces a visible fixture regeneration."""
+    schema, meta, records = avro_io.read_container(path)
+    extra = {
+        k: v for k, v in meta.items() if k not in ("avro.schema", "avro.codec")
+    }
+    monkeypatch.setattr(avro_io.os, "urandom", lambda n: _FIXED_SYNC[:n])
+    out = str(tmp_path / "reencoded.avro")
+    avro_io.write_container(out, schema, records, metadata=extra)
+    assert open(out, "rb").read() == open(path, "rb").read()
+
+
+def test_hexdump_matches_fixture_bytes():
+    """The human-reviewable dump IS the bytes (keeps review diffs honest)."""
+    dumps: dict[str, str] = {}
+    name = None
+    for line in open(GOLDEN_HEX):
+        line = line.strip()
+        if line.startswith("#"):
+            name = line.split()[1]
+            dumps[name] = ""
+        elif line and name:
+            dumps[name] += line
+    for fname, hx in dumps.items():
+        data = open(os.path.join(FIXTURES, fname), "rb").read()
+        assert binascii.hexlify(data).decode() == hx, fname
+
+
+def test_pyiceberg_reads_our_table(spark, tmp_path):
+    """STOCK-READER GATE (skips until pyiceberg is installed): load the
+    table via pyiceberg's StaticTable straight from our metadata JSON and
+    compare row content with the engine's own read. The day this stops
+    skipping, interop is proven by an implementation that shares zero
+    code with ours (iceberg_storage.rs:1000-1110 is the reference's
+    equivalent external-verification path)."""
+    pyiceberg_table = pytest.importorskip("pyiceberg.table")
+
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+    from zombi_spark.table.event_table import EventTable
+    from zombi_spark.table.iceberg_meta import metadata_dir, _current_hint
+
+    rows = [
+        ("t", i % 2, f"p{i}".encode(), 1704067200000 + i * 1000, None, i)
+        for i in range(12)
+    ]
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    mdir = metadata_dir(t.path)
+    meta_json = os.path.join(mdir, f"v{_current_hint(mdir)}.metadata.json")
+    assert os.path.isfile(meta_json)
+    static = pyiceberg_table.StaticTable.from_metadata(meta_json)
+    got = static.scan().to_pandas()
+    want = t.read().toPandas()
+    assert len(got) == len(want) == 12
+    assert sorted(got["sequence"].tolist()) == sorted(want["sequence"].tolist())
+    assert sorted(bytes(b) for b in got["payload"]) == sorted(
+        bytes(b) for b in want["payload"]
+    )
