@@ -202,3 +202,53 @@ def test_grouping_analytics_scans_orders_once(spark, sf_dir):
     # the cache's BUILD plan, executed once at materialization)
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "Expand" in plan  # rollup/cube/sets still exercise A10
+
+
+def test_perplexity_scoring_broadcasts_the_model(spark, sf_dir):
+    """The LM scoring pass must broadcast the (bounded charset³) model to
+    BOTH joins and keep the corpus side un-exchanged before them — a
+    shuffled model join would move the whole exploded trigram stream."""
+    from zombi_spark.plans import pipeline_queries as PQ
+
+    plan = _plan(PQ.q_perplexity_scores(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the trigram stream is codegen'd: no interpreted HOF building a
+    # string array per doc (explode of an int sequence + substr instead)
+    assert "transform(" not in plan.lower().split("== physical plan ==")[-1][:2000]
+
+
+def test_decontamination_broadcasts_the_benchmark_side(spark, sf_dir):
+    """The corpus pays one shingle pass + a broadcast-hash join on the
+    shingle; the benchmark side (small by construction) is what moves."""
+    from zombi_spark.plans import pipeline_queries as PQ
+
+    plan = _plan(PQ.q_decontamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_python_free_single_pass(spark, sf_dir):
+    """Detection + redaction are pure Column regexps: no Python workers
+    in the plan, and the documents scan happens exactly once."""
+    from zombi_spark.plans import pipeline_queries as PQ
+
+    plan = _plan(PQ.q_pii_scrub(spark, sf_dir))
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
+    # exactly one scan node ("formatted" prints each node twice: once in
+    # the tree, once as a "(N) Scan parquet" detail header)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_mixture_census_single_exchange(spark, sf_dir):
+    """The sample itself is narrow (pinned in test_mixture); the census
+    adds exactly the one hash-aggregate exchange its groupBy needs —
+    nothing reshuffles the exploded epoch stream before aggregation."""
+    from zombi_spark.plans import pipeline_queries as PQ
+
+    plan = _plan(PQ.q_mixture_epochs(spark, sf_dir))
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # one partial→final agg exchange + the final orderBy's range exchange
+    assert n_exchanges <= 2, plan
