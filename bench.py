@@ -140,6 +140,38 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — keep benching the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ANN result QUALITY alongside speed: recall@5 of the bucketed paths
+    # (sign-LSH, IVF nprobe=1) against the exact brute-force ranking —
+    # the fast path is only a win if it still finds the neighbors. NB the
+    # synthetic embeddings are near-isotropic, which is the recall WORST
+    # case for single-probe bucketing (no cluster structure to exploit);
+    # test_ivf_nprobe_improves_recall covers the nprobe knob that buys
+    # recall back
+    try:
+        ann = {
+            (r["method"], r["query_id"]): set()
+            for r in entrymod.queries()["ann_topk"](spark, sf_dir).collect()
+        }
+        for r in entrymod.queries()["ann_topk"](spark, sf_dir).collect():
+            ann[(r["method"], r["query_id"])].add(r["neighbor_id"])
+        ivf = {}
+        for r in entrymod.queries()["ivf_ann"](spark, sf_dir).collect():
+            ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        qids = sorted({q for (m, q) in ann if m == "brute"})
+        if qids:
+            lsh_rec = sum(
+                len(ann[("brute", q)] & ann.get(("lsh", q), set())) / len(ann[("brute", q)])
+                for q in qids
+            ) / len(qids)
+            ivf_rec = sum(
+                len(ann[("brute", q)] & ivf.get(q, set())) / len(ann[("brute", q)])
+                for q in qids
+            ) / len(qids)
+            extras["ann_lsh_recall_at_5"] = round(lsh_rec, 3)
+            extras["ann_ivf_recall_at_5"] = round(ivf_rec, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["_ann_recall"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # 10× scale smoke of the pairwise family (content_dedup, minhash,
     # ngram_jaccard, embedding_near_dup, ann_topk): per-op seconds at 1×
     # and 10× plus the growth ratio — sub-quadratic means ratio ≲ 15
