@@ -211,6 +211,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_keep": PQ.q_dedup_keep,
             "hex_keys_dates": EQ.q_hex_keys_dates,
             "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
+            "source_caps": PQ.q_source_caps,  # per-source corpus balancing
         }.items()
     }
 
@@ -1222,6 +1223,20 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(datediff('day', DATE '2024-01-01', dt) AS INTEGER) AS days_since_y24,
                CAST(quarter(dt) AS INTEGER) AS q
         FROM d
+        """,
+        "source_caps": """
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':cap:0'), 1, 15))::BIGINT,
+                   doc_id) AS rn
+          FROM documents
+        )
+        SELECT source, count(*) AS n_kept,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM ranked WHERE rn <= 20
+        GROUP BY source ORDER BY source
         """,
         "chunk_docs": """
         WITH d AS (

@@ -94,3 +94,41 @@ def test_weight_validation(docs):
         M.mixture_sample(docs, {})
     with pytest.raises(ValueError):
         M.mixture_sample(docs, {"src0": -1.0})
+
+
+def test_cap_per_source_bounds_and_is_deterministic(docs):
+    """Per-source caps: a dominant source is bounded at exactly max_docs
+    with a pseudo-random (not first-N-by-id) selection, under-cap
+    sources pass through complete, and the selected set is stable under
+    repartitioning; a different seed picks a different subset."""
+    n_src0 = docs.where("source = 'src0'").count()
+    cap = n_src0 // 2
+    out = M.cap_per_source(docs, cap)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by["src0"] == cap
+    for s, n in by.items():
+        assert n <= max(cap, docs.where(F.col("source") == s).count())
+    small = min(by, key=lambda s: docs.where(F.col("source") == s).count())
+    assert by[small] == docs.where(F.col("source") == small).count() or by[small] == cap
+    # pseudo-random, not first-N: the kept src0 ids differ from sorted head
+    kept = sorted(r.doc_id for r in out.where("source='src0'").select("doc_id").collect())
+    first_n = sorted(
+        r.doc_id for r in docs.where("source='src0'").orderBy("doc_id").limit(cap).collect()
+    )
+    assert kept != first_n
+    # stable under repartition; seed changes the subset
+    again = sorted(
+        r.doc_id
+        for r in M.cap_per_source(docs.repartition(17), cap)
+        .where("source='src0'").select("doc_id").collect()
+    )
+    assert again == kept
+    other = sorted(
+        r.doc_id
+        for r in M.cap_per_source(docs, cap, seed=9)
+        .where("source='src0'").select("doc_id").collect()
+    )
+    assert other != kept
+
+    with pytest.raises(ValueError):
+        M.cap_per_source(docs, 0)

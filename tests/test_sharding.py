@@ -164,3 +164,50 @@ def test_chunk_documents_windows_with_overlap(spark):
         chunk_documents(corpus, 64, overlap_tokens=8).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pseudorandom_shard_order_is_shuffled_and_byte_stable(spark, tmp_path):
+    """order='pseudorandom': the within-shard order is a deterministic
+    global shuffle — different from id order, identical row set, and a
+    re-export is byte-identical (same determinism contract as id order)."""
+    import hashlib
+    import os
+
+    from zombi_spark.operators.sharding import write_training_shards
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, n_shards=4, order="pseudorandom")
+    write_training_shards(docs, p2, n_shards=4, order="pseudorandom")
+
+    def digest(root):
+        # filenames carry the write job's uuid — compare the SET of file
+        # content hashes per shard dir, which is what byte-stable means
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            shard = os.path.basename(dirpath)
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.setdefault(shard, set()).add(
+                        hashlib.sha256(
+                            open(os.path.join(dirpath, f), "rb").read()
+                        ).hexdigest()
+                    )
+        return out
+
+    assert digest(p1) == digest(p2)  # byte-stable re-export
+    shard0 = spark.read.parquet(os.path.join(p1, "shard=0"))
+    ids = [r.doc_id for r in shard0.select("doc_id").collect()]
+    assert ids != sorted(ids)  # genuinely shuffled within the shard
+    # same row set as the id-ordered export
+    p3 = str(tmp_path / "s3")
+    write_training_shards(docs, p3, n_shards=4, order="id")
+    a = sorted(r.doc_id for r in spark.read.parquet(p1).collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(p3).collect())
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "bad"), 4, order="random")

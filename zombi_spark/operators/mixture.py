@@ -81,6 +81,36 @@ def mixture_sample(
     return docs.withColumn("epoch", F.explode(epochs))
 
 
+def cap_per_source(
+    docs: DataFrame,
+    max_docs: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-source document cap — the other half of mixture control:
+    weights upsample, caps BOUND a dominant source (a crawl dump that is
+    40% of the corpus) so it can't swamp the mix. Keeps at most
+    ``max_docs`` docs per source, selected by a deterministic
+    pseudo-random order (md5 of (id, seed), id tiebreak) — an unbiased
+    sample of the source, stable under reruns and repartitioning, NOT
+    "first N by id" (ids usually correlate with crawl time).
+
+    Shape: one window (shuffle on source) + filter. Sources at/under the
+    cap pass through complete."""
+    if max_docs <= 0:
+        raise ValueError(f"max_docs must be positive, got {max_docs}")
+    from pyspark.sql import Window
+
+    order = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":cap:{seed}")))
+    w = Window.partitionBy(source_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_docs)
+        .drop("_rn")
+    )
+
+
 def mixture_report(
     docs: DataFrame,
     weights: dict[str, float],

@@ -138,15 +138,34 @@ def write_training_shards(
     n_shards: int,
     id_col: str = "doc_id",
     seed: int = 11,
+    order: str = "id",
 ) -> None:
     """Export as ``shard=K`` parquet dirs, one sorted file per shard:
     repartition on the exact shard id (each shard → one task → one file),
-    rows sorted by id within the shard so re-exports are byte-stable.
-    """
+    rows ordered within the shard so re-exports are byte-stable.
+
+    ``order``: ``"id"`` sorts by the row id (debuggable, range-scannable);
+    ``"pseudorandom"`` sorts by md5(id, seed) — the deterministic GLOBAL
+    SHUFFLE a training export wants (ids correlate with crawl time/source,
+    and a loader streaming shards in order would otherwise see the corpus
+    in that biased order). Both are pure functions of the id, so either
+    way a re-export is byte-identical."""
+    if order not in ("id", "pseudorandom"):
+        raise ValueError(f"order must be 'id' or 'pseudorandom', got {order!r}")
+    # the sort LEADS with the partition column: Spark's planned write
+    # requires child ordering to start with the partition columns and
+    # inserts its own Sort(shard) otherwise — which would silently
+    # replace the within-shard order we promise
+    sort_cols = [F.col("shard")]
+    if order == "pseudorandom":
+        sort_cols.append(
+            md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":order:{seed}")))
+        )
+    sort_cols.append(F.col(id_col))
     with_shard = df.withColumn("shard", shard_id(F.col(id_col), n_shards, seed))
     (
         with_shard.repartition(n_shards, "shard")
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions(*sort_cols)
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -503,6 +503,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (operators/mixture.py::cap_per_source) at 20 docs
+    per source: the census fingerprints the exact pseudo-randomly
+    selected subset (sum/min/max of kept ids), so the deterministic
+    selection — not just the bound — is hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = MX.cap_per_source(docs, max_docs=20)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/sharding.py::chunk_documents):
     40-token windows with 8 tokens of overlap (stride 32) — the pure-Column
