@@ -153,3 +153,31 @@ def test_trailing_newline_name_rejected():
 
     with pytest.raises(ValueError):
         validate_table_name("events\n")
+
+
+def test_data_files_are_internally_sorted(spark, tmp_path):
+    """S5's 'sorted parquet' promise, verified against the written BYTES:
+    every data file's rows are ordered by (timestamp_ms, sequence) so
+    row-group min/max stats actually skip within an hour. Regression for
+    the planned-write pitfall: Spark inserts its own Sort(partition
+    cols) unless the child ordering leads with them, which silently
+    replaced our sort (the files really were unsorted until round 6)."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    random.seed(3)
+    rows = [
+        ("t", i % 4, f"p{i}".encode(), 1704067200000 + random.randrange(0, 7_200_000),
+         None, i)
+        for i in range(4000)
+    ]
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    files = t.files()
+    assert files
+    for e in files:
+        tbl = pq.read_table(e["file_path"], columns=["timestamp_ms", "sequence"])
+        pairs = list(zip(tbl.column("timestamp_ms").to_pylist(),
+                         tbl.column("sequence").to_pylist()))
+        assert pairs == sorted(pairs), e["file_path"]

@@ -681,9 +681,15 @@ class EventTable:
             if target_file_bytes is not None
             else None
         )
+        # the sort must LEAD with the partition columns: the planned
+        # write requires child ordering to start with them and otherwise
+        # inserts its own Sort(event_date, event_hour), silently
+        # replacing the (timestamp_ms, sequence) within-file order that
+        # row-group min/max skipping depends on (found in round 6 by
+        # reading the written footers back — the files were unsorted)
         writer = self._bloom_options(
             events.repartition(par, "event_date", "event_hour")
-            .sortWithinPartitions("timestamp_ms", "sequence")
+            .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence")
             .write.mode("overwrite")
             .partitionBy("event_date", "event_hour"),
             expected_ndv=key_ndv if key_ndv is not None else cap,
@@ -1384,7 +1390,7 @@ class EventTable:
             ) == sum(f.get("row_count", 0) for f in inputs)
             writer = self._bloom_options(
                 df.repartition(ntasks, "event_date", "event_hour")
-                .sortWithinPartitions("timestamp_ms", "sequence")
+                .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence")
                 .write.mode("overwrite")
                 .partitionBy("event_date", "event_hour"),
                 expected_ndv=0
