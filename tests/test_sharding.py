@@ -211,3 +211,29 @@ def test_pseudorandom_shard_order_is_shuffled_and_byte_stable(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "bad"), 4, order="random")
+
+
+def test_chunk_reconstruction_is_lossless(spark):
+    """Coverage invariant across parameterizations: dropping each
+    non-first chunk's leading `overlap` tokens and concatenating in
+    chunk order reconstructs every document exactly — no token is lost
+    or duplicated by the windowing."""
+    from zombi_spark.operators.sharding import chunk_documents
+    from zombi_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").limit(200)
+    originals = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for max_tokens, overlap in ((40, 8), (25, 0), (17, 16)):
+        chunks = chunk_documents(docs, max_tokens=max_tokens, overlap_tokens=overlap)
+        rows = sorted(
+            ((r.doc_id, r.chunk_id, r.text) for r in chunks.collect())
+        )
+        rebuilt: dict = {}
+        for doc_id, chunk_id, text in rows:
+            toks = text.split(" ")
+            if chunk_id > 0:
+                toks = toks[overlap:]
+            rebuilt.setdefault(doc_id, []).extend(toks)
+        assert set(rebuilt) == set(originals), (max_tokens, overlap)
+        for doc_id, toks in rebuilt.items():
+            assert " ".join(toks) == originals[doc_id], (doc_id, max_tokens, overlap)
