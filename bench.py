@@ -169,6 +169,30 @@ def main() -> None:
             ) / len(qids)
             extras["ann_lsh_recall_at_5"] = round(lsh_rec, 3)
             extras["ann_ivf_recall_at_5"] = round(ivf_rec, 3)
+            # the recall knob: same index geometry, nprobe=4 — shows what
+            # probing more cells buys without touching corpus bucketing
+            from pyspark.sql import functions as F
+
+            from zombi_spark.operators import similarity as S
+            from zombi_spark.sources.tables import load_table
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            cents = S.prepare_centroids(
+                emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+            )
+            probe4 = {}
+            for r in S.ivf_topk(
+                emb, emb.where(F.col("vec_id") < 8), cents, k=5, nprobe=4
+            ).collect():
+                probe4.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            extras["ann_ivf_recall_at_5_nprobe4"] = round(
+                sum(
+                    len(ann[("brute", q)] & probe4.get(q, set())) / len(ann[("brute", q)])
+                    for q in qids
+                )
+                / len(qids),
+                3,
+            )
     except Exception as exc:  # noqa: BLE001
         errors["_ann_recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
