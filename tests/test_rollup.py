@@ -261,3 +261,52 @@ def test_sharded_state_rewrites_only_touched_shards(spark, tmp_path):
     assert _same(roll.read(), _expected(t, KEYS), KEYS)
     # read() hides the internal _shard column
     assert "_shard" not in roll.read().columns
+
+
+def test_sharded_crash_between_state_write_and_pointer_is_exactly_once(spark, tmp_path):
+    """The sharded write path keeps the crash contract: a refresh that
+    wrote its touched shards AND hardlinked the untouched ones but died
+    before the pointer swing leaves the old (state, position) serving;
+    the retry recomputes the same delta exactly once, and GC reclaims
+    the orphan generation without harming the hardlink-shared bytes."""
+    t = EventTable(spark, str(tmp_path), "events")
+    roll = MaterializedRollup(
+        t, str(tmp_path / "rollup"), n_shards=8, shard_threshold_rows=0
+    )
+    t.append(_batch(spark, 0, 60, hour_spread_ms=3_600_000))
+    roll.refresh()
+    t.append(_batch(spark, 60, 10, hour_spread_ms=3_600_000))
+    roll.refresh()  # now sharded
+    assert roll._pointer().get("n_shards") == 8
+    before = sorted(tuple(r) for r in roll.read().collect())
+    ptr_before = dict(roll._pointer())
+
+    # crash simulation: delta lands, the would-be refresh writes a full
+    # orphan generation (touched shard + hardlinks), pointer NOT swung
+    t.append(_batch(spark, 0, 1, hour_spread_ms=3_600_000))
+    old_dir = os.path.join(str(tmp_path / "rollup"), ptr_before["state_dir"])
+    orphan = os.path.join(str(tmp_path / "rollup"), "state-crashed0000")
+    delta = t.read_changes(ptr_before["version"], t.latest_version())
+    partial = roll._agg(delta)
+    shard = roll._shard_col(8)
+    (
+        roll._merge(roll.read(), partial)
+        .withColumn("_shard", shard)
+        .write.partitionBy("_shard")
+        .parquet(orphan)
+    )
+    assert sorted(tuple(r) for r in roll.read().collect()) == before
+
+    # retry from a fresh instance: exactly-once, still sharded, orphan GC'd
+    roll2 = MaterializedRollup(
+        t, str(tmp_path / "rollup"), n_shards=8, shard_threshold_rows=0
+    )
+    rep = roll2.refresh()
+    assert rep["delta_rows"] == 1
+    assert _same(roll2.read(), _expected(t, KEYS), KEYS)
+    total = roll2.read().agg(F.sum("n_events")).first()[0]
+    assert total == 71  # 60 + 10 + 1, no double count
+    dirs = [d for d in os.listdir(str(tmp_path / "rollup")) if d.startswith("state-")]
+    assert "state-crashed0000" not in dirs  # orphan generation reclaimed
+    # hardlink sharing survived the GC: current state still fully readable
+    assert roll2.read().count() == rep["state_rows"]
