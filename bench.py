@@ -116,6 +116,11 @@ def main() -> None:
 
     extras: dict = {}
     errors: dict[str, str] = {}
+    # co-tenant visibility: timings on this box inflate 2-3× under
+    # foreign load (COVERAGE.md "Bench-variance investigations") — record
+    # the 1-min load average at both ends so the artifact carries its
+    # own weather report
+    extras["load_avg_start"] = round(os.getloadavg()[0], 2)
     tmp = tempfile.mkdtemp(prefix="zombi-bench-")
     try:  # noqa: SIM105 — fault isolation per phase
         run_ingest_extras(spark, sf_dir, tmp, extras)
@@ -219,6 +224,7 @@ def main() -> None:
             extras["ingest_events_per_s"] / 800, 1
         )
 
+    extras["load_avg_end"] = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
