@@ -153,12 +153,9 @@ def main() -> None:
     # test_ivf_nprobe_improves_recall covers the nprobe knob that buys
     # recall back
     try:
-        ann = {
-            (r["method"], r["query_id"]): set()
-            for r in entrymod.queries()["ann_topk"](spark, sf_dir).collect()
-        }
+        ann: dict = {}
         for r in entrymod.queries()["ann_topk"](spark, sf_dir).collect():
-            ann[(r["method"], r["query_id"])].add(r["neighbor_id"])
+            ann.setdefault((r["method"], r["query_id"]), set()).add(r["neighbor_id"])
         ivf = {}
         for r in entrymod.queries()["ivf_ann"](spark, sf_dir).collect():
             ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
