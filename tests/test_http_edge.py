@@ -753,3 +753,63 @@ def test_body_framing_protections(edge):
     # tail limit is capped (the collect lands on the serving process)
     status, body = _call(f"http://{host}:{port}/tables/events?limit=100000000")
     assert status == 400 and "limit" in body["error"]["message"]
+
+
+def test_latency_histograms_streaming_semantics():
+    """The reference's histogram primitive (metrics/histogram.rs:1-220),
+    unit-level: cumulative buckets, sum/count, exposition format, and
+    the bucket-boundary percentile."""
+    from zombi_spark.streaming.metrics import HISTOGRAM_BUCKETS_US, LatencyHistogram
+
+    h = LatencyHistogram()
+    for v in (50, 100, 500):
+        h.observe(v)
+    total, count, buckets = h.snapshot()
+    assert (total, count) == (650, 3)
+    by = dict(zip(HISTOGRAM_BUCKETS_US, buckets))
+    # cumulative: each bucket includes every smaller observation
+    assert by[10] == 0 and by[25] == 0
+    assert by[50] == 1 and by[100] == 2 and by[250] == 2
+    assert by[500] == 3 and by[50_000] == 3
+    # past-the-last-boundary values appear only in +Inf (= count)
+    h.observe(10_000_000)
+    _, count2, buckets2 = h.snapshot()
+    assert count2 == 4 and buckets2[-1] == 3
+    # percentiles read off the boundaries
+    assert h.percentile(0.5) == 100
+    assert h.percentile(0.99) == HISTOGRAM_BUCKETS_US[-1]
+    text = h.format_prometheus("zombi_write_latency_us", "write latency")
+    assert '# TYPE zombi_write_latency_us histogram' in text
+    assert 'zombi_write_latency_us_bucket{le="100"} 2' in text
+    assert 'zombi_write_latency_us_bucket{le="+Inf"} 4' in text
+    assert "zombi_write_latency_us_count 4" in text
+    assert LatencyHistogram().percentile(0.5) is None
+
+
+def test_metrics_expose_latency_histograms(edge):
+    """A6/M6 over the wire: writes and tail reads populate the
+    write/read latency histograms and /metrics serves them in Prometheus
+    histogram form alongside the table gauges."""
+    srv, _ingests = edge
+    base = srv.base_url
+    for i in range(5):
+        status, _ = _call(
+            f"{base}/tables/events", "POST",
+            json.dumps({"payload": f'{{"v":{i}}}', "partition": 0}).encode(),
+        )
+        assert status == 202
+    status, _ = _call(f"{base}/tables/events?limit=5")
+    assert status == 200
+
+    req = urllib.request.Request(f"{base}/metrics")
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        text = resp.read().decode()
+    assert "# TYPE zombi_write_latency_us histogram" in text
+    assert "# TYPE zombi_read_latency_us histogram" in text
+    wcount = [l for l in text.splitlines() if l.startswith("zombi_write_latency_us_count")]
+    assert wcount and int(wcount[0].split()[-1]) == 5
+    rcount = [l for l in text.splitlines() if l.startswith("zombi_read_latency_us_count")]
+    assert rcount and int(rcount[0].split()[-1]) >= 1
+    # cumulative form: +Inf equals count
+    inf = [l for l in text.splitlines() if 'zombi_write_latency_us_bucket{le="+Inf"}' in l]
+    assert inf and int(inf[0].split()[-1]) == 5

@@ -377,6 +377,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             if action is None or action == "bulk":
+                _t0 = time.perf_counter()
                 events = [self._parse_single()] if action is None else self._parse_bulk()
                 order_base = time.monotonic_ns()
                 for i, e in enumerate(events):
@@ -393,7 +394,11 @@ class _Handler(BaseHTTPRequestHandler):
                     landed = ing.produce(f"edge-{uuid.uuid4().hex}", events)
                 # counted only after the durable landing (the reference
                 # increments writes_total on success, handlers.rs:1081)
-                self.server.counters.count_write(len(events), len(self._body()))  # type: ignore[attr-defined]
+                self.server.counters.count_write(  # type: ignore[attr-defined]
+                    len(events),
+                    len(self._body()),
+                    latency_us=int((time.perf_counter() - _t0) * 1e6),
+                )
                 self._send_json(
                     {"table": table, "count": len(events), "landed": landed, "accepted": True},
                     202,
@@ -618,8 +623,10 @@ class _Handler(BaseHTTPRequestHandler):
             from zombi_spark.table.stats import prometheus_ingest_text, prometheus_text
 
             ingests = self.server.known_ingests()  # type: ignore[attr-defined]
-            text = prometheus_text([i.table for i in ingests]) + prometheus_ingest_text(
-                ingests
+            text = (
+                prometheus_text([i.table for i in ingests])
+                + prometheus_ingest_text(ingests)
+                + self.server.counters.prometheus_histograms()  # type: ignore[attr-defined]
             )
             self._send_bytes(text.encode(), "text/plain; version=0.0.4")
             return
@@ -725,6 +732,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(body, status)
             return
         # limit+1 probe for has_more (handlers.rs:992-1001)
+        _t0 = time.perf_counter()
         tail_df = ing.tail(table, partition=partition, since_ms=since_ms, limit=limit + 1)
         if negotiate_format(self.headers.get("Accept", "")) == "arrow":
             # S12: Arrow IPC stream of the projected tail (the limit+1
@@ -736,7 +744,9 @@ class _Handler(BaseHTTPRequestHandler):
             tbl = tail_df.select(*fields).toArrow()
             has_more = tbl.num_rows > limit
             tbl = tbl.slice(0, limit)
-            self.server.counters.count_read(tbl.num_rows)  # type: ignore[attr-defined]
+            self.server.counters.count_read(  # type: ignore[attr-defined]
+                tbl.num_rows, latency_us=int((time.perf_counter() - _t0) * 1e6)
+            )
             sink = io.BytesIO()
             with pa.ipc.new_stream(sink, tbl.schema) as writer:
                 writer.write_table(tbl)
@@ -748,7 +758,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         rows = tail_df.collect()
         has_more = len(rows) > limit
-        self.server.counters.count_read(min(len(rows), limit))  # type: ignore[attr-defined]
+        self.server.counters.count_read(  # type: ignore[attr-defined]
+            min(len(rows), limit), latency_us=int((time.perf_counter() - _t0) * 1e6)
+        )
         records = []
         for r in rows[:limit]:
             d = r.asDict()
@@ -765,6 +777,8 @@ class _Counters:
     HTTP plane of THIS process."""
 
     def __init__(self):
+        from zombi_spark.streaming.metrics import LatencyHistogram
+
         self.started = time.time()
         self._lock = threading.Lock()
         self.write_requests = 0
@@ -773,17 +787,35 @@ class _Counters:
         self.read_requests = 0
         self.read_records = 0
         self.errors_total = 0
+        # streaming latency distributions (metrics/histogram.rs +
+        # registry.rs write_latency_us/read_latency_us): observed on the
+        # request thread at ack time, scraped via /metrics
+        self.write_latency_us = LatencyHistogram()
+        self.read_latency_us = LatencyHistogram()
 
-    def count_write(self, events: int, nbytes: int) -> None:
+    def count_write(self, events: int, nbytes: int, latency_us: int | None = None) -> None:
         with self._lock:
             self.write_requests += 1
             self.write_events += events
             self.write_bytes += nbytes
+        if latency_us is not None:
+            self.write_latency_us.observe(latency_us)
 
-    def count_read(self, records: int) -> None:
+    def count_read(self, records: int, latency_us: int | None = None) -> None:
         with self._lock:
             self.read_requests += 1
             self.read_records += records
+        if latency_us is not None:
+            self.read_latency_us.observe(latency_us)
+
+    def prometheus_histograms(self) -> str:
+        return self.write_latency_us.format_prometheus(
+            "zombi_write_latency_us",
+            "HTTP write path latency (parse to durable-landing ack), microseconds",
+        ) + self.read_latency_us.format_prometheus(
+            "zombi_read_latency_us",
+            "HTTP tail-read latency (plan to serialized response), microseconds",
+        )
 
     def count_error(self) -> None:
         with self._lock:
