@@ -414,6 +414,7 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 try:
                     if action == "flush":
+                        _f0 = time.perf_counter()
                         q = ing.start(available_now=True)
                         finished = q.awaitTermination(600)
                         if not finished:
@@ -430,6 +431,9 @@ class _Handler(BaseHTTPRequestHandler):
                             )
                             self._send_json(body, status)
                             return
+                        self.server.counters.flush_duration_us.observe(  # type: ignore[attr-defined]
+                            int((time.perf_counter() - _f0) * 1e6)
+                        )
                         self._send_json({"table": table, "flushed": True})
                     else:
                         # M1 over HTTP (handlers.rs:1379-1408);
@@ -792,6 +796,7 @@ class _Counters:
         # request thread at ack time, scraped via /metrics
         self.write_latency_us = LatencyHistogram()
         self.read_latency_us = LatencyHistogram()
+        self.flush_duration_us = LatencyHistogram()
 
     def count_write(self, events: int, nbytes: int, latency_us: int | None = None) -> None:
         with self._lock:
@@ -815,6 +820,9 @@ class _Counters:
         ) + self.read_latency_us.format_prometheus(
             "zombi_read_latency_us",
             "HTTP tail-read latency (plan to serialized response), microseconds",
+        ) + self.flush_duration_us.format_prometheus(
+            "zombi_flush_duration_us",
+            "Landing-zone drain (availableNow flush) duration, microseconds",
         )
 
     def count_error(self) -> None:
