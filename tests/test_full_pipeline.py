@@ -70,6 +70,17 @@ def test_full_training_pipeline(spark, tmp_path):
     assert 0 < n4 <= n4a
     assert n4 >= int(0.8 * n4a)  # a decile floor must not gut the corpus
 
+    # 4c. per-source caps BEFORE re-weighting: bound the most dominant
+    #     source so mixture weights act on a balanced base
+    dominant, dom_n = max(
+        ((r["source"], r["n"]) for r in stage4.groupBy("source").agg(F.count("*").alias("n")).collect()),
+        key=lambda kv: kv[1],
+    )
+    cap = max(1, dom_n - 2)
+    stage4c = MX.cap_per_source(stage4, cap)
+    assert stage4c.where(F.col("source") == dominant).count() == cap
+    stage4 = stage4c
+
     # 5. mixture: src0 over-sampled 2x, everything else 1 pass
     sources = [r.source for r in stage4.select("source").distinct().collect()]
     weights = {s: (2.0 if s == "src0" else 1.0) for s in sources}
@@ -99,9 +110,13 @@ def test_full_training_pipeline(spark, tmp_path):
     )
     assert over.count() == 0  # only single-doc over-budget packs allowed
 
-    # 8. shard export: every train row lands in exactly one shard file
+    # 8. shard export in training order (deterministic global shuffle):
+    #    every train row lands in exactly one shard file
     out = str(tmp_path / "shards")
-    SH.write_training_shards(train.select("uid", "text"), out, n_shards=4, id_col="uid")
+    SH.write_training_shards(
+        train.select("uid", "text"), out, n_shards=4, id_col="uid",
+        order="pseudorandom",
+    )
     back = spark.read.parquet(out)
     assert back.count() == train.count()
     shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
@@ -109,5 +124,5 @@ def test_full_training_pipeline(spark, tmp_path):
 
     # 9. dataset card over the final corpus reconciles with the data
     card = dataset_card(stage4)
-    assert card["totals"]["documents"] == n4
+    assert card["totals"]["documents"] == stage4.count()
     assert json.dumps(card)  # serializable end to end
