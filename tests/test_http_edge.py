@@ -813,3 +813,54 @@ def test_metrics_expose_latency_histograms(edge):
     # cumulative form: +Inf equals count
     inf = [l for l in text.splitlines() if 'zombi_write_latency_us_bucket{le="+Inf"}' in l]
     assert inf and int(inf[0].split()[-1]) == 5
+
+
+def test_multiprocess_latency_histograms_are_plane_wide(spark, tmp_path):
+    """Round-6 review fix: with SO_REUSEPORT workers carrying the write
+    load, the write-latency histogram must still be visible at the
+    parent's /metrics — observations accumulate in shared memory across
+    every process of the plane, not per-process (where the proxied
+    scrape would show an empty distribution exactly under load)."""
+    import http.client
+
+    ingests: dict[str, StreamingIngest] = {}
+
+    def resolver(name: str, create: bool) -> StreamingIngest:
+        if name not in ingests:
+            if not create:
+                raise KeyError(name)
+            table = EventTable(spark, str(tmp_path), name)
+            ingests[name] = StreamingIngest(
+                spark,
+                str(tmp_path / f"landing-{name}"),
+                table,
+                str(tmp_path / f"ckpt-{name}"),
+            )
+        return ingests[name]
+
+    with HttpIngestEdge(resolver, workers=2, combine_max_wait_ms=2.0) as srv:
+        host, port = srv._httpd.server_address[:2]
+        pids = set()
+        for i in range(20):
+            conn = http.client.HTTPConnection(host, port)
+            conn.request(
+                "POST",
+                "/tables/mph",
+                json.dumps({"payload": f'{{"i":{i}}}', "partition": 0}).encode(),
+            )
+            r = conn.getresponse()
+            r.read()
+            assert r.status == 202
+            pids.add(r.getheader("X-Edge-Pid"))
+            conn.close()
+        assert len(pids) >= 2  # the load really did spread
+        conn = http.client.HTTPConnection(host, port)
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        text = r.read().decode()
+        conn.close()
+        count = [
+            l for l in text.splitlines()
+            if l.startswith("zombi_write_latency_us_count")
+        ]
+        assert count and int(count[0].split()[-1]) == 20, text[:400]

@@ -310,3 +310,33 @@ def test_sharded_crash_between_state_write_and_pointer_is_exactly_once(spark, tm
     assert "state-crashed0000" not in dirs  # orphan generation reclaimed
     # hardlink sharing survived the GC: current state still fully readable
     assert roll2.read().count() == rep["state_rows"]
+
+
+def test_retention_emptying_a_sharded_rollup_recovers(spark, tmp_path):
+    """Regression (round-6 review): a retention delete that removes the
+    ENTIRE key range of a SHARDED rollup rebuilds to an empty state —
+    the empty state must write unsharded (a zero-row partitionBy write
+    emits no schema-bearing files and the read-back would raise), and
+    the rollup must keep advancing afterwards."""
+    t = EventTable(spark, str(tmp_path), "events")
+    day = 24 * 3600 * 1000
+    roll = MaterializedRollup(
+        t, str(tmp_path / "rollup"), n_shards=8, shard_threshold_rows=0
+    )
+    t.append(_batch(spark, 0, 30, hour_spread_ms=3_600_000))
+    roll.refresh()
+    t.append(_batch(spark, 30, 10, hour_spread_ms=3_600_000))
+    roll.refresh()
+    assert roll._pointer().get("n_shards") == 8  # sharded now
+
+    rep = t.expire_data_older_than(1704067200000 + 400 * day)  # drop everything
+    assert rep["rows_removed"] == 40
+    rep2 = roll.refresh()
+    assert rep2["rebuilt"] is True and rep2["state_rows"] == 0
+    assert roll.read().count() == 0  # readable empty state
+
+    # life goes on: new data folds, re-sharding happens on the next step
+    t.append(_batch(spark, 100, 5, hour_spread_ms=3_600_000))
+    rep3 = roll.refresh()
+    assert rep3["delta_rows"] == 5
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)

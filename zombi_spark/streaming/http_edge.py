@@ -780,7 +780,7 @@ class _Counters:
     Durable per-table truth lives in snapshot summaries; these cover the
     HTTP plane of THIS process."""
 
-    def __init__(self):
+    def __init__(self, latency_backing: dict | None = None):
         from zombi_spark.streaming.metrics import LatencyHistogram
 
         self.started = time.time()
@@ -793,10 +793,16 @@ class _Counters:
         self.errors_total = 0
         # streaming latency distributions (metrics/histogram.rs +
         # registry.rs write_latency_us/read_latency_us): observed on the
-        # request thread at ack time, scraped via /metrics
-        self.write_latency_us = LatencyHistogram()
-        self.read_latency_us = LatencyHistogram()
-        self.flush_duration_us = LatencyHistogram()
+        # request thread at ack time, scraped via /metrics.
+        # ``latency_backing`` carries multiprocessing Arrays so the
+        # multi-process write plane accumulates into ONE histogram the
+        # parent's /metrics scrape actually sees (workers proxy GETs to
+        # the parent — per-process histograms there would hide nearly
+        # all write latencies exactly when workers carry the load)
+        lb = latency_backing or {}
+        self.write_latency_us = LatencyHistogram(lb.get("write"))
+        self.read_latency_us = LatencyHistogram(lb.get("read"))
+        self.flush_duration_us = LatencyHistogram(lb.get("flush"))
 
     def count_write(self, events: int, nbytes: int, latency_us: int | None = None) -> None:
         with self._lock:
@@ -1019,7 +1025,7 @@ class _WriteWorkerHandler(_Handler):
         self._proxy()
 
 
-def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready) -> None:
+def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready, latency_backing=None) -> None:
     """Entry point of one edge worker process (spawned — never forked:
     the parent holds a live JVM). Binds the shared public port with
     SO_REUSEPORT and serves until SIGTERM, draining combiners first so
@@ -1027,7 +1033,7 @@ def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready) -> 
     state = _WorkerState(tuple(parent_addr), combine, tuple(combine_args))
     srv = _ReusePortServer((host, port), _WriteWorkerHandler)
     srv.state = state  # type: ignore[attr-defined]
-    srv.counters = _Counters()  # type: ignore[attr-defined]
+    srv.counters = _Counters(latency_backing)  # type: ignore[attr-defined]
 
     def _graceful_stop() -> None:
         state.close()
@@ -1091,7 +1097,18 @@ class HttpIngestEdge:
         self._internal_httpd: ThreadingHTTPServer | None = None
         self._worker_procs: list = []
         self._thread: threading.Thread | None = None
-        self._counters = _Counters()
+        # with a multi-process write plane, latency histograms live in
+        # shared memory so every process's observations land in the one
+        # set the parent's /metrics scrape serves
+        self._latency_shm = None
+        if workers:
+            from zombi_spark.streaming.metrics import SHM_SLOTS
+
+            _ctx = multiprocessing.get_context("spawn")
+            self._latency_shm = {
+                k: _ctx.Array("Q", SHM_SLOTS) for k in ("write", "read", "flush")
+            }
+        self._counters = _Counters(self._latency_shm)
 
     def _resolve(self, name: str, create: bool) -> StreamingIngest:
         ing = self.resolver(name, create)
@@ -1157,6 +1174,7 @@ class HttpIngestEdge:
                         self.combine,
                         self._combine_args,
                         ready,
+                        self._latency_shm,
                     ),
                     daemon=True,
                 )

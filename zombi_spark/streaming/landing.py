@@ -243,8 +243,17 @@ class LandingZone:
         with open(tmp, "wb") as fh:
             fh.write(body)
         os.replace(tmp, final)
+        landed_at = time.monotonic()
         with self._backlog_lock:
-            if self._backlog_bytes is not None:
+            # count our file only if no resync walked the directory since
+            # it landed — a concurrent resync that finished after our
+            # os.replace already saw the file, and adding it again would
+            # overstate the backlog, putting every later produce on the
+            # O(backlog) refusal-confirmation path (the inverse race —
+            # a walk that started before our replace but finished after —
+            # skips the add and undercounts by one batch for at most one
+            # resync interval, inside the documented budget softness)
+            if self._backlog_bytes is not None and self._backlog_synced_at < landed_at:
                 self._backlog_bytes += len(body)
         return final
 

@@ -22,24 +22,43 @@ HISTOGRAM_BUCKETS_US: tuple[int, ...] = (
 )
 
 
+#: shared-array layout: [sum, count, bucket_0 … bucket_11]
+SHM_SLOTS = 2 + len(HISTOGRAM_BUCKETS_US)
+
+
 class LatencyHistogram:
     """Thread-safe fixed-bucket latency histogram.
 
     ``observe(value_us)`` increments every bucket whose boundary is
     ≥ the value (cumulative form, histogram.rs:80-87); values past the
     last boundary land only in the implicit ``+Inf`` bucket (= count).
+
+    ``backing`` accepts a ``multiprocessing.Array('Q', SHM_SLOTS)``:
+    with it, observations from EVERY process of the edge's write plane
+    accumulate into one shared histogram (the reference's process-wide
+    atomics) — without it, counts are process-local.
     """
 
-    __slots__ = ("_lock", "_sum", "_count", "_buckets")
+    __slots__ = ("_backing", "_lock", "_sum", "_count", "_buckets")
 
-    def __init__(self) -> None:
-        self._lock = threading.Lock()
-        self._sum = 0
-        self._count = 0
-        self._buckets = [0] * len(HISTOGRAM_BUCKETS_US)
+    def __init__(self, backing=None) -> None:
+        self._backing = backing
+        if backing is None:
+            self._lock = threading.Lock()
+            self._sum = 0
+            self._count = 0
+            self._buckets = [0] * len(HISTOGRAM_BUCKETS_US)
 
     def observe(self, value_us: int) -> None:
         v = int(value_us)
+        if self._backing is not None:
+            with self._backing.get_lock():
+                self._backing[0] += v
+                self._backing[1] += 1
+                for i, boundary in enumerate(HISTOGRAM_BUCKETS_US):
+                    if v <= boundary:
+                        self._backing[2 + i] += 1
+            return
         with self._lock:
             self._sum += v
             self._count += 1
@@ -49,6 +68,10 @@ class LatencyHistogram:
 
     def snapshot(self) -> tuple[int, int, list[int]]:
         """(sum, count, cumulative bucket counts)."""
+        if self._backing is not None:
+            with self._backing.get_lock():
+                vals = list(self._backing)
+            return vals[0], vals[1], vals[2:]
         with self._lock:
             return self._sum, self._count, list(self._buckets)
 

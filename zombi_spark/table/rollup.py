@@ -324,7 +324,7 @@ class MaterializedRollup:
                     merged = self._merge(old_state, partial)
                 else:
                     merged = partial  # first build, or full rebuild
-                if shard_now:
+                if shard_now and not merged.isEmpty():
                     # transition / rebuild into the sharded layout
                     (
                         merged.withColumn("_shard", self._shard_col())
@@ -334,6 +334,12 @@ class MaterializedRollup:
                     )
                     new_shards = self.n_shards
                 else:
+                    # NB: an EMPTY state must write UNSHARDED — a
+                    # zero-row partitionBy write emits no part files at
+                    # all, so the dir has no schema and the read-back
+                    # raises; the plain write emits a schema-bearing
+                    # file (hit when a retention delete empties a
+                    # sharded rollup's whole key range)
                     merged.write.mode("overwrite").parquet(out)
                     new_shards = None
                 n_state = self.spark.read.parquet(out).count()
