@@ -132,3 +132,36 @@ def test_cap_per_source_bounds_and_is_deterministic(docs):
 
     with pytest.raises(ValueError):
         M.cap_per_source(docs, 0)
+
+
+def test_cap_prefilter_equals_naive_ranking_on_skewed_corpus(spark):
+    """The closed-form cutoff + bounded window must select EXACTLY the
+    set a naive full-source window would — verified on a corpus where
+    one source holds ~95% of the rows (the skew case the prefilter
+    exists for)."""
+    from pyspark.sql import Window
+
+    from zombi_spark.functions.hashing import md5_long
+
+    big = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("dump").alias("source")
+    )
+    small = spark.range(20_000, 21_000).select(
+        F.col("id").alias("doc_id"), F.lit("books").alias("source")
+    )
+    docs = big.unionByName(small)
+    cap = 500
+    got = sorted(
+        (r["source"], r["doc_id"]) for r in M.cap_per_source(docs, cap).collect()
+    )
+    order = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":cap:0")))
+    w = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id").asc())
+    want = sorted(
+        (r["source"], r["doc_id"])
+        for r in docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .collect()
+    )
+    assert got == want
+    assert sum(1 for s, _ in got if s == "dump") == cap
+    assert sum(1 for s, _ in got if s == "books") == cap

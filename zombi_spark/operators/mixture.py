@@ -96,19 +96,64 @@ def cap_per_source(
     sample of the source, stable under reruns and repartitioning, NOT
     "first N by id" (ids usually correlate with crawl time).
 
-    Shape: one window (shuffle on source) + filter. Sources at/under the
-    cap pass through complete."""
+    Scale shape (the 40%-source case is the POINT of this operator, so a
+    plain ``Window.partitionBy(source)`` — all of that source through
+    one task — would be self-defeating): sources at/under the cap pass
+    through with no ranking at all; each over-cap source is first
+    PREFILTERED by a closed-form order-hash cutoff — the md5 order is
+    uniform in [0, 2⁶⁰), so keeping hashes below
+    ``2⁶⁰·(max_docs + 6√max_docs + 10)/n`` yields ≥ ``max_docs``
+    candidates except at ~6σ binomial odds, and a one-row-per-source
+    verification catches even that tail (an undershooting source falls
+    back to its full row set) — then only the bounded candidate set goes
+    through the exact rank: the single-task window state is O(max_docs),
+    never O(source). The selected set is IDENTICAL to the naive
+    full-source ranking: the prefilter is a verified superset of the
+    true top set under the same total order."""
     if max_docs <= 0:
         raise ValueError(f"max_docs must be positive, got {max_docs}")
     from pyspark.sql import Window
 
     order = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f":cap:{seed}")))
-    w = Window.partitionBy(source_col).orderBy(order.asc(), F.col(id_col).asc())
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= max_docs)
-        .drop("_rn")
+    sized = docs.withColumn("_ord", order)
+    counts = {
+        r[source_col]: r["n"]
+        for r in sized.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    over = sorted(s for s, n in counts.items() if n is not None and n > max_docs)
+    if not over:
+        return docs  # nothing exceeds the cap — zero extra work
+    under_df = sized.where(~F.col(source_col).isin(over)).drop("_ord")
+    big = sized.where(F.col(source_col).isin(over))
+    margin = 6 * max_docs**0.5 + 10
+    cut_map = F.create_map(
+        *[
+            x
+            for s in over
+            for x in (
+                F.lit(s),
+                F.lit(int(min(1.0, (max_docs + margin) / counts[s]) * (1 << 60))),
+            )
+        ]
     )
+    pre = big.where(F.col("_ord") <= cut_map[F.col(source_col)])
+    got = {
+        r[source_col]: r["n"]
+        for r in pre.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+    }
+    short = [s for s in over if got.get(s, 0) < min(max_docs, counts[s])]
+    if short:  # ~6σ tail: take those sources whole — correctness first
+        pre = big.where(
+            (F.col("_ord") <= cut_map[F.col(source_col)])
+            | F.col(source_col).isin(short)
+        )
+    w = Window.partitionBy(source_col).orderBy(F.col("_ord").asc(), F.col(id_col).asc())
+    capped = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_docs)
+        .drop("_rn", "_ord")
+    )
+    return under_df.unionByName(capped)
 
 
 def mixture_report(
