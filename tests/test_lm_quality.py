@@ -27,9 +27,11 @@ def model(spark):
 
 def test_char_ngrams_edges(spark):
     df = spark.createDataFrame([(0, "abcd"), (1, "ab"), (2, "")], "i long, t string")
-    got = {r.i: r.g for r in df.select("i", LM.char_ngrams(F.col("t"), 3).alias("g")).collect()}
-    assert got[0] == ["abc", "bcd"]
-    assert got[1] == [] and got[2] == []
+    rows = LM.exploded_char_ngrams(df, F.col("t"), 3, "i").collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.i, []).append(r.gram)
+    assert got == {0: ["abc", "bcd"]}  # too-short docs yield no rows
 
 
 def test_model_shape(model):

@@ -151,3 +151,21 @@ def test_plan_cache_is_session_scoped_and_gc_safe():
         s2 = FakeSession()
         assert "k" not in session_cache(s2, "ns")
         del s2
+
+
+def test_simhash_oracle_width_assumption_holds():
+    """The simhash_near_dup oracle SQL hardwires 16-bit hashes / 4-bit
+    chunks while the Spark query DERIVES the width from corpus size
+    (bits=None). Pin the coupling loudly: at both oracle-checked scales
+    the derivation must yield 16 — if the harness ever runs a corpus
+    where simhash_bits_for returns something else, this fails with a
+    message instead of an opaque hash mismatch. Update the oracle's hash
+    width, chunk count and chunk mask together with this test."""
+    from zombi_spark.operators.dedup import simhash_bits_for
+
+    # sf0.01: 500 docs + 10 planted near-dups; sf0.1: 5000 + 100
+    for n in (510, 5100):
+        assert simhash_bits_for(n) == 16, (
+            f"derived simhash width changed for n={n}; the simhash_near_dup "
+            "oracle SQL assumes 16 bits and must be updated in lockstep"
+        )

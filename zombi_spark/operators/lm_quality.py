@@ -32,23 +32,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def char_ngrams(text: Column, n: int) -> Column:
-    """Array of character n-grams (substring over a position sequence;
-    empty array when len(text) < n). NOTE: ``transform`` is a
-    higher-order function — Catalyst evaluates its lambda interpreted,
-    per element — so the HOT paths below explode an integer position
-    sequence and substring AFTER the explode instead
-    (:func:`exploded_char_ngrams`), which stays inside whole-stage
-    codegen; this array form remains for array-valued callers."""
-    return F.when(
-        F.length(text) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(text) - (n - 1)),
-            lambda i: text.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def exploded_char_ngrams(
     docs: DataFrame, text: Column, n: int, *keep: str
 ) -> DataFrame:

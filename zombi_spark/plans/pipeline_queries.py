@@ -159,31 +159,30 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two tokens dropped — hamming-close by construction). The pair set is
     then the realistic one: planted near-dups plus the expected thin
     tail of random hamming-≤3 collisions at the derived width.
+
+    (Built once per (session, sf) by the registry's ``_memoized``
+    wrapper — no inner cache.)
     """
-    cache = session_cache(spark, "plans")
-    key = (sf_dir, "simhash_near_dup")
-    if key not in cache:
-        docs = load_table(spark, sf_dir, "documents")
-        pref = F.array_join(
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda t: F.concat(
-                    F.lit("d"), F.col("doc_id").cast("string"), F.lit("_"), t
-                ),
+    docs = load_table(spark, sf_dir, "documents")
+    pref = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(
+                F.lit("d"), F.col("doc_id").cast("string"), F.lit("_"), t
             ),
-            " ",
-        )
-        base = docs.select("doc_id", pref.alias("text"))
-        toks = F.split(F.col("text"), " ")
-        planted = base.where(F.col("doc_id") % 50 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
-        )
-        corpus = base.unionByName(planted)
-        cache[key] = D.simhash_near_dup(corpus, bits=None, max_hamming=3).orderBy(
-            "id_a", "id_b"
-        )
-    return cache[key]
+        ),
+        " ",
+    )
+    base = docs.select("doc_id", pref.alias("text"))
+    toks = F.split(F.col("text"), " ")
+    planted = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    return D.simhash_near_dup(corpus, bits=None, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,23 +401,21 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-trigram integer quantization (``quantize_unit=1000`` — millinats),
     so the per-doc score is an exact integer sum the DuckDB oracle
     recomputes bit-for-bit. Non-English docs score visibly worse — the
-    filtering signal this operator exists to produce."""
-    cache = session_cache(spark, "plans")
-    key = (sf_dir, "perplexity_scores")
-    if key not in cache:
-        docs = load_table(spark, sf_dir, "documents")
-        model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
-        # the model is bounded by charset³ (a few thousand rows here) but
-        # DERIVING it re-explodes the reference corpus — persist the tiny
-        # frames so repeated executions re-score, not re-train (the same
-        # call a real pipeline makes: train once, hold the model)
-        model["tri"] = model["tri"].persist()
-        model["bi"] = model["bi"].persist()
-        scored = LM.score_documents(docs, model, quantize_unit=1000)
-        cache[key] = scored.select(
-            "doc_id", "lang", "lm_logprob_q", "lm_trigrams"
-        ).orderBy("doc_id")
-    return cache[key]
+    filtering signal this operator exists to produce.
+
+    Built once per (session, sf) by the registry's ``_memoized`` wrapper
+    (no inner cache); the model frames persist so repeated EXECUTIONS
+    re-score, not re-train — the call a real pipeline makes."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
+    # the model is bounded by charset³ (a few thousand rows here) but
+    # DERIVING it re-explodes the reference corpus — persist the tiny frames
+    model["tri"] = model["tri"].persist()
+    model["bi"] = model["bi"].persist()
+    scored = LM.score_documents(docs, model, quantize_unit=1000)
+    return scored.select("doc_id", "lang", "lm_logprob_q", "lm_trigrams").orderBy(
+        "doc_id"
+    )
 
 
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
