@@ -39,6 +39,12 @@ def canon(cols, rows):
 
 names = sys.argv[1:] or list(m.queries().keys())
 qs, oracles = m.queries(), m.oracle_sql()
+# local-only extras registry resolves too (rotated-out + chunk/caps
+# oracles): named explicitly, or all of them via "extras"
+if names == ["extras"]:
+    names = list(m.extra_queries().keys())
+qs = {**m.extra_queries(), **qs}
+oracles = {**m.extra_oracle_sql(), **oracles}
 fails = []
 for name in names:
     try:
