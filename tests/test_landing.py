@@ -151,3 +151,28 @@ def test_refusal_is_never_issued_from_a_stale_counter(tmp_path):
     # cached counter still says over budget — produce must resync + admit
     zone.produce("after-drain", [{"payload": "y"}])
     assert zone.admission_status()["status"] == 200
+
+
+def test_seen_files_survive_percent_encoded_checkpoint_uris(tmp_path):
+    """Round-6 review fix: Spark's source log records file:// URIs
+    percent-encoded. A landing dir with a space (or any non-ASCII char)
+    must still resolve committed files — the old prefix-strip left %20
+    in the path, so every committed file stayed 'pending' forever
+    (cleanup never fired, the hot tier served committed rows twice, and
+    the byte budget filled with already-ingested files)."""
+    import urllib.parse
+
+    land = tmp_path / "land ing"
+    zone = LandingZone(str(land), str(tmp_path / "ckpt"))
+    landed = zone.produce("b0", [{"payload": "x"}])
+    assert " " in landed
+    uri = "file://" + urllib.parse.quote(landed)
+    _plan_batch(str(tmp_path / "ckpt"), 0, [])  # helper writes raw paths
+    # hand-write the entry exactly as Spark does: quoted URI
+    src = os.path.join(str(tmp_path / "ckpt"), "sources", "0")
+    with open(os.path.join(src, "0"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(json.dumps({"path": uri, "timestamp": 1, "batchId": 0}) + "\n")
+    _commit_batch(str(tmp_path / "ckpt"), 0)
+    assert zone.checkpoint_seen_files() == {landed}
+    assert zone.pending_files() == []

@@ -139,3 +139,102 @@ def test_retention_delete_is_metadata_only_and_file_aligned(spark, tmp_path):
     removed = t.remove_orphans(older_than_s=0)
     assert removed  # the dropped day-1 parquet is physically gone
     assert t.read().count() == 14  # live data intact
+
+
+def test_noop_compact_mints_no_snapshot(spark, tmp_path):
+    """Round-6 review fix: a maintenance tick on an already-compacted
+    table must not grow the snapshot log / Iceberg metadata — compact()
+    with zero candidate partitions returns a no-op report at the current
+    version instead of committing an empty delta."""
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+    from zombi_spark.table.event_table import EventTable
+
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(10)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    v1 = t.latest_version()
+    rep = t.compact(min_input_files=99)  # nothing qualifies
+    assert rep.get("noop") is True and rep["files_rewritten"] == 0
+    assert t.latest_version() == v1  # no version minted
+    assert rep["version"] == v1
+
+
+def test_expired_version_read_raises_value_error(spark, tmp_path):
+    """Round-6 review fix: reading a version inside [0, latest] whose
+    snapshot was expired surfaces the documented ValueError, not a
+    FileNotFoundError from deep inside manifest replay."""
+    import pytest
+
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+    from zombi_spark.table.event_table import EventTable
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for i in range(6):
+        rows = [("t", 0, f"p{i}-{j}".encode(), 1704067200000 + i * 1000 + j, None, i * 10 + j)
+                for j in range(3)]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        t.read(version=0).count()
+    # retained versions still serve
+    assert t.read(version=t.latest_version()).count() == 18
+
+
+def test_remove_orphans_reclaims_undotted_meta_tmp(spark, tmp_path):
+    """Round-6 review fix: interrupted table.json / extracted_fields.json
+    writes leave UNDOTTED .tmp files the old dot-only pattern never
+    matched — they must be reclaimed like any crashed meta commit."""
+    import os
+
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+    from zombi_spark.table.event_table import EventTable
+
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000, None, 1)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    leftovers = [
+        os.path.join(t.meta_path, "table.json.tmp"),
+        os.path.join(t.meta_path, "extracted_fields.json.deadbeef.tmp"),
+        os.path.join(t.meta_path, ".snap-00000099.json.tmp"),
+    ]
+    for p in leftovers:
+        with open(p, "w") as fh:
+            fh.write("{}")
+        os.utime(p, (1, 1))  # well past the grace window
+    removed = t.remove_orphans(older_than_s=3600)
+    for p in leftovers:
+        assert p in removed and not os.path.exists(p), p
+    # the LIVE meta files are untouched
+    assert os.path.isfile(os.path.join(t.meta_path, "table.json"))
+
+
+def test_schema_config_cannot_convert_a_populated_plain_table(spark, tmp_path):
+    """Round-6 review fix: reopening a payload-bearing plain table with a
+    schema_config would drop the payload column and hide every committed
+    row's content — the conversion is rejected; creating a fresh
+    extraction table and column-ADD evolution both still work."""
+    import pytest
+
+    from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.table.event_table import EventTable
+
+    cfg = TableSchemaConfig(
+        payload_format="json", fields=[FieldSpec("k", "$.k", "int64")]
+    )
+    t = EventTable(spark, str(tmp_path), "plain")
+    rows = [("t", 0, b'{"k": 1}', 1704067200000, None, 1)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    with pytest.raises(ValueError, match="payload"):
+        EventTable(spark, str(tmp_path), "plain", schema_config=cfg)
+    # a FRESH table with the config is fine (no committed plain data)
+    t2 = EventTable(spark, str(tmp_path), "extract", schema_config=cfg)
+    t2.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    assert "k" in t2.read().columns and "payload" not in t2.read().columns
+    # column-ADD evolution on the extraction table still works
+    cfg2 = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec("k", "$.k", "int64"), FieldSpec("m", "$.m", "utf8")],
+    )
+    t3 = EventTable(spark, str(tmp_path), "extract", schema_config=cfg2)
+    assert {f["name"] for f in t3.extracted_fields()} == {"k", "m"}

@@ -267,3 +267,39 @@ def test_admission_control_bounds_landing_zone(spark, tmp_path):
     )
     assert table.read().count() == n_admitted * 5
     ing.produce("after-drain", _mk_events(1000, 5, partitions=1))
+
+
+def test_null_system_columns_cannot_poison_watermarks(spark, tmp_path):
+    """Round-6 review fix: a landing line missing topic/partition (a
+    library producer, or a malformed line PERMISSIVE-parsed to nulls)
+    used to commit the unparseable summary key
+    'zombi.watermark.None/None', after which every watermark_map() read
+    — i.e. all future ingest — raised. The streaming reader now defaults
+    the system columns (table name / partition 0), and a direct append
+    with null system columns refuses BEFORE committing anything."""
+    import pytest
+
+    table = EventTable(spark, str(tmp_path), "poison")
+    ing = StreamingIngest(spark, str(tmp_path / "landing"), table, str(tmp_path / "ckpt"))
+    # library producer omits topic and partition entirely
+    ing.produce("bare", [{"payload": "p1"}, {"payload": "p2"}])
+    q = ing.start(available_now=True)
+    q.awaitTermination(300)
+    assert table.read().count() == 2
+    wm = table.watermark_map()  # must parse — this is what used to raise
+    assert wm[("poison", 0)] == 2
+    got = {(r["topic"], r["partition"]) for r in table.read().select("topic", "partition").collect()}
+    assert got == {("poison", 0)}
+
+    # the direct-append path refuses nulls before any commit
+    from zombi_spark.ingest.batch import prepare_events
+
+    version_before = table.latest_version()
+    bad = spark.createDataFrame(
+        [(None, None, b"x", 1704067200000, None, 1)],
+        "topic string, partition int, payload binary, timestamp_ms long, "
+        "idempotency_key string, ingest_order long",
+    )
+    with pytest.raises(ValueError, match="NULL topic/partition"):
+        table.append(prepare_events(bad))
+    assert table.latest_version() == version_before  # nothing committed

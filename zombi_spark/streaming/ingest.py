@@ -186,9 +186,15 @@ class StreamingIngest:
         if self.max_bytes_per_trigger is not None:
             reader = reader.option("maxBytesPerTrigger", str(self.max_bytes_per_trigger))
         raw = reader.json(self.landing_dir)
+        # poison-row isolation for the system columns: a landing line
+        # missing topic/partition (library producer, or a malformed line
+        # PERMISSIVE-parsed to all-null) would otherwise commit an
+        # unparseable watermark key ('zombi.watermark.None/None') that
+        # kills every later watermark_map() read — default them instead
+        # (the same defaults the HTTP edge applies before landing)
         return raw.select(
-            "topic",
-            "partition",
+            F.coalesce(F.col("topic"), F.lit(self.table.name)).alias("topic"),
+            F.coalesce(F.col("partition"), F.lit(0)).cast("int").alias("partition"),
             F.col("payload").cast("binary").alias("payload"),
             "timestamp_ms",
             "idempotency_key",

@@ -23,6 +23,7 @@ import json
 import os
 import threading
 import time
+import urllib.parse
 import uuid
 
 
@@ -134,11 +135,16 @@ class LandingZone:
                                 continue
                             batch = entry.get("batchId", file_batch)
                             if batch in committed:
-                                seen.add(
-                                    os.path.abspath(
-                                        entry["path"].replace("file://", "")
-                                    )
-                                )
+                                # the log records a file:// URI, percent-
+                                # encoded — a naive prefix-strip leaves
+                                # %20 etc. in the path, so committed files
+                                # in any dir with a space/non-ASCII char
+                                # never match and stay "pending" forever
+                                p_raw = entry["path"]
+                                if p_raw.startswith("file:"):
+                                    parsed = urllib.parse.urlparse(p_raw)
+                                    p_raw = urllib.parse.unquote(parsed.path)
+                                seen.add(os.path.abspath(p_raw))
         self._seen_cache = (key, seen)
         return seen
 

@@ -199,6 +199,19 @@ class EventTable:
         # committed, so the cache never invalidates
         self._active_cache: dict[int, list[dict]] = {}
         if schema_config is not None and schema_config.fields:
+            # reject converting a PLAIN table that already holds data:
+            # extraction tables drop the payload column from the schema,
+            # so flipping an existing payload-bearing table would make
+            # every committed row's content unreadable (old rows would
+            # serve NULL extracted fields AND no payload). Column-ADD
+            # evolution on an already-extracting table stays allowed.
+            if not self.extracted_fields() and self.latest_version() is not None:
+                raise ValueError(
+                    f"table {self.name!r} already holds committed plain-event "
+                    "data; converting it to an extraction table would hide "
+                    "every existing row's payload. Create a new table (or "
+                    "re-ingest) instead."
+                )
             self._merge_extracted_fields(schema_config)
 
     # ------------------------------------------------- extracted schema
@@ -434,7 +447,17 @@ class EventTable:
         deltas: list[dict] = []
         v = version
         while v >= 0:
-            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            try:
+                snap = self._read_snapshot(f"snap-{v:08d}.json")
+            except FileNotFoundError:
+                # the version is inside [0, latest] but its snapshot was
+                # expired — surface the documented error contract instead
+                # of a FileNotFoundError from deep inside manifest replay
+                raise ValueError(
+                    f"snapshot {v} (reached resolving version {version}) "
+                    "has been expired — time travel is bounded by "
+                    "expire_snapshots' retained window"
+                ) from None
             if "files" in snap:
                 return snap["files"], list(reversed(deltas))
             deltas.append(snap)
@@ -813,6 +836,21 @@ class EventTable:
         # without it the whole prepare_events lineage (two window shuffles)
         # would recompute for the tiny watermark frame
         events = events.select(*cols).persist()
+        try:
+            return self._append_prepared(
+                events, expected_watermarks, target_file_bytes, stream_commit, t_start
+            )
+        finally:
+            # without the finally, a failed stats job or staged write
+            # leaks the cached plan — and a flapping streaming batch
+            # persists a fresh copy per retry until storage memory dies
+            events.unpersist()
+
+    def _append_prepared(
+        self, events, expected_watermarks, target_file_bytes, stream_commit, t_start
+    ):
+        """The post-prepare half of :meth:`append` (runs under the
+        caller's persist + try/finally unpersist)."""
         # collision-guard baseline: the watermarks the SEQUENCES WERE
         # SEEDED FROM. A caller that read watermark_map() to prepare the
         # batch must pass that same map as expected_watermarks — a
@@ -848,6 +886,18 @@ class EventTable:
             )
             .collect()
         )
+        for r in pstats:
+            if r["topic"] is None or r["partition"] is None:
+                # refuse BEFORE anything commits: a null system column
+                # would mint the unparseable summary key
+                # 'zombi.watermark.None/None' and poison every later
+                # watermark_map() read on this table
+                raise ValueError(
+                    "append: rows with NULL topic/partition "
+                    f"(topic={r['topic']!r}, partition={r['partition']!r}) — "
+                    "system columns must be non-null; the streaming reader "
+                    "defaults them, direct callers must too"
+                )
         batch_wm = {
             f"zombi.watermark.{r['topic']}/{r['partition']}": r["hwm"] for r in pstats
         }
@@ -870,7 +920,6 @@ class EventTable:
             key_ndv=key_ndv,
             rows_per_partition=rows_per_partition,
         )
-        events.unpersist()
         # Commit with bounded optimistic retry (the reference serializes
         # flush commits per topic with a mutex, iceberg_storage.rs:360-374;
         # optimistic rebase is the lock-free equivalent). Rebasing is only
@@ -1208,7 +1257,13 @@ class EventTable:
                             removed.append(os.path.join(sub, f))
                         os.rmdir(sub)
             for f in files:
-                if f.startswith(".") and f.endswith(".tmp"):
+                # interrupted meta commits come in two shapes: dotted
+                # (.snap-*.json.tmp, .ROLLUP.json.*.tmp) AND undotted
+                # (table.json.tmp, extracted_fields.json.<hex>.tmp) — the
+                # old dot-only match left the undotted ones forever
+                if f.endswith(".tmp") and (
+                    f.startswith((".", "table.json", "extracted_fields.json"))
+                ):
                     full = os.path.join(dirpath, f)
                     if _expired(full):
                         os.remove(full)
@@ -1359,6 +1414,17 @@ class EventTable:
             if f["file_size_bytes"] < small_file_bytes:
                 by_partition.setdefault(f["partition_dir"], []).append(f)
         candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}
+        if not candidates:
+            # no-op: do NOT mint a snapshot — a periodic maintenance tick
+            # on an already-compacted table would otherwise grow the log
+            # and Iceberg metadata every run and churn expire_snapshots'
+            # keep_last window through empty versions
+            return {
+                "version": expected_parent,
+                "partitions": [],
+                "files_rewritten": 0,
+                "noop": True,
+            }
         added: list[dict] = []
         all_paths: list[str] = []
         if candidates:
