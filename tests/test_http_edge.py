@@ -864,3 +864,45 @@ def test_multiprocess_latency_histograms_are_plane_wide(spark, tmp_path):
             if l.startswith("zombi_write_latency_us_count")
         ]
         assert count and int(count[0].split()[-1]) == 20, text[:400]
+
+
+def test_null_payload_and_empty_table_segment_reject(edge):
+    """Round-6 review fixes: 'payload': null must 400 (a 202 would ack a
+    row whose content is gone while the Iceberg schema says payload is
+    required), and an empty table segment must not SHIFT the route
+    (POST /tables//bulk used to create a table literally named 'bulk')."""
+    srv, ingests = edge
+    base = srv.base_url
+    status, body = _call(
+        f"{base}/tables/events", "POST", json.dumps({"payload": None}).encode()
+    )
+    assert status == 400 and "payload" in body["error"]["message"]
+    status, _ = _call(
+        f"{base}/tables/events/bulk", "POST",
+        json.dumps({"records": [{"payload": "ok"}, {"payload": None}]}).encode(),
+    )
+    assert status == 400
+    status, _ = _call(
+        f"{base}/tables//bulk", "POST",
+        json.dumps({"records": [{"payload": "x"}]}).encode(),
+    )
+    assert status == 400
+    assert "bulk" not in ingests  # no phantom table materialized
+
+
+def test_resolver_failure_answers_500_not_a_slammed_socket(spark, tmp_path):
+    """A resolver that blows up outside the per-action try blocks must
+    still answer a 500 envelope (the do_POST envelope-of-last-resort)."""
+    calls = {"n": 0}
+
+    def exploding_resolver(name, create):
+        calls["n"] += 1
+        raise RuntimeError("catalog is on fire")
+
+    with HttpIngestEdge(exploding_resolver) as srv:
+        status, body = _call(
+            f"{srv.base_url}/tables/events", "POST",
+            json.dumps({"payload": "x"}).encode(),
+        )
+    assert status == 500 and "catalog is on fire" in body["error"]["message"]
+    assert calls["n"] >= 1

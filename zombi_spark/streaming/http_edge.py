@@ -168,7 +168,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _route(self) -> tuple[list[str], dict]:
         u = urllib.parse.urlparse(self.path)
-        parts = [urllib.parse.unquote(p) for p in u.path.rstrip("/").split("/") if p]
+        # keep INTERIOR empty segments: filtering them shifts the route,
+        # so 'POST /tables//bulk' would write a single event into a table
+        # literally named 'bulk' — the empty name must reach
+        # validate_table_name and 400 instead
+        raw = u.path.rstrip("/").split("/")
+        parts = [urllib.parse.unquote(p) for p in raw[1:]] if raw and raw[0] == "" else [
+            urllib.parse.unquote(p) for p in raw
+        ]
         query = {k: v[0] for k, v in urllib.parse.parse_qs(u.query).items()}
         return parts, query
 
@@ -246,8 +253,11 @@ class _Handler(BaseHTTPRequestHandler):
             key = ev["idempotency_key"]
         else:
             body = json.loads(self._body() or b"{}")
-            if not isinstance(body, dict) or "payload" not in body:
-                raise ValueError("body must be a JSON object with a 'payload' field")
+            if not isinstance(body, dict) or body.get("payload") is None:
+                # key-present-but-null would 202-ack a row whose content
+                # is gone while the Iceberg schema declares payload
+                # required — reject like a missing field
+                raise ValueError("body must be a JSON object with a non-null 'payload'")
             partition = _parse_partition(body.get("partition", 0))
             payload = body["payload"]
             ts = int(body.get("timestamp_ms", now_ms))
@@ -284,8 +294,8 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError("body must carry a non-empty 'records' array")
         out = []
         for r in records:
-            if not isinstance(r, dict) or "payload" not in r:
-                raise ValueError("every record must be an object with a 'payload'")
+            if not isinstance(r, dict) or r.get("payload") is None:
+                raise ValueError("every record must be an object with a non-null 'payload'")
             out.append(
                 {
                     "partition": _parse_partition(r.get("partition", 0)),
@@ -297,6 +307,24 @@ class _Handler(BaseHTTPRequestHandler):
         return out
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        # envelope-of-last-resort, same as do_GET: table resolution and
+        # the consumer-commit route run OUTSIDE the per-action try blocks
+        # below, and a resolver/IO failure there must answer 500, never
+        # slam the socket with no response
+        self._responded = False
+        try:
+            self._do_post()
+        except Exception as exc:  # noqa: BLE001
+            if not self._responded:
+                import contextlib as _ctx
+
+                with _ctx.suppress(OSError):
+                    status, body = _err(500, f"{type(exc).__name__}: {exc}")
+                    self._send_json(body, status)
+            else:
+                self.close_connection = True
+
+    def _do_post(self) -> None:
         self._drain_body()
         if self._reject_bad_body():
             return
@@ -991,17 +1019,32 @@ class _WriteWorkerHandler(_Handler):
             return
         action = parts[2] if len(parts) == 3 else None
         if len(parts) in (2, 3) and parts[0] == "tables" and action in (None, "bulk"):
+            self._responded = False
             try:
-                super().do_POST()  # the write plane, served locally
-            except (OSError, http.client.HTTPException) as exc:
+                # the RAW body (not the parent's envelope wrapper): the
+                # resolve-via-parent failures below must keep their 502
+                # retryable semantic instead of the envelope's 500
+                super()._do_post()  # the write plane, served locally
+            except (OSError, http.client.HTTPException, ValueError) as exc:
                 # first write for an uncached table resolves via the
-                # parent; if the parent is down that's a retryable 502,
-                # not a slammed connection (the worker itself is fine)
+                # parent; parent down (OSError/HTTPException) or parent
+                # answering resolve with an error (ValueError from
+                # zone_for) is a retryable 502, not a slammed connection
+                # (the worker itself is fine)
                 import contextlib as _ctx
 
                 with _ctx.suppress(OSError):
                     status, body = _err(502, f"query plane unavailable: {exc}")
                     self._send_json(body, status)
+            except Exception as exc:  # noqa: BLE001 — envelope of last resort
+                if not self._responded:
+                    import contextlib as _ctx
+
+                    with _ctx.suppress(OSError):
+                        status, body = _err(500, f"{type(exc).__name__}: {exc}")
+                        self._send_json(body, status)
+                else:
+                    self.close_connection = True
         else:
             self._drain_body()
             if self._reject_bad_body():
@@ -1036,8 +1079,12 @@ def _edge_worker_main(host, port, parent_addr, combine, combine_args, ready, lat
     srv.counters = _Counters(latency_backing)  # type: ignore[attr-defined]
 
     def _graceful_stop() -> None:
-        state.close()
+        # order matters: stop ACCEPTING first, then drain — draining
+        # while requests still arrive either 500s healthy writes on a
+        # closing combiner or recreates an untracked combiner whose
+        # queued events die with the process
         srv.shutdown()
+        state.close()
 
     # shutdown() must run off the serve_forever thread; a bare signal
     # handler calling it inline would deadlock the poll loop
@@ -1122,11 +1169,21 @@ class HttpIngestEdge:
         if not self.combine:
             return None
         with self._combiner_lock:
-            if table not in self._combiners:
-                self._combiners[table] = WriteCombiner(
-                    self.resolver(table, True), *self._combine_args
-                )
-            return self._combiners[table]
+            existing = self._combiners.get(table)
+        if existing is not None:
+            return existing
+        # resolve OUTSIDE the lock: lazy table creation can take seconds
+        # of Spark/filesystem work, and holding the global lock across it
+        # would serialize every other table's single-event writes behind
+        # it; the double-checked setdefault keeps one combiner per table
+        # (a losing racer's combiner is closed, not leaked)
+        ing = self.resolver(table, True)
+        fresh = WriteCombiner(ing, *self._combine_args)
+        with self._combiner_lock:
+            won = self._combiners.setdefault(table, fresh)
+        if won is not fresh:
+            fresh.close()
+        return won
 
     @property
     def base_url(self) -> str:
