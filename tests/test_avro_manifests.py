@@ -526,3 +526,39 @@ def test_metadata_versions_stay_monotonic_across_rewrites(spark, tmp_path):
     # the superseded file is recorded in the metadata-log chain
     logged = {e["metadata-file"] for e in meta["metadata-log"]}
     assert os.path.abspath(os.path.join(mdir, f"v{h1}.metadata.json")) in logged
+
+
+def test_tombstones_carry_real_stats_and_header_schema_id(spark, tmp_path):
+    """Round-6 review fixes: (a) DELETED tombstones carry the removed
+    files' real row/byte stats from the prior manifest chain — external
+    consumers of deleted_rows_count no longer see a removal commit that
+    'removed nothing'; (b) the manifest header's schema-id tracks the
+    EMBEDDED (possibly evolved) schema instead of a hardcoded 0."""
+    from zombi_spark.table import manifests as MF
+    from zombi_spark.table.avro_io import read_container
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    t.append(prepare_events(_batch(spark, 8, 6), existing=t.read()))
+    t.compact(min_input_files=2)  # removal commit → tombstoned manifest
+
+    meta = _current_meta(t)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mfs = MF.read_manifest_list(cur["manifest-list"])
+    assert sum(m["deleted_files_count"] for m in mfs) >= 2
+    assert sum(m["deleted_rows_count"] for m in mfs) == 14  # every removed row counted
+    tombs = [
+        e
+        for m in mfs
+        for e in MF.read_manifest_entries(m["manifest_path"])
+        if e["status"] == MF.DELETED
+    ]
+    assert tombs and all(e["data_file"]["record_count"] > 0 for e in tombs)
+    assert sum(e["data_file"]["record_count"] for e in tombs) == 14
+    assert all(e["data_file"]["file_size_in_bytes"] > 0 for e in tombs)
+
+    # header schema-id: matches the metadata's current schema id
+    _schema, hdr, _recs = read_container(mfs[0]["manifest_path"])
+    assert int(hdr["schema-id"].decode()) == meta["current-schema-id"]

@@ -210,12 +210,23 @@ def _write_next_metadata(mdir: str, meta: dict) -> str:
     HINT — never derived from snapshot versions, which would collide
     with the extra metadata versions the rewrite paths (expire,
     rewrite_manifests) mint and overwrite committed files in place."""
-    cur = _current_hint(mdir)
-    out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
-    tmp = out + f".{uuid.uuid4().hex[:8]}.tmp"
+    tmp = os.path.join(mdir, f".metadata.{uuid.uuid4().hex[:8]}.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
-    os.replace(tmp, out)
+    # EXCLUSIVE version claim: two concurrent writers both reading hint N
+    # would otherwise both os.replace v{N+1} and the loser's metadata
+    # version silently vanishes — os.link fails with EEXIST instead, and
+    # the loser bumps to the next free number (same optimistic-claim
+    # pattern as the snapshot log's version files)
+    cur = _current_hint(mdir)
+    while True:
+        out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
+        try:
+            os.link(tmp, out)
+            break
+        except FileExistsError:
+            cur += 1
+    os.unlink(tmp)
     hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
     with open(hint_tmp, "w") as fh:
         fh.write(str(cur + 1))
@@ -289,8 +300,10 @@ def _write_commit_manifests(
     mdir = metadata_dir(table_path)
     field_ids = _field_ids(meta)
     pfields = _avro_partition_fields(meta)
-    schema_json = json.dumps(meta["schemas"][meta["current-schema-id"]])
-    spec_json = json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"])
+    schema_id = meta["current-schema-id"]
+    spec_id = meta["default-spec-id"]
+    schema_json = json.dumps(meta["schemas"][schema_id])
+    spec_json = json.dumps(meta["partition-specs"][spec_id]["fields"])
     added = [_norm_entry(e) for e in snap.get("added", [])]
     removed = list(snap.get("removed", []))
 
@@ -316,6 +329,8 @@ def _write_commit_manifests(
             pfields,
             schema_json,
             spec_json,
+            schema_id=schema_id,
+            spec_id=spec_id,
         )
         prior = MF.read_manifest_list(prev_list) if prev_list else []
         manifest_files = prior + [mf]
@@ -332,6 +347,25 @@ def _write_commit_manifests(
             (MF.ADDED if e["file_path"] in added_paths else MF.EXISTING, e) for e in active
         ]
         data_root = os.path.join(table_path, "data")
+        # tombstones carry the removed files' REAL stats (from the prior
+        # manifest chain): without them deleted_rows_count and the
+        # tombstone data_file record_count read as 0 to every external
+        # consumer — a removal commit that "removed nothing"
+        removed_set = set(removed)
+        removed_stats: dict[str, dict] = {}
+        if prev_list is not None and removed_set:
+            try:
+                for mf_rec in MF.read_manifest_list(prev_list):
+                    for pe in MF.read_manifest_entries(mf_rec["manifest_path"]):
+                        dfile = pe.get("data_file") or {}
+                        fp = dfile.get("file_path")
+                        if fp in removed_set and pe.get("status") != MF.DELETED:
+                            removed_stats[fp] = {
+                                "row_count": dfile.get("record_count", 0),
+                                "file_size_bytes": dfile.get("file_size_in_bytes", 0),
+                            }
+            except Exception:
+                removed_stats = {}  # stats are best-effort; never block a commit
         for p in removed:
             entries.append(
                 (
@@ -339,11 +373,13 @@ def _write_commit_manifests(
                     {
                         "file_path": p,
                         "partition_dir": os.path.relpath(os.path.dirname(p), data_root),
+                        **removed_stats.get(p, {}),
                     },
                 )
             )
         mf = MF.write_manifest(
-            mdir, entries, snapshot_id, seq_num, field_ids, pfields, schema_json, spec_json
+            mdir, entries, snapshot_id, seq_num, field_ids, pfields,
+            schema_json, spec_json, schema_id=schema_id, spec_id=spec_id,
         )
         manifest_files = [mf]
     return MF.write_manifest_list(mdir, snapshot_id, manifest_files)
@@ -534,13 +570,58 @@ def rebuild_metadata(
     return _write_next_metadata(mdir, meta)
 
 
-def _gc_unreferenced_metadata(mdir: str, meta: dict, current_file: str) -> list[str]:
+def _referenced_avro(meta: dict) -> set[str]:
+    """Every Avro file any snapshot of ``meta`` references (manifest
+    lists + their manifests) — readable or not, the LIST path counts."""
+    from zombi_spark.table import manifests as MF
+
+    refs: set[str] = set()
+    for s in meta.get("snapshots", []):
+        ml = s.get("manifest-list", "")
+        if ml.endswith(".avro"):
+            refs.add(os.path.abspath(ml))
+            if os.path.isfile(ml):
+                try:
+                    for mf in MF.read_manifest_list(ml):
+                        refs.add(os.path.abspath(mf["manifest_path"]))
+                except Exception:
+                    pass
+    return refs
+
+
+def _gc_unreferenced_metadata(
+    mdir: str,
+    meta: dict,
+    current_file: str,
+    prior_refs: set[str] | None = None,
+    grace_s: float = 3600.0,
+) -> list[str]:
     """Delete Avro manifests/manifest-lists referenced by no LIVE
     snapshot and metadata JSON outside the metadata-log tail — Iceberg's
     expire_snapshots does the same cleanup. Carry-forward means expired
     and live lists can SHARE manifests, so the live set is computed by
-    walking every live snapshot's manifest list, never by list age."""
+    walking every live snapshot's manifest list, never by list age.
+
+    Concurrent-commit guard: a commit writes its manifest + list BEFORE
+    the metadata JSON referencing them, so for a few seconds fresh Avro
+    files are referenced by no live snapshot in THIS process's meta
+    copy. The discriminator is ``prior_refs`` — files the PRE-rewrite
+    metadata referenced are provably ours to reclaim (their snapshots
+    were just expired/merged, any age); files NOTHING ever referenced
+    are either crash orphans or an in-flight commit's fresh output, and
+    only get reclaimed past ``grace_s`` (the remove_orphans /
+    remove_orphan_files cutoff pattern)."""
+    import time as _time
+
     from zombi_spark.table import manifests as MF
+
+    cutoff = _time.time() - grace_s
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished underneath us
 
     live: set[str] = set()
     for s in meta.get("snapshots", []):
@@ -555,16 +636,22 @@ def _gc_unreferenced_metadata(mdir: str, meta: dict, current_file: str) -> list[
     keep_json = {os.path.abspath(current_file)} | {
         os.path.abspath(e["metadata-file"]) for e in meta.get("metadata-log", [])
     }
+    known = prior_refs if prior_refs is not None else set()
     removed: list[str] = []
     for f in os.listdir(mdir):
         full = os.path.abspath(os.path.join(mdir, f))
-        if f.endswith(".avro") and full not in live:
+        if (
+            f.endswith(".avro")
+            and full not in live
+            and (full in known or _old_enough(full))
+        ):
             os.remove(full)
             removed.append(full)
         elif (
             f.startswith("v")
             and f.endswith(".metadata.json")
             and full not in keep_json
+            and _old_enough(full)
         ):
             os.remove(full)
             removed.append(full)
@@ -592,6 +679,7 @@ def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     mdir = metadata_dir(table_path)
+    prior_refs = _referenced_avro(meta)
     mf = MF.write_manifest(
         mdir,
         [(MF.EXISTING, _norm_entry(e)) for e in active_entries],
@@ -601,12 +689,14 @@ def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
         _avro_partition_fields(meta),
         json.dumps(meta["schemas"][meta["current-schema-id"]]),
         json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"]),
+        schema_id=meta["current-schema-id"],
+        spec_id=meta["default-spec-id"],
     )
     cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
     _append_metadata_log(mdir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     out = _write_next_metadata(mdir, meta)
-    _gc_unreferenced_metadata(mdir, meta, out)
+    _gc_unreferenced_metadata(mdir, meta, out, prior_refs=prior_refs)
     return out
 
 
@@ -617,6 +707,7 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
     meta = current_metadata(table_path)
     if meta is None:
         raise FileNotFoundError("no Iceberg metadata to rewrite")
+    prior_refs = _referenced_avro(meta)  # BEFORE pruning the snapshot list
     live_ids = {snapshot_id_long(s["snapshot_id"]) for s in live_snaps}
     meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] in live_ids]
     meta["snapshot-log"] = [e for e in meta["snapshot-log"] if e["snapshot-id"] in live_ids]
@@ -633,5 +724,5 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
     mdir = metadata_dir(table_path)
     _append_metadata_log(mdir, meta)
     out = _write_next_metadata(mdir, meta)
-    _gc_unreferenced_metadata(mdir, meta, out)
+    _gc_unreferenced_metadata(mdir, meta, out, prior_refs=prior_refs)
     return out

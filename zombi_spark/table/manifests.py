@@ -300,6 +300,8 @@ def write_manifest(
     partition_fields: list[dict],
     schema_json: str,
     spec_json: str,
+    schema_id: int = 0,
+    spec_id: int = 0,
 ) -> dict:
     """Write one Avro manifest of (status, json-entry) pairs; returns its
     manifest_file record for the manifest list."""
@@ -325,10 +327,13 @@ def write_manifest(
         schema,
         records,
         metadata={
+            # the header ids must track the EMBEDDED schema/spec — a
+            # stock reader resolving by id against table metadata would
+            # otherwise resolve the pre-evolution schema after column-add
             "schema": schema_json,
-            "schema-id": "0",
+            "schema-id": str(schema_id),
             "partition-spec": spec_json,
-            "partition-spec-id": "0",
+            "partition-spec-id": str(spec_id),
             "format-version": "2",
             "content": "data",
         },
@@ -336,7 +341,7 @@ def write_manifest(
     return {
         "manifest_path": os.path.abspath(path),
         "manifest_length": os.path.getsize(path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,  # data
         "sequence_number": sequence_number,
         "min_sequence_number": sequence_number,
