@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from zombi_spark.functions.events import derive_partition_columns
+from zombi_spark.functions.events import derive_partition_columns, server_time_ms as _server_time_ms
 
 # ^[a-zA-Z][a-zA-Z0-9_-]{0,127}$ — handlers.rs:447-460, SPEC.md:454-460
 # \Z, not $: "$" also matches just before a trailing newline, so
@@ -170,7 +170,7 @@ def prepare_events(
     derives both from a full scan when they're absent.
     """
     now = (
-        F.unix_millis(F.current_timestamp())
+        _server_time_ms()  # the one canonical server-time default (F3)
         if server_time_ms is None
         else F.lit(server_time_ms).cast("long")
     )

@@ -78,8 +78,6 @@ class TableSchemaConfig:
     payload_format: str = "json"  # "json" | "binary"
     fields: list[FieldSpec] = field(default_factory=list)
 
-    def top_level_extracted_keys(self) -> list[str]:
-        return sorted({f.json_path.split(".")[0] for f in self.fields})
 
 
 def remove_json_path(value, parts: list[str]) -> bool:
@@ -177,6 +175,12 @@ def extract_payload(events: DataFrame, config: TableSchemaConfig) -> DataFrame:
         # reference (payload_extractor.rs:88-90)
         flat_keys = [f.json_path for f in config.fields]
         pruned = F.map_filter(top_map_shared, lambda k, _v: ~k.isin(flat_keys))
+        # serialize with SORTED keys like the nested path and the
+        # reference (serde_json BTreeMap): without the sort, adding one
+        # nested field to a config would change unrelated rows' overflow
+        # bytes (payload-arrival order vs sorted), breaking byte-level
+        # comparisons across configs
+        pruned = F.map_from_entries(F.array_sort(F.map_entries(pruned)))
         overflow_json = (
             F.when(payload_str.isNull(), F.lit(None).cast("string"))
             .when(top_map_shared.isNull(), payload_str)

@@ -113,6 +113,14 @@ def shingle_index(docs: DataFrame, n: int = 2, id_col: str = "doc_id") -> DataFr
     min-shingle blocking) derives from this one frame, so a pipeline that
     persists it shingles the corpus exactly once. One md5 per distinct
     shingle; everything downstream is integer-only.
+
+    RECALL NOTE: documents shorter than ``n`` tokens emit NO shingles and
+    therefore never appear on any MinHash surface (no signature, no LSH
+    candidacy, absent from jaccard_verify's inner joins). That is the
+    standard MinHash contract — sub-n-token docs carry too little to
+    fuzzy-match — but their duplicates are NOT silently lost: route them
+    through :func:`exact_dedup` / :func:`fingerprint_dedup`, which
+    operate on full content and have no length floor.
     """
     # a single parquet file scans as ONE input partition; rebalance before
     # the explode so hashing parallelizes (at cluster scale the scan already
@@ -191,8 +199,15 @@ def lsh_candidate_pairs(
     band signature = md5 of the ordered min-hashes in the band; candidates
     are generated per (band, signature) bucket via a self-join *within the
     bucket* — never a global cross join. Output: distinct (id_a < id_b).
+
+    Exactly ``bands × rows_per_band`` seeds participate: signatures with
+    more hashes are truncated to the first ``bands`` bands (the parameter
+    used to be cosmetic — a caller passing bands=2 over 8-hash signatures
+    silently got 4 looser bands instead of the stricter 2 asked for).
     """
-    band_sigs = band_signatures(signatures, rows_per_band, id_col)
+    band_sigs = band_signatures(
+        signatures.where(F.col("seed") < bands * rows_per_band), rows_per_band, id_col
+    )
     a = band_sigs.alias("a")
     b = band_sigs.alias("b")
     return (
@@ -216,6 +231,12 @@ def jaccard_verify(
     persist_candidates: bool = True,
 ) -> DataFrame:
     """Verify candidate pairs with exact Jaccard over distinct shingle sets.
+
+    Pairs whose shingle sets share NOTHING are absent from the output
+    (the intersection is an inner join), not returned with jaccard_pm=0 —
+    callers auditing "candidates that failed verification" should
+    anti-join the candidate set against this result rather than expect a
+    zero-scored row per candidate.
 
     Set sizes are precomputed per doc (broadcastable — one row per doc in
     the candidate set); the intersection is an equi-join on shingle of the
@@ -352,7 +373,11 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = sorted({(n, find(n)) for n in parent} | {(n, n) for n in parent.values() if find(n) == n})
-        return spark.createDataFrame(rows, "node long, component long")
+        # schema follows the INPUT id type — a hardcoded long would make
+        # string/uuid node ids crash here while succeeding on the
+        # distributed path, flipping behavior with data volume
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return spark.createDataFrame(rows, f"node {id_type}, component {id_type}")
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -515,21 +540,28 @@ def _index_frames(
             F.transform(F.col("rows"), lambda r: r["min_hash"]).alias("sig"),
         )
     )
-    return band_signatures(raw, rows_per_band, id_col), sigs
+    return band_signatures(raw, rows_per_band, id_col), sigs, raw
 
 
 def _write_minhash_index(
     docs: DataFrame, path: str, mode: str, num_hashes: int, shingle_n: int,
     rows_per_band: int, id_col: str,
 ) -> None:
-    bands, sigs = _index_frames(docs, num_hashes, shingle_n, rows_per_band, id_col)
-    (
-        bands.repartition("band")
-        .write.mode(mode)
-        .partitionBy("band")
-        .parquet(f"{path}/bands")
-    )
-    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    bands, sigs, raw = _index_frames(docs, num_hashes, shingle_n, rows_per_band, id_col)
+    # the two writes share the signature lineage — without the persist the
+    # corpus is shingled + hashed TWICE (one full recompute per action),
+    # despite the one-pass contract the index docstrings promise
+    raw = raw.persist()
+    try:
+        (
+            bands.repartition("band")
+            .write.mode(mode)
+            .partitionBy("band")
+            .parquet(f"{path}/bands")
+        )
+        sigs.write.mode(mode).parquet(f"{path}/sigs")
+    finally:
+        raw.unpersist()
 
 
 def build_minhash_index(
@@ -579,7 +611,7 @@ def check_against_index(
     signatures attach only to the DEDUPED candidate pairs — at 100 TB
     the probe tracks the BATCH, not the corpus. (Self-matches are
     excluded by id, so re-checking already-indexed docs is safe.)"""
-    probe_bands, probe_sigs = _index_frames(
+    probe_bands, probe_sigs, _probe_raw = _index_frames(
         new_docs, num_hashes, shingle_n, rows_per_band, id_col
     )
     idx_bands = spark.read.parquet(f"{path}/bands")

@@ -59,6 +59,13 @@ def tail_read(
 
     Returns ``limit + 1`` rows so the caller can derive ``has_more``
     (O4, handlers.rs:992-1001); use :func:`has_more` for the flag.
+    
+    NOTE on direction: this is the SURVEY §7 replay read — ascending from
+    ``since_ms`` (oldest-first pages, the oracle-checked contract). The
+    HTTP edge's ``GET /tables/{t}`` serves the other S7 surface,
+    ``StreamingIngest.tail`` — NEWEST-first (a live tail). Both are
+    intentional; pick by use: replay/export reads ascend, dashboards tail
+    descend.
     """
     cols = parse_projection(fields)
     df = events
@@ -124,7 +131,9 @@ def negotiate_output_format(accept: str | None) -> str:
         mtype = bits[0].strip().lower()
         q = 1.0
         for p in bits[1:]:
-            p = p.strip()
+            # HTTP parameter names are case-insensitive (RFC 7231):
+            # ';Q=0' must exclude the type exactly like ';q=0'
+            p = p.strip().lower()
             if p.startswith("q="):
                 try:
                     q = float(p[2:])
