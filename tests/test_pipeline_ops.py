@@ -761,3 +761,24 @@ def test_ivf_maintenance_policy_rebuilds_on_drift(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # and its post-rebuild drift against its own centroids is zero
     assert S.ivf_drift_report(spark, path, r2["centroids"])["moved"] == 0
+
+
+def test_lsh_bands_parameter_is_effective(spark, docs):
+    """Round-6 review fix: bands=N truncates the signature to the first
+    N*rows_per_band seeds — a caller asking for fewer, stricter bands
+    gets exactly that instead of silently getting every band the hash
+    count allows (looser candidates)."""
+    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    loose = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()}
+    strict = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2).collect()}
+    assert strict <= loose  # fewer bands can only REMOVE candidates
+    # exact dups collide on every band either way
+    assert (0, 2) in strict
+    # the strict set equals banding computed over only the first 4 seeds
+    manual = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(
+            sigs.where("seed < 4"), bands=2, rows_per_band=2
+        ).collect()
+    }
+    assert strict == manual
