@@ -1335,6 +1335,166 @@ class EventTable:
                 continue  # raced another commit: re-plan and retry
         raise CommitConflictError("retention delete could not commit after 5 rebases")
 
+    def delete_where(
+        self,
+        predicate,
+        *,
+        ts_min: int | None = None,
+        ts_max: int | None = None,
+        topic: str | None = None,
+        partition: int | None = None,
+    ) -> dict:
+        """Row-level DELETE (copy-on-write) — the takedown/right-to-be-
+        forgotten primitive the reference's hourly retention cannot
+        express (its only deletes are whole-hour ``delete_range``s,
+        rocksdb.rs:1150-1237). Semantics are SQL ``DELETE WHERE``: rows
+        where ``predicate`` evaluates TRUE are removed; FALSE *and NULL*
+        rows are kept.
+
+        Two-phase plan, shaped for a takedown touching few files out of
+        a 100 TB table:
+
+        1. **Find** — candidate files come from :meth:`scan_files` with
+           any caller-supplied bounds (metadata-only skipping), then ONE
+           column-pruned Spark job counts matching rows per file
+           (``_metadata.file_path``). The scan reads only the predicate's
+           columns and parquet row-group stats / bloom filters prune
+           inside each file. Files with zero matches are never rewritten
+           — their manifest entries carry forward untouched.
+        2. **Rewrite** — only the matched files are read full-width,
+           surviving rows are staged sorted (same layout/bloom rules as
+           append), moved in, and committed as one (added, removed)
+           snapshot delta. Crash order is compaction's (move → commit →
+           defer physical delete): a crash before the commit leaves the
+           table on the pre-delete snapshot with only unreferenced
+           staging orphans (``remove_orphans`` reaps them).
+
+        Concurrency: inputs are immutable and a racing append only adds
+        files, so on :class:`CommitConflictError` the same delta rebases
+        once (compaction.rs:98-137's optimistic-retry rule); if a racing
+        compact/retention removed one of our inputs, abort — the caller
+        re-plans. Old snapshots still serve the deleted rows (time
+        travel) until ``expire_snapshots`` + ``remove_orphans``; a
+        *guaranteed-erasure* workflow is delete_where → expire_snapshots
+        → remove_orphans.
+
+        ``predicate`` is a Column or a SQL string. Returns
+        ``{"files_rewritten", "rows_removed", "version", "noop"?}``.
+        """
+        from urllib.parse import unquote, urlparse
+
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(pred, F.lit(False))  # NULL predicate = keep
+        if self.latest_version() is None:
+            return {"files_rewritten": 0, "rows_removed": 0, "version": None, "noop": True}
+        expected_parent = self.latest_version()
+        candidates = {
+            e["file_path"]: e
+            for e in self.scan_files(
+                version=expected_parent,
+                ts_min=ts_min,
+                ts_max=ts_max,
+                topic=topic,
+                partition=partition,
+            )
+        }
+        if not candidates:
+            return {
+                "files_rewritten": 0,
+                "rows_removed": 0,
+                "version": expected_parent,
+                "noop": True,
+            }
+        # phase 1: per-file match counts (column-pruned scan; stats and
+        # the idempotency-key bloom prune row groups before decode)
+        counts = (
+            self._read_file_list(sorted(candidates))
+            .where(hit)
+            .groupBy(F.col("_metadata.file_path").alias("_fp"))
+            .count()
+            .collect()
+        )
+
+        def _local(uri: str) -> str:
+            p = urlparse(uri)
+            return unquote(p.path) if p.scheme else uri
+
+        matched: dict[str, int] = {}
+        for r in counts:
+            path = _local(r["_fp"])
+            if path in candidates:
+                matched[path] = r["count"]
+        rows_removed = sum(matched.values())
+        if not matched:
+            # no row matched anywhere: like a no-op compact, do not mint
+            # a snapshot for an empty delta
+            return {
+                "files_rewritten": 0,
+                "rows_removed": 0,
+                "version": expected_parent,
+                "noop": True,
+            }
+        # phase 2: rewrite ONLY the matched files without the doomed rows
+        inputs = [candidates[p] for p in matched]
+        survivors = self._read_file_list(sorted(matched)).where(~hit)
+        staging = os.path.join(self.path, f".delete-{uuid.uuid4().hex}")
+        ntasks = max(min(len(inputs), self.spark.sparkContext.defaultParallelism), 1)
+        all_unkeyed = all("key_nulls" in f for f in inputs) and sum(
+            f["key_nulls"] for f in inputs
+        ) == sum(f.get("row_count", 0) for f in inputs)
+        writer = self._bloom_options(
+            survivors.repartition(ntasks, "event_date", "event_hour")
+            .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence")
+            .write.mode("overwrite")
+            .partitionBy("event_date", "event_hour"),
+            expected_ndv=0
+            if all_unkeyed
+            else self._target_records_per_file(128 * 1024 * 1024),
+        )
+        # same thin-output heuristic as append/compact: a takedown over
+        # small hour-files must not pay 128 MB row-group buffers per file
+        max_part_rows = max((f.get("row_count", 0) for f in inputs), default=0)
+        if 0 < max_part_rows < 100_000:
+            writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
+        writer.parquet(staging)
+        added = self._move_staged_in(staging, prefix="deleted-")
+        self._rmtree(staging)
+        prior = self.latest_snapshot()
+        summary = {
+            "operation": "row-delete",
+            "watermarks": dict(prior.get("watermarks", {})) if prior else {},
+            "files_rewritten": len(inputs),
+            "rows_removed": rows_removed,
+        }
+        try:
+            snap = self._commit_snapshot(
+                summary,
+                added=added,
+                removed=list(matched),
+                expected_parent=expected_parent,
+            )
+        except CommitConflictError:
+            # rebase once — sound iff every input survives on the new
+            # parent (appends only add; a racing compact that swallowed
+            # an input means our counts are stale: abort, orphans reaped)
+            new_parent = self.latest_version()
+            active = {e["file_path"] for e in self._active_files(new_parent)}
+            if not set(matched) <= active:
+                raise
+            prior = self.latest_snapshot()
+            summary["watermarks"] = dict(prior.get("watermarks", {})) if prior else {}
+            snap = self._commit_snapshot(
+                summary,
+                added=added,
+                removed=list(matched),
+                expected_parent=new_parent,
+            )
+        return {
+            "files_rewritten": len(inputs),
+            "rows_removed": rows_removed,
+            "version": snap["version"],
+        }
+
     def expire_snapshots(self, keep_last: int = 5) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         ``expire_snapshots``). The oldest survivor is rewritten with a
