@@ -153,6 +153,40 @@ def test_watermarks_survive_delete(spark, tmp_path):
     assert all(wm_after[k] > wm[k] for k in wm)
 
 
+def test_concurrent_append_delete_no_lost_commit(spark, tmp_path):
+    """M3 for row deletes: an append landing between delete planning and
+    its commit must not be dropped — the delete detects the stale parent
+    and rebases its immutable (added, removed) delta once; both commits
+    survive and the raced append's watermark carries into the delete
+    snapshot (the compact rebase rule, compaction.rs:98-137)."""
+    import unittest.mock as mock
+
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_batch(spark, 0, BASE, 60))
+    doomed = t.read().where("partition = 1").count()
+
+    raced = {"done": False}
+    real_commit = EventTable._commit_snapshot
+
+    def _racing_commit(self, summary, **kw):
+        if summary.get("operation") == "row-delete" and not raced["done"]:
+            raced["done"] = True
+            t2 = EventTable(spark, str(tmp_path), "events")
+            rows = [("race", 0, b"r", BASE + 5 * HOUR + i, None, i) for i in range(4)]
+            t2.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+        return real_commit(self, summary, **kw)
+
+    with mock.patch.object(EventTable, "_commit_snapshot", _racing_commit):
+        rep = t.delete_where("partition = 1")
+
+    assert raced["done"] and rep["rows_removed"] == doomed
+    # neither commit was lost
+    assert t.read().where("topic = 'race'").count() == 4
+    assert t.read().count() == 60 - doomed + 4
+    assert t.read().where("partition = 1 AND topic = 't'").count() == 0
+    assert "zombi.watermark.race/0" in t.latest_snapshot()["watermarks"]
+
+
 def test_delete_survivor_files_stay_sorted(spark, tmp_path):
     """Rewritten files keep the (timestamp_ms, sequence) within-file
     order the scan path's row-group skipping depends on."""
