@@ -906,3 +906,70 @@ def test_resolver_failure_answers_500_not_a_slammed_socket(spark, tmp_path):
         )
     assert status == 500 and "catalog is on fire" in body["error"]["message"]
     assert calls["n"] >= 1
+
+
+def test_row_delete_over_http(edge):
+    """POST /tables/{t}/delete — the takedown control plane: structured
+    selectors only (never raw SQL over the wire), hot tier drained first
+    by default so the delete covers un-flushed rows, 400 on missing or
+    unknown selectors, scoped no-op reports noop without a snapshot."""
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(8):
+        status, _ = _call(
+            f"{base}/tables/events",
+            "POST",
+            json.dumps(
+                {
+                    "payload": f'{{"i":{i}}}',
+                    "partition": i % 2,
+                    "timestamp_ms": 1704067200000 + i * 1000,
+                    "idempotency_key": f"k{i}",
+                }
+            ).encode(),
+        )
+        assert status == 202
+    # delete two keys with NO prior flush: the action drains the hot
+    # tier first (default flush=true), so the takedown still covers them
+    status, body = _call(
+        f"{base}/tables/events/delete",
+        "POST",
+        json.dumps({"idempotency_keys": ["k2", "k5"]}).encode(),
+    )
+    assert status == 200 and body["rows_removed"] == 2
+    t = ingests["events"].table
+    assert t.read().count() == 6
+    assert t.read().where("idempotency_key IN ('k2','k5')").count() == 0
+
+    # selector validation: empty body and unknown keys both 400
+    status, body = _call(f"{base}/tables/events/delete", "POST", b"{}")
+    assert status == 400 and "selector" in body["error"]["message"]
+    status, body = _call(
+        f"{base}/tables/events/delete", "POST", json.dumps({"predicate": "1=1"}).encode()
+    )
+    assert status == 400 and "unknown selector" in body["error"]["message"]
+    status, body = _call(f"{base}/tables/events/delete", "POST", b"not json")
+    assert status == 400
+
+    # a scoped delete matching nothing is a no-op (no snapshot minted)
+    v = t.latest_version()
+    status, body = _call(
+        f"{base}/tables/events/delete",
+        "POST",
+        json.dumps({"ts_min": 9_999_999_999_999, "flush": False}).encode(),
+    )
+    assert status == 200 and body.get("noop") is True and body["rows_removed"] == 0
+    assert t.latest_version() == v
+
+    # ANDed selectors: partition + time range deletes only the overlap
+    status, body = _call(
+        f"{base}/tables/events/delete",
+        "POST",
+        json.dumps(
+            {"partition": 0, "ts_min": 1704067200000, "ts_max": 1704067202000,
+             "flush": False}
+        ).encode(),
+    )
+    # partition 0 ∩ ts∈[…200000, …202000] = i∈{0, 2}, but k2 (i=2) was
+    # already taken down above — exactly one row left to remove
+    assert status == 200 and body["rows_removed"] == 1

@@ -20,6 +20,14 @@ Routes (api/handlers.rs):
   POST /tables/{t}/rollup refresh the incremental materialized rollup
                           (delta-only fold; 409 while another
                           maintenance action runs)
+  POST /tables/{t}/delete row-level takedown: JSON body of structured
+                          selectors (``idempotency_keys`` list, ``topic``,
+                          ``partition``, ``ts_min``/``ts_max`` ms) ANDed
+                          into one ``EventTable.delete_where`` — never raw
+                          SQL over the wire; ≥1 selector required (400).
+                          ``"flush": false`` skips the default hot-tier
+                          drain that guarantees the delete covers rows
+                          still sitting in the landing zone
   GET  /tables/{t}/rollup the rollup state (per topic/partition/hour
                           counts, bytes, ts bounds, hwm) — served from
                           the O(keys) state, never a table scan
@@ -495,6 +503,82 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 try:
                     report = ing.table.expire_data_older_than(cutoff)
+                    self._send_json({"table": table, **report})
+                finally:
+                    ing.maintenance_lock.release()
+            elif action == "delete":
+                # row-level takedown over HTTP: structured selectors only
+                # (a raw predicate string over the wire would make the
+                # public edge a SQL endpoint); selectors AND together
+                body = self._body()
+                try:
+                    spec = json.loads(body) if body else {}
+                except json.JSONDecodeError as exc:
+                    status, body_ = _err(400, f"invalid JSON body: {exc}")
+                    self._send_json(body_, status)
+                    return
+                if not isinstance(spec, dict):
+                    status, body_ = _err(400, "body must be a JSON object")
+                    self._send_json(body_, status)
+                    return
+                allowed = {"idempotency_keys", "topic", "partition", "ts_min", "ts_max", "flush"}
+                unknown = set(spec) - allowed
+                if unknown:
+                    status, body_ = _err(400, f"unknown selector(s): {sorted(unknown)}")
+                    self._send_json(body_, status)
+                    return
+                from pyspark.sql import functions as F
+
+                conds = []
+                if spec.get("idempotency_keys"):
+                    keys = [str(k) for k in spec["idempotency_keys"]]
+                    conds.append(F.col("idempotency_key").isin(keys))
+                if "topic" in spec:
+                    conds.append(F.col("topic") == str(spec["topic"]))
+                if "partition" in spec:
+                    conds.append(F.col("partition") == int(spec["partition"]))
+                if "ts_min" in spec:
+                    conds.append(F.col("timestamp_ms") >= int(spec["ts_min"]))
+                if "ts_max" in spec:
+                    conds.append(F.col("timestamp_ms") <= int(spec["ts_max"]))
+                if not conds:
+                    status, body_ = _err(
+                        400,
+                        "at least one selector required (idempotency_keys, "
+                        "topic, partition, ts_min, ts_max) — an unbounded "
+                        "delete must be expressed deliberately via retention",
+                    )
+                    self._send_json(body_, status)
+                    return
+                pred = conds[0]
+                for c in conds[1:]:
+                    pred = pred & c
+                if not ing.maintenance_lock.acquire(blocking=False):
+                    status, body_ = _err(409, f"maintenance already in progress for {table}")
+                    self._send_json(body_, status)
+                    return
+                try:
+                    if spec.get("flush", True):
+                        # takedown must also catch rows still in the hot
+                        # tier: drain the landing zone first so the doomed
+                        # rows are IN the table the delete rewrites
+                        q = ing.start(available_now=True)
+                        if not q.awaitTermination(600):
+                            q.stop()
+                            status, body_ = _err(
+                                504,
+                                "pre-delete flush did not drain within 600s; "
+                                "nothing was deleted — retry",
+                            )
+                            self._send_json(body_, status)
+                            return
+                    report = ing.table.delete_where(
+                        pred,
+                        ts_min=int(spec["ts_min"]) if "ts_min" in spec else None,
+                        ts_max=int(spec["ts_max"]) if "ts_max" in spec else None,
+                        topic=str(spec["topic"]) if "topic" in spec else None,
+                        partition=int(spec["partition"]) if "partition" in spec else None,
+                    )
                     self._send_json({"table": table, **report})
                 finally:
                     ing.maintenance_lock.release()
