@@ -340,3 +340,25 @@ def test_retention_emptying_a_sharded_rollup_recovers(spark, tmp_path):
     rep3 = roll.refresh()
     assert rep3["delta_rows"] == 5
     assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+
+def test_row_delete_triggers_full_rebuild(spark, tmp_path):
+    """delete_where commits (operation=row-delete) remove rows, so the
+    additive fold is invalid for them exactly like retention — the next
+    refresh must rebuild from the live table, and the row-delete's ADDED
+    survivor files must never be double-folded as an append delta."""
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", i % 2, b"x", 1704067200000 + i * 1000, None, i) for i in range(12)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    roll.refresh()
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 12
+
+    rep = t.delete_where("partition = 1")
+    assert rep["rows_removed"] == 6
+    rep2 = roll.refresh()
+    assert rep2["rebuilt"] is True
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 6
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+    # steady state after the rebuild: nothing new → no-op refresh
+    assert roll.refresh()["to_version"] is None
