@@ -393,7 +393,6 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     caches = []
-    prev_sum = None
     for _ in range(50):  # converges in O(log diameter) with jumping
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -402,6 +401,12 @@ def connected_components(
         )
         updated = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
             "node",
+            # carry the pre-round label so convergence is an exact,
+            # type-agnostic comparison — summing the component column
+            # (the old check) CAST-crashed under ANSI for string/uuid
+            # node ids on exactly this >threshold path, the inverse of
+            # the volume-flips-behavior bug the driver path had
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
             ).alias("component"),
@@ -414,6 +419,7 @@ def connected_components(
             updated.join(reps, updated.component == reps.c_node, "left")
             .select(
                 "node",
+                "old_component",
                 F.least(F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))).alias(
                     "component"
                 ),
@@ -421,11 +427,10 @@ def connected_components(
             .persist()
         )
         caches.append(jumped)
-        cur_sum = jumped.agg(F.sum("component")).collect()[0][0]
-        labels = jumped
-        if cur_sum == prev_sum:  # min-labels only decrease; fixpoint reached
+        changed = jumped.where(F.col("component") != F.col("old_component")).count()
+        labels = jumped.select("node", "component")
+        if changed == 0:  # min-labels only decrease; exact fixpoint
             break
-        prev_sum = cur_sum
     result = labels.select("node", "component").persist()
     result.count()  # materialize before releasing the iteration caches
     for c in caches:
