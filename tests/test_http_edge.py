@@ -777,7 +777,15 @@ def test_latency_histograms_streaming_semantics():
     assert count2 == 4 and buckets2[-1] == 3
     # percentiles read off the boundaries
     assert h.percentile(0.5) == 100
-    assert h.percentile(0.99) == HISTOGRAM_BUCKETS_US[-1]
+    # target past the last boundary: +Inf, never the last boundary
+    # (which would falsely answer 50ms for a minutes-long observation)
+    assert h.percentile(0.99) == float("inf")
+    # flush-scale set: a 10s drain lands in a real bucket
+    from zombi_spark.streaming.metrics import FLUSH_BUCKETS_US
+
+    fh = LatencyHistogram(buckets=FLUSH_BUCKETS_US)
+    fh.observe(10_000_000)
+    assert fh.percentile(0.5) == 10_000_000
     text = h.format_prometheus("zombi_write_latency_us", "write latency")
     assert '# TYPE zombi_write_latency_us histogram' in text
     assert 'zombi_write_latency_us_bucket{le="100"} 2' in text
@@ -950,6 +958,15 @@ def test_row_delete_over_http(edge):
     assert status == 400 and "unknown selector" in body["error"]["message"]
     status, body = _call(f"{base}/tables/events/delete", "POST", b"not json")
     assert status == 400
+    # idempotency_keys must be a JSON array — a bare string would be
+    # iterated character-by-character into isin() on a takedown endpoint
+    for bad in ('"k2"', "[]", '[["k2"]]'):
+        status, body = _call(
+            f"{base}/tables/events/delete",
+            "POST",
+            json.dumps({"idempotency_keys": json.loads(bad)}).encode(),
+        )
+        assert status == 400 and "idempotency_keys" in body["error"]["message"]
 
     # a scoped delete matching nothing is a no-op (no snapshot minted)
     v = t.latest_version()

@@ -165,3 +165,32 @@ def test_cap_prefilter_equals_naive_ranking_on_skewed_corpus(spark):
     assert got == want
     assert sum(1 for s, _ in got if s == "dump") == cap
     assert sum(1 for s, _ in got if s == "books") == cap
+
+
+def test_cap_per_source_null_source_rows_survive(spark):
+    """NULL-source rows are a group, not collateral: isin() three-valued
+    logic must not drop them from both branches, whether the NULL group
+    is under the cap (pass through complete) or over it (capped like
+    any other source)."""
+    named = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("web").alias("source")
+    )
+    nulls = spark.range(1000, 1040).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("source")
+    )
+    docs = named.unionByName(nulls)
+    # NULL group (40) under the cap, 'web' (1000) over it
+    out = M.cap_per_source(docs, 100)
+    by = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by == {"web": 100, None: 40}
+    # NULL group itself over the cap: capped, deterministic, no TypeError
+    out2 = M.cap_per_source(docs, 25)
+    by2 = {r["source"]: r["n"] for r in out2.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by2 == {"web": 25, None: 25}
+    kept = sorted(r.doc_id for r in out2.where(F.col("source").isNull()).collect())
+    again = sorted(
+        r.doc_id
+        for r in M.cap_per_source(docs.repartition(13), 25)
+        .where(F.col("source").isNull()).collect()
+    )
+    assert kept == again

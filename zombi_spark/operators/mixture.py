@@ -120,33 +120,45 @@ def cap_per_source(
         r[source_col]: r["n"]
         for r in sized.groupBy(source_col).agg(F.count("*").alias("n")).collect()
     }
-    over = sorted(s for s, n in counts.items() if n is not None and n > max_docs)
-    if not over:
+    # NULL source is its own group: isin()/map-lookup three-valued logic
+    # would otherwise drop NULL-source rows from BOTH branches (silent
+    # data loss) or TypeError sorting None against str.
+    null_n = counts.pop(None, 0)
+    over = sorted(s for s, n in counts.items() if n > max_docs)
+    null_over = null_n > max_docs
+    if not over and not null_over:
         return docs  # nothing exceeds the cap — zero extra work
-    under_df = sized.where(~F.col(source_col).isin(over)).drop("_ord")
-    big = sized.where(F.col(source_col).isin(over))
+    is_null = F.col(source_col).isNull()
+    over_pred = F.col(source_col).isin(over) if over else F.lit(False)
+    if null_over:
+        over_pred = over_pred | is_null
+    # coalesce: isin() yields NULL (not False) for a NULL source
+    over_pred = F.coalesce(over_pred, F.lit(False))
+    under_df = sized.where(~over_pred).drop("_ord")
+    big = sized.where(over_pred)
     margin = 6 * max_docs**0.5 + 10
+
+    def _cut(n: int) -> int:
+        return int(min(1.0, (max_docs + margin) / n) * (1 << 60))
+
     cut_map = F.create_map(
-        *[
-            x
-            for s in over
-            for x in (
-                F.lit(s),
-                F.lit(int(min(1.0, (max_docs + margin) / counts[s]) * (1 << 60))),
-            )
-        ]
+        *[x for s in over for x in (F.lit(s), F.lit(_cut(counts[s])))]
     )
-    pre = big.where(F.col("_ord") <= cut_map[F.col(source_col)])
+    cutoff = cut_map[F.col(source_col)]
+    if null_over:
+        cutoff = F.when(is_null, F.lit(_cut(null_n))).otherwise(cutoff)
+    pre = big.where(F.col("_ord") <= cutoff)
     got = {
         r[source_col]: r["n"]
         for r in pre.groupBy(source_col).agg(F.count("*").alias("n")).collect()
     }
     short = [s for s in over if got.get(s, 0) < min(max_docs, counts[s])]
-    if short:  # ~6σ tail: take those sources whole — correctness first
-        pre = big.where(
-            (F.col("_ord") <= cut_map[F.col(source_col)])
-            | F.col(source_col).isin(short)
-        )
+    null_short = null_over and got.get(None, 0) < min(max_docs, null_n)
+    if short or null_short:  # ~6σ tail: take those sources whole — correctness first
+        keep_whole = F.col(source_col).isin(short) if short else F.lit(False)
+        if null_short:
+            keep_whole = keep_whole | is_null
+        pre = big.where((F.col("_ord") <= cutoff) | F.coalesce(keep_whole, F.lit(False)))
     w = Window.partitionBy(source_col).orderBy(F.col("_ord").asc(), F.col(id_col).asc())
     capped = (
         pre.withColumn("_rn", F.row_number().over(w))

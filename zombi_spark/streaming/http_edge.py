@@ -530,8 +530,24 @@ class _Handler(BaseHTTPRequestHandler):
                 from pyspark.sql import functions as F
 
                 conds = []
-                if spec.get("idempotency_keys"):
-                    keys = [str(k) for k in spec["idempotency_keys"]]
+                if "idempotency_keys" in spec:
+                    ik = spec["idempotency_keys"]
+                    # a JSON string here would iterate character-by-character
+                    # into isin() — silently deleting nothing (or the wrong
+                    # single-char keys) on a takedown endpoint
+                    if (
+                        not isinstance(ik, list)
+                        or not ik
+                        or not all(isinstance(k, (str, int)) for k in ik)
+                    ):
+                        status, body_ = _err(
+                            400,
+                            "idempotency_keys must be a non-empty JSON array "
+                            "of strings",
+                        )
+                        self._send_json(body_, status)
+                        return
+                    keys = [str(k) for k in ik]
                     conds.append(F.col("idempotency_key").isin(keys))
                 if "topic" in spec:
                     conds.append(F.col("topic") == str(spec["topic"]))
@@ -893,7 +909,7 @@ class _Counters:
     HTTP plane of THIS process."""
 
     def __init__(self, latency_backing: dict | None = None):
-        from zombi_spark.streaming.metrics import LatencyHistogram
+        from zombi_spark.streaming.metrics import FLUSH_BUCKETS_US, LatencyHistogram
 
         self.started = time.time()
         self._lock = threading.Lock()
@@ -914,7 +930,9 @@ class _Counters:
         lb = latency_backing or {}
         self.write_latency_us = LatencyHistogram(lb.get("write"))
         self.read_latency_us = LatencyHistogram(lb.get("read"))
-        self.flush_duration_us = LatencyHistogram(lb.get("flush"))
+        # drains run seconds-to-minutes: the wide bucket set, else every
+        # observation lands only in +Inf and percentiles lie
+        self.flush_duration_us = LatencyHistogram(lb.get("flush"), buckets=FLUSH_BUCKETS_US)
 
     def count_write(self, events: int, nbytes: int, latency_us: int | None = None) -> None:
         with self._lock:
@@ -1233,11 +1251,17 @@ class HttpIngestEdge:
         # set the parent's /metrics scrape serves
         self._latency_shm = None
         if workers:
-            from zombi_spark.streaming.metrics import SHM_SLOTS
+            from zombi_spark.streaming.metrics import (
+                FLUSH_BUCKETS_US,
+                HISTOGRAM_BUCKETS_US,
+                shm_slots,
+            )
 
             _ctx = multiprocessing.get_context("spawn")
             self._latency_shm = {
-                k: _ctx.Array("Q", SHM_SLOTS) for k in ("write", "read", "flush")
+                "write": _ctx.Array("Q", shm_slots(HISTOGRAM_BUCKETS_US)),
+                "read": _ctx.Array("Q", shm_slots(HISTOGRAM_BUCKETS_US)),
+                "flush": _ctx.Array("Q", shm_slots(FLUSH_BUCKETS_US)),
             }
         self._counters = _Counters(self._latency_shm)
 

@@ -21,9 +21,22 @@ HISTOGRAM_BUCKETS_US: tuple[int, ...] = (
     10, 25, 50, 100, 250, 500, 1_000, 2_500, 5_000, 10_000, 25_000, 50_000,
 )
 
+# Flush/drain operations (availableNow micro-batch commits) run
+# seconds-to-minutes; on the storage-op set every observation would land
+# only in +Inf and the bucket series would carry no distribution at all.
+FLUSH_BUCKETS_US: tuple[int, ...] = HISTOGRAM_BUCKETS_US + (
+    100_000, 250_000, 500_000, 1_000_000, 2_500_000, 5_000_000,
+    10_000_000, 30_000_000, 60_000_000, 300_000_000,
+)
 
-#: shared-array layout: [sum, count, bucket_0 … bucket_11]
-SHM_SLOTS = 2 + len(HISTOGRAM_BUCKETS_US)
+
+def shm_slots(buckets: tuple[int, ...] = HISTOGRAM_BUCKETS_US) -> int:
+    """Shared-array layout: [sum, count, bucket_0 … bucket_{n-1}]."""
+    return 2 + len(buckets)
+
+
+#: default layout size (storage-op bucket set)
+SHM_SLOTS = shm_slots()
 
 
 class LatencyHistogram:
@@ -39,15 +52,21 @@ class LatencyHistogram:
     atomics) — without it, counts are process-local.
     """
 
-    __slots__ = ("_backing", "_lock", "_sum", "_count", "_buckets")
+    __slots__ = ("_backing", "_lock", "_sum", "_count", "_buckets", "boundaries")
 
-    def __init__(self, backing=None) -> None:
+    def __init__(self, backing=None, buckets: tuple[int, ...] = HISTOGRAM_BUCKETS_US) -> None:
         self._backing = backing
+        self.boundaries = tuple(buckets)
+        if backing is not None and len(backing) != shm_slots(self.boundaries):
+            raise ValueError(
+                f"backing has {len(backing)} slots, bucket set needs "
+                f"{shm_slots(self.boundaries)}"
+            )
         if backing is None:
             self._lock = threading.Lock()
             self._sum = 0
             self._count = 0
-            self._buckets = [0] * len(HISTOGRAM_BUCKETS_US)
+            self._buckets = [0] * len(self.boundaries)
 
     def observe(self, value_us: int) -> None:
         v = int(value_us)
@@ -55,14 +74,14 @@ class LatencyHistogram:
             with self._backing.get_lock():
                 self._backing[0] += v
                 self._backing[1] += 1
-                for i, boundary in enumerate(HISTOGRAM_BUCKETS_US):
+                for i, boundary in enumerate(self.boundaries):
                     if v <= boundary:
                         self._backing[2 + i] += 1
             return
         with self._lock:
             self._sum += v
             self._count += 1
-            for i, boundary in enumerate(HISTOGRAM_BUCKETS_US):
+            for i, boundary in enumerate(self.boundaries):
                 if v <= boundary:
                     self._buckets[i] += 1
 
@@ -75,19 +94,20 @@ class LatencyHistogram:
         with self._lock:
             return self._sum, self._count, list(self._buckets)
 
-    def percentile(self, p: float) -> int | None:
+    def percentile(self, p: float) -> float | None:
         """Approximate percentile from the bucket boundaries (the upper
         boundary of the first bucket covering p·count observations;
-        None when empty, the last boundary when past it — the same
-        answer ``histogram_quantile()`` would interpolate toward)."""
+        None when empty). When the target falls PAST the last boundary
+        the honest answer is ``+Inf`` — returning the last boundary
+        would falsely report e.g. 50ms for a minutes-long drain."""
         _sum, count, buckets = self.snapshot()
         if count == 0:
             return None
         target = p * count
-        for i, boundary in enumerate(HISTOGRAM_BUCKETS_US):
+        for i, boundary in enumerate(self.boundaries):
             if buckets[i] >= target:
                 return boundary
-        return HISTOGRAM_BUCKETS_US[-1]
+        return float("inf")
 
     def format_prometheus(self, name: str, help_: str) -> str:
         """Prometheus histogram exposition (histogram.rs:117-146):
@@ -95,7 +115,7 @@ class LatencyHistogram:
         ``_count``."""
         total, count, buckets = self.snapshot()
         lines = [f"# HELP {name} {help_}", f"# TYPE {name} histogram"]
-        for i, boundary in enumerate(HISTOGRAM_BUCKETS_US):
+        for i, boundary in enumerate(self.boundaries):
             lines.append(f'{name}_bucket{{le="{boundary}"}} {buckets[i]}')
         lines.append(f'{name}_bucket{{le="+Inf"}} {count}')
         lines.append(f"{name}_sum {total}")

@@ -1422,8 +1422,17 @@ class EventTable:
         matched: dict[str, int] = {}
         for r in counts:
             path = _local(r["_fp"])
-            if path in candidates:
-                matched[path] = r["count"]
+            if path not in candidates:
+                # a counted file that doesn't map back into the candidate
+                # set means URI normalization diverged (symlinked table
+                # path, non-file scheme); silently skipping it would report
+                # a takedown as noop while matching rows still exist
+                raise RuntimeError(
+                    f"delete_where: scanned file {r['_fp']!r} (normalized "
+                    f"{path!r}) is not in the manifest candidate set — "
+                    "path normalization diverged; refusing to under-delete"
+                )
+            matched[path] = r["count"]
         rows_removed = sum(matched.values())
         if not matched:
             # no row matched anywhere: like a no-op compact, do not mint

@@ -226,6 +226,15 @@ def _write_next_metadata(mdir: str, meta: dict) -> str:
             break
         except FileExistsError:
             cur += 1
+        except OSError:
+            # filesystems without hardlinks (some NFS/SMB/FUSE mounts):
+            # exclusive-create gives the same claim-or-lose semantics
+            try:
+                with open(out, "x") as fh2, open(tmp) as src:
+                    fh2.write(src.read())
+                break
+            except FileExistsError:
+                cur += 1
     os.unlink(tmp)
     hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
     with open(hint_tmp, "w") as fh:
