@@ -55,9 +55,14 @@ class LandingZone:
         # (always absolute), and every membership test here compares
         # against paths built from landing_dir — a relative landing_dir
         # would never match and every committed file would look pending
+        from zombi_spark.table.commit_backend import get_backend
+
         self.landing_dir = os.path.abspath(landing_dir)
         self.checkpoint_dir = os.path.abspath(checkpoint_dir)
         self.byte_budget = byte_budget
+        # landing publish is an atomic pointer-style PUT (file appears
+        # fully formed or not at all) — backend-swung for object stores
+        self.backend = get_backend()
         self._seen_cache: tuple[tuple, set[str]] | None = None
         # O(1) admission accounting (the reference keeps atomic in-flight
         # counters, handlers.rs:64-232): produce() bumps this cached
@@ -248,7 +253,7 @@ class LandingZone:
         tmp = os.path.join(self.landing_dir, f".{name}.json.tmp")
         with open(tmp, "wb") as fh:
             fh.write(body)
-        os.replace(tmp, final)
+        self.backend.swing(tmp, final)
         landed_at = time.monotonic()
         with self._backlog_lock:
             # count our file only if no resync walked the directory since

@@ -188,13 +188,20 @@ class EventTable:
         root: str,
         name: str,
         schema_config=None,
+        backend=None,
     ):
+        from zombi_spark.table.commit_backend import get_backend
+
         self.spark = spark
         self.name = validate_table_name(name)
         self.path = os.path.join(root, name)
         self.data_path = os.path.join(self.path, _DATA_DIR)
         self.meta_path = os.path.join(self.path, _META_DIR)
         self.schema_config = schema_config
+        # atomic-commit primitives (claim/swing/carry/promote) — POSIX by
+        # default, object-store semantics via ZOMBI_COMMIT_BACKEND or an
+        # explicit instance (see table/commit_backend.py)
+        self.backend = backend if backend is not None else get_backend()
         # version -> list[file entry dict]; snapshots are immutable once
         # committed, so the cache never invalidates
         self._active_cache: dict[int, list[dict]] = {}
@@ -240,7 +247,7 @@ class EventTable:
         tmp = self._extracted_fields_path() + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump(list(current.values()), fh, indent=1)
-        os.replace(tmp, self._extracted_fields_path())
+        self.backend.swing(tmp, self._extracted_fields_path())
 
     def extracted_fields(self) -> list[dict]:
         """The union of every extraction config this table has seen."""
@@ -329,7 +336,7 @@ class EventTable:
         tmp = p + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=1)
-        os.replace(tmp, p)
+        self.backend.swing(tmp, p)
 
     def _commit_snapshot(
         self,
@@ -390,9 +397,10 @@ class EventTable:
         with open(tmp, "w") as fh:
             json.dump(snap, fh, indent=1)
         try:
-            # link(2) fails with EEXIST if a concurrent writer committed
-            # this version first — unlike rename(2), which overwrites
-            os.link(tmp, final)
+            # the exclusive version claim: EEXIST means a concurrent
+            # writer committed this version first (conditional PUT /
+            # catalog CAS on the object-store backend)
+            self.backend.publish_exclusive(tmp, final)
         except FileExistsError:
             raise CommitConflictError(
                 f"snapshot conflict: version {version} was committed concurrently"
@@ -778,7 +786,7 @@ class EventTable:
 
         def _move(src_dest: tuple[str, str]) -> dict:
             src, dest = src_dest
-            os.rename(src, dest)
+            self.backend.promote(src, dest)
             return _parquet_file_entry(dest, self.data_path)
 
         from concurrent.futures import ThreadPoolExecutor
@@ -1522,7 +1530,9 @@ class EventTable:
             tmp = os.path.join(self.meta_path, f".{oldest_kept}.{uuid.uuid4().hex[:8]}.tmp")
             with open(tmp, "w") as fh:
                 json.dump(snap, fh, indent=1)
-            os.replace(tmp, os.path.join(self.meta_path, oldest_kept))  # atomic rewrite
+            # atomic rewrite (PUT semantics — replacing an EXISTING
+            # snapshot file is the one place rewrite is intended)
+            self.backend.swing(tmp, os.path.join(self.meta_path, oldest_kept))
         expired = []
         for fname in names[:cut]:
             expired.append(int(fname[5:13]))

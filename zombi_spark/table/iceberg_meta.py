@@ -218,28 +218,22 @@ def _write_next_metadata(mdir: str, meta: dict) -> str:
     # version silently vanishes — os.link fails with EEXIST instead, and
     # the loser bumps to the next free number (same optimistic-claim
     # pattern as the snapshot log's version files)
+    from zombi_spark.table.commit_backend import get_backend
+
+    backend = get_backend()
     cur = _current_hint(mdir)
     while True:
         out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
         try:
-            os.link(tmp, out)
+            backend.publish_exclusive(tmp, out)
             break
         except FileExistsError:
             cur += 1
-        except OSError:
-            # filesystems without hardlinks (some NFS/SMB/FUSE mounts):
-            # exclusive-create gives the same claim-or-lose semantics
-            try:
-                with open(out, "x") as fh2, open(tmp) as src:
-                    fh2.write(src.read())
-                break
-            except FileExistsError:
-                cur += 1
     os.unlink(tmp)
     hint_tmp = os.path.join(mdir, f".version-hint.{uuid.uuid4().hex[:8]}.tmp")
     with open(hint_tmp, "w") as fh:
         fh.write(str(cur + 1))
-    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+    backend.swing(hint_tmp, os.path.join(mdir, "version-hint.text"))
     return out
 
 

@@ -67,6 +67,9 @@ class MaterializedRollup:
         self.keys = list(keys)
         self.n_shards = n_shards
         self.shard_threshold_rows = shard_threshold_rows
+        # same commit primitives as the owning table: shard carry-forward
+        # hardlinks on POSIX, COPIES under object-store semantics
+        self.backend = table.backend
 
     def _shard_col(self, n_shards: int | None = None) -> F.Column:
         """Deterministic shard of the key tuple — a pure function of the
@@ -103,10 +106,7 @@ class MaterializedRollup:
             for f in os.listdir(src):
                 if f.startswith(".") or f.startswith("_"):
                     continue
-                try:
-                    os.link(os.path.join(src, f), os.path.join(dst, f))
-                except OSError:
-                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+                self.backend.carry_forward(os.path.join(src, f), os.path.join(dst, f))
 
     # ------------------------------------------------------------- pointer
     @contextlib.contextmanager
@@ -356,7 +356,7 @@ class MaterializedRollup:
                 new_ptr["n_shards"] = new_shards
             with open(tmp, "w") as fh:
                 json.dump(new_ptr, fh)
-            os.replace(tmp, os.path.join(self.path, _POINTER))
+            self.backend.swing(tmp, os.path.join(self.path, _POINTER))
             # GC with one generation of grace: keep the new state and the
             # immediately-previous one (a lock-free reader that loaded
             # the old pointer may still be collecting from it); every
