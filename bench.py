@@ -198,6 +198,72 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_ann_recall"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # ANN recall of the DERIVED DEFAULTS (VERDICT r6 #5): the numbers a
+    # user gets calling lsh_topk/ivf_topk with no knobs. Two corpora:
+    # the isotropic embeddings table (the documented worst case — no
+    # cluster structure to exploit) and a planted-Gaussian-cluster
+    # corpus (the case ANN exists for), both refereed by brute force.
+    try:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from zombi_spark.operators import similarity as S
+        from zombi_spark.sources.tables import load_table
+
+        def _recall(brute_df, fast_df) -> float:
+            truth: dict = {}
+            for r in brute_df.collect():
+                truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            got: dict = {}
+            for r in fast_df.collect():
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            qs = sorted(truth)
+            return round(
+                sum(len(truth[q] & got.get(q, set())) / len(truth[q]) for q in qs)
+                / len(qs),
+                3,
+            )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries_iso = emb.where(F.col("vec_id") < 8)
+        extras["ann_lsh_recall_at_5_derived_iso"] = _recall(
+            S.brute_force_topk(emb, queries_iso, k=5),
+            S.rp_lsh_topk(emb, queries_iso, k=5),  # everything derived
+        )
+
+        # planted clusters: 16 Gaussian blobs in 64d, sigma small enough
+        # that true neighbors share a blob — fixed seed, fully derived
+        rng = np.random.default_rng(42)
+        centers = rng.normal(size=(16, 64))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = centers[np.arange(8000) % 16] + 0.15 * rng.normal(size=(8000, 64))
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(8000), "embedding": [r.astype("float32") for r in pts]}
+            )
+        )
+        cent_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(16),
+                    "embedding": [r.astype("float32") for r in centers],
+                }
+            )
+        )
+        queries_cl = corpus.where(F.col("vec_id") < 8)
+        brute_cl = S.brute_force_topk(corpus, queries_cl, k=5)
+        extras["ann_lsh_recall_at_5_clustered"] = _recall(
+            brute_cl, S.rp_lsh_topk(corpus, queries_cl, k=5)
+        )
+        cents = S.prepare_centroids(cent_df)
+        extras["ann_ivf_derived_nprobe"] = S.ivf_nprobe_for(len(cents))
+        extras["ann_ivf_recall_at_5_clustered"] = _recall(
+            brute_cl, S.ivf_topk(corpus, queries_cl, cents, k=5)  # derived nprobe
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["_ann_recall_derived"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # 10× scale smoke of the pairwise family (content_dedup, minhash,
     # ngram_jaccard, embedding_near_dup, ann_topk): per-op seconds at 1×
     # and 10× plus the growth ratio — sub-quadratic means ratio ≲ 15.

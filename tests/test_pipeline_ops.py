@@ -241,8 +241,11 @@ def test_materialized_ivf_index_partition_pruned_search(spark, tmp_path, sf_dir)
     idx_path = str(tmp_path / "ivf-index")
     S.build_ivf_index(emb, centroids, idx_path)
 
-    result = S.search_ivf_index(spark, idx_path, queries, centroids, k=5)
-    direct = S.ivf_topk(emb, queries, centroids, k=5)
+    # nprobe pinned to 1: this test asserts the PRUNING mechanics, and
+    # the derived √C default across 8 queries legitimately touches every
+    # cell of an 8-cell index, leaving nothing to prune
+    result = S.search_ivf_index(spark, idx_path, queries, centroids, k=5, nprobe=1)
+    direct = S.ivf_topk(emb, queries, centroids, k=5, nprobe=1)
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, direct.collect()))
 
     # partition pruning reaches the index scan: the physical plan carries
@@ -803,3 +806,84 @@ def test_lsh_bands_parameter_is_effective(spark, docs):
         ).collect()
     }
     assert strict == manual
+
+
+def test_rp_lsh_topk_matches_numpy_reference(spark):
+    """rp_lsh_topk is deterministic end-to-end (seeded planes, static
+    subset-probe pattern): its results on a small corpus must equal a
+    numpy re-implementation of the same bucketing + probing + cosine
+    ranking — exact parity, not a recall bound."""
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(300, 16)).astype("float64")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.where(F.col("vec_id") < 4)
+    planes = S.random_projection_planes(300, 16)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.rp_lsh_topk(corpus, queries, k=3, planes=planes).collect()
+    }
+
+    # numpy reference over the SAME float32-roundtripped, quantized data
+    pts32 = pts.astype("float32").astype("float64")
+    q = np.round(pts32 * 1e6)  # quantize()
+    pl = np.array(planes, dtype="float64")
+    proj = q @ pl.T
+    buckets = ((proj > 0) @ (1 << np.arange(len(planes)))).astype(int)
+    s = S.lsh_probe_depth_for(len(planes))
+    from itertools import combinations
+
+    want = {}
+    for qi in range(4):
+        order = np.argsort(np.abs(proj[qi]), kind="stable")
+        masks = {0}
+        for size in range(1, s + 1):
+            for combo in combinations(sorted(order[:s]), size):
+                masks.add(sum(1 << int(b) for b in combo))
+        probes = {int(buckets[qi]) ^ m for m in masks}
+        cand = [j for j in range(300) if j != qi and int(buckets[j]) in probes]
+        cos = {
+            j: int(
+                np.floor(
+                    (q[j] @ q[qi]) / (np.sqrt(q[j] @ q[j]) * np.sqrt(q[qi] @ q[qi])) * 1e6
+                )
+            )
+            for j in cand
+        }
+        top = sorted(cand, key=lambda j: (-cos[j], j))[:3]
+        for rank, j in enumerate(top, 1):
+            want[(qi, rank)] = j
+    assert got == want
+
+
+def test_rp_lsh_recall_beats_single_bucket_on_clusters(spark):
+    """The derived-defaults contract: on a planted-cluster corpus (the
+    case ANN exists for) rp_lsh_topk's recall@5 against brute force is
+    >= 0.9, and the subset probing is what buys it (probe_depth=0 is
+    strictly worse)."""
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(2000) % 8] + 0.15 * rng.normal(size=(2000, 32))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(2000)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.where(F.col("vec_id") < 6)
+    truth = {}
+    for r in S.brute_force_topk(corpus, queries, k=5).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(**kw):
+        got = {}
+        for r in S.rp_lsh_topk(corpus, queries, k=5, **kw).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        qs = sorted(truth)
+        return sum(len(truth[q] & got.get(q, set())) / len(truth[q]) for q in qs) / len(qs)
+
+    derived = recall()
+    single = recall(probe_depth=0)
+    assert derived >= 0.9
+    assert derived >= single
