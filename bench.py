@@ -97,10 +97,18 @@ def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     # against the O(keys) state — the read that replaces a table scan
     from zombi_spark.table.rollup import MaterializedRollup
 
-    roll = MaterializedRollup(table2, os.path.join(tmp, "bench2-rollup"))
-    t0 = time.perf_counter()
-    roll.refresh()
-    extras["rollup_refresh_sec"] = round(time.perf_counter() - t0, 4)
+    # min-of-two FRESH builds, same discipline as every other number
+    # here: the first pays one-time codegen/analysis for the merge plan
+    # (~1.2s), which r6's artifact recorded as "refresh creep" — the
+    # steady-state refresh cost is the warm number (VERDICT r6 #8)
+    runs = []
+    for _ in range(2):
+        shutil.rmtree(os.path.join(tmp, "bench2-rollup"), ignore_errors=True)
+        roll = MaterializedRollup(table2, os.path.join(tmp, "bench2-rollup"))
+        t0 = time.perf_counter()
+        roll.refresh()
+        runs.append(time.perf_counter() - t0)
+    extras["rollup_refresh_sec"] = round(min(runs), 4)
     t0 = time.perf_counter()
     extras["rollup_keys"] = roll.read().count()
     extras["rollup_query_sec"] = round(time.perf_counter() - t0, 4)

@@ -362,3 +362,32 @@ def test_row_delete_triggers_full_rebuild(spark, tmp_path):
     assert _same(roll.read(), _expected(t, KEYS), KEYS)
     # steady state after the rebuild: nothing new → no-op refresh
     assert roll.refresh()["to_version"] is None
+
+
+def test_below_threshold_refresh_stays_on_unsharded_fast_path(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #8: the sharding layer must not tax the small-state
+    case. Below shard_threshold_rows an incremental refresh takes the
+    plain path — no _shard layout, no carry-forward calls, no n_shards
+    in the pointer — and the state still equals a full recompute."""
+    t = EventTable(spark, str(tmp_path), "events")
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))  # default threshold 100k
+    t.append(_batch(spark, 0, 40, hour_spread_ms=3_600_000))
+    roll.refresh()
+
+    calls = {"link": 0}
+    real_link = MaterializedRollup._link_untouched_shards
+
+    def spy(self, *a, **k):
+        calls["link"] += 1
+        return real_link(self, *a, **k)
+
+    monkeypatch.setattr(MaterializedRollup, "_link_untouched_shards", spy)
+    t.append(_batch(spark, 40, 10, hour_spread_ms=3_600_000))
+    r = roll.refresh()
+    assert r["delta_rows"] == 10
+    assert calls["link"] == 0  # sharded machinery untouched
+    ptr = roll._pointer()
+    assert "n_shards" not in ptr
+    state_dir = os.path.join(str(tmp_path / "rollup"), ptr["state_dir"])
+    assert not any(d.startswith("_shard=") for d in os.listdir(state_dir))
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
