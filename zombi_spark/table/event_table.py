@@ -724,34 +724,57 @@ class EventTable:
         many_tiny_files = (
             rows_per_partition is not None and rows_per_partition < 100_000
         )
-        if key_ndv == 0 and many_tiny_files and self._arrow_writable_schema():
-            # many-small-files fast path (the 25k ev/s gap, VERDICT r6
-            # #3): parquet-mr pays ~3.5ms of writer setup/teardown PER
-            # FILE, so a wide-time-range batch fanning into hundreds of
-            # hour dirs spends ~2.6s of a 4.1s append purely opening and
-            # closing files. The Arrow writer's per-file cost is ~10×
-            # lower (measured: 720-dir batch 3.0s JVM → 1.2s Arrow).
-            # Scope: UNKEYED batches only (key_ndv == 0 ⇒ no bloom
-            # filter — pyarrow 16 cannot write parquet blooms) and only
-            # the tiny-file regime; big-file batches keep the JVM
-            # vectorized writer where per-file setup amortizes to zero.
-            self._stage_arrow(shaped, staging, cap)
-        else:
-            writer = self._bloom_options(
-                shaped.write.mode("overwrite").partitionBy("event_date", "event_hour"),
-                expected_ndv=key_ndv if key_ndv is not None else cap,
-            )
-            if many_tiny_files:
-                writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
-            if cap is not None:
-                # a single hot hour inside one task would otherwise become
-                # ONE arbitrarily large file; maxRecordsPerFile rolls the
-                # writer over at the byte-derived row cap
-                writer = writer.option("maxRecordsPerFile", cap)
-            writer.parquet(staging)
+        self._write_staged(
+            shaped,
+            staging,
+            expected_ndv=key_ndv if key_ndv is not None else cap,
+            tiny=many_tiny_files,
+            cap=cap,
+        )
         moved = self._move_staged_in(staging, prefix="")
         self._rmtree(staging)
         return moved
+
+    def _write_staged(
+        self,
+        shaped: DataFrame,
+        staging: str,
+        expected_ndv: int | None,
+        tiny: bool,
+        cap: int | None,
+    ) -> None:
+        """Route a shaped (repartitioned + partition-cols-first-sorted)
+        frame to staging parquet. Shared by append, compact and
+        delete_where — they produce the same hive layout and face the
+        same cost model.
+
+        Many-small-files fast path (the 25k ev/s gap, VERDICT r6 #3):
+        parquet-mr pays ~3.5ms of writer setup/teardown PER FILE, so a
+        wide-time-range batch fanning into hundreds of hour dirs spends
+        ~2.6s of a 4.1s append purely opening and closing files (the
+        shuffle+sort is 0.3s; codec and dictionary immaterial). The
+        Arrow writer's per-file cost is ~10× lower (measured: 720-dir
+        batch 3.0s JVM → 1.2s Arrow). Scope: UNKEYED output only
+        (``expected_ndv == 0`` ⇒ no bloom filter — pyarrow 16 cannot
+        write parquet blooms) in the tiny-file regime, over flat
+        primitive schemas; everything else keeps the JVM vectorized
+        writer, where big-file setup amortizes to zero.
+        """
+        if expected_ndv == 0 and tiny and self._arrow_writable_schema():
+            self._stage_arrow(shaped, staging, cap)
+            return
+        writer = self._bloom_options(
+            shaped.write.mode("overwrite").partitionBy("event_date", "event_hour"),
+            expected_ndv=expected_ndv,
+        )
+        if tiny:
+            writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
+        if cap is not None:
+            # a single hot hour inside one task would otherwise become
+            # ONE arbitrarily large file; maxRecordsPerFile rolls the
+            # writer over at the byte-derived row cap
+            writer = writer.option("maxRecordsPerFile", cap)
+        writer.parquet(staging)
 
     _ARROW_SAFE_TYPES = (
         "string", "binary", "tinyint", "smallint", "int", "bigint",
@@ -1552,21 +1575,19 @@ class EventTable:
         all_unkeyed = all("key_nulls" in f for f in inputs) and sum(
             f["key_nulls"] for f in inputs
         ) == sum(f.get("row_count", 0) for f in inputs)
-        writer = self._bloom_options(
+        # same routing as append/compact: a takedown over small unkeyed
+        # hour-files takes the Arrow writer, keyed/big output stays JVM
+        max_part_rows = max((f.get("row_count", 0) for f in inputs), default=0)
+        self._write_staged(
             survivors.repartition(ntasks, "event_date", "event_hour")
-            .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence")
-            .write.mode("overwrite")
-            .partitionBy("event_date", "event_hour"),
+            .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence"),
+            staging,
             expected_ndv=0
             if all_unkeyed
             else self._target_records_per_file(128 * 1024 * 1024),
+            tiny=0 < max_part_rows < 100_000,
+            cap=None,
         )
-        # same thin-output heuristic as append/compact: a takedown over
-        # small hour-files must not pay 128 MB row-group buffers per file
-        max_part_rows = max((f.get("row_count", 0) for f in inputs), default=0)
-        if 0 < max_part_rows < 100_000:
-            writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
-        writer.parquet(staging)
         added = self._move_staged_in(staging, prefix="deleted-")
         self._rmtree(staging)
         prior = self.latest_snapshot()
@@ -1726,24 +1747,15 @@ class EventTable:
             all_unkeyed = all("key_nulls" in f for f in inputs) and sum(
                 f["key_nulls"] for f in inputs
             ) == sum(f.get("row_count", 0) for f in inputs)
-            writer = self._bloom_options(
-                df.repartition(ntasks, "event_date", "event_hour")
-                .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence")
-                .write.mode("overwrite")
-                .partitionBy("event_date", "event_hour"),
-                expected_ndv=0
-                if all_unkeyed
-                else self._target_records_per_file(128 * 1024 * 1024),
-            )
-            # same thin-output heuristic as append, from manifest stats
-            # (no extra job): tiny compacted files shouldn't each allocate
-            # the default 128 MB row-group buffer
+            # thin-output heuristic from manifest stats (no extra job):
+            # tiny compacted files shouldn't each allocate the default
+            # 128 MB row-group buffer — and the unkeyed-tiny combination
+            # routes to the Arrow writer like append's
             max_part_rows = max(
                 (sum(f.get("row_count", 0) for f in fs) for fs in candidates.values()),
                 default=0,
             )
-            if 0 < max_part_rows < 100_000:
-                writer = writer.option("parquet.block.size", str(4 * 1024 * 1024))
+            cap = None
             if target_files_per_partition > 1:
                 # hash partitioning can never split one storage partition
                 # across tasks — file splitting is the writer's job: roll
@@ -1752,11 +1764,17 @@ class EventTable:
                     sum(f.get("row_count", 0) for f in fs) for fs in candidates.values()
                 )
                 if biggest:
-                    writer = writer.option(
-                        "maxRecordsPerFile",
-                        max(-(-biggest // target_files_per_partition), 1),
-                    )
-            writer.parquet(staging)
+                    cap = max(-(-biggest // target_files_per_partition), 1)
+            self._write_staged(
+                df.repartition(ntasks, "event_date", "event_hour")
+                .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence"),
+                staging,
+                expected_ndv=0
+                if all_unkeyed
+                else self._target_records_per_file(128 * 1024 * 1024),
+                tiny=0 < max_part_rows < 100_000,
+                cap=cap,
+            )
             added = self._move_staged_in(staging, prefix="compacted-")
             self._rmtree(staging)
         prior = self.latest_snapshot()
