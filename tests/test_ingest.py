@@ -219,7 +219,17 @@ def test_writer_routing_arrow_for_unkeyed_tiny_jvm_for_keyed(spark, tmp_path):
     assert got.count() == 96
     assert got.where("idempotency_key IS NULL").count() == 48
     assert got.where("idempotency_key LIKE 'key-%'").count() == 48
-    # per-file manifest stats exist for both writer populations
+    # per-file manifest stats exist for both writer populations — and
+    # the Arrow path's WRITE-TIME stats must equal what a footer read
+    # would produce (they feed pruning, watermark recovery and the
+    # Iceberg bounds; a drift here silently corrupts file skipping)
+    from zombi_spark.table.event_table import _parquet_file_entry
+
     for e in t.files():
         assert e["row_count"] > 0 and e["min_ts"] <= e["max_ts"]
         assert "key_nulls" in e
+        refetched = _parquet_file_entry(e["file_path"], t.data_path)
+        for k in ("row_count", "file_size_bytes", "min_ts", "max_ts",
+                  "min_seq", "max_seq", "min_topic", "max_topic",
+                  "min_part", "max_part", "key_nulls"):
+            assert e[k] == refetched[k], (k, e["file_path"])

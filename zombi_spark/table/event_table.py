@@ -724,14 +724,14 @@ class EventTable:
         many_tiny_files = (
             rows_per_partition is not None and rows_per_partition < 100_000
         )
-        self._write_staged(
+        stats = self._write_staged(
             shaped,
             staging,
             expected_ndv=key_ndv if key_ndv is not None else cap,
             tiny=many_tiny_files,
             cap=cap,
         )
-        moved = self._move_staged_in(staging, prefix="")
+        moved = self._move_staged_in(staging, prefix="", stats=stats)
         self._rmtree(staging)
         return moved
 
@@ -742,7 +742,7 @@ class EventTable:
         expected_ndv: int | None,
         tiny: bool,
         cap: int | None,
-    ) -> None:
+    ) -> dict[str, dict] | None:
         """Route a shaped (repartitioned + partition-cols-first-sorted)
         frame to staging parquet. Shared by append, compact and
         delete_where — they produce the same hive layout and face the
@@ -761,8 +761,7 @@ class EventTable:
         writer, where big-file setup amortizes to zero.
         """
         if expected_ndv == 0 and tiny and self._arrow_writable_schema():
-            self._stage_arrow(shaped, staging, cap)
-            return
+            return self._stage_arrow(shaped, staging, cap)
         writer = self._bloom_options(
             shaped.write.mode("overwrite").partitionBy("event_date", "event_hour"),
             expected_ndv=expected_ndv,
@@ -775,6 +774,7 @@ class EventTable:
             # writer over at the byte-derived row cap
             writer = writer.option("maxRecordsPerFile", cap)
         writer.parquet(staging)
+        return None
 
     _ARROW_SAFE_TYPES = (
         "string", "binary", "tinyint", "smallint", "int", "bigint",
@@ -793,14 +793,21 @@ class EventTable:
             for f in self.table_schema().fields
         )
 
-    def _stage_arrow(self, shaped: DataFrame, staging: str, cap: int | None) -> None:
+    def _stage_arrow(
+        self, shaped: DataFrame, staging: str, cap: int | None
+    ) -> dict[str, dict]:
         """Write ``shaped`` (already repartitioned on the storage key and
         sorted partition-cols-first) into ``staging`` as the SAME hive
         layout the JVM writer produces, via one pyarrow file per
         (event_date, event_hour) group per task. Input order within each
         group is preserved, so files stay (timestamp_ms, sequence)-sorted
         — pinned by test_ingest.py's footer-reading sort test against
-        this path."""
+        this path.
+
+        Returns per-file manifest stats keyed by staging-relative path,
+        computed at WRITE time from the same rows the file holds — so
+        :meth:`_move_staged_in` skips re-opening hundreds of footers
+        (the other ~0.4s of small-batch commit latency)."""
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
@@ -811,6 +818,12 @@ class EventTable:
         arrow_schema = to_arrow_schema(StructType(data_fields))
         data_cols = [f.name for f in data_fields]
         file_cap = cap
+        STATS_SCHEMA = (
+            "rel string, row_count long, file_size_bytes long, "
+            "min_ts long, max_ts long, min_seq long, max_seq long, "
+            "min_topic string, max_topic string, min_part int, max_part int, "
+            "key_nulls long"
+        )
 
         def _write_groups(batches):
             import uuid as _uuid
@@ -821,37 +834,54 @@ class EventTable:
 
             chunks = list(batches)
             pdf = pd.concat(chunks, ignore_index=False) if chunks else None
-            wrote = 0
+            out = []
             if pdf is not None and len(pdf):
                 for (d, h), g in pdf.groupby(["event_date", "event_hour"], sort=False):
                     dname = d.isoformat() if hasattr(d, "isoformat") else str(d)
-                    dest = os.path.join(
-                        staging, f"event_date={dname}", f"event_hour={int(h)}"
-                    )
+                    rel_dir = os.path.join(f"event_date={dname}", f"event_hour={int(h)}")
+                    dest = os.path.join(staging, rel_dir)
                     os.makedirs(dest, exist_ok=True)
                     body = g[data_cols]
                     step = file_cap or len(body) or 1
                     for i in range(0, len(body), step):
+                        sl = body.iloc[i : i + step]
                         tbl = pa.Table.from_pandas(
-                            body.iloc[i : i + step],
-                            schema=arrow_schema,
-                            preserve_index=False,
+                            sl, schema=arrow_schema, preserve_index=False
                         )
-                        pq.write_table(
-                            tbl,
-                            os.path.join(dest, f"part-{_uuid.uuid4().hex}.parquet"),
-                            compression="zstd",
+                        fname = f"part-{_uuid.uuid4().hex}.parquet"
+                        fp = os.path.join(dest, fname)
+                        pq.write_table(tbl, fp, compression="zstd")
+                        out.append(
+                            {
+                                "rel": os.path.join(rel_dir, fname),
+                                "row_count": len(sl),
+                                "file_size_bytes": os.path.getsize(fp),
+                                "min_ts": int(sl["timestamp_ms"].min()),
+                                "max_ts": int(sl["timestamp_ms"].max()),
+                                "min_seq": int(sl["sequence"].min()),
+                                "max_seq": int(sl["sequence"].max()),
+                                "min_topic": str(sl["topic"].min()),
+                                "max_topic": str(sl["topic"].max()),
+                                "min_part": int(sl["partition"].min()),
+                                "max_part": int(sl["partition"].max()),
+                                "key_nulls": int(sl["idempotency_key"].isna().sum()),
+                            }
                         )
-                        wrote += len(tbl)
-            yield pd.DataFrame({"n": [wrote]})
+            yield pd.DataFrame(
+                out
+                if out
+                else {
+                    k: []
+                    for k in (
+                        "rel", "row_count", "file_size_bytes", "min_ts", "max_ts",
+                        "min_seq", "max_seq", "min_topic", "max_topic",
+                        "min_part", "max_part", "key_nulls",
+                    )
+                }
+            )
 
-        written = (
-            shaped.mapInPandas(_write_groups, "n long")
-            .agg(F.sum("n").alias("n"))
-            .collect()[0]["n"]
-        )
-        if written is None:
-            written = 0
+        rows = shaped.mapInPandas(_write_groups, STATS_SCHEMA).collect()
+        return {r["rel"]: r.asDict() for r in rows}
 
     @staticmethod
     def _bloom_options(writer, expected_ndv: int | None = None):
@@ -876,7 +906,9 @@ class EventTable:
             .option("parquet.bloom.filter.max.bytes", str(1024 * 1024))
         )
 
-    def _move_staged_in(self, staging: str, prefix: str) -> list[dict]:
+    def _move_staged_in(
+        self, staging: str, prefix: str, stats: dict[str, dict] | None = None
+    ) -> list[dict]:
         """Move every staged parquet into the data tree under a fresh
         unique name and return manifest entries with footer stats.
 
@@ -884,8 +916,11 @@ class EventTable:
         a batch easily spans hundreds of directories, and a serial loop of
         open-footer calls dominates small-batch commit latency (measured
         720 files: ~2s serial → ~0.3s at 16 threads). Pure I/O, no Spark
-        involvement — safe to parallelize."""
-        plan: list[tuple[str, str]] = []
+        involvement — safe to parallelize. ``stats`` (from the Arrow
+        staging path) carries write-time per-file stats keyed by
+        staging-relative path; files covered by it skip the footer
+        re-open entirely."""
+        plan: list[tuple[str, str, str]] = []
         for dirpath, _dirs, files in os.walk(staging):
             rel = os.path.relpath(dirpath, staging)
             for nf in files:
@@ -897,12 +932,21 @@ class EventTable:
                     (
                         os.path.join(dirpath, nf),
                         os.path.join(dest_dir, f"{prefix}{uuid.uuid4().hex}.parquet"),
+                        os.path.join(rel, nf),
                     )
                 )
 
-        def _move(src_dest: tuple[str, str]) -> dict:
-            src, dest = src_dest
+        def _move(src_dest: tuple[str, str, str]) -> dict:
+            src, dest, rel_src = src_dest
             self.backend.promote(src, dest)
+            pre = None if stats is None else stats.get(rel_src)
+            if pre is not None:
+                entry = {
+                    "file_path": dest,
+                    "partition_dir": os.path.relpath(os.path.dirname(dest), self.data_path),
+                    **{k: v for k, v in pre.items() if k != "rel"},
+                }
+                return entry
             return _parquet_file_entry(dest, self.data_path)
 
         from concurrent.futures import ThreadPoolExecutor
@@ -1298,7 +1342,15 @@ class EventTable:
                         os.path.relpath(os.path.dirname(e["file_path"]), self.data_path),
                     ),
                     "file_size_bytes": e.get("file_size_bytes", os.path.getsize(e["file_path"])),
-                    **{k: e[k] for k in ("row_count", "min_ts", "max_ts", "min_seq", "max_seq", "key_nulls") if k in e},
+                    **{
+                        k: e[k]
+                        for k in (
+                            "row_count", "min_ts", "max_ts", "min_seq", "max_seq",
+                            "min_topic", "max_topic", "min_part", "max_part",
+                            "key_nulls",
+                        )
+                        if k in e
+                    },
                 }
                 for e in self._active_files(latest)
             ]
@@ -1578,7 +1630,7 @@ class EventTable:
         # same routing as append/compact: a takedown over small unkeyed
         # hour-files takes the Arrow writer, keyed/big output stays JVM
         max_part_rows = max((f.get("row_count", 0) for f in inputs), default=0)
-        self._write_staged(
+        wstats = self._write_staged(
             survivors.repartition(ntasks, "event_date", "event_hour")
             .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence"),
             staging,
@@ -1588,7 +1640,7 @@ class EventTable:
             tiny=0 < max_part_rows < 100_000,
             cap=None,
         )
-        added = self._move_staged_in(staging, prefix="deleted-")
+        added = self._move_staged_in(staging, prefix="deleted-", stats=wstats)
         self._rmtree(staging)
         prior = self.latest_snapshot()
         summary = {
@@ -1765,7 +1817,7 @@ class EventTable:
                 )
                 if biggest:
                     cap = max(-(-biggest // target_files_per_partition), 1)
-            self._write_staged(
+            wstats = self._write_staged(
                 df.repartition(ntasks, "event_date", "event_hour")
                 .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence"),
                 staging,
@@ -1775,7 +1827,7 @@ class EventTable:
                 tiny=0 < max_part_rows < 100_000,
                 cap=cap,
             )
-            added = self._move_staged_in(staging, prefix="compacted-")
+            added = self._move_staged_in(staging, prefix="compacted-", stats=wstats)
             self._rmtree(staging)
         prior = self.latest_snapshot()
         summary = {
