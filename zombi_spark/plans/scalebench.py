@@ -9,11 +9,22 @@ The scaled corpus is a deterministic derivation, not new test data:
 replica k of a document prefixes every token with ``r{k}_`` (replicas
 share ZERO shingles, so each replica carries the original near-dup
 structure and none across replicas — true pairs grow exactly linearly);
-replica k of an embedding is the vector rotated k positions (a
-permutation applied to both members of a pair preserves their cosine,
-while cross-replica cosines stay at the random-pair level). Both scales
-are materialized to parquet first so the measured cost is the operator,
+replica k of an embedding applies a per-replica sign-flip pattern (a
+sign pattern applied to both members of a pair preserves their cosine,
+so within-replica structure carries over exactly). Both scales are
+materialized to parquet first so the measured cost is the operator,
 not the derivation, and both read through the identical I/O path.
+
+Result-SIZE linearity (the ``_rows_ratio`` extras) is a correctness
+check for the shingle family only: disjoint replicas make the true
+answer exactly 10× (content_dedup, minhash — ngram lands ~9.8× because
+its 2-seed blocking has per-replica recall variance, honestly visible).
+``embedding_near_dup``'s row count legitimately grows SUPER-linearly
+here: with a fixed absolute cosine threshold ~3.5σ into the corpus's
+random-pair band, expected crossings are C(n,2)·P(cos>t) — quadratic by
+the operator's own semantics on a corpus with no planted structure (the
+sf tables' pairs ≥0.45 number 14, ≥0.55 zero). Its SCALE claim is the
+TIME ratio (bucketed candidate generation), not result linearity.
 
 Derived parameters (``lsh_planes_for``, ``simhash_bits_for``) are
 recomputed per scale and reported — at 10× they must actually change,
@@ -54,17 +65,28 @@ def scaled_documents(docs: DataFrame, factor: int) -> DataFrame:
 
 
 def scaled_embeddings(emb: DataFrame, factor: int) -> DataFrame:
-    """``factor`` replicas; replica k rotates the vector k positions."""
+    """``factor`` replicas; replica k applies a deterministic per-replica
+    SIGN-FLIP pattern (element i negated iff hash(k, i) is odd).
+
+    A sign pattern applied to BOTH members of a pair preserves their
+    cosine exactly, so each replica carries the original near-dup
+    structure. Cross-replica cosines become random-signed sums — the
+    earlier rotation derivation failed exactly here (caught by the
+    round-7 result-size check, not by timing): a vector rotated by j
+    vs k is its own lag-(k−j) autocorrelation, which for the smooth
+    synthetic embeddings crossed the near-dup threshold and inflated
+    the 10× true-pair count 87×."""
     rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
     tagged = emb.select("vec_id", "embedding", rep)
-    dims = F.size(F.col("embedding"))
-    rotated = F.concat(
-        F.slice(F.col("embedding"), F.col("rep") + 1, dims - F.col("rep")),
-        F.slice(F.col("embedding"), F.lit(1), F.col("rep")),
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(
+            F.pmod(F.hash(F.col("rep"), i), F.lit(2)) == 0, x
+        ).otherwise(-x),
     )
     return tagged.select(
         (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
-        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(rotated).alias("embedding"),
+        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(flipped).alias("embedding"),
     )
 
 
@@ -190,6 +212,12 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                     runs.append(round(time.perf_counter() - t0, 4))
                 out[f"scale_{name}_x{fac}_sec"] = min(runs)
                 out[f"scale_{name}_x{fac}_runs"] = runs
+                # result-size check, not just wall clock: replicas share
+                # no shingles and rotations preserve pair structure, so
+                # TRUE results must grow exactly linearly — a bucketing
+                # bug that silently drops (or invents) cross-replica
+                # matches shows up here as a non-integer row ratio
+                out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n)[name].count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     for name in ("content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
@@ -197,4 +225,7 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
         big = out.get(f"scale_{name}_x{factor}_sec")
         if base and big:
             out[f"scale_{name}_ratio"] = round(big / base, 2)
+        r1, rf = out.get(f"scale_{name}_x1_rows"), out.get(f"scale_{name}_x{factor}_rows")
+        if r1:
+            out[f"scale_{name}_rows_ratio"] = round(rf / r1, 3)
     return out
