@@ -194,3 +194,9 @@ def test_cap_per_source_null_source_rows_survive(spark):
         .where(F.col("source").isNull()).collect()
     )
     assert kept == again
+    # ONLY the NULL group over the cap (empty `over` list, so the named
+    # branch's cut_map is the zero-entry map): named rows pass through
+    # complete, NULLs capped
+    out3 = M.cap_per_source(docs.where(F.col("doc_id") >= 990), 30)
+    by3 = {r["source"]: r["n"] for r in out3.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by3 == {"web": 10, None: 30}

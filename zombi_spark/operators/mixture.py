@@ -141,10 +141,15 @@ def cap_per_source(
     def _cut(n: int) -> int:
         return int(min(1.0, (max_docs + margin) / n) * (1 << 60))
 
-    cut_map = F.create_map(
-        *[x for s in over for x in (F.lit(s), F.lit(_cut(counts[s])))]
-    )
-    cutoff = cut_map[F.col(source_col)]
+    if over:
+        cut_map = F.create_map(
+            *[x for s in over for x in (F.lit(s), F.lit(_cut(counts[s])))]
+        )
+        cutoff = cut_map[F.col(source_col)]
+    else:
+        # only the NULL group is over the cap: a zero-entry create_map()
+        # types as map<void,void> and cannot be indexed by a string key
+        cutoff = F.lit(None).cast("long")
     if null_over:
         cutoff = F.when(is_null, F.lit(_cut(null_n))).otherwise(cutoff)
     pre = big.where(F.col("_ord") <= cutoff)

@@ -74,8 +74,8 @@ class PosixCommitBackend:
         except OSError:
             # filesystems without hardlinks (NFS/SMB/FUSE): exclusive
             # create gives the same claim-or-lose semantics
-            with open(dest, "x") as out, open(tmp, "rb") as src:
-                out.buffer.write(src.read())
+            with open(dest, "xb") as out, open(tmp, "rb") as src:
+                out.write(src.read())
 
     def swing(self, tmp: str, dest: str) -> None:
         os.replace(tmp, dest)
@@ -122,8 +122,8 @@ class ObjectStoreCommitBackend:
         except FileExistsError:
             raise
         except OSError:
-            with open(dest, "x") as out, open(tmp, "rb") as src:
-                out.buffer.write(src.read())
+            with open(dest, "xb") as out, open(tmp, "rb") as src:
+                out.write(src.read())
 
     def swing(self, tmp: str, dest: str) -> None:
         # plain PUT: atomic whole-object replace of the pointer key.
