@@ -1,0 +1,110 @@
+"""Cross-IMPLEMENTATION Avro validation: decode the engine's
+hand-written Iceberg manifest / manifest-list container files with
+Apache Avro Java 1.12 (the reference implementation, shipped in
+Spark's JVM as avro-1.12.1.jar) and compare record-for-record against
+our own decoder (table/avro_io.py).
+
+This attacks the residual risk VERDICT r6 named under Missing #1: with
+only in-repo validators, a spec-interpretation bug shared by writer and
+reader would be invisible. Apache Avro Java shares no code with
+avro_io.py — if it parses our container framing (magic, schema header,
+sync markers, block counts, zigzag varints, union branch indexes) and
+reads the same values, the bytes are Avro per the canonical
+implementation, not merely self-consistent.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.avro_io import read_container
+from zombi_spark.table.event_table import EventTable
+
+
+def _batch(spark, start, n, topic="t"):
+    rows = [
+        (topic, 0, f"p{i}".encode(), 1704067200000 + i * 1000, None, i)
+        for i in range(start, start + n)
+    ]
+    return prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA))
+
+
+def _jvm_records(spark, path):
+    """Decode an Avro container with Apache Avro Java; returns
+    (schema_name, [record dict, ...]). Record JSON comes from
+    GenericData.Record.toString(), which encodes bytes fields as
+    \\u00XX-escaped strings — latin-1 encoding recovers the exact
+    bytes."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
+    try:
+        name = dfr.getSchema().getName()
+        out = []
+        while dfr.hasNext():
+            out.append(json.loads(dfr.next().toString()))
+        return name, out
+    finally:
+        dfr.close()
+
+
+def _normalize(v):
+    """Make our decoder's values comparable with Avro Java's JSON: bytes
+    become latin-1 strings (matching toString's \\u00XX escapes), nested
+    dicts/lists recurse."""
+    if isinstance(v, bytes):
+        return v.decode("latin-1")
+    if isinstance(v, dict):
+        return {k: _normalize(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_normalize(x) for x in v]
+    return v
+
+
+def test_apache_avro_java_reads_our_manifest_bytes(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_batch(spark, 0, 10))
+    t.append(_batch(spark, 10, 10))
+    t.compact(min_input_files=2)  # exercises DELETED tombstone entries
+
+    mdir = os.path.join(str(tmp_path), "events", "metadata")
+    avro_files = sorted(glob.glob(os.path.join(mdir, "*.avro")))
+    assert avro_files, "no Avro metadata written"
+
+    saw_schemas = set()
+    saw_deleted = False
+    for path in avro_files:
+        schema_name, jvm_recs = _jvm_records(spark, path)
+        saw_schemas.add(schema_name)
+        _header, _schema, ours = read_container(path)
+        ours_n = [_normalize(r) for r in ours]
+        assert len(jvm_recs) == len(ours_n), path
+        for jr, our in zip(jvm_recs, ours_n):
+            assert jr == our, (
+                f"Apache Avro Java and avro_io disagree on {os.path.basename(path)}:"
+                f"\n  java: {jr}\n  ours: {our}"
+            )
+        if schema_name == "manifest_entry":
+            saw_deleted |= any(r["status"] == 2 for r in jvm_recs)
+    # both Iceberg schemas present, and the compact's tombstones decoded
+    assert saw_schemas == {"manifest_entry", "manifest_file"}
+    assert saw_deleted, "compact should have produced DELETED (status=2) entries"
+
+
+def test_apache_avro_java_reads_golden_fixture_bytes(spark):
+    """The checked-in golden manifest bytes (the review artifact for the
+    Avro writer) also decode under the canonical implementation."""
+    fixtures = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "fixtures", "golden_*.avro"))
+    )
+    if not fixtures:
+        pytest.skip("no golden avro fixtures")
+    for path in fixtures:
+        schema_name, jvm_recs = _jvm_records(spark, path)
+        _h, _s, ours = read_container(path)
+        assert len(jvm_recs) == len(ours) and len(jvm_recs) >= 1
+        assert jvm_recs == [_normalize(r) for r in ours]
+        assert schema_name in {"manifest_entry", "manifest_file"}
