@@ -185,14 +185,6 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
     out[f"scale_lsh_planes_{factor}x"] = len(S.lsh_planes_for(n_emb * factor, 64))
     out["scale_simhash_bits_1x"] = D.simhash_bits_for(n_docs)
     out[f"scale_simhash_bits_{factor}x"] = D.simhash_bits_for(n_docs * factor)
-    # untimed warmup on the 1× corpus: the smoke now runs in a FRESH
-    # session, so the first execution of the family pays Python-worker
-    # spawn + Arrow codec + codegen setup (measured 4.2× on
-    # embedding_near_dup's first run) — one-time session cost, not
-    # operator scaling, so it must not contaminate either timed run
-    d1, e1, n1 = corpora[1]
-    for df in _family(d1, e1, n1).values():
-        _force(df)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         for fac in (1, factor):
@@ -200,6 +192,15 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
             parts = shuffle_partitions_for(n_docs * fac)
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             out[f"scale_shuffle_partitions_x{fac}"] = parts
+            # untimed warmup PER SCALE: the smoke runs in a fresh
+            # session, so the first execution at each scale pays
+            # Python-worker spawn / Arrow codec / codegen / GC-heap
+            # shaping (measured 4.2× on embedding_near_dup's first 1×
+            # run, 2.9× on its first 10× run when only 1× was warmed) —
+            # one-time costs, not operator scaling, so neither timed
+            # run may carry them
+            for df in _family(d, e, n).values():
+                _force(df)
             for name in _family(d, e, n):
                 runs = []
                 for _ in range(2):
