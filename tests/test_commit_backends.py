@@ -257,3 +257,70 @@ def test_iceberg_metadata_chain_under_objectstore(spark, tmp_path, use_backend):
 
     got = read_via_iceberg_metadata(spark, os.path.join(str(tmp_path), "events"))
     assert got.count() == 10
+
+
+def test_fallback_claim_is_atomic_and_recovers_stale_claims(tmp_path, monkeypatch):
+    """Filesystems without hardlinks: the claim must never expose a
+    partial dest (claim record + full-content rename, not
+    O_EXCL-create-then-write), a loser must still get FileExistsError,
+    a FRESH foreign claim blocks, and a STALE claim (its owner crashed
+    between claim and publish) is stolen after the grace window."""
+    import zombi_spark.table.commit_backend as CB
+
+    real_link = os.link
+
+    def no_link(*a, **k):
+        raise OSError(1, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    b = CB.PosixCommitBackend()
+    t1 = tmp_path / "a.tmp"
+    t1.write_text("winner-content")
+    dest = str(tmp_path / "v7.json")
+    b.publish_exclusive(str(t1), dest)
+    assert open(dest).read() == "winner-content"
+    assert not os.path.exists(dest + ".claim")  # released after publish
+    # loser: dest exists → FileExistsError
+    t2 = tmp_path / "b.tmp"
+    t2.write_text("loser")
+    with pytest.raises(FileExistsError):
+        b.publish_exclusive(str(t2), dest)
+    assert open(dest).read() == "winner-content"
+
+    # fresh foreign claim without dest: blocks (someone is publishing)
+    dest2 = str(tmp_path / "v8.json")
+    open(dest2 + ".claim", "w").close()
+    with pytest.raises(FileExistsError):
+        b.publish_exclusive(str(t1), dest2)
+    # stale claim (owner crashed pre-publish): stolen after grace
+    old = __import__("time").time() - 2 * CB.CLAIM_GRACE_S
+    os.utime(dest2 + ".claim", (old, old))
+    b.publish_exclusive(str(t1), dest2)
+    assert open(dest2).read() == "winner-content"
+    monkeypatch.setattr(os, "link", real_link)
+
+
+def test_explicit_backend_instance_reaches_iceberg_metadata(spark, tmp_path):
+    """An EventTable constructed with an explicit backend must use IT for
+    the Iceberg metadata claim/hint too — one logical commit, one
+    backend — not silently fall back to the env-selected default."""
+    import zombi_spark.table.commit_backend as CB
+
+    calls = {"claims": 0, "swings": 0}
+
+    class SpyBackend(ObjectStoreCommitBackend):
+        def publish_exclusive(self, tmp, dest):
+            calls["claims"] += 1
+            return super().publish_exclusive(tmp, dest)
+
+        def swing(self, tmp, dest):
+            calls["swings"] += 1
+            return super().swing(tmp, dest)
+
+    t = EventTable(spark, str(tmp_path), "events", backend=SpyBackend())
+    t.append(_batch(spark, 0, 5))
+    # at least: snapshot claim + iceberg v{N} claim; version-hint swing
+    assert calls["claims"] >= 2
+    assert calls["swings"] >= 1
+    mdir = os.path.join(str(tmp_path), "events", "metadata")
+    assert os.path.isfile(os.path.join(mdir, "version-hint.text"))

@@ -233,3 +233,71 @@ def test_writer_routing_arrow_for_unkeyed_tiny_jvm_for_keyed(spark, tmp_path):
                   "min_seq", "max_seq", "min_topic", "max_topic",
                   "min_part", "max_part", "key_nulls"):
             assert e[k] == refetched[k], (k, e["file_path"])
+
+
+def test_arrow_path_preserves_nullable_int64_beyond_2_53(spark, tmp_path):
+    """The Arrow staging path must be pandas-free: arrow→pandas turns an
+    int64 column containing any null into float64, silently rounding
+    values above 2^53 (snowflake-style ids). A nullable extracted bigint
+    with huge values must round-trip EXACTLY through an unkeyed
+    tiny-file append."""
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="big_id", json_path="big_id", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    HOUR = 3_600_000
+    big = 4_611_686_018_427_387_907  # 2^62 + 3: not float64-representable
+    rows = []
+    for i in range(24):
+        payload = f'{{"big_id": {big + i}}}' if i % 3 else "{}"  # nulls mixed in
+        rows.append(("t", 0, payload.encode(), 1704067200000 + i * HOUR, None, i))
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = glob.glob(str(tmp_path / "events" / "data") + "/**/*.parquet", recursive=True)
+    assert any("parquet-cpp-arrow" in pq.ParquetFile(p).metadata.created_by for p in f)
+    got = {r["sequence"]: r["big_id"] for r in t.read().select("sequence", "big_id").collect()}
+    for i in range(24):
+        want = None if i % 3 == 0 else big + i
+        assert got[i + 1] == want, (i, got[i + 1], want)
+
+
+def test_orphan_staging_files_from_failed_attempts_are_not_promoted(spark, tmp_path):
+    """Arrow staging bypasses the Hadoop task committer; a retried or
+    speculative task leaves its partial files in staging while Spark
+    discards that attempt's output. Only files reported by the
+    SUCCESSFUL job (present in the write-time stats) may be promoted —
+    an orphan must die with the staging dir, never be committed as
+    duplicate rows."""
+    import os
+
+    t = EventTable(spark, str(tmp_path), "events")
+    HOUR = 3_600_000
+    rows = [("t", 0, f"p{i}".encode(), 1704067200000 + i * HOUR, None, i) for i in range(12)]
+
+    real_stage = EventTable._stage_arrow
+
+    def stage_with_orphan(self, shaped, staging, cap):
+        stats = real_stage(self, shaped, staging, cap)
+        # simulate a failed attempt's leftover: a valid parquet in
+        # staging that the successful job did not report
+        some_rel = next(iter(stats))
+        src = os.path.join(staging, some_rel)
+        orphan = os.path.join(os.path.dirname(src), "part-deadbeef-orphan.parquet")
+        import shutil
+
+        shutil.copyfile(src, orphan)
+        return stats
+
+    import unittest.mock as mock
+
+    with mock.patch.object(EventTable, "_stage_arrow", stage_with_orphan):
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    # the duplicated hour would double one row if the orphan were adopted
+    assert t.read().count() == 12
+    assert t.read().select("sequence").distinct().count() == 12

@@ -213,11 +213,12 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                     runs.append(round(time.perf_counter() - t0, 4))
                 out[f"scale_{name}_x{fac}_sec"] = min(runs)
                 out[f"scale_{name}_x{fac}_runs"] = runs
-                # result-size check, not just wall clock: replicas share
-                # no shingles and rotations preserve pair structure, so
-                # TRUE results must grow exactly linearly — a bucketing
-                # bug that silently drops (or invents) cross-replica
-                # matches shows up here as a non-integer row ratio
+                # result-size check, not just wall clock: for the
+                # shingle family, replicas share no shingles, so the
+                # true answer grows exactly linearly and a bucketing bug
+                # that drops/invents cross-replica matches shows up as a
+                # non-integer row ratio. (embedding_near_dup's growth is
+                # legitimately super-linear — see the module docstring.)
                 out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n)[name].count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -538,7 +538,10 @@ class _Handler(BaseHTTPRequestHandler):
                     if (
                         not isinstance(ik, list)
                         or not ik
-                        or not all(isinstance(k, (str, int)) for k in ik)
+                        or not all(
+                            isinstance(k, (str, int)) and not isinstance(k, bool)
+                            for k in ik
+                        )
                     ):
                         status, body_ = _err(
                             400,

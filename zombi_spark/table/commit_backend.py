@@ -54,6 +54,64 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+
+#: a crashed claimer's stale lock record may be stolen after this long
+CLAIM_GRACE_S = 60.0
+
+
+def _publish_exclusive(tmp: str, dest: str) -> None:
+    """Shared claim-or-lose publish. Primary: link(2) — atomic, the
+    object appears fully formed iff ``dest`` was absent. On filesystems
+    without hardlinks (NFS/SMB/FUSE): claim through an exclusive lock
+    record, then publish the FULL content with one rename — the naive
+    O_EXCL-create-then-write alternative would briefly expose an
+    empty/partial ``dest`` to concurrent readers, and a crash mid-write
+    would permanently claim the version with corrupt bytes. A claimer
+    that crashes between claim and publish leaves a lock without a
+    ``dest``; later claimers steal it once it is older than
+    :data:`CLAIM_GRACE_S`."""
+    try:
+        os.link(tmp, dest)
+        return
+    except FileExistsError:
+        raise
+    except OSError:
+        pass
+    claim = dest + ".claim"
+    won = False
+    for _ in range(3):
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            won = True
+            break
+        except FileExistsError:
+            if os.path.exists(dest):
+                raise
+            try:
+                age = time.time() - os.path.getmtime(claim)
+            except OSError:
+                continue  # the claim just resolved; re-attempt
+            if age < CLAIM_GRACE_S:
+                raise FileExistsError(claim) from None
+            try:  # stale: its owner crashed pre-publish — steal
+                os.unlink(claim)
+            except OSError:
+                pass
+    if not won:
+        raise FileExistsError(claim)
+    try:
+        if os.path.exists(dest):  # lost to a winner that already published
+            raise FileExistsError(dest)
+        staged = dest + ".publish"
+        shutil.copyfile(tmp, staged)
+        os.replace(staged, dest)
+    finally:
+        try:
+            os.unlink(claim)
+        except OSError:
+            pass
 
 
 class PosixCommitBackend:
@@ -67,15 +125,7 @@ class PosixCommitBackend:
     def publish_exclusive(self, tmp: str, dest: str) -> None:
         """Claim ``dest`` with ``tmp``'s content; ``tmp`` survives (the
         caller owns its cleanup). Raises FileExistsError on a lost race."""
-        try:
-            os.link(tmp, dest)
-        except FileExistsError:
-            raise
-        except OSError:
-            # filesystems without hardlinks (NFS/SMB/FUSE): exclusive
-            # create gives the same claim-or-lose semantics
-            with open(dest, "xb") as out, open(tmp, "rb") as src:
-                out.write(src.read())
+        _publish_exclusive(tmp, dest)
 
     def swing(self, tmp: str, dest: str) -> None:
         os.replace(tmp, dest)
@@ -117,13 +167,8 @@ class ObjectStoreCommitBackend:
     wants_direct_write = True
 
     def publish_exclusive(self, tmp: str, dest: str) -> None:
-        try:
-            os.link(tmp, dest)  # conditional PUT: full object iff absent
-        except FileExistsError:
-            raise
-        except OSError:
-            with open(dest, "xb") as out, open(tmp, "rb") as src:
-                out.write(src.read())
+        # conditional PUT: full object appears iff the key was absent
+        _publish_exclusive(tmp, dest)
 
     def swing(self, tmp: str, dest: str) -> None:
         # plain PUT: atomic whole-object replace of the pointer key.

@@ -426,6 +426,7 @@ class EventTable:
                 snap_for_meta,
                 spark_schema=self.table_schema(),
                 active_entries_fn=lambda: self._active_files(version),
+                backend=self.backend,
             )
         except Exception as exc:
             # interop metadata is derived state — never fail the commit.
@@ -437,7 +438,8 @@ class EventTable:
                 from zombi_spark.table.iceberg_meta import rebuild_metadata
 
                 rebuild_metadata(
-                    self.path, self.name, self.snapshots(), spark_schema=self.table_schema()
+                    self.path, self.name, self.snapshots(),
+                    spark_schema=self.table_schema(), backend=self.backend,
                 )
                 logging.getLogger(__name__).warning(
                     "iceberg metadata rebuilt after: %s", exc
@@ -804,10 +806,24 @@ class EventTable:
         — pinned by test_ingest.py's footer-reading sort test against
         this path.
 
+        Arrow END-TO-END (``mapInArrow``), deliberately never pandas: the
+        arrow→pandas conversion turns an int64 column containing any null
+        into float64, silently rounding values above 2^53 — a nullable
+        extracted bigint (snowflake-style id) would come back altered.
+        RecordBatches keep exact types and null bitmaps throughout.
+
+        Because the input is sorted with the partition columns leading,
+        each task's (event_date, event_hour) groups are CONTIGUOUS runs —
+        group boundaries are found by one vector compare on the combined
+        key and every group is a zero-copy table slice.
+
         Returns per-file manifest stats keyed by staging-relative path,
-        computed at WRITE time from the same rows the file holds — so
-        :meth:`_move_staged_in` skips re-opening hundreds of footers
-        (the other ~0.4s of small-batch commit latency)."""
+        computed at WRITE time from the same Arrow data the file holds —
+        :meth:`_move_staged_in` then skips re-opening hundreds of footers
+        AND promotes ONLY the files this successful job reported, so a
+        retried/speculative task's leftover staging files (Spark discards
+        failed attempts' OUTPUT but not their side effects) can never be
+        committed as duplicate rows."""
         from pyspark.sql.pandas.types import to_arrow_schema
         from pyspark.sql.types import StructType
 
@@ -825,62 +841,92 @@ class EventTable:
             "key_nulls long"
         )
 
-        def _write_groups(batches):
+        def _write_batches(batches):
             import uuid as _uuid
 
-            import pandas as pd
+            import numpy as np
             import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            chunks = list(batches)
-            pdf = pd.concat(chunks, ignore_index=False) if chunks else None
-            out = []
-            if pdf is not None and len(pdf):
-                for (d, h), g in pdf.groupby(["event_date", "event_hour"], sort=False):
-                    dname = d.isoformat() if hasattr(d, "isoformat") else str(d)
-                    rel_dir = os.path.join(f"event_date={dname}", f"event_hour={int(h)}")
-                    dest = os.path.join(staging, rel_dir)
-                    os.makedirs(dest, exist_ok=True)
-                    body = g[data_cols]
-                    step = file_cap or len(body) or 1
-                    for i in range(0, len(body), step):
-                        sl = body.iloc[i : i + step]
-                        tbl = pa.Table.from_pandas(
-                            sl, schema=arrow_schema, preserve_index=False
-                        )
-                        fname = f"part-{_uuid.uuid4().hex}.parquet"
-                        fp = os.path.join(dest, fname)
-                        pq.write_table(tbl, fp, compression="zstd")
-                        out.append(
-                            {
-                                "rel": os.path.join(rel_dir, fname),
-                                "row_count": len(sl),
-                                "file_size_bytes": os.path.getsize(fp),
-                                "min_ts": int(sl["timestamp_ms"].min()),
-                                "max_ts": int(sl["timestamp_ms"].max()),
-                                "min_seq": int(sl["sequence"].min()),
-                                "max_seq": int(sl["sequence"].max()),
-                                "min_topic": str(sl["topic"].min()),
-                                "max_topic": str(sl["topic"].max()),
-                                "min_part": int(sl["partition"].min()),
-                                "max_part": int(sl["partition"].max()),
-                                "key_nulls": int(sl["idempotency_key"].isna().sum()),
-                            }
-                        )
-            yield pd.DataFrame(
-                out
-                if out
-                else {
-                    k: []
-                    for k in (
-                        "rel", "row_count", "file_size_bytes", "min_ts", "max_ts",
-                        "min_seq", "max_seq", "min_topic", "max_topic",
-                        "min_part", "max_part", "key_nulls",
-                    )
-                }
+            stats_schema = pa.schema(
+                [
+                    ("rel", pa.string()),
+                    ("row_count", pa.int64()),
+                    ("file_size_bytes", pa.int64()),
+                    ("min_ts", pa.int64()),
+                    ("max_ts", pa.int64()),
+                    ("min_seq", pa.int64()),
+                    ("max_seq", pa.int64()),
+                    ("min_topic", pa.string()),
+                    ("max_topic", pa.string()),
+                    ("min_part", pa.int32()),
+                    ("max_part", pa.int32()),
+                    ("key_nulls", pa.int64()),
+                ]
             )
+            blist = list(batches)
+            out_rows = []
+            if blist:
+                tbl = pa.Table.from_batches(blist)
+                if tbl.num_rows:
+                    days = pc.cast(
+                        pc.cast(tbl.column("event_date"), pa.int32()), pa.int64()
+                    )
+                    hours = pc.cast(tbl.column("event_hour"), pa.int64())
+                    key = pc.add(
+                        pc.multiply(days, pa.scalar(24, pa.int64())), hours
+                    ).combine_chunks()
+                    karr = key.to_numpy(zero_copy_only=False)
+                    bounds = (
+                        [0]
+                        + (np.nonzero(karr[1:] != karr[:-1])[0] + 1).tolist()
+                        + [len(karr)]
+                    )
+                    for st, en in zip(bounds[:-1], bounds[1:]):
+                        grp = tbl.slice(st, en - st)
+                        d = grp.column("event_date")[0].as_py()
+                        h = int(grp.column("event_hour")[0].as_py())
+                        rel_dir = os.path.join(
+                            f"event_date={d.isoformat()}", f"event_hour={h}"
+                        )
+                        dest = os.path.join(staging, rel_dir)
+                        os.makedirs(dest, exist_ok=True)
+                        body = grp.select(data_cols).cast(arrow_schema)
+                        step = file_cap or body.num_rows or 1
+                        for i in range(0, body.num_rows, step):
+                            sl = body.slice(i, step)
+                            fname = f"part-{_uuid.uuid4().hex}.parquet"
+                            fp = os.path.join(dest, fname)
+                            pq.write_table(sl, fp, compression="zstd")
 
-        rows = shaped.mapInPandas(_write_groups, STATS_SCHEMA).collect()
+                            def _mm(col):
+                                r = pc.min_max(sl.column(col))
+                                return r["min"].as_py(), r["max"].as_py()
+
+                            tmin, tmax = _mm("timestamp_ms")
+                            smin, smax = _mm("sequence")
+                            topmin, topmax = _mm("topic")
+                            pmin, pmax = _mm("partition")
+                            out_rows.append(
+                                {
+                                    "rel": os.path.join(rel_dir, fname),
+                                    "row_count": sl.num_rows,
+                                    "file_size_bytes": os.path.getsize(fp),
+                                    "min_ts": tmin,
+                                    "max_ts": tmax,
+                                    "min_seq": smin,
+                                    "max_seq": smax,
+                                    "min_topic": topmin,
+                                    "max_topic": topmax,
+                                    "min_part": pmin,
+                                    "max_part": pmax,
+                                    "key_nulls": sl.column("idempotency_key").null_count,
+                                }
+                            )
+            yield pa.RecordBatch.from_pylist(out_rows, schema=stats_schema)
+
+        rows = shaped.mapInArrow(_write_batches, STATS_SCHEMA).collect()
         return {r["rel"]: r.asDict() for r in rows}
 
     @staticmethod
@@ -926,13 +972,22 @@ class EventTable:
             for nf in files:
                 if not nf.endswith(".parquet"):
                     continue
+                rel_src = os.path.join(rel, nf)
+                if stats is not None and rel_src not in stats:
+                    # Arrow staging bypasses the Hadoop task committer, so
+                    # a retried/speculative task's partial files survive in
+                    # staging. Spark discarded that attempt's OUTPUT, so
+                    # its files are absent from `stats` — promoting them
+                    # would commit the same rows twice. They die with the
+                    # staging rmtree.
+                    continue
                 dest_dir = os.path.join(self.data_path, rel)
                 os.makedirs(dest_dir, exist_ok=True)
                 plan.append(
                     (
                         os.path.join(dirpath, nf),
                         os.path.join(dest_dir, f"{prefix}{uuid.uuid4().hex}.parquet"),
-                        os.path.join(rel, nf),
+                        rel_src,
                     )
                 )
 
@@ -1458,7 +1513,7 @@ class EventTable:
         latest = self.latest_version()
         if latest is None:
             raise ValueError("no snapshot to rewrite manifests for")
-        return rewrite_manifests(self.path, self._active_files(latest))
+        return rewrite_manifests(self.path, self._active_files(latest), backend=self.backend)
 
     def expire_data_older_than(self, ts_ms: int) -> dict:
         """Cold-tier retention — the table-level sibling of the landing
@@ -1707,7 +1762,7 @@ class EventTable:
         try:
             from zombi_spark.table.iceberg_meta import rewrite_after_expire
 
-            rewrite_after_expire(self.path, self.name, self.snapshots())
+            rewrite_after_expire(self.path, self.name, self.snapshots(), backend=self.backend)
         except Exception as exc:
             import logging
 
@@ -1715,7 +1770,8 @@ class EventTable:
                 from zombi_spark.table.iceberg_meta import rebuild_metadata
 
                 rebuild_metadata(
-                    self.path, self.name, self.snapshots(), spark_schema=self.table_schema()
+                    self.path, self.name, self.snapshots(),
+                    spark_schema=self.table_schema(), backend=self.backend,
                 )
                 logging.getLogger(__name__).warning(
                     "iceberg metadata rebuilt after expire: %s", exc

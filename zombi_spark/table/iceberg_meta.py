@@ -204,7 +204,7 @@ def _current_hint(mdir: str) -> int:
         return int(fh.read().strip())
 
 
-def _write_next_metadata(mdir: str, meta: dict) -> str:
+def _write_next_metadata(mdir: str, meta: dict, backend=None) -> str:
     """Write ``meta`` as ``v{hint+1}.metadata.json`` and advance the
     hint. Metadata files are immutable, so numbering is monotonic in the
     HINT — never derived from snapshot versions, which would collide
@@ -220,7 +220,8 @@ def _write_next_metadata(mdir: str, meta: dict) -> str:
     # pattern as the snapshot log's version files)
     from zombi_spark.table.commit_backend import get_backend
 
-    backend = get_backend()
+    if backend is None:
+        backend = get_backend()
     cur = _current_hint(mdir)
     while True:
         out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
@@ -389,7 +390,12 @@ def _write_commit_manifests(
 
 
 def write_metadata_for_commit(
-    table_path: str, table_name: str, snap: dict, spark_schema=None, active_entries_fn=None
+    table_path: str,
+    table_name: str,
+    snap: dict,
+    spark_schema=None,
+    active_entries_fn=None,
+    backend=None,
 ) -> str:
     """Extend the table's Iceberg metadata with one committed snapshot and
     write ``v{version+1}.metadata.json`` (+ version-hint). Returns the path.
@@ -466,11 +472,11 @@ def write_metadata_for_commit(
     meta["current-snapshot-id"] = sid
     meta["last-sequence-number"] = version + 1
     meta["last-updated-ms"] = snap["committed_at_ms"]
-    return _write_next_metadata(mdir, meta)
+    return _write_next_metadata(mdir, meta, backend)
 
 
 def rebuild_metadata(
-    table_path: str, table_name: str, snapshots: list[dict], spark_schema=None
+    table_path: str, table_name: str, snapshots: list[dict], spark_schema=None, backend=None
 ) -> str:
     """Regenerate the Iceberg metadata from the authoritative snapshot
     log (recovery path for a lost/failed metadata write): one fresh
@@ -570,7 +576,7 @@ def rebuild_metadata(
         prev_sid = sid
     meta["snapshot-log"] = meta["snapshot-log"][-100:]
 
-    return _write_next_metadata(mdir, meta)
+    return _write_next_metadata(mdir, meta, backend)
 
 
 def _referenced_avro(meta: dict) -> set[str]:
@@ -661,7 +667,7 @@ def _gc_unreferenced_metadata(
     return removed
 
 
-def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
+def rewrite_manifests(table_path: str, active_entries: list[dict], backend=None) -> str:
     """Iceberg's ``rewrite_manifests`` action, metadata-only: merge the
     CURRENT snapshot's carry-forward manifest list into ONE full manifest
     of the active files (all EXISTING, no data touched), bump the
@@ -698,12 +704,12 @@ def rewrite_manifests(table_path: str, active_entries: list[dict]) -> str:
     cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
     _append_metadata_log(mdir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
-    out = _write_next_metadata(mdir, meta)
+    out = _write_next_metadata(mdir, meta, backend)
     _gc_unreferenced_metadata(mdir, meta, out, prior_refs=prior_refs)
     return out
 
 
-def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict]) -> str:
+def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict], backend=None) -> str:
     """After snapshot expiration, rewrite metadata keeping only live
     snapshots, then garbage-collect manifests and metadata JSON only
     expired snapshots referenced (Iceberg's expire_snapshots does both)."""
@@ -726,6 +732,6 @@ def rewrite_after_expire(table_path: str, table_name: str, live_snaps: list[dict
 
     mdir = metadata_dir(table_path)
     _append_metadata_log(mdir, meta)
-    out = _write_next_metadata(mdir, meta)
+    out = _write_next_metadata(mdir, meta, backend)
     _gc_unreferenced_metadata(mdir, meta, out, prior_refs=prior_refs)
     return out
