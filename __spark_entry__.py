@@ -212,6 +212,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hex_keys_dates": EQ.q_hex_keys_dates,
             "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
+            "span_dedup": PQ.q_span_dedup,  # duplicate-span removal
         }.items()
     }
 
@@ -1256,5 +1257,35 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(list_slice(t, s, s + 39), ' ') AS chunk_text,
                CAST(least(40, n - s + 1) AS INT) AS chunk_tokens
         FROM ex ORDER BY doc_id, chunk_id
+        """,
+        "span_dedup": """
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), s0 AS (
+          SELECT doc_id, w,
+                 unnest(range(CAST(ceil(len(w) / 6.0) AS BIGINT))) AS i
+          FROM toks
+        ), spans AS (
+          SELECT doc_id, CAST(i AS INT) AS span_idx,
+                 array_to_string(list_slice(w, i*6 + 1, i*6 + 6), ' ') AS span_text
+          FROM s0
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+          FROM spans
+        ), kept AS (
+          SELECT doc_id, span_idx, span_text FROM ranked WHERE rn = 1
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        ), reasm AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(span_text, ' ' ORDER BY span_idx) AS cleaned_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(r.cleaned_text, '') AS cleaned_text
+        FROM totals t LEFT JOIN reasm r USING (doc_id)
+        ORDER BY t.doc_id
         """,
     }

@@ -887,3 +887,34 @@ def test_rp_lsh_recall_beats_single_bucket_on_clusters(spark):
     single = recall(probe_depth=0)
     assert derived >= 0.9
     assert derived >= single
+
+
+def test_remove_duplicate_spans_keep_first_and_reassembly(spark):
+    """Keep-first duplicate-span removal: the globally first (doc_id,
+    span_idx) occurrence of each span survives, later repeats vanish,
+    documents reassemble in order, and a document made entirely of
+    repeats comes back with n_kept=0 / empty text. Spans are 2 tokens;
+    the odd-length doc exercises the short tail span."""
+    from zombi_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # spans: "a b", "c d" — both first
+            (2, "a b x y"),          # "a b" repeats (dropped), "x y" first
+            (3, "c d a b"),          # both spans are repeats -> empty
+            (4, "x y z"),            # "x y" repeat; tail span "z" first
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(docs, span_tokens=2).collect()
+    }
+    assert out[1].n_spans == 2 and out[1].n_kept == 2
+    assert out[1].cleaned_text == "a b c d"
+    assert out[2].n_spans == 2 and out[2].n_kept == 1
+    assert out[2].cleaned_text == "x y"
+    assert out[3].n_spans == 2 and out[3].n_kept == 0
+    assert out[3].cleaned_text == ""
+    assert out[4].n_spans == 2 and out[4].n_kept == 1
+    assert out[4].cleaned_text == "z"

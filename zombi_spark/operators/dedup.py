@@ -655,3 +655,79 @@ def check_against_index(
         )
         .where(F.col("est_jaccard_pm") >= threshold_pm)
     )
+
+
+# ------------------------------------------------- duplicate-span removal
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    span_tokens: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact duplicate-SPAN removal — the paragraph/line dedup
+    stage of a CCNet/RefinedWeb-style pipeline (and the span-granular
+    approximation of Lee et al.'s exact-substring dedup), which the
+    reference has no analogue for: it removes repeated boilerplate
+    *within* surviving documents rather than dropping whole documents.
+
+    Each document is cut into non-overlapping ``span_tokens``-word spans
+    (the last span may be shorter). Across the WHOLE corpus, only the
+    first occurrence of each distinct span text survives — "first" is the
+    deterministic (id, span_idx) ordering — and every document is
+    reassembled from its surviving spans in document order.
+
+    Returns one row per input document:
+      ``id_col, n_spans, n_kept, cleaned_text`` (empty string when every
+      span of the document was a repeat).
+
+    Scale design (100 TB): three key-partitioned shuffles and NO window
+    sort. The keep-first winner per span is ``min(struct(id, span_idx))``
+    under ``groupBy(span_text)`` — a partially-aggregable min, so the
+    map side combines duplicate spans before the shuffle and a span
+    repeated a million times (classic boilerplate skew) ships one row
+    per map partition instead of a million rows into one window
+    partition. The winner rows ARE the kept rows — no join back against
+    the exploded span table. Reassembly is a per-document groupBy whose
+    payload is the surviving spans only.
+    """
+    k = int(span_tokens)
+    if k < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    span_list = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+    spans = docs.select(
+        F.col(id_col),
+        F.posexplode(span_list).alias("span_idx", "span_text"),
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
+    # keep-first: the min (id, span_idx) occurrence of each distinct span.
+    kept = (
+        spans.groupBy("span_text")
+        .agg(F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w"))
+        .select(
+            F.col(f"w.{id_col}").alias(id_col),
+            F.col("w.span_idx").alias("span_idx"),
+            "span_text",
+        )
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span_text"))),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

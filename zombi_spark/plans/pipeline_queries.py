@@ -541,6 +541,18 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-span removal
+    (operators/dedup.py::remove_duplicate_spans): 6-word non-overlapping
+    spans, keep the globally first occurrence of each distinct span,
+    reassemble every document from its survivors. The DuckDB oracle
+    recomputes every span boundary, the keep-first winner set, and the
+    reassembled text — so both the selection and the reconstruction are
+    hash-verified, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.remove_duplicate_spans(docs, span_tokens=6).orderBy("doc_id")
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the video rows — mapInPandas row EXPANSION
     (UDTF shape: one video → duration//500ms + 1 frame rows), with
