@@ -918,3 +918,50 @@ def test_remove_duplicate_spans_keep_first_and_reassembly(spark):
     assert out[3].cleaned_text == ""
     assert out[4].n_spans == 2 and out[4].n_kept == 1
     assert out[4].cleaned_text == "z"
+
+
+def test_span_index_incremental_matches_one_shot(spark, tmp_path):
+    """Incremental span dedup == one-shot over the union: cleaning batch2
+    against a batch1-built index yields exactly the batch2 rows of
+    remove_duplicate_spans(batch1 ∪ batch2); appending batch2 makes its
+    novel spans duplicates for batch3."""
+    from zombi_spark.operators.dedup import (
+        append_span_index,
+        build_span_index,
+        dedup_spans_against_index,
+        remove_duplicate_spans,
+    )
+
+    path = str(tmp_path / "span_index")
+    b1 = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b e f")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "c d g h"), (4, "g h g h i")], "doc_id long, text string"
+    )
+    build_span_index(b1, path, span_tokens=2, buckets=4)
+    incr = {
+        r.doc_id: (r.n_spans, r.n_kept, r.cleaned_text)
+        for r in dedup_spans_against_index(
+            spark, path, b2, span_tokens=2, buckets=4
+        ).collect()
+    }
+    oneshot = {
+        r.doc_id: (r.n_spans, r.n_kept, r.cleaned_text)
+        for r in remove_duplicate_spans(b1.unionByName(b2), span_tokens=2).collect()
+        if r.doc_id >= 3
+    }
+    assert incr == oneshot
+    assert incr[3] == (2, 1, "g h")          # "c d" indexed, "g h" novel
+    assert incr[4] == (3, 1, "i")            # "g h" kept-first by doc 3
+
+    append_span_index(spark, b2, path, span_tokens=2, buckets=4)
+    b3 = spark.createDataFrame([(5, "g h j k")], "doc_id long, text string")
+    out3 = dedup_spans_against_index(
+        spark, path, b3, span_tokens=2, buckets=4
+    ).collect()[0]
+    assert (out3.n_spans, out3.n_kept, out3.cleaned_text) == (2, 1, "j k")
+
+    # the index is the exact distinct-span set: no duplicate keys after append
+    idx = spark.read.parquet(f"{path}/spans")
+    assert idx.count() == idx.select("span_key").distinct().count()

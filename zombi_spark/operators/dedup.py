@@ -691,6 +691,18 @@ def remove_duplicate_spans(
     the exploded span table. Reassembly is a per-document groupBy whose
     payload is the surviving spans only.
     """
+    spans = _doc_spans(docs, span_tokens, id_col, text_col)
+    # keep-first: the min (id, span_idx) occurrence of each distinct span.
+    kept = _span_winners(spans, id_col)
+    return _reassemble(spans, kept, id_col)
+
+
+def _doc_spans(
+    docs: DataFrame, span_tokens: int, id_col: str, text_col: str
+) -> DataFrame:
+    """The span cut shared by one-shot and incremental span dedup:
+    (id, span_idx, span_text) rows, non-overlapping ``span_tokens``-word
+    spans with a short tail span."""
     k = int(span_tokens)
     if k < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
@@ -700,13 +712,17 @@ def remove_duplicate_spans(
         F.sequence(F.lit(0), n_spans - 1),
         lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
     )
-    spans = docs.select(
+    return docs.select(
         F.col(id_col),
         F.posexplode(span_list).alias("span_idx", "span_text"),
     )
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
-    # keep-first: the min (id, span_idx) occurrence of each distinct span.
-    kept = (
+
+
+def _span_winners(spans: DataFrame, id_col: str) -> DataFrame:
+    """Keep-first winner per distinct span: min (id, span_idx) under
+    groupBy(span_text) — partially aggregable, skew-proof (a span
+    repeated a million times combines map-side)."""
+    return (
         spans.groupBy("span_text")
         .agg(F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("w"))
         .select(
@@ -715,6 +731,12 @@ def remove_duplicate_spans(
             "span_text",
         )
     )
+
+
+def _reassemble(spans: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """Per-document reassembly of surviving spans in document order; every
+    input document appears, even when all its spans were dropped."""
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("n_spans"))
     reassembled = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.array_join(
@@ -730,4 +752,106 @@ def remove_duplicate_spans(
         F.col("n_spans").cast("long").alias("n_spans"),
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+# -------------------------------------------- incremental span-dedup index
+
+def _keyed_spans(spans: DataFrame, id_col: str, buckets: int) -> DataFrame:
+    """Attach the index key to span rows: ``span_key`` = full 128-bit md5
+    of the span text (exactness — a 64-bit key would birthday-collide at
+    trillions of corpus spans and silently delete novel text) and
+    ``bucket`` = its storage partition."""
+    return spans.select(
+        F.col(id_col),
+        "span_idx",
+        "span_text",
+        F.md5(F.col("span_text")).alias("span_key"),
+        F.pmod(F.xxhash64(F.col("span_text")), F.lit(buckets)).cast("int").alias("bucket"),
+    )
+
+
+def build_span_index(
+    docs: DataFrame,
+    path: str,
+    span_tokens: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> None:
+    """Materialize the corpus's distinct-span set at ``{path}/spans`` —
+    the state a production pipeline dedups each incoming crawl batch
+    against (same lifecycle as the MinHash index: build once, append
+    deltas, probe batches). Stores (bucket, span_key) ONLY — 16-byte md5
+    per distinct span, metadata-sized relative to the corpus; bucket
+    partitioning keeps per-bucket files compactable and the probe join
+    co-partitioned. Identical ``span_tokens``/``buckets`` parameters are
+    required across build/append/probe (the key set is a function of the
+    cut; the bucket column of the layout)."""
+    spans = _doc_spans(docs, span_tokens, id_col, text_col)
+    (
+        _keyed_spans(spans, id_col, buckets)
+        .select("bucket", "span_key")
+        .dropDuplicates(["span_key"])
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/spans")
+    )
+
+
+def dedup_spans_against_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    span_tokens: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> DataFrame:
+    """Incremental duplicate-span removal: clean a NEW batch against the
+    accumulated corpus index. A span survives iff it is novel against
+    the index (left-anti on (bucket, span_key)) AND it is the batch's
+    keep-first occurrence — exactly the rows :func:`remove_duplicate_spans`
+    over (indexed corpus ∪ batch) would keep for the batch's documents,
+    when batch ids sort after indexed ids. Returns the same per-document
+    schema as the one-shot operator.
+
+    Cost tracks the BATCH: one span pass over the batch, one
+    co-partitioned anti-join against the matched index buckets — never a
+    rescan of the corpus."""
+    spans = _keyed_spans(
+        _doc_spans(new_docs, span_tokens, id_col, text_col), id_col, buckets
+    )
+    idx = spark.read.parquet(f"{path}/spans")
+    novel = spans.join(idx, ["bucket", "span_key"], "left_anti")
+    kept = _span_winners(novel.select(id_col, "span_idx", "span_text"), id_col)
+    return _reassemble(spans.select(id_col, "span_idx", "span_text"), kept, id_col)
+
+
+def append_span_index(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    span_tokens: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 64,
+) -> None:
+    """Fold a processed batch into the index: append its spans that are
+    novel against the current index (distinct within the batch), so the
+    index stays the exact distinct-span set of everything processed.
+    Call after :func:`dedup_spans_against_index` for the same batch."""
+    spans = _keyed_spans(
+        _doc_spans(new_docs, span_tokens, id_col, text_col), id_col, buckets
+    )
+    idx = spark.read.parquet(f"{path}/spans")
+    (
+        spans.select("bucket", "span_key")
+        .dropDuplicates(["span_key"])
+        .join(idx, ["bucket", "span_key"], "left_anti")
+        .repartition("bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/spans")
     )
