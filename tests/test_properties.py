@@ -330,3 +330,46 @@ def test_mixture_multiplicity_bounds(spark, n_docs, weight_tenths, seed):
     assert sorted((r.doc_id, r.epoch) for r in again) == sorted(
         (r.doc_id, r.epoch) for r in rows
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.lists(st.from_regex(r"[ab]{1,2}", fullmatch=True), min_size=1, max_size=18),
+        min_size=1,
+        max_size=6,
+    ),
+    span_tokens=st.integers(min_value=1, max_value=5),
+)
+def test_span_dedup_invariants(spark, texts, span_tokens):
+    """remove_duplicate_spans invariants for arbitrary corpora (a tiny
+    [ab]{1,2} alphabet forces heavy span collisions): total kept spans
+    == distinct span count corpus-wide, every cleaned text is the
+    in-order concatenation of a subset of its document's spans, and the
+    keep-first winner of each distinct span is the minimal (doc_id,
+    span_idx) occurrence."""
+    from zombi_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, span_tokens=span_tokens).collect()}
+
+    # python reference: cut + global keep-first in (doc_id, span_idx) order
+    spans = {}
+    for i, toks in enumerate(texts):
+        spans[i] = [
+            " ".join(toks[j : j + span_tokens]) for j in range(0, len(toks), span_tokens)
+        ]
+    seen, expect = set(), {}
+    for i in sorted(spans):
+        kept = []
+        for s in spans[i]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = (len(spans[i]), len(kept), " ".join(kept))
+
+    got = {i: (r.n_spans, r.n_kept, r.cleaned_text) for i, r in out.items()}
+    assert got == expect
+    assert sum(r.n_kept for r in out.values()) == len(seen)
