@@ -17,8 +17,9 @@ not the derivation, and both read through the identical I/O path.
 
 Result-SIZE linearity (the ``_rows_ratio`` extras) is a correctness
 check for the shingle family only: disjoint replicas make the true
-answer exactly 10× (content_dedup, minhash — ngram lands ~9.8× because
-its 2-seed blocking has per-replica recall variance, honestly visible).
+answer exactly 10× (content_dedup, minhash, span_dedup's kept-token
+rows — ngram lands ~9.8× because its 2-seed blocking has per-replica
+recall variance, honestly visible).
 ``embedding_near_dup``'s row count legitimately grows SUPER-linearly
 here: with a fixed absolute cosine threshold ~3.5σ into the corpus's
 random-pair band, expected crossings are C(n,2)·P(cos>t) — quadratic by
@@ -125,12 +126,26 @@ def _content_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def _span_dedup_tokens(docs: DataFrame) -> DataFrame:
+    """The full duplicate-span-removal operator, exploded back to kept
+    TOKEN rows for the result-size check: replicas share zero tokens, so
+    the kept-token count grows exactly linearly — a winner-selection bug
+    that drops or invents cross-replica survivors shows up as a
+    non-integer ratio (the per-doc output frame alone would count 10×
+    trivially)."""
+    out = D.remove_duplicate_spans(docs, span_tokens=6)
+    return out.where(F.col("n_kept") > 0).select(
+        "doc_id", F.explode(F.split(F.col("cleaned_text"), " ")).alias("tok")
+    )
+
+
 def _family(docs: DataFrame, emb: DataFrame, n_emb: int) -> dict[str, DataFrame]:
     """The pairwise family on a given corpus, with scale-DERIVED LSH
     parameters (the fixed demo dims would go quadratic per bucket)."""
     planes = S.lsh_planes_for(n_emb, 64)
     queries = emb.where(F.col("vec_id") < 8)
     return {
+        "span_dedup": _span_dedup_tokens(docs),
         "content_dedup": _content_dedup(docs),
         "minhash_lsh_pairs": _minhash_pairs(docs),
         "ngram_jaccard": _ngram_jaccard_pairs(docs),
@@ -222,7 +237,7 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                 out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n)[name].count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    for name in ("content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
+    for name in ("span_dedup", "content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
         base = out.get(f"scale_{name}_x1_sec")
         big = out.get(f"scale_{name}_x{factor}_sec")
         if base and big:
