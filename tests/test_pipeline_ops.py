@@ -965,3 +965,18 @@ def test_span_index_incremental_matches_one_shot(spark, tmp_path):
     # the index is the exact distinct-span set: no duplicate keys after append
     idx = spark.read.parquet(f"{path}/spans")
     assert idx.count() == idx.select("span_key").distinct().count()
+
+
+def test_remove_duplicate_spans_null_text_doc_still_appears(spark):
+    """A NULL-text document must not vanish from the per-doc output (the
+    unguarded span list is NULL end-to-end and posexplode drops the row);
+    it comes back as one empty span, deduped like any other span."""
+    from zombi_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, span_tokens=2).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[2].n_spans, out[2].n_kept, out[2].cleaned_text) == (1, 1, "")
+    assert (out[3].n_spans, out[3].n_kept, out[3].cleaned_text) == (1, 0, "")

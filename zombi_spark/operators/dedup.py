@@ -706,7 +706,11 @@ def _doc_spans(
     k = int(span_tokens)
     if k < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
-    toks = F.split(F.col(text_col), " ")
+    # NULL text would NULL the whole span list (size(split(NULL)) is NULL,
+    # so sequence/transform/posexplode all collapse) and the document would
+    # silently vanish from the per-doc output; treat it as empty text so
+    # the "every input document appears" contract holds.
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     n_spans = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
     span_list = F.transform(
         F.sequence(F.lit(0), n_spans - 1),
@@ -841,7 +845,11 @@ def append_span_index(
     """Fold a processed batch into the index: append its spans that are
     novel against the current index (distinct within the batch), so the
     index stays the exact distinct-span set of everything processed.
-    Call after :func:`dedup_spans_against_index` for the same batch."""
+    Call after :func:`dedup_spans_against_index` for the same batch.
+    (Two RACING appends can both admit the same novel key — duplicate
+    index keys waste space but never change probe results, since the
+    probe is an anti-join on the key; serialize appends per index, or
+    accept the space overhead until the next rebuild.)"""
     spans = _keyed_spans(
         _doc_spans(new_docs, span_tokens, id_col, text_col), id_col, buckets
     )
