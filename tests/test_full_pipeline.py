@@ -35,10 +35,34 @@ def test_full_training_pipeline(spark, tmp_path):
     n1 = stage1.count()
     assert 0 < n1 <= n0
 
+    # 1b. duplicate-span removal (paragraph-level dedup): documents are
+    #     rebuilt from their surviving spans; corpus-wide kept spans ==
+    #     distinct spans (the operator's exactness invariant), and docs
+    #     reduced to nothing drop out of the pipeline
+    spans = D.remove_duplicate_spans(stage1, span_tokens=6)
+    distinct_spans = (
+        D._doc_spans(stage1, 6, "doc_id", "text").select("span_text").distinct().count()
+    )
+    assert spans.agg(F.sum("n_kept")).collect()[0][0] == distinct_spans
+    stage1b = (
+        stage1.drop("text", "n_chars")
+        .join(spans.where(F.col("n_kept") > 0), "doc_id")
+        .select(
+            "doc_id",
+            F.col("cleaned_text").alias("text"),
+            "lang",
+            "source",
+            F.length("cleaned_text").alias("n_chars"),
+        )
+    )
+    n1b = stage1b.count()
+    assert 0 < n1b <= n1
+    stage1 = stage1b
+
     # 2. benchmark decontamination: plant 3 eval items as verbatim
     #    slices of real docs — those docs (and only provably-overlapping
     #    ones) must drop
-    planted = stage1.orderBy("doc_id").limit(3).collect()
+    planted = stage1.where(F.size(F.split("text", " ")) >= 12).orderBy("doc_id").limit(3).collect()
     bench = spark.createDataFrame(
         [(100 + i, " ".join(r.text.split()[:12])) for i, r in enumerate(planted)],
         "bench_id long, text string",
