@@ -181,7 +181,6 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_features": PQ.q_quality_features,  # + ws/BPE-ish token counts
         "doc_fingerprint": PQ.q_doc_fingerprint,
         "tfidf": PQ.q_tfidf,
-        "deterministic_sample": PQ.q_deterministic_sample,
         "column_profile": PQ.q_column_profile,
         "media_pipeline": PQ.q_media_pipeline,  # mapInPandas features + dedup
         "media_frames": PQ.q_media_frames,  # mapInPandas row expansion (frame sampling)
@@ -194,12 +193,16 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": PQ.q_decontamination,  # n-gram benchmark overlap
         "mixture_epochs": PQ.q_mixture_epochs,  # epoch-weighted sampling
         "pii_scrub": PQ.q_pii_scrub,  # detection + ordered redaction
+        # round-7 rotation: duplicate-span removal (the round's flagship
+        # new operator) takes the slot of deterministic_sample, which
+        # moves to extra_queries() and stays hash-verified there.
+        "span_dedup": PQ.q_span_dedup,  # corpus-wide keep-first span dedup
     }
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries that do NOT occupy a slot in the driver's
-    50-entry window: the four entries rotated out in round 6 (their
+    50-entry window: the entries rotated out in rounds 6-7 (their
     operators stay hash-verified by tests/test_oracle_parity.py, which
     runs this registry with the same harness) plus in-repo-only oracles
     for operators the window never had room for."""
@@ -212,7 +215,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "hex_keys_dates": EQ.q_hex_keys_dates,
             "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
-            "span_dedup": PQ.q_span_dedup,  # duplicate-span removal
+            "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
         }.items()
     }
 
@@ -890,15 +893,37 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'ok' END AS quality_class
         FROM f
         """,
-        "deterministic_sample": """
-        WITH gated AS (
-          SELECT lang, doc_id,
-                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS g,
-                 CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END AS rate
-          FROM documents
+        "span_dedup": """
+        WITH toks AS (
+          -- coalesce NULL text to '' exactly like the Spark side: a NULL
+          -- document becomes one empty span, so every doc_id appears
+          SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
+        ), s0 AS (
+          SELECT doc_id, w,
+                 unnest(range(CAST(ceil(len(w) / 6.0) AS BIGINT))) AS i
+          FROM toks
+        ), spans AS (
+          SELECT doc_id, CAST(i AS INT) AS span_idx,
+                 array_to_string(list_slice(w, i*6 + 1, i*6 + 6), ' ') AS span_text
+          FROM s0
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+          FROM spans
+        ), kept AS (
+          SELECT doc_id, span_idx, span_text FROM ranked WHERE rn = 1
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        ), reasm AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(span_text, ' ' ORDER BY span_idx) AS cleaned_text
+          FROM kept GROUP BY doc_id
         )
-        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
-        FROM gated WHERE g < rate GROUP BY lang ORDER BY lang
+        SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
+               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(r.cleaned_text, '') AS cleaned_text
+        FROM totals t LEFT JOIN reasm r USING (doc_id)
+        ORDER BY t.doc_id
         """,
         "column_profile": """
         SELECT count(*) AS n_rows,
@@ -1258,34 +1283,14 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(least(40, n - s + 1) AS INT) AS chunk_tokens
         FROM ex ORDER BY doc_id, chunk_id
         """,
-        "span_dedup": """
-        WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        ), s0 AS (
-          SELECT doc_id, w,
-                 unnest(range(CAST(ceil(len(w) / 6.0) AS BIGINT))) AS i
-          FROM toks
-        ), spans AS (
-          SELECT doc_id, CAST(i AS INT) AS span_idx,
-                 array_to_string(list_slice(w, i*6 + 1, i*6 + 6), ' ') AS span_text
-          FROM s0
-        ), ranked AS (
-          SELECT *, row_number() OVER (
-            PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
-          FROM spans
-        ), kept AS (
-          SELECT doc_id, span_idx, span_text FROM ranked WHERE rn = 1
-        ), totals AS (
-          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
-        ), reasm AS (
-          SELECT doc_id, count(*) AS n_kept,
-                 string_agg(span_text, ' ' ORDER BY span_idx) AS cleaned_text
-          FROM kept GROUP BY doc_id
+        "deterministic_sample": """
+        WITH gated AS (
+          SELECT lang, doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS g,
+                 CASE WHEN lang = 'en' THEN 500 WHEN lang = 'zh' THEN 200 ELSE 100 END AS rate
+          FROM documents
         )
-        SELECT t.doc_id, CAST(t.n_spans AS BIGINT) AS n_spans,
-               CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-               coalesce(r.cleaned_text, '') AS cleaned_text
-        FROM totals t LEFT JOIN reasm r USING (doc_id)
-        ORDER BY t.doc_id
+        SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        FROM gated WHERE g < rate GROUP BY lang ORDER BY lang
         """,
     }
