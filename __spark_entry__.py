@@ -216,6 +216,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
+            "semantic_dedup": PQ.q_semantic_dedup,  # SemDeDup: kmeans cells + prune
         }.items()
     }
 
@@ -1292,5 +1293,59 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
         FROM gated WHERE g < rate GROUP BY lang ORDER BY lang
+        """,
+        # SemDeDup: replay the ivf_ann assignment (centroids = vec_id in
+        # [100,108), argmax quantized cosine, ties to the lowest centroid
+        # id), then the within-cell keep-first prune over ALL pairwise
+        # cosines to smaller-id cluster-mates
+        "semantic_dedup": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 108
+        ), aterms AS (
+          SELECT b.vec_id, c.centroid_id, i,
+                 CAST(round(b.embedding[i] * 1e6) AS BIGINT) AS bi,
+                 CAST(round(c.cv[i] * 1e6) AS BIGINT) AS ci
+          FROM embeddings b CROSS JOIN cent c, range(1, 65) r(i)
+        ), adots AS (
+          SELECT vec_id, centroid_id, sum(bi*ci) AS dot, sum(bi*bi) AS nb, sum(ci*ci) AS nc
+          FROM aterms GROUP BY 1, 2
+        ), ascore AS (
+          SELECT vec_id, centroid_id,
+                 CAST(floor(dot / (sqrt(nb) * sqrt(nc)) * 1e6) AS BIGINT) AS c_cos
+          FROM adots
+        ), assigned AS (
+          SELECT vec_id, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ), pairs AS (
+          SELECT a.vec_id AS vid, b.vec_id AS pid
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+        ), terms AS (
+          SELECT p.vid, p.pid, i,
+                 CAST(round(ea.embedding[i] * 1e6) AS BIGINT) AS ai,
+                 CAST(round(eb.embedding[i] * 1e6) AS BIGINT) AS bi
+          FROM pairs p
+          JOIN embeddings ea ON ea.vec_id = p.vid
+          JOIN embeddings eb ON eb.vec_id = p.pid,
+          range(1, 65) r(i)
+        ), dots AS (
+          SELECT vid, pid, sum(ai*bi) AS dot, sum(ai*ai) AS na, sum(bi*bi) AS nb
+          FROM terms GROUP BY 1, 2
+        ), scored AS (
+          SELECT vid, pid,
+                 CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS cos_e6
+          FROM dots
+        ), prior AS (
+          SELECT vid, max(cos_e6) AS max_prior_cos_e6,
+                 min(CASE WHEN cos_e6 >= 350000 THEN pid END) AS dup_of
+          FROM scored GROUP BY vid
+        )
+        SELECT a.vec_id, a.cell, p.max_prior_cos_e6, p.dup_of,
+               (p.dup_of IS NULL) AS keep
+        FROM assigned a LEFT JOIN prior p ON p.vid = a.vec_id
+        ORDER BY a.vec_id
         """,
     }

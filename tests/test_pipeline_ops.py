@@ -980,3 +980,103 @@ def test_remove_duplicate_spans_null_text_doc_still_appears(spark):
     assert set(out) == {1, 2, 3}
     assert (out[2].n_spans, out[2].n_kept, out[2].cleaned_text) == (1, 1, "")
     assert (out[3].n_spans, out[3].n_kept, out[3].cleaned_text) == (1, 0, "")
+
+
+def _planted_two_cluster_corpus(spark):
+    import random
+
+    random.seed(11)
+    base_a = [1.0 if i < 16 else 0.05 for i in range(32)]
+    base_b = [0.05 if i < 16 else 1.0 for i in range(32)]
+
+    def jitter(v, eps):
+        return [x + random.uniform(-eps, eps) for x in v]
+
+    rows = [(i, jitter(base_a, 0.02)) for i in range(12)]  # tight: near-dups
+    rows += [(i, jitter(base_b, 0.8)) for i in range(12, 24)]  # spread out
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, base_a), (1, base_b)], "vec_id long, embedding array<float>"
+    )
+    return corpus, cents
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    corpus, cents = _planted_two_cluster_corpus(spark)
+    out = S.semantic_dedup(corpus, cents, threshold_e6=990000).orderBy("vec_id")
+    rows = out.collect()
+    assert [r.vec_id for r in rows] == list(range(24))  # one row per input
+    tight = [r for r in rows if r.vec_id < 12]
+    # the tight cluster collapses to its smallest id; every drop names it
+    assert [r.vec_id for r in tight if r.keep] == [0]
+    assert all(r.dup_of == 0 and not r.keep for r in tight[1:])
+    assert tight[0].dup_of is None and tight[0].max_prior_cos_e6 is None
+    # the spread cluster survives intact at this threshold
+    spread = [r for r in rows if r.vec_id >= 12]
+    assert all(r.keep and r.dup_of is None for r in spread)
+    # cells actually separated the two populations
+    assert {r.cell for r in tight} != {r.cell for r in spread}
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    rng = np.random.default_rng(23)
+    n, d, c = 60, 16, 3
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    cent = rng.normal(size=(c, d)).astype(np.float64)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in cent[j]]) for j in range(c)],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 300000
+    got = {
+        r.vec_id: r
+        for r in S.semantic_dedup(corpus, cents, threshold_e6=thr).collect()
+    }
+
+    # pure-numpy reference over the SAME quantized integers: float32
+    # ingestion then round(x*1e6), argmax-cosine assignment (ties to the
+    # lowest centroid id), keep-first prune within each cell
+    q = np.round(vecs.astype(np.float32).astype(np.float64) * 1e6)
+    qc = np.round(cent.astype(np.float32).astype(np.float64) * 1e6)
+    vn = np.sqrt((q * q).sum(axis=1))
+    cn = np.sqrt((qc * qc).sum(axis=1))
+    acos = np.floor((q @ qc.T) / np.outer(vn, cn) * 1e6)
+    cell = acos.argmax(axis=1)  # argmax returns the FIRST (lowest) max index
+    for i in range(n):
+        assert got[i].cell == cell[i], f"cell mismatch at {i}"
+    for i in range(n):
+        prior = [j for j in range(i) if cell[j] == cell[i]]
+        if not prior:
+            assert got[i].max_prior_cos_e6 is None and got[i].keep
+            continue
+        cos = np.floor((q[i] @ q[prior].T) / (vn[i] * vn[prior]) * 1e6)
+        assert got[i].max_prior_cos_e6 == int(cos.max())
+        qual = [j for j, cc in zip(prior, cos) if cc >= thr]
+        if qual:
+            assert not got[i].keep and got[i].dup_of == min(qual)
+        else:
+            assert got[i].keep and got[i].dup_of is None
+
+
+def test_semantic_dedup_cluster_local_and_zero_vector(spark):
+    # identical vectors that land in DIFFERENT cells are both kept — the
+    # prune is cluster-local by design (SemDeDup semantics); and a zero
+    # vector's cosine is undefined, so it can never be dropped
+    v_a = [1.0] + [0.0] * 7
+    v_b = [0.0] * 7 + [1.0]
+    corpus = spark.createDataFrame(
+        [(0, v_a), (1, v_a), (2, v_b), (3, [0.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, v_a), (1, v_b)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in S.semantic_dedup(corpus, cents, 990000).collect()}
+    assert len(out) == 4
+    assert out[0].keep and not out[1].keep and out[1].dup_of == 0
+    assert out[2].keep  # alone in its cell
+    assert out[3].keep and out[3].dup_of is None  # zero vector: undefined cos

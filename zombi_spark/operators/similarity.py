@@ -923,3 +923,96 @@ def embedding_near_dup(
         .groupBy("bucket")
         .applyInPandas(_bucket_pairs, out_schema)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    threshold_e6: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with k-means (or any
+    provided centroid set), then within each cluster drop every vector
+    that has a semantic near-duplicate — cosine >= ``threshold_e6/1e6`` —
+    with a SMALLER id. Keep-first by id is the deterministic analogue of
+    the paper's keep-one-representative-per-duplicate-group rule, and
+    matches the keep-first convention of every other dedup operator here
+    (beyond-reference LLM-pipeline op; the reference engine has no
+    embedding-dedup analogue).
+
+    Returns exactly one row per input vector:
+    ``id_col, cell, max_prior_cos_e6, dup_of, keep`` — ``max_prior_cos_e6``
+    is the highest cosine to any smaller-id cluster-mate (NULL when the
+    vector is its cluster's smallest id or every such cosine is undefined),
+    ``dup_of`` the smallest-id cluster-mate above threshold (NULL → keep).
+
+    Scale design (100 TB): cluster assignment is the zero-shuffle
+    :func:`ivf_assign` projection; the only exchange is one groupBy(cell).
+    Per-cell scoring is a row-blocked BLAS gram (same exact-integer
+    float64 argument as :func:`embedding_near_dup` — quantized components
+    < 2^21, 64-term dot sums < 2^53, so the floor'd cosine is bit-equal to
+    the Column form), with per-task peak memory O(block × cell). Cell
+    population is controlled by the centroid count: SemDeDup at web scale
+    runs C ≈ corpus/target_cell (the paper uses ~50k clusters), which the
+    caller sets by sizing ``centroids`` — assignment cost stays one linear
+    pass regardless of C.
+    """
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("cell").cast("long"), "qvec", "vnorm"
+    )
+    thr = int(threshold_e6)
+
+    def _cell_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(pdf.columns[0], kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+        cell = int(pdf["cell"].iloc[0])
+        max_prior = np.full(n, np.nan)
+        dup_idx = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qvec"]])
+            norms = pdf["vnorm"].to_numpy(dtype=np.float64)
+            block = 2048
+            for lo in range(1, n, block):
+                hi = min(lo + block, n)
+                gram = q[lo:hi] @ q.T  # exact: integer-valued float64
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.floor(gram / np.outer(norms[lo:hi], norms) * 1e6)
+                # only smaller-id cluster-mates count: ids are sorted, so
+                # "prior" is the strict lower triangle (col < row)
+                prior = np.arange(n)[None, :] < np.arange(lo, hi)[:, None]
+                cos = np.where(prior & np.isfinite(cos), cos, -np.inf)
+                row_max = cos.max(axis=1)
+                max_prior[lo:hi] = np.where(np.isfinite(row_max), row_max, np.nan)
+                qualifies = cos >= thr
+                first = qualifies.argmax(axis=1)  # smallest id = first col
+                hit = qualifies[np.arange(hi - lo), first]
+                dup_idx[lo:hi] = np.where(hit, first, -1)
+        return pd.DataFrame(
+            {
+                pdf.columns[0]: ids,
+                "cell": np.int64(cell),
+                "max_prior_cos_e6": pd.array(
+                    [None if np.isnan(m) else int(m) for m in max_prior],
+                    dtype="Int64",
+                ),
+                "dup_of": pd.array(
+                    [None if j < 0 else int(ids[j]) for j in dup_idx], dtype="Int64"
+                ),
+                "keep": dup_idx < 0,
+            }
+        )
+
+    out_schema = (
+        f"{id_col} long, cell long, max_prior_cos_e6 long, dup_of long, keep boolean"
+    )
+    return assigned.groupBy("cell").applyInPandas(_cell_prune, out_schema)

@@ -592,3 +592,26 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.py::semantic_dedup): centroids are the vectors
+    with vec_id in [100, 108) (the same deterministic stand-in for k-means
+    output as q_ivf_ann, so the DuckDB oracle can replay the assignment),
+    threshold 0.35 — above the synthetic corpus's random-pair band, so the
+    drops are the planted near-dup population. Every column — cell
+    assignment, max prior cosine, dup_of, keep — is hash-verified; the
+    plan is cached per (session, sf) like the other centroid-scoring
+    queries (the 8-centroid argmax tree costs ~3s of driver analysis)."""
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "semantic_dedup")
+    if key not in cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = S.prepare_centroids(
+            emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+        )
+        cache[key] = S.semantic_dedup(emb, centroids, threshold_e6=350000).orderBy(
+            "vec_id"
+        )
+    return cache[key]
