@@ -81,3 +81,19 @@ def test_bits_monotone_nondecreasing():
         p = len(lsh_planes_for(10**exp, 64))
         assert p >= prev
         prev = p
+
+
+def test_semdedup_cells_scale_with_corpus():
+    from zombi_spark.operators.similarity import semdedup_cells_for
+
+    assert semdedup_cells_for(500) == 8          # floor
+    assert semdedup_cells_for(8192) == 8
+    assert semdedup_cells_for(1_000_000) == 977  # ~n/target
+    assert semdedup_cells_for(10_000_000) == 9766
+    # monotone, and cell population stays bounded: n/C <= target always
+    prev = 0
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        c = semdedup_cells_for(n)
+        assert c >= prev
+        assert n / c <= 1024 or c == 8
+        prev = c

@@ -1016,3 +1016,16 @@ def semantic_dedup(
         f"{id_col} long, cell long, max_prior_cos_e6 long, dup_of long, keep boolean"
     )
     return assigned.groupBy("cell").applyInPandas(_cell_prune, out_schema)
+
+
+def semdedup_cells_for(n_rows: int, target_cell_size: int = 1024) -> int:
+    """SemDeDup centroid count derived from corpus size:
+    ``C = max(8, ceil(n / target_cell_size))``, so the expected cell
+    population — and with it the per-cell gram cost O(cell² · d) — stays
+    bounded as the corpus grows (the SemDeDup paper runs ~50k clusters at
+    LAION scale for exactly this reason). With C ∝ n, the total prune cost
+    is O(n · target_cell_size · d): linear at any corpus size, while a
+    FIXED C would go quadratic the way a fixed LSH plane count would."""
+    import math
+
+    return max(8, math.ceil(n_rows / int(target_cell_size)))

@@ -139,9 +139,14 @@ def _span_dedup_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _family(docs: DataFrame, emb: DataFrame, n_emb: int) -> dict[str, DataFrame]:
+def _family(
+    docs: DataFrame, emb: DataFrame, n_emb: int, cents: list
+) -> dict[str, DataFrame]:
     """The pairwise family on a given corpus, with scale-DERIVED LSH
-    parameters (the fixed demo dims would go quadratic per bucket)."""
+    parameters (the fixed demo dims would go quadratic per bucket).
+    ``cents`` is the prepared SemDeDup centroid list for THIS corpus —
+    derived C (semdedup_cells_for) and collected once per scale, outside
+    the timed rebuilds."""
     planes = S.lsh_planes_for(n_emb, 64)
     queries = emb.where(F.col("vec_id") < 8)
     return {
@@ -152,6 +157,7 @@ def _family(docs: DataFrame, emb: DataFrame, n_emb: int) -> dict[str, DataFrame]
         "embedding_near_dup": S.embedding_near_dup(
             emb, threshold_e6=350000, dims=planes
         ),
+        "semantic_dedup": S.semantic_dedup(emb, cents, threshold_e6=350000),
         "ann_topk": S.brute_force_topk(emb, queries, k=5).unionByName(
             S.lsh_topk(emb, queries, k=5, dims=planes).select(
                 "query_id", "rank", "neighbor_id", "cos_e6"
@@ -207,6 +213,13 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
             parts = shuffle_partitions_for(n_docs * fac)
             spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             out[f"scale_shuffle_partitions_x{fac}"] = parts
+            # SemDeDup centroids: derived C for THIS corpus size, seeded
+            # from the C smallest vec_ids (deterministic k-means stand-in);
+            # prepared once per scale so the timed rebuilds measure the
+            # assignment + prune, not the centroid collect
+            n_cells = S.semdedup_cells_for(n)
+            out[f"scale_semdedup_cells_x{fac}"] = n_cells
+            cents = S.prepare_centroids(e.orderBy("vec_id").limit(n_cells))
             # untimed warmup PER SCALE: the smoke runs in a fresh
             # session, so the first execution at each scale pays
             # Python-worker spawn / Arrow codec / codegen / GC-heap
@@ -214,15 +227,15 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
             # run, 2.9× on its first 10× run when only 1× was warmed) —
             # one-time costs, not operator scaling, so neither timed
             # run may carry them
-            for df in _family(d, e, n).values():
+            for df in _family(d, e, n, cents).values():
                 _force(df)
-            for name in _family(d, e, n):
+            for name in _family(d, e, n, cents):
                 runs = []
                 for _ in range(2):
                     # rebuild the frame per run: a stale DataFrame would
                     # reuse shuffle outputs across runs and the second
                     # timing would measure nothing
-                    df = _family(d, e, n)[name]
+                    df = _family(d, e, n, cents)[name]
                     t0 = time.perf_counter()
                     _force(df)
                     runs.append(round(time.perf_counter() - t0, 4))
@@ -233,11 +246,13 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                 # true answer grows exactly linearly and a bucketing bug
                 # that drops/invents cross-replica matches shows up as a
                 # non-integer row ratio. (embedding_near_dup's growth is
-                # legitimately super-linear — see the module docstring.)
-                out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n)[name].count()
+                # legitimately super-linear — see the module docstring;
+                # semantic_dedup's one-row-per-vector contract makes its
+                # ratio exactly 10.0.)
+                out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n, cents)[name].count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    for name in ("span_dedup", "content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "ann_topk"):
+    for name in ("span_dedup", "content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "semantic_dedup", "ann_topk"):
         base = out.get(f"scale_{name}_x1_sec")
         big = out.get(f"scale_{name}_x{factor}_sec")
         if base and big:
