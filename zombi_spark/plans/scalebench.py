@@ -231,7 +231,16 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                 _force(df)
             for name in _family(d, e, n, cents):
                 runs = []
-                for _ in range(2):
+                # two timed runs; if the pair spreads >2× (a GC pause or
+                # co-tenant spike poisoned one), keep rerunning up to two
+                # more times so the reported min always has a companion
+                # within 2× — the artifact publishes EVERY run, so a
+                # reader sees both the flake and the evidence that the
+                # steady-state number reproduces
+                while len(runs) < 2 or (
+                    len(runs) < 4 and max(runs) > 2 * min(runs)
+                    and sorted(runs)[1] > 2 * min(runs)
+                ):
                     # rebuild the frame per run: a stale DataFrame would
                     # reuse shuffle outputs across runs and the second
                     # timing would measure nothing
