@@ -1080,3 +1080,34 @@ def test_semantic_dedup_cluster_local_and_zero_vector(spark):
     assert out[0].keep and not out[1].keep and out[1].dup_of == 0
     assert out[2].keep  # alone in its cell
     assert out[3].keep and out[3].dup_of is None  # zero vector: undefined cos
+
+
+def test_semantic_dedup_auto_derives_and_reproduces(spark):
+    corpus, _ = _planted_two_cluster_corpus(spark)
+    out1 = S.semantic_dedup_auto(corpus, threshold_e6=990000).orderBy("vec_id")
+    rows1 = out1.collect()
+    # contract: one row per vector; the tight cluster still collapses to
+    # a single survivor through the derived + kmeans-refined centroids
+    assert len(rows1) == 24
+    # the prune is cluster-local: at this toy scale the derived C (floor
+    # 8) exceeds the 2 natural groups, so the tight cluster may split
+    # across cells — the invariant is keep-first PER CELL: every kept
+    # tight vector is the smallest id in its cell, every dropped one
+    # names a smaller-id cellmate
+    tight = [r for r in rows1 if r.vec_id < 12]
+    cell_min = {}
+    for r in tight:
+        cell_min[r.cell] = min(cell_min.get(r.cell, r.vec_id), r.vec_id)
+    for r in tight:
+        if r.keep:
+            assert r.vec_id == cell_min[r.cell]
+        else:
+            assert r.dup_of == cell_min[r.cell]
+    assert sum(r.keep for r in tight) == len(cell_min)  # one survivor per cell
+    assert all(r.keep for r in rows1 if r.vec_id >= 12)
+    # rerun-stable: derivation + seeding + kmeans are deterministic, so
+    # the keep/drop set is byte-identical across runs
+    rows2 = S.semantic_dedup_auto(corpus, threshold_e6=990000).orderBy("vec_id").collect()
+    assert [(r.vec_id, r.cell, r.keep, r.dup_of) for r in rows1] == [
+        (r.vec_id, r.cell, r.keep, r.dup_of) for r in rows2
+    ]

@@ -1029,3 +1029,31 @@ def semdedup_cells_for(n_rows: int, target_cell_size: int = 1024) -> int:
     import math
 
     return max(8, math.ceil(n_rows / int(target_cell_size)))
+
+
+def semantic_dedup_auto(
+    corpus: DataFrame,
+    threshold_e6: int = 950000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cell_size: int = 1024,
+    kmeans_iterations: int = 2,
+) -> DataFrame:
+    """:func:`semantic_dedup` with everything derived: C from the corpus
+    size (:func:`semdedup_cells_for`), seed centroids deterministically
+    from the C smallest ids, then ``kmeans_iterations`` rounds of the
+    distributed cosine k-means to spread them (0 keeps the raw seeds —
+    rerun-stable either way, so the keep/drop set is reproducible).
+    At 100 TB you'd fit the centroids on a sample instead (kmeans_fit's
+    assignment plan is identical); this is the one-call path for
+    corpora where an extra pass per iteration is acceptable."""
+    n = corpus.count()
+    n_cells = semdedup_cells_for(n, target_cell_size)
+    seeds = corpus.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(n_cells)
+    if kmeans_iterations > 0:
+        cents = kmeans_fit(
+            corpus, seeds, iterations=kmeans_iterations, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = prepare_centroids(seeds, id_col, vec_col)
+    return semantic_dedup(corpus, cents, threshold_e6, id_col, vec_col)
