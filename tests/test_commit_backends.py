@@ -324,3 +324,172 @@ def test_explicit_backend_instance_reaches_iceberg_metadata(spark, tmp_path):
     assert calls["swings"] >= 1
     mdir = os.path.join(str(tmp_path), "events", "metadata")
     assert os.path.isfile(os.path.join(mdir, "version-hint.text"))
+
+
+# --------------------------------------------- injected-fault semantics
+# Object stores fail differently than POSIX: responses get lost after the
+# server applied the write, uploads crash mid-multipart leaving staged
+# garbage, and LISTs can be stale. These pin the retry semantics
+# (VERDICT r7 #5) and the rename-steal claim protocol (ADVICE r7).
+def test_two_stealers_exactly_one_wins(tmp_path, monkeypatch):
+    """TOCTOU regression (ADVICE r7): two concurrent stealers of the same
+    stale claim must not BOTH win — the old unlink-based steal let the
+    second stealer unlink the first stealer's fresh claim, so both
+    published. The rename-steal makes dethroning atomic: across many
+    racing rounds, exactly one publisher succeeds per version and the
+    published content is always a complete winner's payload."""
+    import threading
+    import time as _time
+
+    import zombi_spark.table.commit_backend as CB
+
+    monkeypatch.setattr(os, "link", mock.Mock(side_effect=OSError(1, "no link")))
+    b = CB.PosixCommitBackend()
+    for round_ in range(8):
+        dest = str(tmp_path / f"v{round_}.json")
+        # a crashed owner's stale claim
+        open(dest + ".claim", "w").close()
+        old = _time.time() - 2 * CB.CLAIM_GRACE_S
+        os.utime(dest + ".claim", (old, old))
+        outcomes = []
+        lock = threading.Lock()
+
+        def attempt(i, dest=dest, outcomes=outcomes, lock=lock):
+            t = tmp_path / f"r{round_}-s{i}.tmp"
+            t.write_text(f"content-from-stealer-{i}")
+            try:
+                b.publish_exclusive(str(t), dest)
+                with lock:
+                    outcomes.append(("won", i))
+            except FileExistsError:
+                with lock:
+                    outcomes.append(("lost", i))
+
+        threads = [threading.Thread(target=attempt, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wins = [i for o, i in outcomes if o == "won"]
+        assert len(wins) == 1, f"round {round_}: {outcomes}"
+        assert open(dest).read() == f"content-from-stealer-{wins[0]}"
+        assert not os.path.exists(dest + ".claim")
+
+
+def test_victim_of_a_steal_aborts_instead_of_clobbering(tmp_path, monkeypatch):
+    """A claimer that stalls past CLAIM_GRACE_S and loses its claim to a
+    stealer must come back, FAIL with FileExistsError, and leave the
+    thief's published dest untouched — the exact silent-overwrite the
+    r7 ADVICE described."""
+    import zombi_spark.table.commit_backend as CB
+
+    monkeypatch.setattr(os, "link", mock.Mock(side_effect=OSError(1, "no link")))
+    b = CB.PosixCommitBackend()
+    dest = str(tmp_path / "v1.json")
+    victim_tmp = tmp_path / "victim.tmp"
+    victim_tmp.write_text("victim-content")
+    thief_tmp = tmp_path / "thief.tmp"
+    thief_tmp.write_text("thief-content")
+
+    real_copy = CB.shutil.copyfile
+    state = {"stolen": False}
+
+    def thieving_copy(src, dst):
+        # while the victim is mid-copy (holding a claim that just went
+        # stale), a thief steals the claim and publishes
+        if not state["stolen"] and src == str(victim_tmp):
+            state["stolen"] = True
+            old = CB.time.time() - 2 * CB.CLAIM_GRACE_S
+            os.utime(dest + ".claim", (old, old))
+            b.publish_exclusive(str(thief_tmp), dest)
+        return real_copy(src, dst)
+
+    monkeypatch.setattr(CB.shutil, "copyfile", thieving_copy)
+    with pytest.raises(FileExistsError):
+        b.publish_exclusive(str(victim_tmp), dest)
+    assert open(dest).read() == "thief-content"
+    # the victim's aborted staging file must not survive
+    assert not os.path.exists(dest + ".publish")
+
+
+@BOTH
+def test_lost_response_retry_is_idempotent(tmp_path, backend_name, use_backend):
+    """Conditional-PUT response loss: the server applied the write, the
+    client never saw the 200 and retries. publish_exclusive_retryable
+    resolves the retry by read-after-write comparison: same bytes →
+    idempotent success (False), different bytes → genuine lost race."""
+    from zombi_spark.table.commit_backend import publish_exclusive_retryable
+
+    b = use_backend(backend_name)
+    t = tmp_path / "mine.tmp"
+    t.write_text('{"snapshot": 7}')
+    dest = str(tmp_path / "v7.json")
+    assert publish_exclusive_retryable(b, str(t), dest) is True
+    # duplicate retry of OUR OWN successful publish: success, not an error
+    assert publish_exclusive_retryable(b, str(t), dest) is False
+    assert open(dest).read() == '{"snapshot": 7}'
+    # a retry against a DIFFERENT winner's content stays a lost race
+    other = tmp_path / "other.tmp"
+    other.write_text('{"snapshot": 8}')
+    with pytest.raises(FileExistsError):
+        publish_exclusive_retryable(b, str(other), dest)
+    assert open(dest).read() == '{"snapshot": 7}'
+
+
+def test_partial_upload_garbage_does_not_poison_publish(tmp_path, monkeypatch):
+    """A crashed prior attempt leaves partial staged objects
+    (.publish / .copytmp — the multipart-upload analogue). They must be
+    invisible to correctness: a later publish/promote/carry_forward
+    succeeds with full content, never serving the partial bytes."""
+    import zombi_spark.table.commit_backend as CB
+
+    # fallback publish path with orphaned partial staging
+    monkeypatch.setattr(os, "link", mock.Mock(side_effect=OSError(1, "no link")))
+    b = CB.PosixCommitBackend()
+    dest = str(tmp_path / "v3.json")
+    open(dest + ".publish", "w").write("PARTIAL GARBAGE FROM CRASHED ATTEMPT")
+    t = tmp_path / "full.tmp"
+    t.write_text("complete-content")
+    b.publish_exclusive(str(t), dest)
+    assert open(dest).read() == "complete-content"
+    monkeypatch.undo()
+
+    # object-store promote/carry_forward with orphaned .copytmp
+    ob = CB.ObjectStoreCommitBackend()
+    src = tmp_path / "data.parquet"
+    src.write_bytes(b"real bytes")
+    dest2 = str(tmp_path / "final.parquet")
+    open(dest2 + ".copytmp", "w").write("PARTIAL")
+    ob.promote(str(src), dest2)
+    assert open(dest2, "rb").read() == b"real bytes"
+    src2 = tmp_path / "shard.parquet"
+    src2.write_bytes(b"shard bytes")
+    dest3 = str(tmp_path / "carried.parquet")
+    open(dest3 + ".copytmp", "w").write("PARTIAL")
+    ob.carry_forward(str(src2), dest3)
+    assert open(dest3, "rb").read() == b"shard bytes"
+
+
+@BOTH
+def test_stale_list_resolves_through_claim_bump(tmp_path, backend_name, use_backend):
+    """Stale LIST-after-write: a committer whose version listing missed
+    the newest object claims an already-taken version; the conditional
+    PUT (not the listing) is the authority — EEXIST drives the bump
+    loop to the next free version, and no taken version is overwritten."""
+    b = use_backend(backend_name)
+    taken = tmp_path / "taken.tmp"
+    taken.write_text("already-committed")
+    b.publish_exclusive(str(taken), str(tmp_path / "v5.json"))
+
+    mine = tmp_path / "mine.tmp"
+    mine.write_text("my-commit")
+    version = 5  # stale list said v5 was free
+    for _ in range(3):
+        try:
+            b.publish_exclusive(str(mine), str(tmp_path / f"v{version}.json"))
+            break
+        except FileExistsError:
+            version += 1
+    assert version == 6
+    assert open(tmp_path / "v5.json").read() == "already-committed"
+    assert open(tmp_path / "v6.json").read() == "my-commit"

@@ -160,10 +160,12 @@ def ivf_nprobe_for(n_cells: int) -> int:
     (probing √C of C cells balances candidate volume against boundary
     misses), floored at 2 — nprobe=1 is only correct when the corpus is
     strongly clustered AND queries sit near centroids — and capped at 16
-    so a huge index still touches a vanishing fraction of cells."""
+    so a huge index still touches a vanishing fraction of cells. The
+    floor applies INSIDE the cell-count cap (ADVICE r7): a 1-cell index
+    derives nprobe=1, never 2."""
     import math
 
-    return max(2, min(math.isqrt(max(n_cells, 1)) + 1, 16, max(n_cells, 1)))
+    return min(max(2, math.isqrt(max(n_cells, 1)) + 1), 16, max(n_cells, 1))
 
 
 def sign_lsh_bucket(vec: F.Column, dims: tuple[int, ...] = (1, 9, 17, 25)) -> F.Column:

@@ -530,28 +530,38 @@ class _Handler(BaseHTTPRequestHandler):
                 from pyspark.sql import functions as F
 
                 conds = []
-                if "idempotency_keys" in spec:
+                # an empty list has always meant "no key filter" (same as
+                # omitting the selector) — keep that contract (ADVICE r7)
+                if spec.get("idempotency_keys"):
                     ik = spec["idempotency_keys"]
                     # a JSON string here would iterate character-by-character
                     # into isin() — silently deleting nothing (or the wrong
                     # single-char keys) on a takedown endpoint
-                    if (
-                        not isinstance(ik, list)
-                        or not ik
-                        or not all(
-                            isinstance(k, (str, int)) and not isinstance(k, bool)
-                            for k in ik
-                        )
+                    if not isinstance(ik, list) or not all(
+                        isinstance(k, (str, int)) and not isinstance(k, bool)
+                        for k in ik
                     ):
                         status, body_ = _err(
                             400,
-                            "idempotency_keys must be a non-empty JSON array "
-                            "of strings",
+                            "idempotency_keys must be a JSON array of "
+                            "strings or integers",
                         )
                         self._send_json(body_, status)
                         return
                     keys = [str(k) for k in ik]
                     conds.append(F.col("idempotency_key").isin(keys))
+                elif "idempotency_keys" in spec and not isinstance(
+                    spec["idempotency_keys"], list
+                ):
+                    # truthiness must not mask a non-list (e.g. a non-empty
+                    # string slips past the guard above only if falsy)
+                    status, body_ = _err(
+                        400,
+                        "idempotency_keys must be a JSON array of "
+                        "strings or integers",
+                    )
+                    self._send_json(body_, status)
+                    return
                 if "topic" in spec:
                     conds.append(F.col("topic") == str(spec["topic"]))
                 if "partition" in spec:

@@ -70,7 +70,28 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
     would permanently claim the version with corrupt bytes. A claimer
     that crashes between claim and publish leaves a lock without a
     ``dest``; later claimers steal it once it is older than
-    :data:`CLAIM_GRACE_S`."""
+    :data:`CLAIM_GRACE_S`.
+
+    Steal protocol (ADVICE r7 — the unlink-based steal was a TOCTOU:
+    two stealers could both judge the claim stale, and the second
+    unlink removed the FIRST stealer's fresh claim, so both published):
+
+    - a steal is ``rename(claim, <unique grave name>)`` — atomic, so
+      exactly ONE stealer dethrones any given claim inode; the loser's
+      rename raises and it re-enters the create race.
+    - every claimer records its claim's INODE at creation and re-checks
+      identity (same inode still at the claim path) immediately before
+      the final publish rename and before releasing — a claimer whose
+      claim was stolen (possible only after it sat on the claim for
+      ``CLAIM_GRACE_S``) loses with FileExistsError instead of
+      double-publishing.
+
+    Like any lease scheme without server-side CAS this is not perfect:
+    a claimer frozen for >CLAIM_GRACE_S between its last identity check
+    and the one rename syscall could still race the thief. The window
+    is one syscall wide and entered only after a 60 s stall; the POSIX
+    link(2) primary path and the object-store conditional PUT have no
+    such window."""
     try:
         os.link(tmp, dest)
         return
@@ -79,39 +100,67 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
     except OSError:
         pass
     claim = dest + ".claim"
-    won = False
-    for _ in range(3):
+    my_ino = None
+    for _ in range(4):
         try:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            won = True
+            try:
+                my_ino = os.fstat(fd).st_ino
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             if os.path.exists(dest):
                 raise
             try:
-                age = time.time() - os.path.getmtime(claim)
+                st = os.stat(claim)
             except OSError:
                 continue  # the claim just resolved; re-attempt
-            if age < CLAIM_GRACE_S:
+            if time.time() - st.st_mtime < CLAIM_GRACE_S:
                 raise FileExistsError(claim) from None
-            try:  # stale: its owner crashed pre-publish — steal
-                os.unlink(claim)
+            # stale: steal by ATOMIC RENAME to a unique grave name —
+            # exactly one stealer wins this inode; anyone else's rename
+            # fails and they re-enter the create race above.
+            grave = f"{claim}.stale-{os.getpid()}-{time.monotonic_ns()}"
+            try:
+                os.rename(claim, grave)
+            except OSError:
+                continue
+            try:
+                os.unlink(grave)
             except OSError:
                 pass
-    if not won:
+
+    def _claim_is_mine() -> bool:
+        try:
+            return os.stat(claim).st_ino == my_ino
+        except OSError:
+            return False
+
+    if my_ino is None:
         raise FileExistsError(claim)
     try:
         if os.path.exists(dest):  # lost to a winner that already published
             raise FileExistsError(dest)
         staged = dest + ".publish"
         shutil.copyfile(tmp, staged)
+        # identity check LAST, after the slow copy: if our claim was
+        # stolen (we stalled past the grace period), the thief may be
+        # publishing — abort rather than clobber its dest.
+        if not _claim_is_mine():
+            try:
+                os.unlink(staged)
+            except OSError:
+                pass
+            raise FileExistsError(claim)
         os.replace(staged, dest)
     finally:
-        try:
-            os.unlink(claim)
-        except OSError:
-            pass
+        # release only OUR claim — never a successor's fresh claim
+        if _claim_is_mine():
+            try:
+                os.unlink(claim)
+            except OSError:
+                pass
 
 
 class PosixCommitBackend:
@@ -192,6 +241,45 @@ class ObjectStoreCommitBackend:
         shutil.copy2(src, tmp)
         os.replace(tmp, dest)
         os.remove(src)
+
+
+def _same_content(a: str, b: str, chunk: int = 1 << 20) -> bool:
+    """Byte-equality of two files without loading either whole (manifest
+    lists and metadata JSON can reach tens of MB at high version counts)."""
+    try:
+        if os.path.getsize(a) != os.path.getsize(b):
+            return False
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            while True:
+                ca, cb = fa.read(chunk), fb.read(chunk)
+                if ca != cb:
+                    return False
+                if not ca:
+                    return True
+    except OSError:
+        return False
+
+
+def publish_exclusive_retryable(backend, tmp: str, dest: str) -> bool:
+    """Retry-safe wrapper for object-store response-loss semantics
+    (VERDICT r7 #5): a conditional PUT can SUCCEED server-side while the
+    client loses the response (timeout, connection reset); the client's
+    retry then sees 412/EEXIST for its own successful write. The
+    disambiguation object stores force on you is read-after-retry: fetch
+    ``dest`` and compare to what we tried to publish.
+
+    Returns True when THIS call published, False when ``dest`` already
+    holds exactly ``tmp``'s bytes (our earlier attempt — or an identical
+    twin — won; idempotent success either way). Raises FileExistsError
+    when ``dest`` holds DIFFERENT bytes: a genuinely lost race the
+    caller's commit loop must rebase."""
+    try:
+        backend.publish_exclusive(tmp, dest)
+        return True
+    except FileExistsError:
+        if _same_content(tmp, dest):
+            return False
+        raise
 
 
 _BACKENDS = {

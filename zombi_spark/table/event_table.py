@@ -996,10 +996,22 @@ class EventTable:
             self.backend.promote(src, dest)
             pre = None if stats is None else stats.get(rel_src)
             if pre is not None:
+                # an all-null stat slice yields None min/max from pyarrow's
+                # min_max; the JVM footer path OMITS such keys, and the
+                # planners treat a missing key as "no stats — never
+                # skippable" (scan_files/plan_latest_files compare without
+                # null guards). Drop None-valued min/max keys so both
+                # writer paths produce the same manifest contract
+                # (ADVICE r7).
                 entry = {
                     "file_path": dest,
                     "partition_dir": os.path.relpath(os.path.dirname(dest), self.data_path),
-                    **{k: v for k, v in pre.items() if k != "rel"},
+                    **{
+                        k: v
+                        for k, v in pre.items()
+                        if k != "rel"
+                        and not (v is None and (k.startswith("min_") or k.startswith("max_")))
+                    },
                 }
                 return entry
             return _parquet_file_entry(dest, self.data_path)
