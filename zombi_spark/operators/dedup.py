@@ -25,6 +25,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zombi_spark.functions.hashing import md5_long
+from zombi_spark.session import ensure_shuffle_width
+
+#: decade-estimates of exploded rows per document for shuffle sizing:
+#: a web document averages a few hundred tokens, so its distinct-shingle
+#: explosion is ~O(100) rows and its span cut (~6-token spans) ~O(30).
+#: Width derivation only needs the right order of magnitude — AQE
+#: coalescing trims over-width at runtime (see session.ensure_shuffle_width)
+SHINGLE_ROWS_PER_DOC = 128
+SPAN_ROWS_PER_DOC = 32
 
 # ----------------------------------------------------------------- tokenize
 
@@ -192,7 +201,11 @@ def band_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become candidates.
 
@@ -204,7 +217,13 @@ def lsh_candidate_pairs(
     more hashes are truncated to the first ``bands`` bands (the parameter
     used to be cosmetic — a caller passing bands=2 over 8-hash signatures
     silently got 4 looser bands instead of the stricter 2 asked for).
+
+    ``n_docs`` (when the caller has the corpus count) sizes the shuffle:
+    the band self-join exchanges n·bands band-signature rows
+    (VERDICT r7 #1 — width from volume, not CPU count).
     """
+    if n_docs is not None:
+        ensure_shuffle_width(signatures.sparkSession, n_docs * bands)
     band_sigs = band_signatures(
         signatures.where(F.col("seed") < bands * rows_per_band), rows_per_band, id_col
     )
@@ -467,6 +486,7 @@ def simhash_near_dup(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius, pigeonhole-blocked.
 
@@ -477,9 +497,18 @@ def simhash_near_dup(
     key; radius and bits are parameters, not rewrites — ``bits=None``
     derives the width from the corpus row count (:func:`simhash_bits_for`)
     so the blocking survives a 100× corpus without a code change.
+
+    The same row count also sizes the shuffle (VERDICT r7 #1): the
+    blocking join shuffles n·(max_hamming+1) chunk rows, so the session
+    width is ratcheted to match instead of staying CPU-pinned. Pass
+    ``n_rows`` when the caller already counted the corpus (skips the
+    extra count when ``bits`` is explicit).
     """
-    if bits is None:
-        bits = simhash_bits_for(docs.count(), max_hamming=max_hamming)
+    if bits is None or n_rows is not None:
+        n = n_rows if n_rows is not None else docs.count()
+        if bits is None:
+            bits = simhash_bits_for(n, max_hamming=max_hamming)
+        ensure_shuffle_width(docs.sparkSession, n * (max_hamming + 1))
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     sh = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
