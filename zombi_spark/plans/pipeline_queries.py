@@ -17,7 +17,7 @@ from zombi_spark.operators import pii as PII
 from zombi_spark.operators import similarity as S
 from zombi_spark.operators import text_analysis as TA
 from zombi_spark.plans.relational import _cents
-from zombi_spark.sources.tables import load_table
+from zombi_spark.sources.tables import load_table, table_row_count
 
 
 # One materialization of the shared MinHash→LSH→Jaccard-verify stage,
@@ -57,15 +57,19 @@ def verified_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = session_cache(spark, "verified_pairs")
     if sf_dir not in cache:
         docs = load_table(spark, sf_dir, "documents")
+        # corpus count from parquet footers (no job): sizes the LSH band
+        # self-join and the verify exchanges (VERDICT r8 #1 — the n_docs
+        # parameter existed but no production caller passed it)
+        n_docs = table_row_count(sf_dir, "documents")
         idx = shingle_index(spark, sf_dir, n=2)
         sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
-        pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+        pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, n_docs=n_docs)
         verified = (
             # cand persist is load-bearing here: its 3 consumers would each
             # recompute the LSH-pair lineage (measured 1.8s -> 9s without);
             # the plan is session-cached so the cache is one-per-session,
             # not per-batch - the leak persist_candidates=False guards
-            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx)
+            D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx, n_docs=n_docs)
             .where(F.col("jaccard_pm") >= 500)
             .persist()
         )
@@ -217,7 +221,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         cache[key] = (
             D.jaccard_verify(
-                docs, pairs, shingle_n=2, shingles=shingle_index(spark, sf_dir, n=2)
+                docs,
+                pairs,
+                shingle_n=2,
+                shingles=shingle_index(spark, sf_dir, n=2),
+                n_docs=table_row_count(sf_dir, "documents"),
             )
             .where(F.col("jaccard_pm") >= 300)
             .orderBy("id_a", "id_b")
@@ -285,7 +293,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.35: above the corpus's random-pair band (~N(0, 0.12)),
     # low enough to return real near-neighbor pairs on the synthetic data
     return S.embedding_near_dup(
-        load_table(spark, sf_dir, "embeddings"), threshold_e6=350000
+        load_table(spark, sf_dir, "embeddings"),
+        threshold_e6=350000,
+        n_rows=table_row_count(sf_dir, "embeddings"),
     ).orderBy("id_a", "id_b")
 
 
@@ -550,7 +560,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled text — so both the selection and the reconstruction are
     hash-verified, not just the counts."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.remove_duplicate_spans(docs, span_tokens=6).orderBy("doc_id")
+    return D.remove_duplicate_spans(
+        docs, span_tokens=6, n_docs=table_row_count(sf_dir, "documents")
+    ).orderBy("doc_id")
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +623,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = S.prepare_centroids(
             emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
         )
-        cache[key] = S.semantic_dedup(emb, centroids, threshold_e6=350000).orderBy(
-            "vec_id"
-        )
+        cache[key] = S.semantic_dedup(
+            emb,
+            centroids,
+            threshold_e6=350000,
+            n_rows=table_row_count(sf_dir, "embeddings"),
+        ).orderBy("vec_id")
     return cache[key]

@@ -45,6 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job.
+
+    This is the plan-time statistics read the pairwise operators use to
+    size their shuffles (session.ensure_shuffle_width): at 100 TB the
+    count comes from table metadata (footers / manifest row_count sums,
+    the same numbers EventTable keeps per file), never from a scan. Cost
+    is O(files) driver-side footer reads.
+    """
+    import pyarrow.dataset as ds
+
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    dataset = ds.dataset(os.path.join(sf_dir, f"{name}.parquet"), format="parquet")
+    return sum(f.metadata.num_rows for f in dataset.get_fragments())
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every synthetic table as a temp view (for spark.sql plans)."""
     for name in TABLES:
