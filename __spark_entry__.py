@@ -179,7 +179,13 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": PQ.q_embedding_near_dup,
         "lang_id": PQ.q_lang_id,
         "quality_features": PQ.q_quality_features,  # + ws/BPE-ish token counts
-        "doc_fingerprint": PQ.q_doc_fingerprint,
+        # round-10 rotation (VERDICT r7 #3 / r8 #3 / r9 #3): semantic_dedup
+        # (SemDeDup cells + within-cell keep-first prune, the flagship
+        # similarity operator) takes the slot of doc_fingerprint, whose
+        # xor-of-token-hashes operator stays hash-verified in
+        # extra_queries() (and quality_features exercises the same
+        # tokenization surface inside the window).
+        "semantic_dedup": PQ.q_semantic_dedup,
         "tfidf": PQ.q_tfidf,
         "column_profile": PQ.q_column_profile,
         "media_pipeline": PQ.q_media_pipeline,  # mapInPandas features + dedup
@@ -216,7 +222,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "chunk_docs": PQ.q_chunk_docs,  # context-window chunking
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
-            "semantic_dedup": PQ.q_semantic_dedup,  # SemDeDup: kmeans cells + prune
+            "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
         }.items()
     }
 
@@ -621,8 +627,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT component, count(*) AS n_docs FROM comp
         GROUP BY component ORDER BY component
         """,
-        # Full-corpus, derived-width simhash (16 bits at this corpus size,
-        # which is what simhash_bits_for derives — pinned here): tokens are
+        # Full-corpus, derived-width simhash (16 bits at this corpus size:
+        # simhash_bits_for with the query layer's target_bucket_size=32
+        # clamps chunk width at the 4-bit floor for ≤512 docs — pinned
+        # here; the 32-bit width only engages at sf0.1+): tokens are
         # prefixed with their doc id (decorrelates the template-generated
         # corpus) and every 50th doc gets a planted near-dup (id + 1e6,
         # last two tokens dropped).
@@ -1013,18 +1021,60 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         ) WHERE rnk <= 5 ORDER BY doc_id, rnk
         """,
-        "doc_fingerprint": """
-        WITH tk AS (
-          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
-          FROM documents
-        ), h AS (
-          SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM tk
-        ), x AS (
-          SELECT doc_id, bit_xor(th) AS token_xor_hash FROM h GROUP BY doc_id
+        # SemDeDup (rotated into the window r10): replay the ivf_ann
+        # assignment (centroids = vec_id in [100,108), argmax quantized
+        # cosine, ties to the lowest centroid id), then the within-cell
+        # keep-first prune over ALL pairwise cosines to smaller-id
+        # cluster-mates
+        "semantic_dedup": """
+        WITH cent AS (
+          SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+          WHERE vec_id >= 100 AND vec_id < 108
+        ), aterms AS (
+          SELECT b.vec_id, c.centroid_id, i,
+                 CAST(round(b.embedding[i] * 1e6) AS BIGINT) AS bi,
+                 CAST(round(c.cv[i] * 1e6) AS BIGINT) AS ci
+          FROM embeddings b CROSS JOIN cent c, range(1, 65) r(i)
+        ), adots AS (
+          SELECT vec_id, centroid_id, sum(bi*ci) AS dot, sum(bi*bi) AS nb, sum(ci*ci) AS nc
+          FROM aterms GROUP BY 1, 2
+        ), ascore AS (
+          SELECT vec_id, centroid_id,
+                 CAST(floor(dot / (sqrt(nb) * sqrt(nc)) * 1e6) AS BIGINT) AS c_cos
+          FROM adots
+        ), assigned AS (
+          SELECT vec_id, centroid_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
+            FROM ascore
+          ) WHERE rn = 1
+        ), pairs AS (
+          SELECT a.vec_id AS vid, b.vec_id AS pid
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+        ), terms AS (
+          SELECT p.vid, p.pid, i,
+                 CAST(round(ea.embedding[i] * 1e6) AS BIGINT) AS ai,
+                 CAST(round(eb.embedding[i] * 1e6) AS BIGINT) AS bi
+          FROM pairs p
+          JOIN embeddings ea ON ea.vec_id = p.vid
+          JOIN embeddings eb ON eb.vec_id = p.pid,
+          range(1, 65) r(i)
+        ), dots AS (
+          SELECT vid, pid, sum(ai*bi) AS dot, sum(ai*ai) AS na, sum(bi*bi) AS nb
+          FROM terms GROUP BY 1, 2
+        ), scored AS (
+          SELECT vid, pid,
+                 CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS cos_e6
+          FROM dots
+        ), prior AS (
+          SELECT vid, max(cos_e6) AS max_prior_cos_e6,
+                 min(CASE WHEN cos_e6 >= 350000 THEN pid END) AS dup_of
+          FROM scored GROUP BY vid
         )
-        SELECT x.doc_id, x.token_xor_hash,
-               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-        FROM x JOIN documents d ON d.doc_id = x.doc_id
+        SELECT a.vec_id, a.cell, p.max_prior_cos_e6, p.dup_of,
+               (p.dup_of IS NULL) AS keep
+        FROM assigned a LEFT JOIN prior p ON p.vid = a.vec_id
+        ORDER BY a.vec_id
         """,
         # CCNet-style perplexity filter (operators/lm_quality.py): train the
         # add-one-smoothed char-trigram model on the lang='en' slice, score
@@ -1294,58 +1344,19 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
         FROM gated WHERE g < rate GROUP BY lang ORDER BY lang
         """,
-        # SemDeDup: replay the ivf_ann assignment (centroids = vec_id in
-        # [100,108), argmax quantized cosine, ties to the lowest centroid
-        # id), then the within-cell keep-first prune over ALL pairwise
-        # cosines to smaller-id cluster-mates
-        "semantic_dedup": """
-        WITH cent AS (
-          SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-          WHERE vec_id >= 100 AND vec_id < 108
-        ), aterms AS (
-          SELECT b.vec_id, c.centroid_id, i,
-                 CAST(round(b.embedding[i] * 1e6) AS BIGINT) AS bi,
-                 CAST(round(c.cv[i] * 1e6) AS BIGINT) AS ci
-          FROM embeddings b CROSS JOIN cent c, range(1, 65) r(i)
-        ), adots AS (
-          SELECT vec_id, centroid_id, sum(bi*ci) AS dot, sum(bi*bi) AS nb, sum(ci*ci) AS nc
-          FROM aterms GROUP BY 1, 2
-        ), ascore AS (
-          SELECT vec_id, centroid_id,
-                 CAST(floor(dot / (sqrt(nb) * sqrt(nc)) * 1e6) AS BIGINT) AS c_cos
-          FROM adots
-        ), assigned AS (
-          SELECT vec_id, centroid_id AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, centroid_id) AS rn
-            FROM ascore
-          ) WHERE rn = 1
-        ), pairs AS (
-          SELECT a.vec_id AS vid, b.vec_id AS pid
-          FROM assigned a JOIN assigned b
-            ON a.cell = b.cell AND b.vec_id < a.vec_id
-        ), terms AS (
-          SELECT p.vid, p.pid, i,
-                 CAST(round(ea.embedding[i] * 1e6) AS BIGINT) AS ai,
-                 CAST(round(eb.embedding[i] * 1e6) AS BIGINT) AS bi
-          FROM pairs p
-          JOIN embeddings ea ON ea.vec_id = p.vid
-          JOIN embeddings eb ON eb.vec_id = p.pid,
-          range(1, 65) r(i)
-        ), dots AS (
-          SELECT vid, pid, sum(ai*bi) AS dot, sum(ai*ai) AS na, sum(bi*bi) AS nb
-          FROM terms GROUP BY 1, 2
-        ), scored AS (
-          SELECT vid, pid,
-                 CAST(floor(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS cos_e6
-          FROM dots
-        ), prior AS (
-          SELECT vid, max(cos_e6) AS max_prior_cos_e6,
-                 min(CASE WHEN cos_e6 >= 350000 THEN pid END) AS dup_of
-          FROM scored GROUP BY vid
+        # xor-of-token-hashes fingerprint (rotated out of the window r10;
+        # the operator stays hash-verified here)
+        "doc_fingerprint": """
+        WITH tk AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th FROM tk
+        ), x AS (
+          SELECT doc_id, bit_xor(th) AS token_xor_hash FROM h GROUP BY doc_id
         )
-        SELECT a.vec_id, a.cell, p.max_prior_cos_e6, p.dup_of,
-               (p.dup_of IS NULL) AS keep
-        FROM assigned a LEFT JOIN prior p ON p.vid = a.vec_id
-        ORDER BY a.vec_id
+        SELECT x.doc_id, x.token_xor_hash,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM x JOIN documents d ON d.doc_id = x.doc_id
         """,
     }

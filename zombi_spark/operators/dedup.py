@@ -329,32 +329,45 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     """SimHash over distinct tokens: bit j of the hash votes ±1; the
     document's simhash sets bit j iff the vote sum is positive.
 
-    Integer votes → order-exact aggregation; one explode (tokens × bits is
-    folded into a single aggregate over bit positions via shiftright), one
-    groupBy per doc.
+    Hot-path shape (r10): ONE row per (doc, token) and ONE groupBy per
+    doc — no tokens×bits explode. Per-bit set-counts are packed two to a
+    64-bit sum lane (counter j in the low 32 bits of sum column j, counter
+    j+⌈bits/2⌉ in the high 32), so a b-bit hash needs ⌈b/2⌉ JVM sum
+    expressions instead of b× the row volume; the vote-sum sign is
+    recovered exactly as ``2·count > n_tokens`` (votes are ±1 over
+    n_tokens, so Σvote = 2·count − n). Counts ≤ n_tokens < 2³² keep the
+    lanes carry-free. The previous per-(doc, bit) aggregation shuffled
+    n·b rows (16M at sf0.1's 32-bit width); this shuffles n token rows.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     toks = docs.repartition(par).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
     ).withColumn("h", md5_long(F.col("token")))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    # shiftright/shiftleft via SQL expr: the Python wrappers only accept a
-    # literal shift amount, but here the amount is the exploded bit column
-    votes = toks.select(F.col(id_col), "h", bit).select(
-        F.col(id_col),
-        "bit",
-        F.expr("CASE WHEN shiftright(h, bit) & 1 = 1 THEN 1 ELSE -1 END").alias("vote"),
-    )
-    return (
-        votes.groupBy(id_col, "bit")
-        .agg(F.sum("vote").alias("v"))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END")
-            ).alias("simhash")
+    half = (bits + 1) // 2
+    lanes = []
+    for k in range(half):
+        lo = f"(shiftright(h, {k}) & 1)"
+        if k + half < bits:
+            lanes.append(
+                F.sum(
+                    F.expr(f"{lo} + shiftleft(shiftright(h, {k + half}) & 1, 32)")
+                ).alias(f"s{k}")
+            )
+        else:
+            lanes.append(F.sum(F.expr(lo)).alias(f"s{k}"))
+    agged = toks.groupBy(id_col).agg(F.count("*").alias("n_toks"), *lanes)
+    terms = []
+    for k in range(half):
+        terms.append(
+            f"CASE WHEN 2 * (s{k} & 4294967295) > n_toks"
+            f" THEN shiftleft(CAST(1 AS BIGINT), {k}) ELSE CAST(0 AS BIGINT) END"
         )
-    )
+        if k + half < bits:
+            terms.append(
+                f"CASE WHEN 2 * shiftright(s{k}, 32) > n_toks"
+                f" THEN shiftleft(CAST(1 AS BIGINT), {k + half}) ELSE CAST(0 AS BIGINT) END"
+            )
+    return agged.select(F.col(id_col), F.expr(" + ".join(terms)).alias("simhash"))
 
 
 def connected_components(

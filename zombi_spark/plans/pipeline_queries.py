@@ -184,9 +184,21 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 1, F.size(toks) - 2), " ").alias("text"),
     )
     corpus = base.unionByName(planted)
-    return D.simhash_near_dup(corpus, bits=None, max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    # target_bucket_size=32 calibrates the derived width for DEDUP (small
+    # buckets → the random hamming-≤3 tail shrinks from ~1e-2 to ~1e-6 per
+    # pair, so planted near-dups dominate the output at sf0.1's 32-bit
+    # width); at the oracle scales (sf0.001/sf0.01, ≤510 docs) the 4-bit
+    # chunk floor keeps the derivation at 16 bits, matching the pinned
+    # DuckDB SQL. n_rows is the table count from parquet footers (the
+    # planted ~2% extra doesn't move a log2-derived width) — skips the
+    # corpus count() job and feeds the shuffle-width ratchet.
+    return D.simhash_near_dup(
+        corpus,
+        bits=None,
+        max_hamming=3,
+        n_rows=table_row_count(sf_dir, "documents"),
+        target_bucket_size=32,
+    ).orderBy("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
