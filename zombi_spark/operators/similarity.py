@@ -867,7 +867,13 @@ def embedding_near_dup(
     ``n_rows`` (corpus count, from table metadata or the count
     ``dims=None`` performs anyway) ratchets the session shuffle width to
     the corpus volume so the bucket exchange is volume-sized, not
-    CPU-pinned (VERDICT r7 #1 / r8 #1).
+    CPU-pinned (VERDICT r7 #1 / r8 #1). ``n_rows`` must describe THIS
+    DataFrame: a caller that filters the corpus after reading a
+    table-level count should either recount or omit ``n_rows``, or the
+    derived plane count sizes buckets for the unfiltered table (off by
+    the filter ratio; over-estimates only over-partition, which AQE
+    coalesces, but an over-estimate also derives MORE planes → smaller,
+    emptier buckets → recall loss in the candidate generation).
     """
     import pandas as pd
 
@@ -876,8 +882,14 @@ def embedding_near_dup(
     if dims is None:
         if n_rows is None:
             n_rows = corpus.count()
-        vec_dims = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
-        dims = lsh_planes_for(n_rows, vec_dims)
+        probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None:
+            raise ValueError(
+                "embedding_near_dup: empty corpus with dims=None — cannot "
+                "derive LSH planes from zero vectors; pass explicit dims "
+                "or skip the call for an empty input"
+            )
+        dims = lsh_planes_for(n_rows, probe["d"])
     if n_rows is not None:
         ensure_shuffle_width(corpus.sparkSession, n_rows)
     ensure_package_on_workers(corpus.sparkSession)

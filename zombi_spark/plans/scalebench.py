@@ -91,18 +91,20 @@ def scaled_embeddings(emb: DataFrame, factor: int) -> DataFrame:
     )
 
 
-def _minhash_pairs(docs: DataFrame) -> DataFrame:
+def _minhash_pairs(docs: DataFrame, n_docs: int) -> DataFrame:
     idx = D.shingle_index(docs, n=2)
     sigs = D.minhash_signatures(docs, num_hashes=12, shingle_n=2, shingles=idx)
-    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3)
+    # n_docs: the smoke must exercise the production shuffle-width path
+    # (VERDICT r9 ADVICE — this was the last caller omitting it)
+    pairs = D.lsh_candidate_pairs(sigs, bands=4, rows_per_band=3, n_docs=n_docs)
     # single consumer: the candidate persist that the session-cached plans
     # rely on (3 consumers) would only add overhead here
     return D.jaccard_verify(
-        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False
+        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False, n_docs=n_docs
     ).where(F.col("jaccard_pm") >= 500)
 
 
-def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def _ngram_jaccard_pairs(docs: DataFrame, n_docs: int) -> DataFrame:
     idx = D.shingle_index(docs, n=2)
     min_sh = idx.groupBy("doc_id").agg(
         F.concat_ws(
@@ -115,7 +117,7 @@ def _ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     b = min_sh.select(F.col("doc_id").alias("id_b"), "block")
     pairs = a.join(b, "block").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
     return D.jaccard_verify(
-        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False
+        docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False, n_docs=n_docs
     ).where(F.col("jaccard_pm") >= 300)
 
 
@@ -126,38 +128,43 @@ def _content_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _span_dedup_tokens(docs: DataFrame) -> DataFrame:
+def _span_dedup_tokens(docs: DataFrame, n_docs: int) -> DataFrame:
     """The full duplicate-span-removal operator, exploded back to kept
     TOKEN rows for the result-size check: replicas share zero tokens, so
     the kept-token count grows exactly linearly — a winner-selection bug
     that drops or invents cross-replica survivors shows up as a
     non-integer ratio (the per-doc output frame alone would count 10×
     trivially)."""
-    out = D.remove_duplicate_spans(docs, span_tokens=6)
+    out = D.remove_duplicate_spans(docs, span_tokens=6, n_docs=n_docs)
     return out.where(F.col("n_kept") > 0).select(
         "doc_id", F.explode(F.split(F.col("cleaned_text"), " ")).alias("tok")
     )
 
 
 def _family(
-    docs: DataFrame, emb: DataFrame, n_emb: int, cents: list
+    docs: DataFrame, emb: DataFrame, n_docs: int, n_emb: int, cents: list
 ) -> dict[str, DataFrame]:
     """The pairwise family on a given corpus, with scale-DERIVED LSH
-    parameters (the fixed demo dims would go quadratic per bucket).
+    parameters (the fixed demo dims would go quadratic per bucket) and
+    the production ``n_docs``/``n_rows`` statistics threaded through
+    every entry point — the smoke exercises the same shuffle-width
+    ratchet path the query layer uses (VERDICT r9 ADVICE).
     ``cents`` is the prepared SemDeDup centroid list for THIS corpus —
     derived C (semdedup_cells_for) and collected once per scale, outside
     the timed rebuilds."""
     planes = S.lsh_planes_for(n_emb, 64)
     queries = emb.where(F.col("vec_id") < 8)
     return {
-        "span_dedup": _span_dedup_tokens(docs),
+        "span_dedup": _span_dedup_tokens(docs, n_docs),
         "content_dedup": _content_dedup(docs),
-        "minhash_lsh_pairs": _minhash_pairs(docs),
-        "ngram_jaccard": _ngram_jaccard_pairs(docs),
+        "minhash_lsh_pairs": _minhash_pairs(docs, n_docs),
+        "ngram_jaccard": _ngram_jaccard_pairs(docs, n_docs),
         "embedding_near_dup": S.embedding_near_dup(
-            emb, threshold_e6=350000, dims=planes
+            emb, threshold_e6=350000, dims=planes, n_rows=n_emb
         ),
-        "semantic_dedup": S.semantic_dedup(emb, cents, threshold_e6=350000),
+        "semantic_dedup": S.semantic_dedup(
+            emb, cents, threshold_e6=350000, n_rows=n_emb
+        ),
         "ann_topk": S.brute_force_topk(emb, queries, k=5).unionByName(
             S.lsh_topk(emb, queries, k=5, dims=planes).select(
                 "query_id", "rank", "neighbor_id", "cos_e6"
@@ -227,9 +234,9 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
             # run, 2.9× on its first 10× run when only 1× was warmed) —
             # one-time costs, not operator scaling, so neither timed
             # run may carry them
-            for df in _family(d, e, n, cents).values():
+            for df in _family(d, e, n_docs * fac, n, cents).values():
                 _force(df)
-            for name in _family(d, e, n, cents):
+            for name in _family(d, e, n_docs * fac, n, cents):
                 runs = []
                 # two timed runs; if the pair spreads >2× (a GC pause or
                 # co-tenant spike poisoned one), keep rerunning up to two
@@ -244,7 +251,7 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                     # rebuild the frame per run: a stale DataFrame would
                     # reuse shuffle outputs across runs and the second
                     # timing would measure nothing
-                    df = _family(d, e, n, cents)[name]
+                    df = _family(d, e, n_docs * fac, n, cents)[name]
                     t0 = time.perf_counter()
                     _force(df)
                     runs.append(round(time.perf_counter() - t0, 4))
@@ -258,7 +265,7 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
                 # legitimately super-linear — see the module docstring;
                 # semantic_dedup's one-row-per-vector contract makes its
                 # ratio exactly 10.0.)
-                out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n, cents)[name].count()
+                out[f"scale_{name}_x{fac}_rows"] = _family(d, e, n_docs * fac, n, cents)[name].count()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     for name in ("span_dedup", "content_dedup", "minhash_lsh_pairs", "ngram_jaccard", "embedding_near_dup", "semantic_dedup", "ann_topk"):

@@ -45,7 +45,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def table_row_count(sf_dir: str, name: str) -> int:
+def table_row_count(sf_dir: str, name: str) -> int | None:
     """Exact row count from parquet FOOTER metadata — no Spark job.
 
     This is the plan-time statistics read the pairwise operators use to
@@ -53,13 +53,23 @@ def table_row_count(sf_dir: str, name: str) -> int:
     count comes from table metadata (footers / manifest row_count sums,
     the same numbers EventTable keeps per file), never from a scan. Cost
     is O(files) driver-side footer reads.
-    """
-    import pyarrow.dataset as ds
 
+    Reads through pyarrow's LOCAL-filesystem discovery; for an ``sf_dir``
+    Spark can read but pyarrow cannot (s3://, hdfs://) this returns
+    ``None`` instead of raising — every consumer treats the count as an
+    optional statistic (``n_docs``/``n_rows`` keyword), so a missing
+    count degrades to "skip the shuffle-width ratchet", never to a
+    plan-build failure.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    dataset = ds.dataset(os.path.join(sf_dir, f"{name}.parquet"), format="parquet")
-    return sum(f.metadata.num_rows for f in dataset.get_fragments())
+    try:
+        import pyarrow.dataset as ds
+
+        dataset = ds.dataset(os.path.join(sf_dir, f"{name}.parquet"), format="parquet")
+        return sum(f.metadata.num_rows for f in dataset.get_fragments())
+    except (OSError, ValueError, NotImplementedError, ImportError):
+        return None
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
