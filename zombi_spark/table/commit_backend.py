@@ -79,12 +79,17 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
     - a steal is ``rename(claim, <unique grave name>)`` — atomic, so
       exactly ONE stealer dethrones any given claim inode; the loser's
       rename raises and it re-enters the create race.
-    - every claimer records its claim's INODE at creation and re-checks
-      identity (same inode still at the claim path) immediately before
-      the final publish rename and before releasing — a claimer whose
-      claim was stolen (possible only after it sat on the claim for
-      ``CLAIM_GRACE_S``) loses with FileExistsError instead of
-      double-publishing.
+    - every claimer writes a UNIQUE TOKEN (pid + monotonic_ns + random)
+      into its claim file at creation and re-checks identity (the claim
+      path still holds OUR token) immediately before the final publish
+      rename and before releasing — a claimer whose claim was stolen
+      (possible only after it sat on the claim for ``CLAIM_GRACE_S``)
+      loses with FileExistsError instead of double-publishing. Identity
+      is by CONTENT, not inode (r9 ADVICE): after a steal, the next
+      claimer's fresh claim file routinely RECYCLES the freed inode on
+      ext4/tmpfs, so an st_ino comparison would re-open the
+      double-publish window for the whole copyfile duration; a content
+      token cannot be forged by allocator behavior.
 
     Like any lease scheme without server-side CAS this is not perfect:
     a claimer frozen for >CLAIM_GRACE_S between its last identity check
@@ -100,14 +105,16 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
     except OSError:
         pass
     claim = dest + ".claim"
-    my_ino = None
+    my_token = None
+    token = f"{os.getpid()}-{time.monotonic_ns()}-{os.urandom(8).hex()}".encode()
     for _ in range(4):
         try:
             fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
-                my_ino = os.fstat(fd).st_ino
+                os.write(fd, token)
             finally:
                 os.close(fd)
+            my_token = token
             break
         except FileExistsError:
             if os.path.exists(dest):
@@ -132,12 +139,15 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
                 pass
 
     def _claim_is_mine() -> bool:
+        # content identity: a successor's fresh claim at this path holds a
+        # DIFFERENT token even when the filesystem recycled our inode
         try:
-            return os.stat(claim).st_ino == my_ino
+            with open(claim, "rb") as fh:
+                return fh.read(64) == my_token
         except OSError:
             return False
 
-    if my_ino is None:
+    if my_token is None:
         raise FileExistsError(claim)
     try:
         if os.path.exists(dest):  # lost to a winner that already published

@@ -399,8 +399,17 @@ class EventTable:
         try:
             # the exclusive version claim: EEXIST means a concurrent
             # writer committed this version first (conditional PUT /
-            # catalog CAS on the object-store backend)
-            self.backend.publish_exclusive(tmp, final)
+            # catalog CAS on the object-store backend). The retryable
+            # wrapper (VERDICT r7 #5, adopted in production r10) absorbs
+            # object-store response loss: if the backend's PUT succeeded
+            # server-side but the client saw a timeout and its retry got
+            # 412/EEXIST, the version file holds exactly OUR bytes
+            # (snapshot_id is a fresh uuid per attempt, so same-bytes can
+            # only be our own write) — idempotent success, not a
+            # conflict.
+            from zombi_spark.table.commit_backend import publish_exclusive_retryable
+
+            publish_exclusive_retryable(self.backend, tmp, final)
         except FileExistsError:
             raise CommitConflictError(
                 f"snapshot conflict: version {version} was committed concurrently"

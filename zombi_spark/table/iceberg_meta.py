@@ -218,7 +218,10 @@ def _write_next_metadata(mdir: str, meta: dict, backend=None) -> str:
     # version silently vanishes — os.link fails with EEXIST instead, and
     # the loser bumps to the next free number (same optimistic-claim
     # pattern as the snapshot log's version files)
-    from zombi_spark.table.commit_backend import get_backend
+    from zombi_spark.table.commit_backend import (
+        get_backend,
+        publish_exclusive_retryable,
+    )
 
     if backend is None:
         backend = get_backend()
@@ -226,7 +229,10 @@ def _write_next_metadata(mdir: str, meta: dict, backend=None) -> str:
     while True:
         out = os.path.join(mdir, f"v{cur + 1}.metadata.json")
         try:
-            backend.publish_exclusive(tmp, out)
+            # retryable: a lost-response retry that finds v{N+1} already
+            # holding exactly our bytes is OUR earlier success — reuse it
+            # instead of minting a duplicate metadata version
+            publish_exclusive_retryable(backend, tmp, out)
             break
         except FileExistsError:
             cur += 1
