@@ -990,3 +990,67 @@ def test_row_delete_over_http(edge):
     # partition 0 ∩ ts∈[…200000, …202000] = i∈{0, 2}, but k2 (i=2) was
     # already taken down above — exactly one row left to remove
     assert status == 200 and body["rows_removed"] == 1
+
+
+def test_row_delete_key_selector_edge_cases(edge):
+    """VERDICT r8 #5 regression pins for the delete selector contract
+    (http_edge.py idempotency_keys handling):
+
+    - ``idempotency_keys: []`` combined with another selector means "no
+      key filter" (same as omitting it) — the other selector alone
+      scopes the delete;
+    - integer keys are valid and match their string form (JSON callers
+      routinely lose the str/int distinction);
+    - booleans are NOT integers here (JSON true/false would otherwise
+      coerce to "True"/"False" keys) — 400;
+    - a FALSY non-list (0, "") must 400 like any non-list, not slip
+      past the truthiness guard as "no filter".
+    """
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(6):
+        status, _ = _call(
+            f"{base}/tables/events",
+            "POST",
+            json.dumps(
+                {
+                    "payload": f'{{"i":{i}}}',
+                    "partition": i % 2,
+                    "timestamp_ms": 1704067200000 + i * 1000,
+                    "idempotency_key": str(i),
+                }
+            ).encode(),
+        )
+        assert status == 202
+
+    # empty list + ts selector: key filter OFF, time range governs
+    status, body = _call(
+        f"{base}/tables/events/delete",
+        "POST",
+        json.dumps(
+            {"idempotency_keys": [], "ts_min": 1704067205000}
+        ).encode(),
+    )
+    assert status == 200 and body["rows_removed"] == 1  # i=5 only
+    t = ingests["events"].table
+    assert t.read().count() == 5
+
+    # integer keys match their string-typed column values
+    status, body = _call(
+        f"{base}/tables/events/delete",
+        "POST",
+        json.dumps({"idempotency_keys": [0, 3], "flush": False}).encode(),
+    )
+    assert status == 200 and body["rows_removed"] == 2
+    assert t.read().where("idempotency_key IN ('0','3')").count() == 0
+
+    # booleans and falsy non-lists are rejected, not coerced/ignored
+    for bad in ([True], [False, "1"], 0, ""):
+        status, body = _call(
+            f"{base}/tables/events/delete",
+            "POST",
+            json.dumps({"idempotency_keys": bad, "ts_min": 0}).encode(),
+        )
+        assert status == 400 and "idempotency_keys" in body["error"]["message"], bad
+    # nothing else was deleted by the rejected requests
+    assert t.read().count() == 3

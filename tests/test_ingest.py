@@ -301,3 +301,83 @@ def test_orphan_staging_files_from_failed_attempts_are_not_promoted(spark, tmp_p
     # the duplicated hour would double one row if the orphan were adopted
     assert t.read().count() == 12
     assert t.read().select("sequence").distinct().count() == 12
+
+
+def test_all_null_write_time_stats_drop_to_no_stats_contract(spark, tmp_path):
+    """VERDICT r8 #5 regression pin for the Arrow-staging None-stats drop
+    (event_table.py _move_staged_in): pyarrow's ``min_max`` on an
+    all-null slice yields ``(None, None)``, and the planners compare
+    manifest bounds WITHOUT null guards — the write-time stats dict must
+    DROP None-valued min_/max_ keys so such a file lands in the
+    never-skippable no-stats set, exactly like the JVM footer path's
+    omitted keys. (End-to-end, ``append`` cannot produce this shape:
+    the arrow route's non-nullable schema cast rejects all-null
+    timestamps upstream — so this drives ``_move_staged_in`` with the
+    stats dict the writer WOULD emit, which is the code the r8 fix
+    changed.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = EventTable(spark, str(tmp_path), "nullstats")
+    # one normally-appended batch so the table has healthy entries too
+    t.append(prepare_events(_raw(spark, [
+        ("t", 0, b"p0", 1704067200000, None, 0),
+        ("t", 0, b"p1", 1704067201000, None, 1),
+    ])))
+
+    staging = str(tmp_path / "staging")
+    rel_dir = os.path.join("event_date=2024-01-01", "event_hour=0")
+    os.makedirs(os.path.join(staging, rel_dir))
+    body = pa.table(
+        {
+            "sequence": pa.array([3, 4], pa.int64()),
+            "topic": pa.array(["t", "t"]),
+            "partition": pa.array([0, 0], pa.int32()),
+            "payload": pa.array([b"x", b"y"], pa.binary()),
+            "timestamp_ms": pa.array([None, None], pa.int64()),
+            "idempotency_key": pa.array([None, None], pa.string()),
+        }
+    )
+    fname = "part-nullts.parquet"
+    pq.write_table(body, os.path.join(staging, rel_dir, fname), compression="zstd")
+    # exactly what _stage_arrow's min_max emits for the all-null slice
+    wstats = {
+        os.path.join(rel_dir, fname): {
+            "rel": os.path.join(rel_dir, fname),
+            "row_count": 2,
+            "file_size_bytes": os.path.getsize(
+                os.path.join(staging, rel_dir, fname)
+            ),
+            "min_ts": None,
+            "max_ts": None,
+            "min_seq": 3,
+            "max_seq": 4,
+            "min_topic": "t",
+            "max_topic": "t",
+            "min_part": 0,
+            "max_part": 0,
+            "key_nulls": 2,
+        }
+    }
+    added = t._move_staged_in(staging, prefix="", stats=wstats)
+    assert len(added) == 1
+    entry = added[0]
+    assert "min_ts" not in entry and "max_ts" not in entry, entry
+    assert entry["min_seq"] == 3 and entry["max_seq"] == 4
+    t._commit_snapshot(
+        {"operation": "append", "added_rows": 2},
+        added=added,
+        expected_parent=t.latest_version(),
+    )
+    # planners: ts pruning must KEEP the no-stats file (skipping is an
+    # optimization, never a correctness gate) and latest-n must not
+    # TypeError comparing None bounds
+    pruned = t.scan_files(ts_min=1_900_000_000_000)
+    assert any(e["file_path"] == entry["file_path"] for e in pruned)
+    planned = t.plan_latest_files(1)
+    assert any(e["file_path"] == entry["file_path"] for e in planned), (
+        "no-stats files must remain latest-n candidates"
+    )
+    assert t.read().count() == 4
