@@ -238,3 +238,222 @@ def test_schema_config_cannot_convert_a_populated_plain_table(spark, tmp_path):
     )
     t3 = EventTable(spark, str(tmp_path), "extract", schema_config=cfg2)
     assert {f["name"] for f in t3.extracted_fields()} == {"k", "m"}
+
+
+# ------------------------------------------------------------------
+# MaintenancePolicy: the background policy LOOP (VERDICT r7 #7 / r8 #6 /
+# r9 #7) — thresholds drive compact/expire/orphan-GC/retention, nothing
+# is called manually.
+# ------------------------------------------------------------------
+
+def _policy_batch(spark, start, n, ts0=1704067200000):
+    rows = [("t", 0, f"p{i}".encode(), ts0 + i, None, i) for i in range(start, start + n)]
+    return prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA))
+
+
+def test_policy_compacts_on_file_threshold(spark, tmp_path):
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    pol = MaintenancePolicy(
+        t, compact_trigger_files=4, min_input_files=3, compact_max_age_s=1e9
+    )
+    for i in range(4):
+        t.append(_policy_batch(spark, i * 5, 5))
+    ev = pol.evaluate()
+    assert ev["compact_due"] and ev["compact_reason"] == "threshold"
+    actions = pol.run_due()
+    kinds = [a["action"] for a in actions]
+    assert "compact" in kinds
+    done = next(a for a in actions if a["action"] == "compact")
+    assert done["ok"] and done["result"]["reason"] == "threshold"
+    assert len(t.files()) < ev["backlog_files"]
+    assert t.read().count() == 20  # INV-6: compaction preserves every row
+    # backlog cleared → next tick is quiet
+    assert pol.run_due() == []
+
+
+def test_policy_age_escalation_uses_injected_clock(spark, tmp_path):
+    """Low-traffic tables: a backlog below the count/byte thresholds must
+    still compact once it outlives compact_max_age_s (the reference's
+    pending-age escalation) — driven by a fake clock, no sleeping."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    clock = {"t": 100.0}
+    t = EventTable(spark, str(tmp_path), "events")
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=1000,
+        compact_trigger_bytes=1 << 60,
+        compact_max_age_s=300.0,
+        min_input_files=3,
+        clock=lambda: clock["t"],
+    )
+    t.append(_policy_batch(spark, 0, 4))
+    t.append(_policy_batch(spark, 4, 4))
+    t.append(_policy_batch(spark, 8, 4))  # 3 small files = min_input_files
+    assert not pol.evaluate()["compact_due"]  # young backlog, tiny counts
+    clock["t"] += 301.0
+    ev = pol.evaluate()
+    assert ev["compact_due"] and ev["compact_reason"] == "age"
+    actions = pol.run_due()
+    assert [a["action"] for a in actions] == ["compact"]
+    assert actions[0]["ok"]
+    assert t.read().count() == 12
+
+
+def test_policy_expires_snapshots_and_reaps_orphans(spark, tmp_path):
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=10**6,  # isolate the expiry action
+        expire_keep_last=4,
+        orphan_older_than_s=0.0,
+    )
+    for i in range(7):
+        t.append(_policy_batch(spark, i * 3, 3))
+    assert len(t._snapshot_files()) == 7
+    actions = pol.run_due()
+    kinds = [a["action"] for a in actions]
+    assert kinds == ["expire_snapshots", "remove_orphans"]
+    assert len(t._snapshot_files()) == 4
+    assert t.read().count() == 21
+
+
+def test_policy_retention_window(spark, tmp_path):
+    import time as _time
+
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    now_ms = int(_time.time() * 1000)
+    t.append(_policy_batch(spark, 0, 4, ts0=now_ms - 10 * 86_400_000))  # 10 days old
+    t.append(_policy_batch(spark, 4, 4, ts0=now_ms))  # fresh
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=10**6,
+        retention_ms=7 * 86_400_000,
+    )
+    actions = pol.run_due()
+    ret = next(a for a in actions if a["action"] == "retention")
+    assert ret["ok"] and ret["result"]["rows_removed"] == 4
+    assert t.read().count() == 4
+    # second tick: nothing left to age out, metadata no-op (no snapshot)
+    v = t.latest_version()
+    ret2 = next(a for a in pol.run_due() if a["action"] == "retention")
+    assert ret2["result"]["files_removed"] == 0
+    assert t.latest_version() == v
+
+
+def test_long_running_ingest_stays_bounded_without_manual_calls(spark, tmp_path):
+    """The r9 'done' criterion: a long-running ingest with the policy
+    ticking — and NO manual compact/expire call anywhere — keeps both
+    the data-file count and the snapshot log bounded while every row
+    stays readable."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=6,
+        min_input_files=2,
+        compact_max_age_s=1e9,
+        expire_keep_last=6,
+        orphan_older_than_s=0.0,
+    )
+    total = 0
+    peak_files = 0
+    for i in range(18):
+        t.append(_policy_batch(spark, i * 4, 4))
+        total += 4
+        peak_files = max(peak_files, len(t.files()))
+        pol.run_due()  # the embedded tick an ingest loop would run
+    # bounded: the steady-state file count stays under the trigger + one
+    # batch's worth, far below the 18+ files an uncompacted run leaves
+    assert len(t.files()) <= pol.compact_trigger_files + 2, (
+        len(t.files()),
+        peak_files,
+    )
+    assert len(t._snapshot_files()) <= pol.expire_keep_last
+    assert t.read().count() == total
+    compacts = [a for a in pol.history if a["action"] == "compact" and a["ok"]]
+    assert compacts, "the policy never compacted"
+
+
+def test_policy_daemon_thread_ticks_and_stops(spark, tmp_path):
+    import time as _time
+
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for i in range(4):
+        t.append(_policy_batch(spark, i * 3, 3))
+    pol = MaintenancePolicy(t, compact_trigger_files=4, min_input_files=2)
+    pol.start(interval_s=0.2)
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if any(a["action"] == "compact" and a["ok"] for a in pol.history):
+                break
+            _time.sleep(0.2)
+    finally:
+        pol.stop()
+    assert any(a["action"] == "compact" and a["ok"] for a in pol.history)
+    assert t.read().count() == 12
+    # stopped: no further ticks mutate history
+    n = len(pol.history)
+    _time.sleep(0.5)
+    assert len(pol.history) == n
+
+
+def test_streaming_ingest_runs_policy_tick_per_batch(spark, tmp_path):
+    """The production hook: a StreamingIngest constructed with a
+    MaintenancePolicy ticks it after every committed micro-batch —
+    several drained batches end with a compacted table and zero manual
+    maintenance calls."""
+    import json as _json
+
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    landing = str(tmp_path / "landing")
+    table = EventTable(spark, str(tmp_path), "stream-events")
+    pol = MaintenancePolicy(
+        table, compact_trigger_files=3, min_input_files=2, compact_max_age_s=1e9
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drop(name, events):
+        os.makedirs(landing, exist_ok=True)
+        tmp = os.path.join(landing, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            for e in events:
+                fh.write(_json.dumps(e) + "\n")
+        os.replace(tmp, os.path.join(landing, f"{name}.json"))
+
+    def _ev(start, n):
+        return [
+            {
+                "topic": "t1",
+                "partition": 0,
+                "payload": f"p-{i}",
+                "timestamp_ms": 1700000000000 + i,
+                "idempotency_key": None,
+                "ingest_order": i,
+            }
+            for i in range(start, start + n)
+        ]
+
+    total = 0
+    for b in range(4):
+        ing = StreamingIngest(
+            spark, landing, table, ckpt, maintenance_policy=pol
+        )
+        _drop(f"b{b}", _ev(b * 6, 6))
+        q = ing.start(available_now=True)
+        q.awaitTermination(120)
+        total += 6
+    assert table.read().count() == total
+    assert any(a["action"] == "compact" and a["ok"] for a in pol.history)
+    assert len(table.files()) <= pol.compact_trigger_files

@@ -101,6 +101,7 @@ class StreamingIngest:
         max_bytes_per_trigger: int | None = None,
         landing_byte_budget: int | None = None,
         maintain_rollup: bool = False,
+        maintenance_policy=None,
     ):
         self.spark = spark
         self.landing_dir = landing_dir
@@ -144,6 +145,12 @@ class StreamingIngest:
             self.rollup = MaterializedRollup(
                 table, os.path.join(table.path, "_rollup")
             )
+        # threshold-driven background maintenance (table/maintenance.py):
+        # when attached, every committed micro-batch is followed by one
+        # metadata-only policy tick — compact/expire/orphan-GC/retention
+        # fire from thresholds, never from manual calls (the reference's
+        # flusher maintenance tick, flusher/mod.rs:676-729)
+        self.maintenance_policy = maintenance_policy
 
     def _stream_identity(self) -> str | None:
         """checkpoint-path#query-id — the replay-guard key. The query id
@@ -262,6 +269,19 @@ class StreamingIngest:
             # cadence either.
             try:
                 self.rollup.refresh(blocking=False)
+            except Exception:  # noqa: BLE001 — maintenance stays best-effort
+                pass
+        if self.maintenance_policy is not None:
+            # same best-effort contract as the rollup fold: a maintenance
+            # failure after the data commit must never fail the batch
+            # (replay would re-append unkeyed events). The tick itself is
+            # metadata-only; actions run the crash-safe verbs.
+            try:
+                if self.maintenance_lock.acquire(blocking=False):
+                    try:
+                        self.maintenance_policy.run_due()
+                    finally:
+                        self.maintenance_lock.release()
             except Exception:  # noqa: BLE001 — maintenance stays best-effort
                 pass
 

@@ -1,0 +1,221 @@
+"""Background maintenance policy loop (VERDICT r7 #7 / r8 #6 / r9 #7).
+
+The maintenance VERBS have existed since round 4 — compact (M1),
+expire_snapshots + remove_orphans (M4), expire_data_older_than (T8) —
+as explicit calls and HTTP routes; nothing scheduled them. This module
+is the scheduler: the reference's flusher runs a periodic tick that
+evaluates per-topic pending stats and fires when
+``file_count >= threshold_files || total_bytes >= threshold_bytes``
+or the backlog's age crosses ``max_age`` (flusher/mod.rs:676-729 — the
+threshold-OR-age shape). :class:`MaintenancePolicy` applies that same
+shape to the lakehouse maintenance verbs:
+
+- **compact** when the compactable small-file backlog (partitions with
+  ≥ ``min_input_files`` files under ``small_file_bytes``) crosses a
+  file-count or byte threshold, or has sat un-compacted past
+  ``compact_max_age_s`` (the reference's ``pending_snapshot_since``
+  age escalation — low traffic must not keep a backlog forever).
+- **expire_snapshots → remove_orphans** when the retained snapshot log
+  outgrows ``expire_keep_last`` (orphan reclamation piggybacks on
+  expiry: expiring is what strands files).
+- **expire_data_older_than** every tick when a ``retention_ms`` window
+  is configured (the verb is a metadata no-op when nothing ages out).
+
+Every EVALUATION is metadata-only — manifest entries and directory
+listings, no Spark job, no data file opened — so a tick on a 100 TB
+table costs O(manifest) on the driver, and the tick interval can be
+seconds. Actions reuse the crash-safe, optimistically-retried verbs;
+a lost commit race (CommitConflictError) is recorded and retried at
+the next tick, never escalated out of the loop.
+
+Run it either embedded (``policy.run_due()`` from an ingest loop after
+each batch) or as a daemon thread (``policy.start(interval_s)``), the
+in-process analogue of the reference's tokio maintenance task.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from zombi_spark.table.event_table import CommitConflictError, EventTable
+
+
+class MaintenancePolicy:
+    """Threshold-driven compact / expire / orphan-GC / retention.
+
+    Parameters mirror the reference's flusher thresholds
+    (snapshot_threshold_files / snapshot_threshold_bytes /
+    snapshot_max_age, flusher/mod.rs:684-689), re-aimed at the
+    small-file backlog that the lakehouse cares about.
+
+    ``clock`` is injectable (monotonic seconds) so tests drive the
+    age-escalation branch without sleeping.
+    """
+
+    def __init__(
+        self,
+        table: EventTable,
+        *,
+        small_file_bytes: int = 64 << 20,
+        compact_trigger_files: int = 12,
+        compact_trigger_bytes: int = 512 << 20,
+        compact_max_age_s: float = 600.0,
+        min_input_files: int = 3,
+        expire_keep_last: int = 16,
+        orphan_older_than_s: float = 3600.0,
+        retention_ms: int | None = None,
+        clock=time.monotonic,
+    ) -> None:
+        self.table = table
+        self.small_file_bytes = small_file_bytes
+        self.compact_trigger_files = compact_trigger_files
+        self.compact_trigger_bytes = compact_trigger_bytes
+        self.compact_max_age_s = compact_max_age_s
+        self.min_input_files = min_input_files
+        self.expire_keep_last = expire_keep_last
+        self.orphan_older_than_s = orphan_older_than_s
+        self.retention_ms = retention_ms
+        self._clock = clock
+        #: when the CURRENT compactable backlog was first observed
+        #: (None = no backlog) — the pending_snapshot_since analogue
+        self._backlog_since: float | None = None
+        #: append-only action log (what ran, when, outcome) — the
+        #: observability surface tests and /stats read
+        self.history: list[dict] = []
+        self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(self, now: float | None = None) -> dict:
+        """Metadata-only tick evaluation: which actions are due and why.
+
+        Never opens a data file: ``table.files()`` is the committed
+        manifest (size/row-count already recorded at commit), the
+        snapshot log is a directory listing.
+        """
+        now = self._clock() if now is None else now
+        files = self.table.files()
+        by_part: dict[str, list[int]] = {}
+        for f in files:
+            if f["file_size_bytes"] < self.small_file_bytes:
+                by_part.setdefault(f["partition_dir"], []).append(
+                    f["file_size_bytes"]
+                )
+        compactable = {
+            p: sizes
+            for p, sizes in by_part.items()
+            if len(sizes) >= self.min_input_files
+        }
+        backlog_files = sum(len(s) for s in compactable.values())
+        backlog_bytes = sum(sum(s) for s in compactable.values())
+        if compactable:
+            if self._backlog_since is None:
+                self._backlog_since = now
+        else:
+            self._backlog_since = None
+        backlog_age_s = (
+            0.0 if self._backlog_since is None else now - self._backlog_since
+        )
+        threshold_exceeded = (
+            backlog_files >= self.compact_trigger_files
+            or backlog_bytes >= self.compact_trigger_bytes
+        )
+        age_exceeded = bool(compactable) and backlog_age_s >= self.compact_max_age_s
+        n_snapshots = len(self.table._snapshot_files())
+        return {
+            "backlog_files": backlog_files,
+            "backlog_bytes": backlog_bytes,
+            "backlog_partitions": len(compactable),
+            "backlog_age_s": round(backlog_age_s, 3),
+            "compact_due": threshold_exceeded or age_exceeded,
+            "compact_reason": (
+                "threshold" if threshold_exceeded else "age" if age_exceeded else None
+            ),
+            "n_snapshots": n_snapshots,
+            "expire_due": n_snapshots > self.expire_keep_last,
+            "retention_due": self.retention_ms is not None,
+        }
+
+    # ------------------------------------------------------------ actions
+    def run_due(self, now: float | None = None) -> list[dict]:
+        """One tick: evaluate, run every due action, log outcomes.
+
+        Action order matters: retention first (it strands files that the
+        SAME tick's compact would otherwise rewrite for nothing), then
+        compact, then snapshot expiry + orphan GC (expiry is what makes
+        orphans reclaimable)."""
+        ev = self.evaluate(now)
+        actions: list[dict] = []
+
+        def _record(kind: str, fn):
+            entry: dict = {"action": kind, "at_monotonic": self._clock()}
+            try:
+                entry["result"] = fn()
+                entry["ok"] = True
+            except CommitConflictError as exc:
+                # lost an optimistic race to a writer — next tick retries
+                entry["ok"] = False
+                entry["error"] = str(exc)
+            self.history.append(entry)
+            actions.append(entry)
+
+        if ev["retention_due"]:
+            cutoff = int(time.time() * 1000) - int(self.retention_ms)
+            _record(
+                "retention",
+                lambda: self.table.expire_data_older_than(cutoff),
+            )
+        if ev["compact_due"]:
+            entry_meta = {"reason": ev["compact_reason"]}
+
+            def _compact():
+                r = self.table.compact(
+                    small_file_bytes=self.small_file_bytes,
+                    min_input_files=self.min_input_files,
+                )
+                self._backlog_since = None  # backlog cleared (or re-observed)
+                return {**entry_meta, **r}
+
+            _record("compact", _compact)
+        if ev["expire_due"]:
+            _record(
+                "expire_snapshots",
+                lambda: {"expired": self.table.expire_snapshots(self.expire_keep_last)},
+            )
+            _record(
+                "remove_orphans",
+                lambda: {"removed": len(self.table.remove_orphans(self.orphan_older_than_s))},
+            )
+        return actions
+
+    # ------------------------------------------------------------ thread
+    def start(self, interval_s: float = 30.0) -> "MaintenancePolicy":
+        """Run ticks on a daemon thread every ``interval_s`` until
+        :meth:`stop` — the in-process analogue of the reference's
+        background flusher task. Exceptions are logged to history and
+        never kill the loop."""
+        if self._thread is not None:
+            raise RuntimeError("maintenance loop already running")
+        self._stop.clear()
+
+        def _loop():
+            while not self._stop.wait(interval_s):
+                try:
+                    self.run_due()
+                except Exception as exc:  # noqa: BLE001 — loop must survive
+                    self.history.append(
+                        {"action": "tick", "ok": False, "error": f"{type(exc).__name__}: {exc}"}
+                    )
+
+        self._thread = threading.Thread(
+            target=_loop, name=f"maintenance-{self.table.name}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout_s: float = 10.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout_s)
+            self._thread = None
