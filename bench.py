@@ -396,7 +396,6 @@ def main() -> None:
     detail = {"detail": "bench_extras", "errors": errors, "extras": extras}
     print(json.dumps(detail), flush=True)
 
-    factor = extras.get("scale_factor", 10)
     scale: dict = {}
     for k, v in extras.items():
         if k.startswith("scale_") and k.endswith("_runs"):
