@@ -515,6 +515,10 @@ def test_recycled_inode_cannot_forge_claim_identity(tmp_path, monkeypatch):
     victim_tmp.write_text("victim-content")
 
     real_copy = CB.shutil.copyfile
+    # the successor is ALREADY mid-publish when the victim resumes: its
+    # own staged file must survive the victim's abort path untouched
+    # (staging is per-claimer token-suffixed, never a shared name)
+    successor_staged = dest + ".publish-successor-token"
     state = {"fired": False}
 
     def steal_and_reclaim(src, dst):
@@ -528,13 +532,21 @@ def test_recycled_inode_cannot_forge_claim_identity(tmp_path, monkeypatch):
             os.unlink(claim + ".stale-test")
             with open(claim, "wb") as fh:
                 fh.write(b"successor-token")
+            with open(successor_staged, "wb") as fh:
+                fh.write(b"successor-staged-content")
         return real_copy(src, dst)
 
     monkeypatch.setattr(CB.shutil, "copyfile", steal_and_reclaim)
     with pytest.raises(FileExistsError):
         b.publish_exclusive(str(victim_tmp), dest)
     assert not os.path.exists(dest), "victim published over a stolen claim"
-    assert not os.path.exists(dest + ".publish")
+    # the victim cleaned up its OWN staged file and ONLY its own: the
+    # successor's in-flight staged copy is intact
+    import glob as _glob
+
+    leftovers = _glob.glob(dest + ".publish*")
+    assert leftovers == [successor_staged], leftovers
+    assert open(successor_staged, "rb").read() == b"successor-staged-content"
     # the successor's claim must survive the victim's release path
     assert open(claim, "rb").read() == b"successor-token"
 

@@ -335,8 +335,11 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     j+⌈bits/2⌉ in the high 32), so a b-bit hash needs ⌈b/2⌉ JVM sum
     expressions instead of b× the row volume; the vote-sum sign is
     recovered exactly as ``2·count > n_tokens`` (votes are ±1 over
-    n_tokens, so Σvote = 2·count − n). Counts ≤ n_tokens < 2³² keep the
-    lanes carry-free. The previous per-(doc, bit) aggregation shuffled
+    n_tokens, so Σvote = 2·count − n). Counts ≤ n_tokens < 2³¹ keep the
+    lanes carry-free: the high counter sits at bit 32, so the packed sum
+    is ≤ n·(2³² + 1), which stays inside a signed BIGINT only below 2³¹
+    distinct tokens (≫ any real document — that is ~10 GB of text).
+    The previous per-(doc, bit) aggregation shuffled
     n·b rows (16M at sf0.1's 32-bit width); this shuffles n token rows.
     """
     par = docs.sparkSession.sparkContext.defaultParallelism

@@ -89,7 +89,10 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
       claimer's fresh claim file routinely RECYCLES the freed inode on
       ext4/tmpfs, so an st_ino comparison would re-open the
       double-publish window for the whole copyfile duration; a content
-      token cannot be forged by allocator behavior.
+      token cannot be forged by allocator behavior. Staging is also
+      per-claimer (token-suffixed name): victim and successor never
+      write the same staged inode, so a stalled victim's open fd can
+      neither corrupt nor unlink a successor's in-flight publish.
 
     Like any lease scheme without server-side CAS this is not perfect:
     a claimer frozen for >CLAIM_GRACE_S between its last identity check
@@ -149,22 +152,30 @@ def _publish_exclusive(tmp: str, dest: str) -> None:
 
     if my_token is None:
         raise FileExistsError(claim)
+    # the staged name is UNIQUE per claimer (token-suffixed): a stalled
+    # victim and a steal-successor must never share a staging inode —
+    # with a shared name the successor's open('wb') would truncate the
+    # file the victim's still-open fd keeps writing into (corrupting
+    # whichever copy publishes), and the victim's abort-unlink would
+    # delete the successor's in-flight staged file.
+    staged = f"{dest}.publish-{my_token.decode()}"
     try:
         if os.path.exists(dest):  # lost to a winner that already published
             raise FileExistsError(dest)
-        staged = dest + ".publish"
         shutil.copyfile(tmp, staged)
         # identity check LAST, after the slow copy: if our claim was
         # stolen (we stalled past the grace period), the thief may be
         # publishing — abort rather than clobber its dest.
         if not _claim_is_mine():
-            try:
-                os.unlink(staged)
-            except OSError:
-                pass
             raise FileExistsError(claim)
         os.replace(staged, dest)
     finally:
+        # our staged file is ours alone; drop any failure-path leftover
+        # (after a successful replace the name no longer exists)
+        try:
+            os.unlink(staged)
+        except OSError:
+            pass
         # release only OUR claim — never a successor's fresh claim
         if _claim_is_mine():
             try:

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 
 from zombi_spark.table.event_table import CommitConflictError, EventTable
 
@@ -80,9 +81,13 @@ class MaintenancePolicy:
         #: when the CURRENT compactable backlog was first observed
         #: (None = no backlog) — the pending_snapshot_since analogue
         self._backlog_since: float | None = None
-        #: append-only action log (what ran, when, outcome) — the
-        #: observability surface tests and /stats read
-        self.history: list[dict] = []
+        #: bounded action log (what ran, when, outcome) — the
+        #: observability surface tests and /stats read. A deque with a
+        #: maxlen, NOT a list: retention_due ticks every interval when a
+        #: retention window is configured, so an unbounded log would grow
+        #: by one entry per tick for the multi-day lifetime of the
+        #: daemon (~17k/day at a 5 s trigger).
+        self.history: deque[dict] = deque(maxlen=4096)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
 
