@@ -223,6 +223,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
             "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
+            "pq_ann": PQ.q_pq_ann,  # product-quantization ADC (added r10)
         }.items()
     }
 
@@ -1358,5 +1359,60 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT x.doc_id, x.token_xor_hash,
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
         FROM x JOIN documents d ON d.doc_id = x.doc_id
+        """,
+        # Product quantization replayed relationally: codebook = subspace
+        # slices of vec_id [100, 116) (m=4 subspaces x 16 dims), encode =
+        # per-(vector, subspace) argmin of |c|^2 - 2*x*c over BIGINT sums
+        # (ties -> lowest code, matching np.argmin's first minimum), ADC =
+        # sum of the neighbor's per-subspace codeword dots against the
+        # query, normalized by the exact reconstruction norm.
+        "pq_ann": """
+        WITH cb AS (
+          SELECT vec_id - 100 AS code, (i - 1) // 16 AS j, (i - 1) % 16 AS pos,
+                 CAST(round(embedding[i] * 1e6) AS BIGINT) AS ci
+          FROM embeddings, range(1, 65) r(i)
+          WHERE vec_id >= 100 AND vec_id < 116
+        ), vx AS (
+          SELECT vec_id, (i - 1) // 16 AS j, (i - 1) % 16 AS pos,
+                 CAST(round(embedding[i] * 1e6) AS BIGINT) AS xi
+          FROM embeddings, range(1, 65) r(i)
+        ), edist AS (
+          SELECT vx.vec_id, vx.j, cb.code,
+                 sum(cb.ci * cb.ci) - 2 * sum(vx.xi * cb.ci) AS d,
+                 sum(cb.ci * cb.ci) AS n2
+          FROM vx JOIN cb ON vx.j = cb.j AND vx.pos = cb.pos
+          GROUP BY 1, 2, 3
+        ), enc AS (
+          SELECT vec_id, j, code, n2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+            FROM edist) WHERE rn = 1
+        ), recon AS (
+          SELECT vec_id, sum(n2) AS recon_n2 FROM enc GROUP BY 1
+        ), qterms AS (
+          SELECT vec_id AS query_id, (i - 1) // 16 AS j, (i - 1) % 16 AS pos,
+                 CAST(round(embedding[i] * 1e6) AS BIGINT) AS qi
+          FROM embeddings, range(1, 65) r(i)
+          WHERE vec_id < 8
+        ), qn AS (
+          SELECT query_id, sum(qi * qi) AS nq FROM qterms GROUP BY 1
+        ), qdot AS (
+          SELECT qt.query_id, qt.j, cb.code, sum(qt.qi * cb.ci) AS dt
+          FROM qterms qt JOIN cb ON qt.j = cb.j AND qt.pos = cb.pos
+          GROUP BY 1, 2, 3
+        ), adc AS (
+          SELECT qd.query_id, e.vec_id AS neighbor_id, sum(qd.dt) AS dot
+          FROM enc e JOIN qdot qd ON qd.j = e.j AND qd.code = e.code
+          WHERE e.vec_id != qd.query_id
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT a.query_id, a.neighbor_id,
+                 CAST(floor(a.dot / (sqrt(qn.nq) * sqrt(r.recon_n2)) * 1e6) AS BIGINT) AS cos_e6
+          FROM adc a JOIN qn ON qn.query_id = a.query_id
+          JOIN recon r ON r.vec_id = a.neighbor_id
+        )
+        SELECT query_id, rank, neighbor_id, cos_e6 FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5 ORDER BY query_id, rank
         """,
     }

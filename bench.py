@@ -344,6 +344,11 @@ def main() -> None:
         extras["ann_ivf_recall_at_5_clustered"] = _recall(
             brute_cl, S.ivf_topk(corpus, queries_cl, cents, k=5)  # derived nprobe
         )
+        # PQ with trained books (m=8, k=256) + exact re-rank of the ADC
+        # top-100 — the compressed-scan path (32× smaller scan set)
+        extras["ann_pq_recall_at_5_clustered"] = _recall(
+            brute_cl, S.pq_search(corpus, queries_cl, k=5)
+        )
     except Exception as exc:  # noqa: BLE001
         errors["_ann_recall_derived"] = f"{type(exc).__name__}: {exc}"[:500]
 
@@ -421,6 +426,7 @@ def main() -> None:
             ("lsh_iso", "ann_lsh_recall_at_5_derived_iso"),
             ("lsh_cl", "ann_lsh_recall_at_5_clustered"),
             ("ivf_cl", "ann_ivf_recall_at_5_clustered"),
+            ("pq_cl", "ann_pq_recall_at_5_clustered"),
             ("ivf_np1", "ann_ivf_recall_at_5"),
             ("ivf_np4", "ann_ivf_recall_at_5_nprobe4"),
         )

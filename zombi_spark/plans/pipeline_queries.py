@@ -301,6 +301,26 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache[key]
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode the corpus to m=4 subspace codes
+    against a 16-codeword book (codebook vectors = vec_id [100, 116), the
+    same deterministic k-means stand-in rule as :func:`q_ivf_ann`), then
+    ADC top-5 for queries vec_id < 8 — every score is m table lookups
+    over the 64×-compressed code table, never a raw-vector dot. Plan
+    cached per (session, sf) like the other literal-heavy ANN trees."""
+    cache = session_cache(spark, "plans")
+    key = (sf_dir, "pq_ann")
+    if key not in cache:
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = S.prepare_pq_codebooks(emb)
+        codes = S.pq_encode(emb, books)
+        queries = emb.where(F.col("vec_id") < 8)
+        cache[key] = S.pq_adc_topk(codes, queries, books, k=5).orderBy(
+            "query_id", "rank"
+        )
+    return cache[key]
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold 0.35: above the corpus's random-pair band (~N(0, 0.12)),
     # low enough to return real near-neighbor pairs on the synthetic data
