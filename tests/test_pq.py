@@ -125,6 +125,49 @@ def test_pq_search_recall_on_isotropic_table(spark):
     ) >= 0.9
 
 
+def test_pq_index_partition_pruned_search_matches_full_scan(spark, tmp_path):
+    """The IVF×PQ composition (FAISS IVFPQ shape): at nprobe = C the
+    indexed search must equal the full-scan pq_search with the same
+    books EXACTLY; at nprobe = 1 the scan is partition-PRUNED to the
+    probed cells (plan-asserted) and only those cells' codes are read."""
+    import contextlib
+    import io
+
+    corpus = _clustered_corpus(spark, n=2000)
+    queries = corpus.where(F.col("vec_id") < 8)
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    # centroids: the 16 lowest-id vectors, one per blob (ids 0..15 cycle
+    # through the blobs by construction)
+    cents = S.prepare_centroids(corpus.where(F.col("vec_id") < 16))
+    idx = str(tmp_path / "pq-index")
+    S.build_pq_index(corpus, cents, books, idx)
+
+    full = S.pq_search(corpus, queries, books, k=5, rerank_to=50)
+    probed_all = S.search_pq_index(
+        spark, idx, queries, cents, books, corpus, k=5, nprobe=16, rerank_to=50
+    )
+    assert sorted(map(tuple, probed_all.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    pruned = S.search_pq_index(
+        spark, idx, queries, cents, books, corpus, k=5, nprobe=1, rerank_to=50
+    )
+    rows = pruned.collect()
+    assert len(rows) == 8 * 5
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # 8 queries land in ≤8 of the 16 cells: something was actually pruned
+    probed = {
+        r["cell"]
+        for r in S.ivf_query_cells(queries, cents, 1).select("cell").distinct().collect()
+    }
+    assert len(probed) < 16
+
+
 def test_pq_validation_errors(spark):
     emb = load_table(spark, SF001, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):

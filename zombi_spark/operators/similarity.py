@@ -944,6 +944,7 @@ def pq_encode(
     codebooks: list[list[tuple[int, list[int]]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: str | None = None,
 ) -> DataFrame:
     """PQ-encode each vector: per subspace j, the code of its nearest
     (L2) codeword. Output per row: ``codes`` (array<int>, one per
@@ -971,7 +972,8 @@ def pq_encode(
     sub = len(codebooks[0][0][1])
     cb_lists = [[qc for _code, qc in book] for book in codebooks]
     ensure_package_on_workers(corpus.sparkSession)
-    v = with_quantized(corpus, vec_col).select(F.col(id_col), "qvec")
+    carry = [passthrough] if passthrough else []
+    v = with_quantized(corpus, vec_col).select(F.col(id_col), "qvec", *carry)
 
     def _encode(batches):
         import numpy as np
@@ -989,17 +991,19 @@ def pq_encode(
                 c = (cn2[j][None, :] - 2 * (xj @ cbs[j].T)).argmin(1)
                 codes[:, j] = c
                 recon += cn2[j][c]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf.iloc[:, 0],
-                    "codes": [
-                        np.asarray(row, dtype=np.int32) for row in codes
-                    ],
-                    "recon_n2": recon,
-                }
-            )
+            out = {
+                id_col: pdf.iloc[:, 0],
+                "codes": [np.asarray(row, dtype=np.int32) for row in codes],
+                "recon_n2": recon,
+            }
+            for col in carry:
+                out[col] = pdf[col]
+            yield pd.DataFrame(out)
 
-    return v.mapInPandas(_encode, schema=f"{id_col} long, codes array<int>, recon_n2 long")
+    schema = f"{id_col} long, codes array<int>, recon_n2 long"
+    if passthrough:
+        schema += f", {passthrough} long"
+    return v.mapInPandas(_encode, schema=schema)
 
 
 def pq_query_tables(
@@ -1072,10 +1076,20 @@ def pq_adc_topk(
     ADC ranks by reconstruction, so use :func:`pq_search` (ADC candidates
     + exact re-rank) when recall against true cosine matters.
     """
-    from pyspark.sql import Window
-
     m = len(codebooks)
     q = pq_query_tables(queries, codebooks, id_col, vec_col)
+    scored = codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _pq_adc_cos_e6(m).alias("cos_e6"),
+    )
+    return _topk_by_cos(scored, k)
+
+
+def _pq_adc_cos_e6(m: int) -> F.Column:
+    """The ADC score over joined (codes, recon_n2) × (tabs, q_n2) rows:
+    Σ_j tabs[j][codes[j]] normalized by |q|·|recon| — m integer lookups
+    and one float divide, the whole per-row scan cost."""
     approx_dot = F.element_at(
         F.element_at(F.col("tabs"), 1), F.element_at(F.col("codes"), 1) + 1
     )
@@ -1083,22 +1097,52 @@ def pq_adc_topk(
         approx_dot = approx_dot + F.element_at(
             F.element_at(F.col("tabs"), j + 1), F.element_at(F.col("codes"), j + 1) + 1
         )
-    scored = codes.join(F.broadcast(q), F.col(id_col) != F.col("query_id")).select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        F.floor(
-            F.try_divide(approx_dot, F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2")))
-            * 1e6
-        )
-        .cast("long")
-        .alias("cos_e6"),
-    )
+    return F.floor(
+        F.try_divide(approx_dot, F.sqrt(F.col("q_n2")) * F.sqrt(F.col("recon_n2"))) * 1e6
+    ).cast("long")
+
+
+def _topk_by_cos(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_e6")
     )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact-cosine top-k over a (query_id, neighbor_id) candidate frame:
+    the candidates (Q × rerank_to rows) broadcast into a semi-join point
+    lookup against the base table — only candidate raw vectors are ever
+    scored, never a corpus scan."""
+    c = with_quantized(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    )
+    q = with_quantized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_q"), F.col("vnorm").alias("q_n")
+    )
+    exact = (
+        c.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_e6_prequantized(
+                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+            ).alias("cos_e6"),
+        )
+    )
+    return _topk_by_cos(exact, k)
 
 
 def pq_search(
@@ -1123,35 +1167,84 @@ def pq_search(
 
     Output cos_e6 is the EXACT quantized cosine (same definition as
     :func:`brute_force_topk`, directly comparable)."""
-    from pyspark.sql import Window
-
     if codebooks is None:
         codebooks = pq_train_codebooks(corpus, id_col=id_col, vec_col=vec_col)
     enc = pq_encode(corpus, codebooks, id_col, vec_col)
     cand = pq_adc_topk(enc, queries, codebooks, k=rerank_to, id_col=id_col, vec_col=vec_col)
-    c = with_quantized(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    codebooks: list[list[tuple[int, list[int]]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF×PQ index (the FAISS IVFPQ shape): one linear
+    pass assigns each vector to its IVF cell (:func:`ivf_assign`, pure
+    projection) and PQ-encodes it, written as parquet hive-partitioned
+    by ``cell`` — so a search prunes to probed cell PARTITIONS (I/O
+    scales with cells probed) and then scans 32×-compressed codes inside
+    them (memory scales with codes, not vectors). Raw vectors stay in
+    the base table; the index holds only (id, codes, recon_n2, cell).
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    enc = pq_encode(assigned, codebooks, id_col, vec_col, passthrough="cell")
+    (
+        enc.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
     )
-    q = with_quantized(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("q_q"), F.col("vnorm").alias("q_n")
+
+
+def search_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    codebooks: list[list[tuple[int, list[int]]]],
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int | None = None,
+    rerank_to: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF×PQ index: probe the query's
+    top-``nprobe`` cells, partition-pruned read of ONLY those cells' code
+    files, ADC-score the in-cell codes (m lookups/row), exact-cosine
+    re-rank of the top-``rerank_to`` candidates against the base table
+    (``corpus`` — the index never stores raw vectors; the re-rank is a
+    Q×rerank_to broadcast point lookup). At nprobe = C this equals
+    :func:`pq_search` with the same books exactly (tested); smaller
+    nprobe trades the IVF candidate-volume knob for speed on top of PQ's
+    compression."""
+    prepared = (
+        centroids
+        if isinstance(centroids, list)
+        else prepare_centroids(centroids, id_col, vec_col)
     )
-    exact = (
-        c.join(F.broadcast(cand.select("query_id", "neighbor_id")), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(len(prepared))
+    qcells = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col)
+    probed = sorted({r["cell"] for r in qcells.select("cell").distinct().collect()})
+    index = spark.read.parquet(path).where(F.col("cell").isin(probed))
+    tabs = pq_query_tables(queries, codebooks, id_col, vec_col)
+    scored = (
+        index.join(F.broadcast(qcells.select("query_id", "cell")), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(tabs), "query_id")
         .select(
             "query_id",
-            "neighbor_id",
-            cosine_e6_prequantized(
-                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
-            ).alias("cos_e6"),
+            F.col(id_col).alias("neighbor_id"),
+            _pq_adc_cos_e6(len(codebooks)).alias("cos_e6"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
-    return (
-        exact.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_e6")
-    )
+    cand = _topk_by_cos(scored, rerank_to)
+    return _exact_rerank(cand, corpus, queries, k, id_col, vec_col)
 
 
 def embedding_near_dup(
