@@ -457,3 +457,141 @@ def test_streaming_ingest_runs_policy_tick_per_batch(spark, tmp_path):
     assert table.read().count() == total
     assert any(a["action"] == "compact" and a["ok"] for a in pol.history)
     assert len(table.files()) <= pol.compact_trigger_files
+
+
+def test_policy_one_failing_action_does_not_skip_the_rest(spark, tmp_path):
+    """Per-action fault isolation (ADVICE r10 / reference flusher's
+    per-item error handling): retention raising an OSError must still be
+    RECORDED in history (the embedded path has no caller to re-raise to)
+    and must not abort the same tick's compact."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for i in range(4):
+        t.append(_policy_batch(spark, i * 3, 3))
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=4,
+        min_input_files=2,
+        retention_ms=365 * 86_400_000,  # retention due every tick
+    )
+
+    def _boom(cutoff):
+        raise OSError("storage hiccup")
+
+    t.expire_data_older_than = _boom
+    actions = pol.run_due()
+    kinds = [a["action"] for a in actions]
+    assert kinds[0] == "retention" and not actions[0]["ok"]
+    assert "OSError" in actions[0]["error"]
+    assert "compact" in kinds, "compact was skipped by the retention failure"
+    assert next(a for a in actions if a["action"] == "compact")["ok"]
+    # the failure is observable in history too
+    assert any(
+        a["action"] == "retention" and not a["ok"] for a in pol.history
+    )
+    assert t.read().count() == 12
+
+
+def test_policy_concurrent_ticks_do_not_double_fire(spark, tmp_path):
+    """The tick lock (ADVICE r10): with the embedded ingest hook racing
+    the daemon, a tick that finds another in flight returns [] instead of
+    re-running the same due actions. Deterministic interleaving: thread A
+    blocks inside compact on an event; thread B ticks meanwhile."""
+    import threading
+
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for i in range(4):
+        t.append(_policy_batch(spark, i * 3, 3))
+    pol = MaintenancePolicy(t, compact_trigger_files=4, min_input_files=2)
+
+    inside = threading.Event()
+    release = threading.Event()
+    real_compact = t.compact
+
+    def _slow_compact(**kw):
+        inside.set()
+        assert release.wait(60)
+        return real_compact(**kw)
+
+    t.compact = _slow_compact
+    results: dict = {}
+
+    def _a():
+        results["a"] = pol.run_due()
+
+    th = threading.Thread(target=_a)
+    th.start()
+    assert inside.wait(60), "thread A never reached compact"
+    # B ticks while A holds the tick lock: skipped, nothing recorded
+    n_hist = len(pol.history)
+    assert pol.run_due() == []
+    assert len(pol.history) == n_hist
+    release.set()
+    th.join(60)
+    assert [x["action"] for x in results["a"]] == ["compact"]
+    assert results["a"][0]["ok"]
+    assert t.read().count() == 12
+
+
+def test_policy_retention_cutoff_uses_injected_wall_clock(spark, tmp_path):
+    """The retention cutoff is epoch-based (data ages by timestamp_ms),
+    so it takes its OWN injectable wall clock (ADVICE r10) — a fake epoch
+    drives the age-out deterministically, no real-time dependence."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t0 = 1704067200000  # 2024-01-01 epoch ms
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_policy_batch(spark, 0, 4, ts0=t0))  # "old" batch
+    t.append(_policy_batch(spark, 4, 4, ts0=t0 + 10 * 86_400_000))  # "new"
+    pol = MaintenancePolicy(
+        t,
+        compact_trigger_files=10**6,
+        retention_ms=7 * 86_400_000,
+        # fake "now": 8 days after t0 → the first batch is out of window,
+        # the second is 2 days in the future of the window start
+        wall_clock=lambda: (t0 + 8 * 86_400_000) / 1000.0,
+    )
+    ret = next(a for a in pol.run_due() if a["action"] == "retention")
+    assert ret["ok"] and ret["result"]["rows_removed"] == 4
+    assert t.read().count() == 4
+
+
+def test_policy_daemon_races_foreground_compact_safely(spark, tmp_path):
+    """A daemon policy ticking every 50 ms while the foreground calls
+    compact() and keeps appending: the in-process conflict contract is
+    CommitConflictError-to-the-caller, who retries (the daemon side
+    records its losses in history and retries next tick) — a retried
+    foreground compact must converge, no other exception type may escape
+    either path, and every row stays readable."""
+    from zombi_spark.table.event_table import CommitConflictError
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for i in range(4):
+        t.append(_policy_batch(spark, i * 3, 3))
+    pol = MaintenancePolicy(t, compact_trigger_files=2, min_input_files=2)
+    pol.start(interval_s=0.05)
+    total = 12
+    fg_conflicts = 0
+    try:
+        for i in range(4, 8):
+            t.append(_policy_batch(spark, i * 3, 3))
+            total += 3
+            for _attempt in range(10):  # foreground racing the daemon
+                try:
+                    t.compact(min_input_files=2)
+                    break
+                except CommitConflictError:
+                    fg_conflicts += 1  # lost to the daemon: replan + retry
+            else:
+                raise AssertionError("foreground compact never converged")
+    finally:
+        pol.stop()
+    assert t.read().count() == total
+    # every failed tick action is a recorded commit race, nothing else
+    for a in pol.history:
+        if not a.get("ok", True):
+            assert "conflict" in a.get("error", "").lower(), a

@@ -176,3 +176,29 @@ def test_pq_validation_errors(spark):
         S.prepare_pq_codebooks(emb, base_id=490)  # only 10 ids exist past 490
     with pytest.raises(ValueError, match="sample of"):
         S.pq_train_codebooks(emb.where(F.col("vec_id") < 4), n_codes=256)
+
+
+def test_pq_encode_passthrough_keeps_column_type(spark):
+    """The passthrough column is declared under its REAL type in the
+    mapInPandas schema (ADVICE r10): a string column must survive the
+    encode round-trip, not be mis-declared as long."""
+    emb = load_table(spark, SF001, "embeddings").withColumn(
+        "tag", F.concat(F.lit("v"), F.col("vec_id").cast("string"))
+    )
+    books = S.prepare_pq_codebooks(emb)
+    enc = S.pq_encode(emb.where(F.col("vec_id") < 10), books, passthrough="tag")
+    assert enc.schema["tag"].dataType.simpleString() == "string"
+    rows = enc.orderBy("vec_id").collect()
+    assert [r["tag"] for r in rows] == [f"v{i}" for i in range(10)]
+    # the int passthrough the index writer uses still works
+    enc2 = S.pq_encode(
+        emb.where(F.col("vec_id") < 4).withColumn(
+            "cell", (F.col("vec_id") % 2).cast("int")
+        ),
+        books,
+        passthrough="cell",
+    )
+    assert enc2.schema["cell"].dataType.simpleString() == "int"
+    assert {(r["vec_id"], r["cell"]) for r in enc2.collect()} == {
+        (0, 0), (1, 1), (2, 0), (3, 1)
+    }

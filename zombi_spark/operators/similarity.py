@@ -1002,7 +1002,10 @@ def pq_encode(
 
     schema = f"{id_col} long, codes array<int>, recon_n2 long"
     if passthrough:
-        schema += f", {passthrough} long"
+        # carry the column under its REAL type (ADVICE r10): hardcoding
+        # 'long' silently mis-declared any non-long passthrough
+        ptype = corpus.schema[passthrough].dataType.simpleString()
+        schema += f", {passthrough} {ptype}"
     return v.mapInPandas(_encode, schema=schema)
 
 

@@ -67,6 +67,7 @@ class MaintenancePolicy:
         orphan_older_than_s: float = 3600.0,
         retention_ms: int | None = None,
         clock=time.monotonic,
+        wall_clock=time.time,
     ) -> None:
         self.table = table
         self.small_file_bytes = small_file_bytes
@@ -78,6 +79,11 @@ class MaintenancePolicy:
         self.orphan_older_than_s = orphan_older_than_s
         self.retention_ms = retention_ms
         self._clock = clock
+        #: wall clock (epoch seconds) for the retention cutoff — data ages
+        #: by timestamp_ms, an epoch quantity, so it CANNOT use the
+        #: monotonic ``clock``; injectable so tests drive the retention
+        #: branch without real waiting (ADVICE r10)
+        self._wall_clock = wall_clock
         #: when the CURRENT compactable backlog was first observed
         #: (None = no backlog) — the pending_snapshot_since analogue
         self._backlog_since: float | None = None
@@ -90,6 +96,13 @@ class MaintenancePolicy:
         self.history: deque[dict] = deque(maxlen=4096)
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        #: serializes ticks across callers (ADVICE r10): a policy can be
+        #: BOTH embedded in an ingest loop and start()ed as a daemon;
+        #: without this, concurrent run_due calls race on _backlog_since
+        #: and double-fire compact (harmless but noisy — one loses the
+        #: optimistic commit race every time). Non-blocking: a tick that
+        #: finds another in flight skips, it doesn't queue.
+        self._tick_lock = threading.Lock()
 
     # ------------------------------------------------------------ evaluate
     def evaluate(self, now: float | None = None) -> dict:
@@ -149,7 +162,24 @@ class MaintenancePolicy:
         Action order matters: retention first (it strands files that the
         SAME tick's compact would otherwise rewrite for nothing), then
         compact, then snapshot expiry + orphan GC (expiry is what makes
-        orphans reclaimable)."""
+        orphans reclaimable).
+
+        Ticks are serialized by a policy-owned non-blocking lock: a call
+        that finds another tick in flight (embedded ingest hook racing
+        the daemon thread) returns ``[]`` immediately — the in-flight
+        tick is already doing this tick's work. Per-action failures are
+        ISOLATED (the reference flusher's per-item error handling,
+        flusher/mod.rs:676-729): one action raising — a commit race, an
+        OSError from retention — is recorded in ``history`` and the
+        remaining due actions still run."""
+        if not self._tick_lock.acquire(blocking=False):
+            return []
+        try:
+            return self._run_due_locked(now)
+        finally:
+            self._tick_lock.release()
+
+    def _run_due_locked(self, now: float | None = None) -> list[dict]:
         ev = self.evaluate(now)
         actions: list[dict] = []
 
@@ -162,11 +192,18 @@ class MaintenancePolicy:
                 # lost an optimistic race to a writer — next tick retries
                 entry["ok"] = False
                 entry["error"] = str(exc)
+            except Exception as exc:  # noqa: BLE001 — isolate per action
+                # ANY other failure (an OSError from retention, a storage
+                # hiccup) must not abort the remaining due actions and
+                # must leave an observable record even on the embedded
+                # path, which has no caller to re-raise to (ADVICE r10)
+                entry["ok"] = False
+                entry["error"] = f"{type(exc).__name__}: {exc}"
             self.history.append(entry)
             actions.append(entry)
 
         if ev["retention_due"]:
-            cutoff = int(time.time() * 1000) - int(self.retention_ms)
+            cutoff = int(self._wall_clock() * 1000) - int(self.retention_ms)
             _record(
                 "retention",
                 lambda: self.table.expire_data_older_than(cutoff),
