@@ -167,7 +167,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": RQ.q_window_funcs,  # ranking + analytic + frame families
         "set_ops": RQ.q_set_ops,  # union/intersect/except + dropDuplicates
         "scalar_library": RQ.q_scalar_library,
-        "explode_tokens": RQ.q_explode_array,
+        # round-11 rotation (VERDICT r10 #1): pq_ann (product-quantization
+        # ADC ANN, the r10 flagship operator family) takes the slot of
+        # explode_tokens, whose explode/posexplode surface stays
+        # hash-verified in extra_queries() (and scalar_library keeps the
+        # F11 scalar family green inside the window).
+        "pq_ann": PQ.q_pq_ann,
         # LLM-data-pipeline operators (SURVEY.md §7 step 9)
         "content_dedup": PQ.q_content_dedup,  # exact md5 + token-set fingerprint
         "minhash_lsh_pairs": PQ.q_minhash_lsh_pairs,  # signatures → bands → verify
@@ -223,7 +228,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source_caps": PQ.q_source_caps,  # per-source corpus balancing
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
             "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
-            "pq_ann": PQ.q_pq_ann,  # product-quantization ADC (added r10)
+            "explode_tokens": RQ.q_explode_array,  # rotated out r11
         }.items()
     }
 
@@ -584,16 +589,9 @@ def oracle_sql() -> dict[str, str]:
                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
         FROM orders
         """,
-        "explode_tokens": """
-        SELECT token, count(*) AS n, min(doc_id) AS first_doc,
-               min(ord) AS first_pos
-        FROM (
-          SELECT doc_id,
-                 unnest(string_split(text, ' ')) AS token,
-                 generate_subscripts(string_split(text, ' '), 1) - 1 AS ord
-          FROM documents WHERE doc_id < 100
-        ) GROUP BY token ORDER BY n DESC, token LIMIT 40
-        """,
+        # rotated IN r11 (slot of explode_tokens): the PQ ADC ANN oracle —
+        # module-level string so the two registries share one definition
+        "pq_ann": _PQ_ANN_SQL,
         # ------------------------------------ LLM-pipeline operators
         "content_dedup": """
         WITH ex AS (
@@ -1360,13 +1358,26 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
         FROM x JOIN documents d ON d.doc_id = x.doc_id
         """,
-        # Product quantization replayed relationally: codebook = subspace
-        # slices of vec_id [100, 116) (m=4 subspaces x 16 dims), encode =
-        # per-(vector, subspace) argmin of |c|^2 - 2*x*c over BIGINT sums
-        # (ties -> lowest code, matching np.argmin's first minimum), ADC =
-        # sum of the neighbor's per-subspace codeword dots against the
-        # query, normalized by the exact reconstruction norm.
-        "pq_ann": """
+        "explode_tokens": """
+        SELECT token, count(*) AS n, min(doc_id) AS first_doc,
+               min(ord) AS first_pos
+        FROM (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS token,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS ord
+          FROM documents WHERE doc_id < 100
+        ) GROUP BY token ORDER BY n DESC, token LIMIT 40
+        """,
+    }
+
+
+# Product quantization replayed relationally: codebook = subspace
+# slices of vec_id [100, 116) (m=4 subspaces x 16 dims), encode =
+# per-(vector, subspace) argmin of |c|^2 - 2*x*c over BIGINT sums
+# (ties -> lowest code, matching np.argmin's first minimum), ADC =
+# sum of the neighbor's per-subspace codeword dots against the
+# query, normalized by the exact reconstruction norm.
+_PQ_ANN_SQL = """
         WITH cb AS (
           SELECT vec_id - 100 AS code, (i - 1) // 16 AS j, (i - 1) % 16 AS pos,
                  CAST(round(embedding[i] * 1e6) AS BIGINT) AS ci
@@ -1414,5 +1425,4 @@ def extra_oracle_sql() -> dict[str, str]:
           SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY cos_e6 DESC, neighbor_id) AS INTEGER) AS rank
           FROM scored) WHERE rank <= 5 ORDER BY query_id, rank
-        """,
-    }
+        """
