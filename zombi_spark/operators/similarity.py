@@ -426,11 +426,52 @@ def _lit_long_array(values: list[int]):
     return F.lit([int(v) for v in values]).cast("array<long>")
 
 
+#: centroid count above which IVF scoring switches from literal Column
+#: trees to an Arrow-batched numpy kernel: per-centroid struct scores
+#: stop whole-stage-codegenning near C≈64 (the embedding_near_dup /
+#: pq_encode precedent) and plan ANALYSIS alone cost ~5s per invocation
+#: at C=64 (measured r11) — while one int64 GEMM per batch handles
+#: thousands of cells at memory bandwidth. Below the threshold the
+#: Column path stays (no Python workers for the common small-C case,
+#: and the oracle-checked queries pin it).
+_IVF_ARROW_MIN_CELLS = 32
+
+
+def _ivf_kernel_arrays(cents: list[tuple[int, list[int]]]):
+    """Centroid matrices for the numpy kernel: ascending-cid order (so
+    np.argmax's first-maximum == ties-to-lowest-cid), exact int64
+    codewords, and float64 norms computed exactly like the Column path
+    (sqrt of the exact integer squared norm)."""
+    import numpy as np
+
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    assert (np.diff(cids) > 0).all(), "prepare_centroids returns sorted cids"
+    cmat = np.array([qc for _, qc in cents], dtype=np.int64)
+    cnorm = np.sqrt((cmat * cmat).sum(1).astype(np.float64))
+    return cids, cmat, cnorm
+
+
+def _ivf_cos_rows(x, cmat, cnorm, vnorm):
+    """floor(1e6 · x·c / (|x|·|c|)) per (row, centroid), the SAME IEEE
+    float64 expression the Column path evaluates over the same exact
+    integers: dot is int64-exact (< 2^53), the divide/multiply/floor are
+    one double each. Zero-norm rows (degenerate by the quantize
+    contract) score int64-min instead of the Column path's NULL."""
+    import numpy as np
+
+    denom = vnorm[:, None] * cnorm[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.floor((x @ cmat.T) / denom * 1e6)
+    cos = np.where(np.isfinite(cos), cos, np.float64(np.iinfo(np.int64).min))
+    return cos.astype(np.int64)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame | list[tuple[int, list[int]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF cell assignment: each vector goes to its max-cosine centroid.
 
@@ -443,6 +484,14 @@ def ivf_assign(
     re-quantization (HOFs over literal arrays are not constant-folded)
     and an explicit 64-term element_at sum (512-term trees exceed codegen
     limits and fall back to interpretation). Same output bit-exact.
+
+    Above ``_IVF_ARROW_MIN_CELLS`` centroids the scoring flips to an
+    Arrow-batched int64 GEMM (same exact integers, same IEEE cosine
+    expression, ties to the lowest cid via ascending-cid argmax —
+    bit-identical by test): the literal-tree path stops codegenning and
+    its plan analysis alone costs seconds per invocation at C≥64, while
+    a 100 TB-scale index wants thousands of cells. ``use_arrow``
+    overrides the auto-switch (tests pin path parity with it).
     """
     cents = (
         centroids
@@ -450,12 +499,43 @@ def ivf_assign(
         else prepare_centroids(centroids, id_col, vec_col)
     )
     v = with_quantized(corpus, vec_col)
-    return v.select(
-        F.col(id_col),
-        F.col(vec_col),
-        "qvec",
-        "vnorm",
-        _best_cell_expr(cents).alias("cell"),
+    if use_arrow is None:
+        use_arrow = len(cents) >= _IVF_ARROW_MIN_CELLS
+    if not use_arrow:
+        return v.select(
+            F.col(id_col),
+            F.col(vec_col),
+            "qvec",
+            "vnorm",
+            _best_cell_expr(cents).alias("cell"),
+        )
+
+    import pandas as pd
+
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(corpus.sparkSession)
+    cent_rows = [(cid, qc) for cid, qc in cents]
+
+    def _assign(batches):
+        import numpy as np
+
+        cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+            pdf = pdf.copy()
+            # argmax takes the FIRST maximum; cids ascend → lowest cid
+            pdf["cell"] = cids[cos.argmax(1)]
+            yield pdf
+
+    idt = corpus.schema[id_col].dataType.simpleString()
+    vt = corpus.schema[vec_col].dataType.simpleString()
+    return v.select(F.col(id_col), F.col(vec_col), "qvec", "vnorm").mapInPandas(
+        _assign,
+        schema=f"{id_col} {idt}, {vec_col} {vt}, qvec array<long>, vnorm double, cell long",
     )
 
 
@@ -483,14 +563,54 @@ def ivf_query_cells(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Per-query probe list: the top-``nprobe`` cells by centroid cosine,
     one output row per (query, probed cell). nprobe=1 reduces to the
     argmax assignment; larger nprobe trades candidate volume for recall —
     the standard IVF knob. reverse(array_sort) over the per-centroid
     score structs, sliced to nprobe, exploded — still a pure projection
-    over the (small) query set."""
+    over the (small) query set. Above ``_IVF_ARROW_MIN_CELLS`` centroids
+    the ranking flips to the Arrow kernel (same exact math, ties sort
+    (cos desc, cid asc) — bit-identical by test): the per-centroid
+    struct array costs seconds of plan analysis at C≥64."""
     v = with_quantized(queries_assignable, vec_col)
+    if use_arrow is None:
+        use_arrow = len(cents) >= _IVF_ARROW_MIN_CELLS
+    if use_arrow:
+        import pandas as pd
+
+        from zombi_spark.shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(queries_assignable.sparkSession)
+        cent_rows = [(cid, qc) for cid, qc in cents]
+        n_take = min(nprobe, len(cents))
+
+        def _probes(batches):
+            import numpy as np
+
+            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+                cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+                out = {"query_id": [], "q_q": [], "q_n": [], "cell": []}
+                for i in range(len(pdf)):
+                    # (cos desc, cid asc): lexsort's last key is primary
+                    order = np.lexsort((cids, -cos[i]))[:n_take]
+                    for c in cids[order]:
+                        out["query_id"].append(pdf.iloc[i, 0])
+                        out["q_q"].append(pdf["qvec"].iloc[i])
+                        out["q_n"].append(pdf["vnorm"].iloc[i])
+                        out["cell"].append(c)
+                yield pd.DataFrame(out)
+
+        idt = queries_assignable.schema[id_col].dataType.simpleString()
+        return v.select(F.col(id_col), "qvec", "vnorm").mapInPandas(
+            _probes,
+            schema=f"query_id {idt}, q_q array<long>, q_n double, cell long",
+        )
     scored = []
     for cid, qc_ints in cents:
         lit_qc = _lit_long_array(qc_ints)
@@ -1232,12 +1352,23 @@ def search_pq_index(
     )
     if nprobe is None:
         nprobe = ivf_nprobe_for(len(prepared))
-    qcells = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col)
-    probed = sorted({r["cell"] for r in qcells.select("cell").distinct().collect()})
+    # ONE execution of the probe ranking: the (query, cell) pairs are
+    # Q×nprobe rows (queries-small by contract), collected once and
+    # re-broadcast as a local relation — before r11 the qcells plan ran
+    # twice (distinct-collect for pruning + the join side)
+    pairs = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col).select(
+        "query_id", "cell"
+    ).collect()
+    probed = sorted({r["cell"] for r in pairs})
+    idt = queries.schema[id_col].dataType.simpleString()
+    pair_df = spark.createDataFrame(
+        [(r["query_id"], r["cell"]) for r in pairs],
+        schema=f"query_id {idt}, cell long",
+    )
     index = spark.read.parquet(path).where(F.col("cell").isin(probed))
     tabs = pq_query_tables(queries, codebooks, id_col, vec_col)
     scored = (
-        index.join(F.broadcast(qcells.select("query_id", "cell")), "cell")
+        index.join(F.broadcast(pair_df), "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(tabs), "query_id")
         .select(
