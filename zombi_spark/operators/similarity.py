@@ -1025,7 +1025,12 @@ def pq_train_codebooks(
 
     At 100 TB the sample bounds driver cost to O(sample_rows·d) — model
     fitting is the one legitimately driver-sided step (the model is
-    m·n_codes·(d/m) ints); encoding the corpus stays distributed.
+    m·n_codes·(d/m) ints); encoding the corpus stays distributed. Note
+    the TakeOrdered sample still SCANS the full corpus once to find the
+    lowest ids (per-partition top-k, no global sort, but every row is
+    read): on a 100 TB table, train against a pre-filtered slice (e.g.
+    one partition or an id-range predicate that prunes at the scan)
+    when a cheap one exists — determinism only needs a stable rule.
     """
     import numpy as np
 
