@@ -833,15 +833,41 @@ def ivf_drift_report(
         else prepare_centroids(centroids, id_col, vec_col)
     )
     idx = spark.read.parquet(path)
-    row = (
-        idx.select(
+    if len(cents) >= _IVF_ARROW_MIN_CELLS:
+        # same C≥threshold switch as ivf_assign: the per-centroid literal
+        # trees cost seconds of plan analysis and drop out of codegen —
+        # the kernel reassigns from the STORED quantized form, same
+        # exact math (path parity pinned by the ivf_assign tests)
+        import pandas as pd
+
+        from zombi_spark.shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
+        cent_rows = [(cid, qc) for cid, qc in cents]
+
+        def _moved(batches):
+            import numpy as np
+
+            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+                cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+                yield pd.DataFrame(
+                    {"moved": (cids[cos.argmax(1)] != pdf["cell"].to_numpy()).astype("int32")}
+                )
+
+        scored = idx.select("qvec", "vnorm", F.col("cell").cast("long").alias("cell")).mapInPandas(
+            _moved, schema="moved int"
+        )
+    else:
+        scored = idx.select(
             (_best_cell_expr(cents) != F.col("cell").cast("long"))
             .cast("int")
             .alias("moved")
         )
-        .agg(F.count("*").alias("n"), F.sum("moved").alias("m"))
-        .first()
-    )
+    row = scored.agg(F.count("*").alias("n"), F.sum("moved").alias("m")).first()
     n, moved = int(row["n"]), int(row["m"] or 0)
     return {"n_vectors": n, "moved": moved, "drift": (moved / n) if n else 0.0}
 
@@ -1323,6 +1349,38 @@ def build_pq_index(
     (
         enc.repartition("cell")
         .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def append_pq_index(
+    delta: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[int]]],
+    codebooks: list[list[tuple[int, list[int]]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF×PQ maintenance (the FAISS ``add()`` analogue, and
+    the PQ counterpart of :func:`append_ivf_index`): assign + PQ-encode
+    ONLY the delta with the index's frozen centroids + codebooks and
+    append the codes into their cell partitions — one linear pass over
+    the delta, never a rebuild. Assignment and encoding are both
+    deterministic per (centroids, books), so append-then-search equals a
+    fresh full build exactly (tested). Staleness is the same decision as
+    IVF centroid drift, measured against the RAW corpus (the PQ index
+    stores lossy codes, not quantized vectors — reassign a corpus sample
+    via :func:`ivf_assign` against candidate centroids, or keep a
+    sibling :func:`build_ivf_index` whose stored forms feed
+    :func:`ivf_drift_report`); rebuild = new books +
+    :func:`build_pq_index`. Fresh books REQUIRE re-encoding, so there is
+    deliberately no 'retrain books in place' verb."""
+    assigned = ivf_assign(delta, centroids, id_col, vec_col)
+    enc = pq_encode(assigned, codebooks, id_col, vec_col, passthrough="cell")
+    (
+        enc.repartition("cell")
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path)
     )
