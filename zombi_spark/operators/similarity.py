@@ -958,8 +958,17 @@ def search_ivf_index(
     )
     if nprobe is None:
         nprobe = ivf_nprobe_for(len(prepared))
-    q = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col)
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    # ONE execution of the probe ranking (r11, the search_pq_index fix):
+    # the probe rows are Q×nprobe (queries-small by contract) — collect
+    # once, re-broadcast as a local relation instead of running the
+    # ranking plan twice (distinct-collect for pruning + the join side)
+    rows = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col).collect()
+    probed = sorted({r["cell"] for r in rows})
+    idt = queries.schema[id_col].dataType.simpleString()
+    q = spark.createDataFrame(
+        [(r["query_id"], list(r["q_q"]), float(r["q_n"]), r["cell"]) for r in rows],
+        schema=f"query_id {idt}, q_q array<long>, q_n double, cell long",
+    )
     index = spark.read.parquet(path).where(F.col("cell").isin(probed))
     scored = (
         index.select(
