@@ -91,3 +91,30 @@ def test_ivf_topk_unchanged_through_auto_switch(spark):
     cents = _cents(corpus, 64)
     auto = S.ivf_topk(corpus, queries, cents, k=5)
     assert sorted(map(tuple, auto.collect()))  # runs, non-empty
+
+
+def test_ivf_arrow_ties_and_zero_vector_match_column_path(spark):
+    """Edge parity: EXACT ties (duplicate centroid vectors at different
+    ids — both paths must pick the lowest cid) and a zero corpus vector
+    (cosine undefined: the column path scores NULL, the kernel int64-min
+    — both resolve to the lowest cid). Pinned because these are the two
+    places the two implementations could legally diverge."""
+    pts = np.asarray(
+        np.random.default_rng(3).normal(size=(40, 8)), dtype="float32"
+    )
+    pts[7] = 0.0
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(40), "embedding": [r.tolist() for r in pts]}),
+        schema="vec_id long, embedding array<float>",
+    )
+    cents = S.prepare_centroids(corpus.where(F.col("vec_id") < 3))
+    cents = cents + [(100 + cid, vec) for cid, vec in cents]  # exact dups
+    col = [(r["vec_id"], r["cell"]) for r in S.ivf_assign(corpus, cents, use_arrow=False).orderBy("vec_id").collect()]
+    arr = [(r["vec_id"], r["cell"]) for r in S.ivf_assign(corpus, cents, use_arrow=True).orderBy("vec_id").collect()]
+    assert col == arr
+    # ties resolved to the LOW id copy, never the 100+ duplicate
+    assert all(c < 100 for _, c in arr)
+    # probe ranking agrees too, including the duplicate-centroid rows
+    pc = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(corpus.where(F.col("vec_id") < 9), cents, 3, use_arrow=False).collect()}
+    pa = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(corpus.where(F.col("vec_id") < 9), cents, 3, use_arrow=True).collect()}
+    assert pc == pa
