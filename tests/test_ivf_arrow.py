@@ -118,3 +118,27 @@ def test_ivf_arrow_ties_and_zero_vector_match_column_path(spark):
     pc = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(corpus.where(F.col("vec_id") < 9), cents, 3, use_arrow=False).collect()}
     pa = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(corpus.where(F.col("vec_id") < 9), cents, 3, use_arrow=True).collect()}
     assert pc == pa
+
+
+def test_kmeans_inertia_arrow_matches_numpy(spark):
+    """At C>=32 the inertia's own-cell cosine comes from the Arrow
+    kernel; verify the objective against an independent numpy
+    recomputation over the same assignment (float tolerance — the mean
+    is order-dependent either way)."""
+    corpus = _corpus(spark, n=400)
+    cents = _cents(corpus, 64)
+    got = S.kmeans_inertia(corpus, cents)
+
+    rows = S.ivf_assign(corpus, cents).orderBy("vec_id").collect()
+    cids, cmat, cnorm = S._ivf_kernel_arrays(cents)
+    pos = {int(c): i for i, c in enumerate(cids)}
+    import numpy as _np
+
+    x = _np.array([list(r["qvec"]) for r in rows], dtype=_np.int64)
+    idx = _np.array([pos[int(r["cell"])] for r in rows])
+    vn = _np.array([r["vnorm"] for r in rows])
+    cos = _np.einsum("ij,ij->i", x, cmat[idx]) / (vn * cnorm[idx])
+    assert abs(got - float((1.0 - cos).mean())) < 1e-9
+    # and the small-C column path still runs on the same corpus
+    small = S.kmeans_inertia(corpus, _cents(corpus, 8))
+    assert 0.0 <= small <= 2.0

@@ -747,8 +747,41 @@ def kmeans_inertia(
 ) -> float:
     """Mean (1 - cosine) of each vector to its assigned centroid — the
     cosine-k-means objective, one aggregate over the assignment
-    projection (used to verify convergence; lower is tighter)."""
+    projection (used to verify convergence; lower is tighter). Above
+    ``_IVF_ARROW_MIN_CELLS`` the per-row own-cell cosine comes from the
+    Arrow kernel (the coalesce-over-C-when-branches chain is the same
+    literal-tree cliff as assignment); the aggregate is a float mean
+    either way, so cross-path agreement is to float tolerance, not
+    bit-exact (pinned by test)."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    if len(centroids) >= _IVF_ARROW_MIN_CELLS:
+        import pandas as pd
+
+        from zombi_spark.shipping import ensure_package_on_workers
+
+        ensure_package_on_workers(corpus.sparkSession)
+        cent_rows = [(cid, qc) for cid, qc in centroids]
+
+        def _own_cos(batches):
+            import numpy as np
+
+            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
+            pos = {int(c): i for i, c in enumerate(cids)}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+                idx = np.array([pos[int(c)] for c in pdf["cell"]], dtype=np.int64)
+                dot = np.einsum("ij,ij->i", x, cmat[idx]).astype(np.float64)
+                denom = pdf["vnorm"].to_numpy() * cnorm[idx]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / denom  # zero-norm rows → NaN → SQL NULL
+                yield pd.DataFrame({"one_minus_cos": 1.0 - cos})
+
+        per_row = assigned.select("qvec", "vnorm", "cell").mapInPandas(
+            _own_cos, schema="one_minus_cos double"
+        )
+        return per_row.agg(F.avg("one_minus_cos").alias("j")).first()["j"]
     cos_cols = []
     for cid, qc_ints in centroids:
         lit_qc = _lit_long_array(qc_ints)
