@@ -384,12 +384,15 @@ def main() -> None:
         from zombi_spark.operators import similarity as S
         from zombi_spark.sources.tables import load_table
 
-        def _recall(brute_df, fast_df) -> float:
+        def _recall(brute_df, fast) -> float:
+            """``fast`` is a DataFrame OR an already-collected row list —
+            the IVFPQ path reuses the rows its timing loop collected
+            instead of executing the whole search a third time."""
             truth: dict = {}
             for r in brute_df.collect():
                 truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
             got: dict = {}
-            for r in fast_df.collect():
+            for r in fast if isinstance(fast, list) else fast.collect():
                 got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
             qs = sorted(truth)
             return round(
@@ -464,7 +467,7 @@ def main() -> None:
                 rows = res.collect()
                 runs.append(time.perf_counter() - t0)
             extras["ivfpq_search_sec"] = round(min(runs), 4)
-            extras["ann_ivfpq_recall_at_5_clustered"] = _recall(brute_cl, res)
+            extras["ann_ivfpq_recall_at_5_clustered"] = _recall(brute_cl, rows)
             extras["ivfpq_nprobe"] = S.ivf_nprobe_for(len(cents64))
             all_files = glob.glob(f"{idx}/cell=*/*.parquet")
             probed_cells = {

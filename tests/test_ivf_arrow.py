@@ -142,3 +142,49 @@ def test_kmeans_inertia_arrow_matches_numpy(spark):
     # and the small-C column path still runs on the same corpus
     small = S.kmeans_inertia(corpus, _cents(corpus, 8))
     assert 0.0 <= small <= 2.0
+
+
+def test_dead_centroid_ranks_last_on_both_paths(spark):
+    """Regression (r11 review): a centroid whose components all quantize
+    to zero has no defined cosine — the Column path scores it NULL (sorts
+    below every real score), and the kernel's sentinel must do the same
+    AFTER negation in the probe lexsort. The original int64-min sentinel
+    overflowed under negation and ranked the dead cell FIRST."""
+    corpus = _corpus(spark, n=200)
+    queries = corpus.where(F.col("vec_id") < 6)
+    cents = _cents(corpus, 8)
+    dead = [(999, [0] * len(cents[0][1]))]  # quantized zero vector
+    for use_arrow in (False, True):
+        got = {
+            (r["query_id"], r["cell"])
+            for r in S.ivf_query_cells(
+                queries, cents + dead, 3, use_arrow=use_arrow
+            ).collect()
+        }
+        assert all(c != 999 for _, c in got), (
+            f"dead centroid probed at nprobe < C (use_arrow={use_arrow})"
+        )
+    # with nprobe == C the dead cell appears, but LAST for every query
+    rows = S.ivf_query_cells(queries, cents + dead, 9, use_arrow=True).collect()
+    by_q: dict = {}
+    for i, r in enumerate(rows):
+        by_q.setdefault(r["query_id"], []).append(r["cell"])
+    for q, cells in by_q.items():
+        assert cells[-1] == 999 and 999 not in cells[:-1], (q, cells)
+
+
+def test_unsorted_centroid_list_works_on_arrow_path(spark):
+    """The kernel sorts centroids itself (the Column path is
+    order-insensitive, so the Arrow path must not rely on the caller's
+    ordering): a reversed 64-entry list must neither crash nor change
+    any assignment or probe ranking."""
+    corpus = _corpus(spark)
+    cents = _cents(corpus, 64)
+    rev = list(reversed(cents))
+    a = {(r["vec_id"], r["cell"]) for r in S.ivf_assign(corpus, cents, use_arrow=True).collect()}
+    b = {(r["vec_id"], r["cell"]) for r in S.ivf_assign(corpus, rev, use_arrow=True).collect()}
+    assert a == b
+    queries = corpus.where(F.col("vec_id") < 6)
+    pa_ = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(queries, rev, 5, use_arrow=True).collect()}
+    pb_ = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(queries, cents, 5, use_arrow=True).collect()}
+    assert pa_ == pb_

@@ -438,32 +438,68 @@ _IVF_ARROW_MIN_CELLS = 32
 
 
 def _ivf_kernel_arrays(cents: list[tuple[int, list[int]]]):
-    """Centroid matrices for the numpy kernel: ascending-cid order (so
-    np.argmax's first-maximum == ties-to-lowest-cid), exact int64
-    codewords, and float64 norms computed exactly like the Column path
-    (sqrt of the exact integer squared norm)."""
+    """Centroid matrices for the numpy kernel: sorted into ascending-cid
+    order (so np.argmax's first-maximum == ties-to-lowest-cid — the
+    Column path is order-insensitive, so the kernel must not rely on the
+    caller's ordering either), exact int64 codewords, and float64 norms
+    computed exactly like the Column path (sqrt of the exact integer
+    squared norm)."""
     import numpy as np
 
-    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
-    assert (np.diff(cids) > 0).all(), "prepare_centroids returns sorted cids"
-    cmat = np.array([qc for _, qc in cents], dtype=np.int64)
+    by_cid = sorted(cents)
+    cids = np.array([cid for cid, _ in by_cid], dtype=np.int64)
+    cmat = np.array([qc for _, qc in by_cid], dtype=np.int64)
     cnorm = np.sqrt((cmat * cmat).sum(1).astype(np.float64))
     return cids, cmat, cnorm
+
+
+#: score for a (row, centroid) pair whose cosine is undefined (zero
+#: quantized norm on either side). NOT int64-min: the probe ranking
+#: negates scores for lexsort and -int64min overflows back to int64min,
+#: ranking a dead centroid FIRST instead of last — and int64-min+1 is
+#: no better because the sentinel passes through float64, which cannot
+#: represent 2^63-1 and rounds it back to 2^63. -(2^62) is a power of
+#: two (float64-exact), negation-safe, and 10^12× below any real
+#: cos_e6 score (±10^6) — dead cells sort last, matching the Column
+#: path (NULL cosine sorts below every real score).
+_IVF_DEAD_SCORE = -(2**62)
 
 
 def _ivf_cos_rows(x, cmat, cnorm, vnorm):
     """floor(1e6 · x·c / (|x|·|c|)) per (row, centroid), the SAME IEEE
     float64 expression the Column path evaluates over the same exact
     integers: dot is int64-exact (< 2^53), the divide/multiply/floor are
-    one double each. Zero-norm rows (degenerate by the quantize
-    contract) score int64-min instead of the Column path's NULL."""
+    one double each. Zero-norm pairs (degenerate by the quantize
+    contract) score ``_IVF_DEAD_SCORE`` instead of the Column path's
+    NULL — below every real score, negation-safe."""
     import numpy as np
 
     denom = vnorm[:, None] * cnorm[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.floor((x @ cmat.T) / denom * 1e6)
-    cos = np.where(np.isfinite(cos), cos, np.float64(np.iinfo(np.int64).min))
+    cos = np.where(np.isfinite(cos), cos, np.float64(_IVF_DEAD_SCORE))
     return cos.astype(np.int64)
+
+
+def _ivf_arrow_map(frame: DataFrame, cents: list[tuple[int, list[int]]], schema: str, row_fn):
+    """Shared scaffolding for the C≥32 Arrow kernels: ships the package,
+    rebuilds the centroid arrays per executor, skips empty batches, and
+    hands ``row_fn(pdf, cids, cmat, cnorm)`` the batch to score —
+    returning the pandas frame to emit. One copy of the wrapper, four
+    kernels (assign / probe ranking / drift / inertia)."""
+    from zombi_spark.shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(frame.sparkSession)
+    cent_data = list(cents)
+
+    def _mapper(batches):
+        cids, cmat, cnorm = _ivf_kernel_arrays(cent_data)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield row_fn(pdf, cids, cmat, cnorm)
+
+    return frame.mapInPandas(_mapper, schema=schema)
 
 
 def ivf_assign(
@@ -510,32 +546,23 @@ def ivf_assign(
             _best_cell_expr(cents).alias("cell"),
         )
 
-    import pandas as pd
-
-    from zombi_spark.shipping import ensure_package_on_workers
-
-    ensure_package_on_workers(corpus.sparkSession)
-    cent_rows = [(cid, qc) for cid, qc in cents]
-
-    def _assign(batches):
+    def _assign(pdf, cids, cmat, cnorm):
         import numpy as np
 
-        cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
-            cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
-            pdf = pdf.copy()
-            # argmax takes the FIRST maximum; cids ascend → lowest cid
-            pdf["cell"] = cids[cos.argmax(1)]
-            yield pdf
+        x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+        cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+        pdf = pdf.copy()
+        # argmax takes the FIRST maximum; cids ascend → lowest cid
+        pdf["cell"] = cids[cos.argmax(1)]
+        return pdf
 
     idt = corpus.schema[id_col].dataType.simpleString()
     vt = corpus.schema[vec_col].dataType.simpleString()
-    return v.select(F.col(id_col), F.col(vec_col), "qvec", "vnorm").mapInPandas(
+    return _ivf_arrow_map(
+        v.select(F.col(id_col), F.col(vec_col), "qvec", "vnorm"),
+        cents,
+        f"{id_col} {idt}, {vec_col} {vt}, qvec array<long>, vnorm double, cell long",
         _assign,
-        schema=f"{id_col} {idt}, {vec_col} {vt}, qvec array<long>, vnorm double, cell long",
     )
 
 
@@ -578,38 +605,33 @@ def ivf_query_cells(
     if use_arrow is None:
         use_arrow = len(cents) >= _IVF_ARROW_MIN_CELLS
     if use_arrow:
-        import pandas as pd
-
-        from zombi_spark.shipping import ensure_package_on_workers
-
-        ensure_package_on_workers(queries_assignable.sparkSession)
-        cent_rows = [(cid, qc) for cid, qc in cents]
         n_take = min(nprobe, len(cents))
 
-        def _probes(batches):
+        def _probes(pdf, cids, cmat, cnorm):
             import numpy as np
+            import pandas as pd
 
-            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
-                cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
-                out = {"query_id": [], "q_q": [], "q_n": [], "cell": []}
-                for i in range(len(pdf)):
-                    # (cos desc, cid asc): lexsort's last key is primary
-                    order = np.lexsort((cids, -cos[i]))[:n_take]
-                    for c in cids[order]:
-                        out["query_id"].append(pdf.iloc[i, 0])
-                        out["q_q"].append(pdf["qvec"].iloc[i])
-                        out["q_n"].append(pdf["vnorm"].iloc[i])
-                        out["cell"].append(c)
-                yield pd.DataFrame(out)
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+            out = {"query_id": [], "q_q": [], "q_n": [], "cell": []}
+            for i in range(len(pdf)):
+                # (cos desc, cid asc): lexsort's last key is primary.
+                # -cos is overflow-safe because the dead-pair sentinel
+                # is _IVF_DEAD_SCORE (int64-min + 1), never int64-min.
+                order = np.lexsort((cids, -cos[i]))[:n_take]
+                for c in cids[order]:
+                    out["query_id"].append(pdf.iloc[i, 0])
+                    out["q_q"].append(pdf["qvec"].iloc[i])
+                    out["q_n"].append(pdf["vnorm"].iloc[i])
+                    out["cell"].append(c)
+            return pd.DataFrame(out)
 
         idt = queries_assignable.schema[id_col].dataType.simpleString()
-        return v.select(F.col(id_col), "qvec", "vnorm").mapInPandas(
+        return _ivf_arrow_map(
+            v.select(F.col(id_col), "qvec", "vnorm"),
+            cents,
+            f"query_id {idt}, q_q array<long>, q_n double, cell long",
             _probes,
-            schema=f"query_id {idt}, q_q array<long>, q_n double, cell long",
         )
     scored = []
     for cid, qc_ints in cents:
@@ -748,40 +770,37 @@ def kmeans_inertia(
     """Mean (1 - cosine) of each vector to its assigned centroid — the
     cosine-k-means objective, one aggregate over the assignment
     projection (used to verify convergence; lower is tighter). Above
-    ``_IVF_ARROW_MIN_CELLS`` the per-row own-cell cosine comes from the
-    Arrow kernel (the coalesce-over-C-when-branches chain is the same
-    literal-tree cliff as assignment); the aggregate is a float mean
-    either way, so cross-path agreement is to float tolerance, not
-    bit-exact (pinned by test)."""
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    ``_IVF_ARROW_MIN_CELLS`` ONE Arrow kernel pass computes assignment
+    AND the assigned cell's raw cosine together (the coalesce-over-C-
+    when-branches chain is the same literal-tree cliff as assignment,
+    and reusing ivf_assign would score every centroid twice); the
+    aggregate is a float mean either way, so cross-path agreement is to
+    float tolerance, not bit-exact (pinned by test)."""
     if len(centroids) >= _IVF_ARROW_MIN_CELLS:
-        import pandas as pd
-
-        from zombi_spark.shipping import ensure_package_on_workers
-
-        ensure_package_on_workers(corpus.sparkSession)
-        cent_rows = [(cid, qc) for cid, qc in centroids]
-
-        def _own_cos(batches):
+        def _own_cos(pdf, cids, cmat, cnorm):
             import numpy as np
+            import pandas as pd
 
-            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
-            pos = {int(c): i for i, c in enumerate(cids)}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
-                idx = np.array([pos[int(c)] for c in pdf["cell"]], dtype=np.int64)
-                dot = np.einsum("ij,ij->i", x, cmat[idx]).astype(np.float64)
-                denom = pdf["vnorm"].to_numpy() * cnorm[idx]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dot / denom  # zero-norm rows → NaN → SQL NULL
-                yield pd.DataFrame({"one_minus_cos": 1.0 - cos})
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            vn = pdf["vnorm"].to_numpy()
+            # assignment argmaxes the FLOORED score (tie rule), but the
+            # objective uses the RAW cosine of the assigned cell — same
+            # two-step the Column path performs
+            idx = _ivf_cos_rows(x, cmat, cnorm, vn).argmax(1)
+            dot = np.einsum("ij,ij->i", x, cmat[idx]).astype(np.float64)
+            denom = vn * cnorm[idx]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / denom  # zero-norm rows → NaN → SQL NULL
+            return pd.DataFrame({"one_minus_cos": 1.0 - cos})
 
-        per_row = assigned.select("qvec", "vnorm", "cell").mapInPandas(
-            _own_cos, schema="one_minus_cos double"
+        per_row = _ivf_arrow_map(
+            with_quantized(corpus, vec_col).select("qvec", "vnorm"),
+            centroids,
+            "one_minus_cos double",
+            _own_cos,
         )
         return per_row.agg(F.avg("one_minus_cos").alias("j")).first()["j"]
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cos_cols = []
     for cid, qc_ints in centroids:
         lit_qc = _lit_long_array(qc_ints)
@@ -871,28 +890,21 @@ def ivf_drift_report(
         # trees cost seconds of plan analysis and drop out of codegen —
         # the kernel reassigns from the STORED quantized form, same
         # exact math (path parity pinned by the ivf_assign tests)
-        import pandas as pd
-
-        from zombi_spark.shipping import ensure_package_on_workers
-
-        ensure_package_on_workers(spark)
-        cent_rows = [(cid, qc) for cid, qc in cents]
-
-        def _moved(batches):
+        def _moved(pdf, cids, cmat, cnorm):
             import numpy as np
+            import pandas as pd
 
-            cids, cmat, cnorm = _ivf_kernel_arrays(cent_rows)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
-                cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
-                yield pd.DataFrame(
-                    {"moved": (cids[cos.argmax(1)] != pdf["cell"].to_numpy()).astype("int32")}
-                )
+            x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+            cos = _ivf_cos_rows(x, cmat, cnorm, pdf["vnorm"].to_numpy())
+            return pd.DataFrame(
+                {"moved": (cids[cos.argmax(1)] != pdf["cell"].to_numpy()).astype("int32")}
+            )
 
-        scored = idx.select("qvec", "vnorm", F.col("cell").cast("long").alias("cell")).mapInPandas(
-            _moved, schema="moved int"
+        scored = _ivf_arrow_map(
+            idx.select("qvec", "vnorm", F.col("cell").cast("long").alias("cell")),
+            cents,
+            "moved int",
+            _moved,
         )
     else:
         scored = idx.select(
