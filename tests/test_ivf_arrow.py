@@ -188,3 +188,54 @@ def test_unsorted_centroid_list_works_on_arrow_path(spark):
     pa_ = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(queries, rev, 5, use_arrow=True).collect()}
     pb_ = {(r["query_id"], r["cell"]) for r in S.ivf_query_cells(queries, cents, 5, use_arrow=True).collect()}
     assert pa_ == pb_
+
+
+def test_ivf_path_parity_property(spark):
+    """Property fuzz of the bit-exactness claim: random corpora (mixed
+    magnitudes, negatives, exact duplicates, near-boundary values) must
+    assign and probe identically on both paths. One Spark round-trip per
+    corpus, several corpora per run — the float expression (int64 dot /
+    sqrt-norm product, floored) has no data-dependent branches, so a
+    handful of adversarial shapes covers the space."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260815)
+    # magnitudes stay inside the quantize contract (exact int64 dots and
+    # norms): |x| ≲ 5 → quantized ≲ 5e6, squared-norm sums ≪ 2^53
+    shapes = [
+        rng.normal(size=(60, 4)),                       # plain unit-ish
+        rng.normal(size=(60, 4)) * 5,                   # upper magnitude band
+        rng.normal(size=(60, 4)) * 1e-6,                # quantize-boundary tiny
+        np.repeat(rng.normal(size=(6, 4)), 10, axis=0), # heavy exact ties
+        rng.integers(-2, 3, size=(60, 4)).astype(float),# integer grid (ties + zeros)
+    ]
+    for si, pts in enumerate(shapes):
+        corpus = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(len(pts)),
+                    "embedding": [r.astype("float32").tolist() for r in pts],
+                }
+            ),
+            schema="vec_id long, embedding array<float>",
+        )
+        cents = S.prepare_centroids(corpus.where(F.col("vec_id") % 7 == 0))
+        a = sorted(
+            (r["vec_id"], r["cell"])
+            for r in S.ivf_assign(corpus, cents, use_arrow=False).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cell"])
+            for r in S.ivf_assign(corpus, cents, use_arrow=True).collect()
+        )
+        assert a == b, f"assign diverged on shape {si}"
+        q = corpus.where(F.col("vec_id") < 5)
+        pa_ = sorted(
+            (r["query_id"], r["cell"])
+            for r in S.ivf_query_cells(q, cents, 3, use_arrow=False).collect()
+        )
+        pb_ = sorted(
+            (r["query_id"], r["cell"])
+            for r in S.ivf_query_cells(q, cents, 3, use_arrow=True).collect()
+        )
+        assert pa_ == pb_, f"probe ranking diverged on shape {si}"
