@@ -239,3 +239,26 @@ def test_ivf_path_parity_property(spark):
             for r in S.ivf_query_cells(q, cents, 3, use_arrow=True).collect()
         )
         assert pa_ == pb_, f"probe ranking diverged on shape {si}"
+
+
+def test_check_embedding_contract(spark):
+    """The exactness audit: the sf-style unit-ish corpus passes; a
+    large-magnitude corpus (whose int64 norms would silently wrap) is
+    flagged; the bound scales with dimensionality."""
+    ok_corpus = _corpus(spark, n=50, d=16)
+    rep = S.check_embedding_contract(ok_corpus)
+    assert rep["ok"] and rep["dims"] == 16 and rep["max_abs"] > 0
+
+    pts = np.random.default_rng(1).normal(size=(50, 16)) * 1e3
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(50), "embedding": [r.astype("float32").tolist() for r in pts]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+    rep = S.check_embedding_contract(bad)
+    assert not rep["ok"] and rep["max_abs"] > rep["max_safe_abs"]
+    # d=64 bound is tighter than d=4 (sqrt(2^53/d)/1e6)
+    import math
+
+    assert math.isclose(rep["max_safe_abs"], math.sqrt(2**53 / 16) / 1e6)

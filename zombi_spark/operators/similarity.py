@@ -67,6 +67,43 @@ def cosine_e6_prequantized(qa: F.Column, qb: F.Column, norm_a: F.Column, norm_b:
     return F.floor(F.try_divide(_dot(qa, qb), norm_a * norm_b) * 1e6).cast("long")
 
 
+def check_embedding_contract(corpus: DataFrame, vec_col: str = "embedding") -> dict:
+    """One-aggregate exactness audit for the quantize contract.
+
+    Every similarity operator computes dot products and squared norms
+    over ``round(x·1e6)`` int64 components and relies on them being
+    EXACT: each d-term squared sum must stay below 2^53 (float64-exact,
+    so the cosine double is deterministic cross-engine) — i.e.
+    ``|x| ≤ sqrt(2^53 / d) / 1e6`` per component (d=64 → |x| ≲ 0.165e2;
+    d=4 → |x| ≲ 47). Out-of-range embeddings don't error: corpus-side
+    norms silently wrap int64 and cosines come back wrong (centroid
+    literals fail loudly at plan time, found by the r11 parity fuzz).
+    Run this once per new corpus — one max-abs aggregate, no shuffle —
+    and normalize or rescale when ``ok`` is false.
+
+    Returns ``{"max_abs", "dims", "max_safe_abs", "ok"}``.
+    """
+    import math
+
+    row = corpus.select(
+        F.max(F.aggregate(
+            F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )).alias("max_abs"),
+        F.max(F.size(F.col(vec_col))).alias("dims"),
+    ).first()
+    max_abs = float(row["max_abs"]) if row["max_abs"] is not None else 0.0
+    dims = int(row["dims"]) if row["dims"] is not None else 0
+    max_safe = math.sqrt(2.0**53 / max(dims, 1)) / 1e6
+    return {
+        "max_abs": max_abs,
+        "dims": dims,
+        "max_safe_abs": max_safe,
+        "ok": max_abs <= max_safe,
+    }
+
+
 def with_quantized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Add ``qvec`` (array<long>) and ``vnorm`` (double sqrt of squared
     norm) — the per-row precompute shared by all pairwise operators."""
