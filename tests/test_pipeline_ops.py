@@ -1111,3 +1111,43 @@ def test_semantic_dedup_auto_derives_and_reproduces(spark):
     assert [(r.vec_id, r.cell, r.keep, r.dup_of) for r in rows1] == [
         (r.vec_id, r.cell, r.keep, r.dup_of) for r in rows2
     ]
+
+
+def test_null_embedding_queries_are_skipped_not_fatal(spark, tmp_path, sf_dir):
+    """A query row with a null embedding yields NO probe rows and NO
+    results — it must not raise in either ivf_query_cells ranking path
+    (Column-tree or Arrow kernel) nor in search_ivf_index's driver-side
+    local-relation rebuild (r11 ADVICE: float(None) TypeError)."""
+    import pyspark.sql.functions as F
+
+    from zombi_spark.operators import similarity as S
+    from zombi_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = S.prepare_centroids(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+    )
+    good = emb.where(F.col("vec_id") < 4)
+    nulled = (
+        emb.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 6))
+        .withColumn("embedding", F.lit(None).cast("array<float>"))
+    )
+    queries = good.unionByName(nulled)
+
+    # both ranking paths: null queries contribute zero probe rows
+    for use_arrow in (False, True):
+        cells = S.ivf_query_cells(
+            queries, centroids, nprobe=2, use_arrow=use_arrow
+        ).collect()
+        qids = {r["query_id"] for r in cells}
+        assert qids == {0, 1, 2, 3}
+        assert len(cells) == 4 * 2
+
+    idx_path = str(tmp_path / "ivf-null-q")
+    S.build_ivf_index(emb, centroids, idx_path)
+    got = S.search_ivf_index(spark, idx_path, queries, centroids, k=3)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3}
+    # and the non-null queries return exactly what an all-good frame does
+    want = S.search_ivf_index(spark, idx_path, good, centroids, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want))

@@ -74,7 +74,7 @@ def check_embedding_contract(corpus: DataFrame, vec_col: str = "embedding") -> d
     over ``round(x·1e6)`` int64 components and relies on them being
     EXACT: each d-term squared sum must stay below 2^53 (float64-exact,
     so the cosine double is deterministic cross-engine) — i.e.
-    ``|x| ≤ sqrt(2^53 / d) / 1e6`` per component (d=64 → |x| ≲ 0.165e2;
+    ``|x| ≤ sqrt(2^53 / d) / 1e6`` per component (d=64 → |x| ≲ 11.9;
     d=4 → |x| ≲ 47). Out-of-range embeddings don't error: corpus-side
     norms silently wrap int64 and cosines come back wrong (centroid
     literals fail loudly at plan time, found by the r11 parity fuzz).
@@ -565,13 +565,20 @@ def ivf_assign(
     its plan analysis alone costs seconds per invocation at C≥64, while
     a 100 TB-scale index wants thousands of cells. ``use_arrow``
     overrides the auto-switch (tests pin path parity with it).
+
+    Rows with a null vector are DROPPED: they are unindexable (no
+    meaningful cell), and the Arrow kernel would otherwise fail on the
+    ragged batch where the Column path silently emits an ill-defined
+    cell — filtering before the branch keeps the two paths identical.
     """
     cents = (
         centroids
         if isinstance(centroids, list)
         else prepare_centroids(centroids, id_col, vec_col)
     )
-    v = with_quantized(corpus, vec_col)
+    v = with_quantized(corpus, vec_col).where(
+        F.col("qvec").isNotNull() & F.col("vnorm").isNotNull()
+    )
     if use_arrow is None:
         use_arrow = len(cents) >= _IVF_ARROW_MIN_CELLS
     if not use_arrow:
@@ -637,8 +644,15 @@ def ivf_query_cells(
     over the (small) query set. Above ``_IVF_ARROW_MIN_CELLS`` centroids
     the ranking flips to the Arrow kernel (same exact math, ties sort
     (cos desc, cid asc) — bit-identical by test): the per-centroid
-    struct array costs seconds of plan analysis at C≥64."""
-    v = with_quantized(queries_assignable, vec_col)
+    struct array costs seconds of plan analysis at C≥64.
+
+    Queries with a null/absent embedding produce NO probe rows (they are
+    filtered here, before either ranking path): a vector-less query has
+    no meaningful cell ranking, and downstream ``search_*_index`` rebuilds
+    the probe rows driver-side where a null norm would otherwise raise."""
+    v = with_quantized(queries_assignable, vec_col).where(
+        F.col("qvec").isNotNull() & F.col("vnorm").isNotNull()
+    )
     if use_arrow is None:
         use_arrow = len(cents) >= _IVF_ARROW_MIN_CELLS
     if use_arrow:
@@ -654,7 +668,9 @@ def ivf_query_cells(
             for i in range(len(pdf)):
                 # (cos desc, cid asc): lexsort's last key is primary.
                 # -cos is overflow-safe because the dead-pair sentinel
-                # is _IVF_DEAD_SCORE (int64-min + 1), never int64-min.
+                # is _IVF_DEAD_SCORE = -(2**62), a float64-exact power
+                # of two that negates safely (never int64-min, which
+                # would overflow under unary minus).
                 order = np.lexsort((cids, -cos[i]))[:n_take]
                 for c in cids[order]:
                     out["query_id"].append(pdf.iloc[i, 0])
@@ -852,12 +868,28 @@ def kmeans_inertia(
     return assigned.agg(F.avg(F.lit(1.0) - own_cos).alias("j")).first()["j"]
 
 
+def _require_embedding_contract(corpus: DataFrame, vec_col: str, who: str) -> None:
+    """Opt-out build precondition: fail LOUDLY where the quantize math
+    would otherwise wrap int64 and return plausible-but-wrong cosines."""
+    audit = check_embedding_contract(corpus, vec_col)
+    if not audit["ok"]:
+        raise ValueError(
+            f"{who}: corpus violates the quantize exactness contract — "
+            f"max |{vec_col}| component {audit['max_abs']:.6g} exceeds "
+            f"the d={audit['dims']} safe bound {audit['max_safe_abs']:.6g} "
+            "(int64 norms would wrap silently). Rescale/normalize the "
+            "embeddings, or pass enforce_contract=False if this corpus "
+            "was already audited."
+        )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame | list[tuple[int, list[int]]],
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    enforce_contract: bool = True,
 ) -> None:
     """Materialize the IVF index: cell assignment + per-row quantized
     vector/norm, written as parquet hive-partitioned by ``cell``.
@@ -867,7 +899,14 @@ def build_ivf_index(
     search is a partition-PRUNED read of only the probed cells — one cell
     directory per probe, independent of corpus size. Rebuild cost is one
     linear pass; incremental corpora append to their cell partitions.
+
+    ``enforce_contract`` runs :func:`check_embedding_contract` first and
+    raises instead of building an index whose int64 norms silently
+    wrapped — one extra max-abs aggregate over the corpus (a second
+    linear scan; pass ``False`` when the corpus was already audited).
     """
+    if enforce_contract:
+        _require_embedding_contract(corpus, vec_col, "build_ivf_index")
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     (
         assigned.select(F.col(id_col), "qvec", "vnorm", "cell")
@@ -1016,6 +1055,25 @@ def maintain_ivf_index(
     }
 
 
+_PROBE_ROWS_WARN = 1_000_000
+
+
+def _warn_probe_rows(n: int, who: str) -> None:
+    """Driver-side probe materialization is Q×nprobe by contract; a
+    count past the cap means the caller fed a corpus-scale query frame
+    and the local-relation rebuild is now a driver memory bottleneck."""
+    if n > _PROBE_ROWS_WARN:
+        import warnings
+
+        warnings.warn(
+            f"{who}: {n} probe rows collected to the driver (> "
+            f"{_PROBE_ROWS_WARN}); the queries frame is expected to be "
+            "small (Q·nprobe rows). Split the query set into batches.",
+            ResourceWarning,
+            stacklevel=3,
+        )
+
+
 def search_ivf_index(
     spark,
     path: str,
@@ -1030,7 +1088,15 @@ def search_ivf_index(
     query set to its top-``nprobe`` cells (default ``≈√C``, see
     :func:`ivf_nprobe_for`), then read ONLY the probed cell partitions —
     Catalyst partition pruning keeps unprobed cells' files untouched, so
-    search I/O scales with cells probed, not corpus size."""
+    search I/O scales with cells probed, not corpus size.
+
+    The Q×nprobe probe rows are COLLECTED to the driver and re-broadcast
+    as a local relation (so the ranking executes once, not twice). This
+    is correct under the queries-small contract — probe-row count is
+    Q·nprobe, independent of corpus size — but a huge query frame shifts
+    the join side from executor broadcast to driver memory; a warning
+    fires past 1M probe rows. Null-embedding queries are dropped by
+    :func:`ivf_query_cells` and return no rows."""
     from pyspark.sql import Window
 
     prepared = (
@@ -1045,6 +1111,7 @@ def search_ivf_index(
     # once, re-broadcast as a local relation instead of running the
     # ranking plan twice (distinct-collect for pruning + the join side)
     rows = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col).collect()
+    _warn_probe_rows(len(rows), "search_ivf_index")
     probed = sorted({r["cell"] for r in rows})
     idt = queries.schema[id_col].dataType.simpleString()
     q = spark.createDataFrame(
@@ -1426,6 +1493,7 @@ def build_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    enforce_contract: bool = True,
 ) -> None:
     """Materialize the IVF×PQ index (the FAISS IVFPQ shape): one linear
     pass assigns each vector to its IVF cell (:func:`ivf_assign`, pure
@@ -1434,7 +1502,14 @@ def build_pq_index(
     scales with cells probed) and then scans 32×-compressed codes inside
     them (memory scales with codes, not vectors). Raw vectors stay in
     the base table; the index holds only (id, codes, recon_n2, cell).
+
+    ``enforce_contract`` runs :func:`check_embedding_contract` first and
+    raises instead of building an index whose int64 norms silently
+    wrapped — one extra max-abs aggregate over the corpus (pass
+    ``False`` when the corpus was already audited).
     """
+    if enforce_contract:
+        _require_embedding_contract(corpus, vec_col, "build_pq_index")
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     enc = pq_encode(assigned, codebooks, id_col, vec_col, passthrough="cell")
     (
@@ -1513,6 +1588,7 @@ def search_pq_index(
     pairs = ivf_query_cells(queries, prepared, nprobe, id_col, vec_col).select(
         "query_id", "cell"
     ).collect()
+    _warn_probe_rows(len(pairs), "search_pq_index")
     probed = sorted({r["cell"] for r in pairs})
     idt = queries.schema[id_col].dataType.simpleString()
     pair_df = spark.createDataFrame(
