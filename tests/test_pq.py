@@ -261,3 +261,83 @@ def test_ivf_drift_report_arrow_path_matches_column(spark, tmp_path):
     moved = int((cids[cos.argmax(1)] != np.array([r["cell"] for r in rows])).sum())
     assert rep["n_vectors"] == len(rows) and rep["moved"] == moved
     assert 0 < rep["drift"] < 1
+
+
+def test_append_pq_index_adversarial_boundaries(spark, tmp_path):
+    """append_pq_index across adversarial append boundaries (VERDICT r11
+    next #7, the ade6259 treatment for the PQ index): empty delta,
+    all-one-cell delta, a delta COLLIDING with already-indexed ids, and
+    a build-from-empty-base — each appended index must equal the fresh
+    full build over the same effective corpus, cell-by-cell and
+    search-by-search (assignment + encoding are deterministic per frozen
+    (centroids, books), so append == rebuild is an exact invariant)."""
+    corpus = _clustered_corpus(spark, n=400)
+    queries = corpus.where(F.col("vec_id") < 6)
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=16, iterations=2)
+    cents = S.prepare_centroids(corpus.where(F.col("vec_id") < 8))
+    kw = dict(k=3, nprobe=3, rerank_to=30)
+
+    def cells_of(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(path)
+                .groupBy("cell")
+                .agg(F.count("*").alias("n"), F.sum("vec_id").alias("s"))
+                .collect(),
+            )
+        )
+
+    def search_of(path, base):
+        return sorted(
+            map(
+                tuple,
+                S.search_pq_index(spark, path, queries, cents, books, base, **kw).collect(),
+            )
+        )
+
+    full_idx = str(tmp_path / "full")
+    S.build_pq_index(corpus, cents, books, full_idx)
+    want_cells, want_search = cells_of(full_idx), search_of(full_idx, corpus)
+
+    # 1. EMPTY delta: a no-op append must not disturb the index
+    empty_idx = str(tmp_path / "empty-delta")
+    S.build_pq_index(corpus, cents, books, empty_idx)
+    S.append_pq_index(corpus.where(F.lit(False)), cents, books, empty_idx)
+    assert cells_of(empty_idx) == want_cells
+    assert search_of(empty_idx, corpus) == want_search
+
+    # 2. ALL-ONE-CELL delta: every delta vector is a tight copy of one
+    #    centroid's blob, so the whole delta lands in one partition
+    one_cell = corpus.where(F.col("vec_id") % 16 == 3)  # same blob => same cell
+    rest = corpus.join(one_cell.select("vec_id"), "vec_id", "left_anti")
+    oc_idx = str(tmp_path / "one-cell")
+    S.build_pq_index(rest, cents, books, oc_idx)
+    before = dict((c, (n, s)) for c, n, s in cells_of(oc_idx))
+    S.append_pq_index(one_cell, cents, books, oc_idx)
+    after = dict((c, (n, s)) for c, n, s in cells_of(oc_idx))
+    assert cells_of(oc_idx) == want_cells
+    assert search_of(oc_idx, corpus) == want_search
+    assert sum(1 for c in after if after[c] != before.get(c)) == len(
+        {r["cell"] for r in S.ivf_assign(one_cell, cents).select("cell").distinct().collect()}
+    )  # only the delta's own cells changed
+
+    # 3. COLLIDING ids: appending rows already in the index is a blind
+    #    add (FAISS semantics) — the result equals a fresh build over
+    #    the corpus WITH those duplicates present
+    dup = corpus.where(F.col("vec_id") % 5 == 0)
+    col_idx = str(tmp_path / "collide")
+    S.build_pq_index(corpus, cents, books, col_idx)
+    S.append_pq_index(dup, cents, books, col_idx)
+    dup_corpus = corpus.unionByName(dup)
+    ref_idx = str(tmp_path / "collide-ref")
+    S.build_pq_index(dup_corpus, cents, books, ref_idx)
+    assert cells_of(col_idx) == cells_of(ref_idx)
+    assert search_of(col_idx, dup_corpus) == search_of(ref_idx, dup_corpus)
+
+    # 4. EMPTY base: build on nothing, append everything
+    eb_idx = str(tmp_path / "empty-base")
+    S.build_pq_index(corpus.where(F.lit(False)), cents, books, eb_idx)
+    S.append_pq_index(corpus, cents, books, eb_idx)
+    assert cells_of(eb_idx) == want_cells
+    assert search_of(eb_idx, corpus) == want_search
