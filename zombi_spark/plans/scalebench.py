@@ -277,3 +277,146 @@ def scale_smoke(spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10) ->
         if r1:
             out[f"scale_{name}_rows_ratio"] = round(rf / r1, 3)
     return out
+
+
+def _scaled_facts_dir(spark: SparkSession, sf_dir: str, tmp: str, factor: int) -> str:
+    """Materialize an sf_dir-shaped directory whose FACT tables (orders,
+    customer, events) hold ``factor`` key-shifted replicas and whose
+    dimension tables (nation, region) are copied as-is — at 100 TB the
+    facts grow, the dims don't. Replica k shifts every join/window key
+    by the same per-replica delta, so joins match and sessions close
+    strictly within a replica: join output and session counts scale
+    exactly linearly by construction. Both scales (including 1×) write
+    through this same path so the timed queries read identical layouts."""
+    out_dir = os.path.join(tmp, f"rel_x{factor}")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    shift = (F.col("rep").cast("long") * 10_000_000).alias("_delta")
+
+    def _write(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+    o = load_table(spark, sf_dir, "orders").select("*", rep).select("*", shift)
+    _write(
+        o.select(
+            (F.col("o_orderkey") + F.col("_delta") * 100).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("_delta")).alias("o_custkey"),
+            *[c for c in o.columns if c not in ("o_orderkey", "o_custkey", "rep", "_delta")],
+        ),
+        "orders",
+    )
+    c = load_table(spark, sf_dir, "customer").select("*", rep).select("*", shift)
+    _write(
+        c.select(
+            (F.col("c_custkey") + F.col("_delta")).alias("c_custkey"),
+            *[col for col in c.columns if col not in ("c_custkey", "rep", "_delta")],
+        ),
+        "customer",
+    )
+    e = load_table(spark, sf_dir, "events").select("*", rep).select("*", shift)
+    _write(
+        e.select(
+            (F.col("event_id") + F.col("_delta")).alias("event_id"),
+            (F.col("user_id") + F.col("_delta")).alias("user_id"),
+            *[col for col in e.columns if col not in ("event_id", "user_id", "rep", "_delta")],
+        ),
+        "events",
+    )
+    for dim in ("nation", "region"):
+        _write(load_table(spark, sf_dir, dim), dim)
+    return out_dir
+
+
+def relational_scale_smoke(
+    spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10
+) -> dict:
+    """The pairwise smoke's discipline applied to the relational surface
+    (VERDICT r11 next #4): one representative each from joins
+    (q_join_dims — shuffled fact join + broadcast dim chain), windows
+    (q_sessionization — per-user gap sessions), and grouping
+    (q_grouping_analytics — scan-once rollup/cube/grouping-sets), run
+    against 1× and ``factor``× fact tables THROUGH THE REAL QUERY
+    FUNCTIONS (the scaled corpora are sf_dir-shaped directories, so the
+    exact production code paths execute — including the session plan
+    cache, which is evicted between timed runs so every run re-executes
+    the scan).
+
+    Result-size semantics differ from the pairwise family and are the
+    point: sessionization output rows scale exactly ``factor``× (users
+    are replica-disjoint), while join_dims and grouping_analytics output
+    GROUP rows stay constant — their linearity check is the aggregated
+    order COUNT ratio (``*_orders_ratio``), which must be exactly
+    ``factor``.
+    """
+    from zombi_spark.plans.event_queries import q_sessionization
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.plans.relational import q_grouping_analytics, q_join_dims
+    from zombi_spark.session import shuffle_partitions_for
+
+    def _force(df: DataFrame) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    def _evict(scaled_dir: str) -> None:
+        session_cache(spark, "relational").pop(
+            (scaled_dir, "grouping_analytics"), None
+        )
+
+    queries = {
+        "join_dims": q_join_dims,
+        "sessionization": q_sessionization,
+        "grouping_analytics": q_grouping_analytics,
+    }
+    out: dict = {}
+    n_orders_base = load_table(spark, sf_dir, "orders").count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for fac in (1, factor):
+            scaled = _scaled_facts_dir(spark, sf_dir, tmp, fac)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(shuffle_partitions_for(n_orders_base * fac)),
+            )
+            for name, q in queries.items():
+                _evict(scaled)
+                _force(q(spark, scaled))  # untimed warmup (codegen, scan metadata)
+                runs: list[float] = []
+                while len(runs) < 2 or (
+                    len(runs) < 4 and max(runs) > 2 * min(runs)
+                    and sorted(runs)[1] > 2 * min(runs)
+                ):
+                    _evict(scaled)
+                    df = q(spark, scaled)
+                    t0 = time.perf_counter()
+                    _force(df)
+                    runs.append(round(time.perf_counter() - t0, 4))
+                out[f"scale_{name}_x{fac}_sec"] = min(runs)
+                out[f"scale_{name}_x{fac}_runs"] = runs
+                _evict(scaled)
+                res = q(spark, scaled)
+                out[f"scale_{name}_x{fac}_rows"] = res.count()
+                if name == "join_dims":
+                    out[f"scale_{name}_x{fac}_orders"] = res.agg(
+                        F.sum("n_orders")
+                    ).collect()[0][0]
+                elif name == "grouping_analytics":
+                    # the rollup grand-total row counts every order once
+                    out[f"scale_{name}_x{fac}_orders"] = (
+                        res.where(
+                            (F.col("mode") == "rollup")
+                            & F.col("o_orderstatus").isNull()
+                        )
+                        .agg(F.sum("n_orders"))
+                        .collect()[0][0]
+                    )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    for name in queries:
+        base, big = out.get(f"scale_{name}_x1_sec"), out.get(f"scale_{name}_x{factor}_sec")
+        if base and big:
+            out[f"scale_{name}_ratio"] = round(big / base, 2)
+        r1, rf = out.get(f"scale_{name}_x1_rows"), out.get(f"scale_{name}_x{factor}_rows")
+        if r1:
+            out[f"scale_{name}_rows_ratio"] = round(rf / r1, 3)
+        o1, of = out.get(f"scale_{name}_x1_orders"), out.get(f"scale_{name}_x{factor}_orders")
+        if o1:
+            out[f"scale_{name}_orders_ratio"] = round(of / o1, 3)
+    return out
