@@ -786,6 +786,23 @@ def main() -> None:
             extras["ivf_large_files_probed"] = len(probed_f)
             extras["ivf_large_files_total"] = len(all_f)
             extras["ivf_large_recall_at_5"] = rec_lg
+            # the literal "thousands of cells" reading (detail line):
+            # one assignment pass over the same corpus at C=256 vs
+            # C=1024 raw seeds — the Arrow GEMM's cost should move far
+            # less than the 4x centroid count (the Column-tree path it
+            # replaced was already unusable at C=64)
+            for c_n, key in ((256, "ivf_assign_c256_sec"), (1024, "ivf_assign_c1024_sec")):
+                seeds = S.prepare_centroids(
+                    corpus_lg.where(F.col("vec_id") % (n_pts // c_n) == 0)
+                )
+                runs_a = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    S.ivf_assign(corpus_lg, seeds).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    runs_a.append(time.perf_counter() - t0)
+                extras[key] = round(min(runs_a), 4)
         finally:
             shutil.rmtree(os.path.dirname(idx_lg), ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
