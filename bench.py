@@ -264,12 +264,17 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
 
     t_start = time.perf_counter()
     ledger: list[int] = []
+    stage_secs: dict[str, float] = {}
+    t_prev = t_start
 
     def ckpt(df, name: str):
+        nonlocal t_prev
         p = os.path.join(tmp, f"pipe_{name}")
         df.write.mode("overwrite").parquet(p)
         out = spark.read.parquet(p)
         ledger.append(out.count())
+        stage_secs[name] = round(time.perf_counter() - t_prev, 3)
+        t_prev = time.perf_counter()
         return out
 
     docs = load_table(spark, sf_dir, "documents")
@@ -327,9 +332,12 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     )
     ledger.append(n_packs)
     ledger.append(spark.read.parquet(out).count())
+    stage_secs["pack_shard"] = round(time.perf_counter() - t_prev, 3)
     extras["pipeline_e2e_sec"] = round(time.perf_counter() - t_start, 4)
     # [in, dedup, span, decon, pii, quality, mixture, packs, shard_rows]
     extras["pipeline_e2e_rows"] = ledger
+    # per-stage wall (detail line): lets r13 see WHICH stage moved
+    extras["pipeline_e2e_stage_secs"] = stage_secs
 
 
 def run_tail_under_ingest(spark, sf_dir: str, tmp: str, extras: dict) -> None:
@@ -426,6 +434,123 @@ def run_tail_under_ingest(spark, sf_dir: str, tmp: str, extras: dict) -> None:
         1 for a in acts if a["action"] == "compact" and a.get("ok")
     )
     extras["tail_maint_conflicts"] = sum(1 for a in acts if not a.get("ok", True))
+
+
+# flat-form aliases: headline-budget short names; the detail line
+# always carries the full scale_<op>_* keys at full precision
+_FLAT_ALIAS = {
+    "span_dedup": "span",
+    "content_dedup": "content",
+    "minhash_lsh_pairs": "minhash",
+    "ngram_jaccard": "ngram",
+    "embedding_near_dup": "embdup",
+    "semantic_dedup": "semdedup",
+    "ann_topk": "ann",
+    "join_dims": "joins",
+    "sessionization": "sessions",
+    "grouping_analytics": "grouping",
+}
+
+# the driver tail-captures the last ~2000 chars of stdout; the headline
+# must stay a complete JSON line inside that window with margin
+_HEADLINE_BUDGET = 1900
+
+
+def _num(x):
+    """10.0 → 10 (integral ratios shrink the compact line)."""
+    if isinstance(x, float):
+        x = round(x, 2)
+    return int(x) if isinstance(x, float) and x == int(x) else x
+
+
+def emit_headline(
+    total: float,
+    sf_dir: str,
+    hot: dict,
+    scale: dict,
+    timings: dict,
+    errors: dict,
+) -> str:
+    """Serialize the compact headline line, degrading REDUNDANCY before
+    ever dropping a gate number (the r6/r9/r10 truncation bugs each cost
+    a round of false regression signals, so the ladder is explicit and
+    unit-tested): full per-cell run pairs at 3-dec → 2-dec → one run per
+    cell (`scale_runs: 1`) → flat per-op triples [x1, x10, rows(, ord)]
+    under short aliases (`scale_flat: true`) → scale on the detail line
+    only (`scale_overflow: true`, never silent). Mutates ``hot`` to
+    record which rung shipped."""
+
+    def _emit(
+        timing_prec: int, run_prec: int, runs_per_cell: int = 2, flat: bool = False
+    ) -> str:
+        if flat:
+            # flat form: op → [min(x1) sec, min(x10) sec, rows ratio,
+            # ord ratio (grouped ops only)] — the per-cell run pairs stay
+            # on the detail line at full precision
+            scale_out = {
+                _FLAT_ALIAS.get(op, op): [
+                    round(min(cells["x1"]), run_prec),
+                    round(min(cells["x10"]), run_prec),
+                ]
+                + [_num(cells[k]) for k in ("rows", "ord") if k in cells]
+                for op, cells in scale.items()
+                if isinstance(cells.get("x1"), list) and isinstance(cells.get("x10"), list)
+            }
+        else:
+            # per cell: the smallest runs — the reported min and (at
+            # runs_per_cell=2) its within-2× reproduction companion
+            # (the full run list, incl. any discarded spikes, is on
+            # the detail line); min(x10)/min(x1) reproduces every
+            # scale ratio
+            scale_out = {
+                op: {
+                    c: (
+                        [round(x, run_prec) for x in sorted(v)[:runs_per_cell]]
+                        if isinstance(v, list)
+                        else v
+                    )
+                    for c, v in cells.items()
+                }
+                for op, cells in scale.items()
+            }
+        out = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            # basename only: the full path is on the detail line, and
+            # 16 chars of headline budget buy a whole scale cell
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "extras": {**hot, "scale": scale_out},
+            "queries": {q: round(s, timing_prec) for q, s in timings.items()},
+        }
+        if not scale:
+            out["extras"].pop("scale", None)
+        if errors:
+            out["error_count"] = len(errors)
+        return json.dumps(out, separators=(",", ":"))
+
+    line = _emit(3, 3)
+    if len(line) > _HEADLINE_BUDGET:
+        line = _emit(2, 2)
+    if len(line) > _HEADLINE_BUDGET:
+        # keep every gate number parseable at reduced redundancy: one
+        # run per cell (the min), rows ratios stay — and SAY SO
+        hot["scale_runs"] = 1
+        line = _emit(2, 2, runs_per_cell=1)
+    if len(line) > _HEADLINE_BUDGET:
+        # flatter still: [x1, x10, rows(, ord)] triples per op — every
+        # gate ratio remains reproducible from the headline alone
+        hot.pop("scale_runs", None)
+        hot["scale_flat"] = True
+        line = _emit(2, 2, flat=True)
+    if len(line) > _HEADLINE_BUDGET:
+        # last resort: keep the line parseable — move the scale block to
+        # the detail line only and SAY SO (never silently truncate)
+        hot.pop("scale_flat", None)
+        scale = {}
+        hot["scale_overflow"] = True
+        line = _emit(2, 2)
+    return line
 
 
 def main() -> None:
@@ -1026,101 +1151,7 @@ def main() -> None:
         else None,
         round(extras["load_avg_end"], 1),
     ]
-    if scale:
-        hot["scale"] = scale
-
-    def _num(x: float):
-        """10.0 → 10 (integral ratios shrink the compact line)."""
-        if isinstance(x, float):
-            x = round(x, 2)
-        return int(x) if isinstance(x, float) and x == int(x) else x
-
-    # flat-form aliases: headline-budget short names; the detail line
-    # always carries the full scale_<op>_* keys at full precision
-    _FLAT_ALIAS = {
-        "span_dedup": "span",
-        "content_dedup": "content",
-        "minhash_lsh_pairs": "minhash",
-        "ngram_jaccard": "ngram",
-        "embedding_near_dup": "embdup",
-        "semantic_dedup": "semdedup",
-        "ann_topk": "ann",
-        "join_dims": "joins",
-        "sessionization": "sessions",
-        "grouping_analytics": "grouping",
-    }
-
-    def _emit(
-        timing_prec: int, run_prec: int, runs_per_cell: int = 2, flat: bool = False
-    ) -> str:
-        if flat:
-            # flat form: op → [min(x1) sec, min(x10) sec, rows ratio,
-            # ord ratio (grouped ops only)] — the per-cell run pairs stay
-            # on the detail line at full precision
-            scale_out = {
-                _FLAT_ALIAS.get(op, op): [
-                    round(min(cells["x1"]), run_prec),
-                    round(min(cells["x10"]), run_prec),
-                ]
-                + [_num(cells[k]) for k in ("rows", "ord") if k in cells]
-                for op, cells in scale.items()
-                if isinstance(cells.get("x1"), list) and isinstance(cells.get("x10"), list)
-            }
-        else:
-            # per cell: the smallest runs — the reported min and (at
-            # runs_per_cell=2) its within-2× reproduction companion
-            # (the full run list, incl. any discarded spikes, is on
-            # the detail line); min(x10)/min(x1) reproduces every
-            # scale ratio
-            scale_out = {
-                op: {
-                    c: (
-                        [round(x, run_prec) for x in sorted(v)[:runs_per_cell]]
-                        if isinstance(v, list)
-                        else v
-                    )
-                    for c, v in cells.items()
-                }
-                for op, cells in scale.items()
-            }
-        out = {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            # basename only: the full path is on the detail line, and
-            # 16 chars of headline budget buy a whole scale cell
-            "sf": os.path.basename(os.path.normpath(sf_dir)),
-            "extras": {**hot, "scale": scale_out},
-            "queries": {q: round(s, timing_prec) for q, s in timings.items()},
-        }
-        if not scale:
-            out["extras"].pop("scale", None)
-        if errors:
-            out["error_count"] = len(errors)
-        return json.dumps(out, separators=(",", ":"))
-
-    line = _emit(3, 3)
-    if len(line) > 1900:
-        line = _emit(2, 2)
-    if len(line) > 1900:
-        # keep every gate number parseable at reduced redundancy: one
-        # run per cell (the min), rows ratios stay — and SAY SO
-        hot["scale_runs"] = 1
-        line = _emit(2, 2, runs_per_cell=1)
-    if len(line) > 1900:
-        # flatter still: [x1, x10, rows(, ord)] triples per op — every
-        # gate ratio remains reproducible from the headline alone
-        hot.pop("scale_runs", None)
-        hot["scale_flat"] = True
-        line = _emit(2, 2, flat=True)
-    if len(line) > 1900:
-        # last resort: keep the line parseable — move the scale block to
-        # the detail line only and SAY SO (never silently truncate)
-        hot.pop("scale_flat", None)
-        scale = {}
-        hot["scale_overflow"] = True
-        line = _emit(2, 2)
-    print(line)
+    print(emit_headline(total, sf_dir, hot, scale, timings, errors))
 
 
 if __name__ == "__main__":
