@@ -77,3 +77,27 @@ def test_tree_cpu_seconds_counts_own_burn():
         x += 1
     b = bench._tree_cpu_seconds()
     assert b - a >= 0.15, (a, b)
+
+
+def test_pipeline_e2e_ledger_is_deterministic(spark, tmp_path):
+    """bench.run_pipeline_e2e's row ledger is the round-over-round diff
+    anchor (three identical ledgers across r12's sf0.1 runs) — a stage
+    that goes nondeterministic (seeded sampling replaced by rand(),
+    unstable dedup winner, hash-order-dependent packing) must fail HERE,
+    not as an unexplained ledger drift in the next round's artifact."""
+    import bench
+
+    e1: dict = {}
+    e2: dict = {}
+    bench.run_pipeline_e2e(spark, "/root/testdata/sf0.01", str(tmp_path / "a"), e1)
+    bench.run_pipeline_e2e(spark, "/root/testdata/sf0.01", str(tmp_path / "b"), e2)
+    assert e1["pipeline_e2e_rows"] == e2["pipeline_e2e_rows"]
+    ledger = e1["pipeline_e2e_rows"]
+    assert len(ledger) == 9 and ledger[0] > 0
+    # rows are non-increasing through the filter stages (in → dedup →
+    # span → decon → pii → quality); mixture may add epoch copies
+    for a, b in zip(ledger[:5], ledger[1:6]):
+        assert b <= a, ledger
+    assert set(e1["pipeline_e2e_stage_secs"]) == {
+        "dedup", "span", "decon", "pii", "quality", "mixture", "pack_shard",
+    }
