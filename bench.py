@@ -550,6 +550,20 @@ def emit_headline(
         hot["scale_flat"] = True
         line = _emit(2, 2, flat=True)
     if len(line) > _HEADLINE_BUDGET:
+        # before dropping any gate: shed hot keys DERIVABLE from what
+        # remains (best probe rate = max(ing_probes); the static
+        # isotropic nprobe sweep is on the detail line) — the r12 flat
+        # line sits ~20 chars under budget, so one error_count plus a
+        # few fatter timings must not cascade into losing scale
+        hot["hot_trim"] = True
+        hot.pop("ingest_isolated", None)
+        # the in-suite rate is the weather-exposed number; the probes
+        # are the defensible evidence, and the detail line keeps it
+        hot.pop("ingest_events_per_s", None)
+        if isinstance(hot.get("recall_at_5"), dict):
+            hot["recall_at_5"].pop("ivf_np", None)
+        line = _emit(2, 2, flat=True)
+    if len(line) > _HEADLINE_BUDGET:
         # last resort: keep the line parseable — move the scale block to
         # the detail line only and SAY SO (never silently truncate)
         hot.pop("scale_flat", None)

@@ -140,6 +140,28 @@ def test_small_artifact_keeps_full_run_pairs():
     assert len(ex["scale"]["span_dedup"]["x1"]) == 2
 
 
+def test_moderate_growth_sheds_derivable_keys_not_scale():
+    """The r12 flat line sits ~20 chars under budget; error_count plus
+    fatter timings must engage the hot-trim rung (drop keys derivable
+    from what remains), NOT cascade into losing the scale block."""
+    hot, scale, timings = _real_shaped_inputs()
+    slow = {q: s + 10 for q, s in timings.items()}  # every query 5 chars
+    line = bench.emit_headline(
+        526.1, "/x/sf0.1", hot, scale, slow, {"q1": "err", "q2": "err"}
+    )
+    assert len(line) <= bench._HEADLINE_BUDGET
+    d = json.loads(line)
+    ex = d["extras"]
+    assert d["error_count"] == 2
+    assert "scale" in ex and "scale_overflow" not in ex
+    if ex.get("hot_trim"):
+        # the shed keys are derivable: best probe from ing_probes, the
+        # static nprobe sweep from the detail line
+        assert "ingest_isolated" not in ex
+        assert ex["ing_probes"]
+        assert "ivf_np" not in ex["recall_at_5"]
+
+
 def test_overflow_is_loud_and_line_stays_parseable():
     hot, scale, timings = _real_shaped_inputs()
     hot["huge_evidence_blob"] = [list(range(40)) for _ in range(10)]
