@@ -262,3 +262,75 @@ def test_check_embedding_contract(spark):
     import math
 
     assert math.isclose(rep["max_safe_abs"], math.sqrt(2**53 / 16) / 1e6)
+
+
+def _bad_corpus(spark, n=40, d=16, seed=3):
+    """Embeddings past the exactness bound (~24 at d=16) — cross-vector
+    int64 dots can wrap, violating the contract — but below the ~758
+    per-component level where even the vnorm write itself overflows."""
+    pts = np.random.default_rng(seed).normal(size=(n, d)) * 1e2
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [r.astype("float32").tolist() for r in pts]}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+
+
+def test_append_paths_enforce_embedding_contract(spark, tmp_path):
+    """ADVICE r12 (medium): the incremental maintenance paths must run
+    the same quantize-exactness guard as the builds — otherwise a
+    wrap-prone DELTA silently re-admits the wrong-cosine failure the
+    build guard exists to stop. Opt-out stays available."""
+    import pytest
+
+    corpus = _corpus(spark, n=60)
+    cents = _cents(corpus, 4)
+    bad = _bad_corpus(spark)
+
+    ivf_path = str(tmp_path / "ivf_idx")
+    S.build_ivf_index(corpus, cents, ivf_path)
+    with pytest.raises(ValueError, match="append_ivf_index"):
+        S.append_ivf_index(bad, cents, ivf_path)
+    # the raise happened BEFORE any write: index contents unchanged
+    assert spark.read.parquet(ivf_path).count() == 60
+    S.append_ivf_index(bad, cents, ivf_path, enforce_contract=False)
+    assert spark.read.parquet(ivf_path).count() == 100
+
+    books = S.pq_train_codebooks(corpus, m=4, n_codes=8, iterations=2)
+    pq_path = str(tmp_path / "pq_idx")
+    S.build_pq_index(corpus, cents, books, pq_path)
+    with pytest.raises(ValueError, match="append_pq_index"):
+        S.append_pq_index(bad, cents, books, pq_path)
+    assert spark.read.parquet(pq_path).count() == 60
+    S.append_pq_index(bad, cents, books, pq_path, enforce_contract=False)
+    assert spark.read.parquet(pq_path).count() == 100
+
+
+def test_maintain_ivf_rebuild_skips_redundant_contract_scan(spark, tmp_path):
+    """ADVICE r12 (low): maintain_ivf_index audits the DELTA (cheap,
+    delta-sized) but the drift rebuild must NOT newly raise on a corpus
+    that was originally built with enforce_contract=False — every index
+    row was audited (or deliberately waived) at its own build/append
+    time, so the rebuild passes enforce_contract=False through."""
+    bad = _bad_corpus(spark, n=80)
+    cents = S.prepare_centroids(bad.where(F.col("vec_id") % 20 == 0))
+    path = str(tmp_path / "maint_idx")
+    S.build_ivf_index(bad, cents, path, enforce_contract=False)
+    delta = _bad_corpus(spark, n=20, seed=9).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    full = bad.unionByName(delta)
+    # drift_threshold=0 forces the rebuild branch; enforce_contract=False
+    # waives the delta audit (this corpus family is deliberately out of
+    # contract) — the rebuild itself must not re-audit and raise
+    rep = S.maintain_ivf_index(
+        spark, path, delta, full, cents, drift_threshold=0.0, enforce_contract=False
+    )
+    assert rep["appended"] == 20 and rep["rebuilt"]
+    assert spark.read.parquet(path).count() == 100
+    # and WITH enforcement the delta audit fires (threaded through)
+    import pytest
+
+    with pytest.raises(ValueError, match="append_ivf_index"):
+        S.maintain_ivf_index(spark, path, delta, full, cents, drift_threshold=0.0)

@@ -101,3 +101,71 @@ def test_pipeline_e2e_ledger_is_deterministic(spark, tmp_path):
     assert set(e1["pipeline_e2e_stage_secs"]) == {
         "dedup", "span", "decon", "pii", "quality", "mixture", "pack_shard",
     }
+
+
+def test_replica_delta_derived_from_actual_max_key(spark, tmp_path):
+    """ADVICE r12: the per-replica key shift must clear the ACTUAL max
+    keys, not a hard-coded 10M — at larger sf_dirs a fixed shift lets
+    replica ranges silently overlap and the linearity ratios read as
+    engine regressions. Build an sf-shaped dir whose keys sit ABOVE 10M
+    and assert replicas stay disjoint and joins stay within-replica."""
+    big = os.path.join(str(tmp_path), "big_keys")
+    os.makedirs(big, exist_ok=True)
+    for t in ("orders", "customer", "events", "nation", "region"):
+        df = load_table(spark, SF, t)
+        if t == "orders":
+            df = df.withColumn("o_orderkey", F.col("o_orderkey") + 2_000_000_000).withColumn(
+                "o_custkey", F.col("o_custkey") + 25_000_000
+            )
+        elif t == "customer":
+            df = df.withColumn("c_custkey", F.col("c_custkey") + 25_000_000)
+        elif t == "events":
+            df = df.withColumn("event_id", F.col("event_id") + 25_000_000).withColumn(
+                "user_id", F.col("user_id") + 25_000_000
+            )
+        df.write.mode("overwrite").parquet(os.path.join(big, f"{t}.parquet"))
+
+    d3 = _scaled_facts_dir(spark, big, str(tmp_path), 3)
+    o3 = spark.read.parquet(os.path.join(d3, "orders.parquet"))
+    e3 = spark.read.parquet(os.path.join(d3, "events.parquet"))
+    assert o3.select("o_orderkey").distinct().count() == o3.count()
+    assert e3.select("event_id").distinct().count() == e3.count()
+    # joins still match exactly 3x the base (within-replica only)
+    c3 = spark.read.parquet(os.path.join(d3, "customer.parquet"))
+    base_match = (
+        spark.read.parquet(os.path.join(big, "orders.parquet"))
+        .join(
+            spark.read.parquet(os.path.join(big, "customer.parquet")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert (
+        o3.join(c3, o3.o_custkey == c3.c_custkey, "left_semi").count()
+        == 3 * base_match
+    )
+
+
+def test_evict_grouping_cache_unpersists_base(spark):
+    """ADVICE r12: evicting the grouping-analytics session cache must
+    unpersist the scan-once base it pinned — otherwise every timed
+    rebuild in the smoke leaks one InMemoryRelation for the session."""
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.plans.relational import q_grouping_analytics
+    from zombi_spark.plans.scalebench import evict_grouping_cache
+
+    q_grouping_analytics(spark, SF).count()
+    cache = session_cache(spark, "relational")
+    held = cache.get((SF, "grouping_analytics", "held"))
+    assert held is not None
+    base, view = held
+    assert base.storageLevel.useMemory  # pinned while cached
+    evict_grouping_cache(spark, SF)
+    assert not base.storageLevel.useMemory  # released on evict
+    assert (SF, "grouping_analytics") not in cache
+    assert (SF, "grouping_analytics", "held") not in cache
+    assert view not in [t.name for t in spark.catalog.listTables()]
+    # the query rebuilds cleanly after eviction
+    assert q_grouping_analytics(spark, SF).count() > 0
+    evict_grouping_cache(spark, SF)

@@ -923,6 +923,7 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    enforce_contract: bool = True,
 ) -> None:
     """Incremental index maintenance: assign ONLY the delta corpus with
     the index's centroids and append the rows into their cell partitions
@@ -931,7 +932,16 @@ def append_ivf_index(
     fresh full build exactly (tested). Pair with
     :func:`ivf_drift_report` to decide when accumulated deltas have
     drifted the data away from the centroids enough to warrant
-    retraining + rebuild."""
+    retraining + rebuild.
+
+    ``enforce_contract`` audits the DELTA against the quantize exactness
+    bound (same guard as :func:`build_ivf_index` — the delta scan is
+    delta-sized, so the cost is proportional to the append): without it
+    the incremental path silently re-admits out-of-range embeddings
+    whose int64 norms wrap into plausible-but-wrong cosines, the exact
+    failure the build-time guard exists to stop."""
+    if enforce_contract:
+        _require_embedding_contract(delta, vec_col, "append_ivf_index")
     assigned = ivf_assign(delta, centroids, id_col, vec_col)
     (
         assigned.select(F.col(id_col), "qvec", "vnorm", "cell")
@@ -1003,6 +1013,7 @@ def maintain_ivf_index(
     retrain_iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    enforce_contract: bool = True,
 ) -> dict:
     """The IVF maintenance policy — the index analogue of compaction's
     candidates rule (compaction.rs:128-171: cheap incremental work every
@@ -1032,7 +1043,11 @@ def maintain_ivf_index(
         else prepare_centroids(centroids, id_col, vec_col)
     )
     n_appended = delta.count()
-    append_ivf_index(delta, prepared, path, id_col, vec_col)
+    # contract audit covers the DELTA only (delta-sized scan); the
+    # existing index rows were audited at their own build/append time
+    append_ivf_index(
+        delta, prepared, path, id_col, vec_col, enforce_contract=enforce_contract
+    )
     # candidate = retrained centroids, seeded from the active set
     # (de-quantized — the seed only needs direction, and assignment is
     # cosine so the 1e6 scale cancels)
@@ -1046,7 +1061,12 @@ def maintain_ivf_index(
     report = ivf_drift_report(spark, path, candidate, id_col, vec_col)
     rebuilt = report["drift"] >= drift_threshold
     if rebuilt:
-        build_ivf_index(corpus, candidate, path, id_col, vec_col)
+        # every row of ``corpus`` was already audited (original build +
+        # per-append delta checks above), so the rebuild skips the extra
+        # full-corpus max-abs scan and cannot newly raise mid-maintenance
+        build_ivf_index(
+            corpus, candidate, path, id_col, vec_col, enforce_contract=False
+        )
     return {
         "appended": n_appended,
         "drift": report["drift"],
@@ -1527,6 +1547,7 @@ def append_pq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    enforce_contract: bool = True,
 ) -> None:
     """Incremental IVF×PQ maintenance (the FAISS ``add()`` analogue, and
     the PQ counterpart of :func:`append_ivf_index`): assign + PQ-encode
@@ -1541,7 +1562,14 @@ def append_pq_index(
     sibling :func:`build_ivf_index` whose stored forms feed
     :func:`ivf_drift_report`); rebuild = new books +
     :func:`build_pq_index`. Fresh books REQUIRE re-encoding, so there is
-    deliberately no 'retrain books in place' verb."""
+    deliberately no 'retrain books in place' verb.
+
+    ``enforce_contract`` audits the DELTA against the quantize exactness
+    bound (same guard as :func:`build_pq_index`, delta-sized cost) so
+    the incremental path cannot re-admit wrap-prone embeddings the
+    build-time guard would have rejected."""
+    if enforce_contract:
+        _require_embedding_contract(delta, vec_col, "append_pq_index")
     assigned = ivf_assign(delta, centroids, id_col, vec_col)
     enc = pq_encode(assigned, codebooks, id_col, vec_col, passthrough="cell")
     (

@@ -113,6 +113,10 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the view's plan IS the persisted base, so dropping it would
     # silently unpersist the scan-once cache. The whole built query is
     # session-cached, so exactly one view registers per (session, sf).
+    # The persisted base + view name are cached alongside so an evictor
+    # (e.g. the relational scale smoke, which rebuilds per timed run)
+    # can release the InMemoryRelation instead of leaking one per evict.
+    cache[key + ("held",)] = (base, view)
     cache[key] = ro.unionByName(cu).unionByName(gs).orderBy(
         "mode",
         F.col("o_orderstatus").asc_nulls_first(),

@@ -290,7 +290,32 @@ def _scaled_facts_dir(spark: SparkSession, sf_dir: str, tmp: str, factor: int) -
     through this same path so the timed queries read identical layouts."""
     out_dir = os.path.join(tmp, f"rel_x{factor}")
     rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
-    shift = (F.col("rep").cast("long") * 10_000_000).alias("_delta")
+    # the per-replica delta is DERIVED from the actual max keys, not a
+    # hard-coded constant: at larger sf_dirs a fixed 10M shift would let
+    # replica key ranges silently overlap (event_id crosses 10M around
+    # sf10), breaking the replica-disjointness invariant the linearity
+    # ratios rest on. o_orderkey shifts by delta*100, every other key by
+    # delta, so delta must clear max(o_orderkey)/100 and each plain key.
+    o_max = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.max("o_orderkey").alias("ok"), F.max("o_custkey").alias("ck"))
+        .first()
+    )
+    c_max = load_table(spark, sf_dir, "customer").agg(F.max("c_custkey")).first()[0]
+    e_max = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("event_id").alias("ei"), F.max("user_id").alias("ui"))
+        .first()
+    )
+    delta = max(
+        10_000_000,  # keeps sf≤0.1 artifacts comparable across rounds
+        int(o_max["ok"]) // 100 + 1,
+        int(o_max["ck"]) + 1,
+        int(c_max) + 1,
+        int(e_max["ei"]) + 1,
+        int(e_max["ui"]) + 1,
+    )
+    shift = (F.col("rep").cast("long") * delta).alias("_delta")
 
     def _write(df: DataFrame, name: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
@@ -326,6 +351,27 @@ def _scaled_facts_dir(spark: SparkSession, sf_dir: str, tmp: str, factor: int) -
     return out_dir
 
 
+def evict_grouping_cache(spark: SparkSession, sf_dir: str) -> None:
+    """Evict q_grouping_analytics' session-cached plan for ``sf_dir`` AND
+    release what it pinned: the query persists its scan-once base and
+    registers a temp view whose plan IS that base, so popping only the
+    frame key would leave one more InMemoryRelation on executor storage
+    per eviction for the session lifetime — the exact per-call-persist
+    leak the query's session cache exists to avoid."""
+    from zombi_spark.plans.plan_cache import session_cache
+
+    cache = session_cache(spark, "relational")
+    cache.pop((sf_dir, "grouping_analytics"), None)
+    held = cache.pop((sf_dir, "grouping_analytics", "held"), None)
+    if held is not None:
+        base, view = held
+        try:
+            spark.catalog.dropTempView(view)
+        except Exception:
+            pass
+        base.unpersist()
+
+
 def relational_scale_smoke(
     spark: SparkSession, sf_dir: str, tmp: str, factor: int = 10
 ) -> dict:
@@ -348,7 +394,6 @@ def relational_scale_smoke(
     ``factor``.
     """
     from zombi_spark.plans.event_queries import q_sessionization
-    from zombi_spark.plans.plan_cache import session_cache
     from zombi_spark.plans.relational import q_grouping_analytics, q_join_dims
     from zombi_spark.session import shuffle_partitions_for
 
@@ -356,9 +401,7 @@ def relational_scale_smoke(
         df.write.mode("overwrite").format("noop").save()
 
     def _evict(scaled_dir: str) -> None:
-        session_cache(spark, "relational").pop(
-            (scaled_dir, "grouping_analytics"), None
-        )
+        evict_grouping_cache(spark, scaled_dir)
 
     queries = {
         "join_dims": q_join_dims,
