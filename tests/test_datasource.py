@@ -1,0 +1,234 @@
+"""The ``zombi`` Spark data source (sources/datasource.py).
+
+Covers the three contracts the format string promises:
+  - batch reads are snapshot-consistent, value-identical to the JVM
+    parquet path (EventTable.read), time-travelable, and manifest-pruned
+    under pushed filters — pruning never changes results;
+  - the stream reader delivers appended rows exactly once across
+    checkpoint restarts (version offsets, append snapshots only);
+  - metadata access is session-free (the data source's Python processes
+    have no SparkSession).
+"""
+
+import datetime
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, In, IsNotNull, LessThan
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+from zombi_spark.sources.datasource import (
+    ZombiBatchReader,
+    register_zombi_datasource,
+)
+from zombi_spark.table.event_table import EventTable
+
+T0 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _batch(spark, start, n, step_ms=600000):
+    rows = [
+        ("t", i % 2, f"p{i}".encode(), T0 + i * step_ms, None, i)
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 12)))
+    t.append(prepare_events(_batch(spark, 12, 6)))
+    register_zombi_datasource(spark)
+    return t
+
+
+def _load(spark, t, **options):
+    reader = spark.read.format("zombi")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(t.path)
+
+
+def test_event_table_metadata_is_session_free(table):
+    """The data source constructs EventTable(spark=None) — pin that every
+    metadata method it relies on works without a session."""
+    t = EventTable(None, os.path.dirname(table.path), "events")
+    assert t.latest_version() == 1
+    entries = t.scan_files()
+    assert entries and all("file_path" in e for e in entries)
+    assert t.added_files(0, 1)
+    assert [f.name for f in t.table_schema().fields][0] == "sequence"
+    assert t.table_metadata()["format_version"] == 2
+
+
+def test_batch_read_matches_jvm_parquet_path(spark, table):
+    df = _load(spark, table)
+    base = table.read()
+    # names+types equal; nullability differs cosmetically (Spark marks
+    # dir-derived partition columns nullable on the JVM parquet path)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in base.schema.fields
+    ]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, base.collect()))
+    assert got == want
+    # hive partition columns materialize from the dir layout
+    assert df.where(F.col("event_date").isNull() | F.col("event_hour").isNull()).count() == 0
+
+
+def test_time_travel_option(spark, table):
+    assert _load(spark, table, version=0).count() == 12
+    assert _load(spark, table, version=1).count() == 18
+    with pytest.raises(Exception, match="[Nn]o snapshot|PYTHON_DATA_SOURCE"):
+        _load(spark, table, version=9).count()
+
+
+def test_filtered_reads_are_row_correct(spark, table):
+    df = _load(spark, table)
+    base = table.read()
+    for cond in (
+        f"timestamp_ms >= {T0 + 3600_000} and partition = 0",
+        "event_hour = 2",
+        f"event_date = date'2024-01-01' and sequence < 5",
+        "topic = 'missing'",
+    ):
+        assert sorted(map(tuple, df.filter(cond).collect())) == sorted(
+            map(tuple, base.filter(cond).collect())
+        ), cond
+
+
+def test_push_filters_prune_files_by_manifest_bounds(spark, table):
+    reader = ZombiBatchReader(table.table_schema(), {"path": table.path})
+    total = len(reader.partitions())
+    assert reader.last_plan["files_kept"] == reader.last_plan["files_total"] == total
+
+    # ts lower bound past every row -> everything pruned (sentinel remains)
+    returned = reader.pushFilters([GreaterThanOrEqual(("timestamp_ms",), T0 + 10**9)])
+    # every filter comes back unhandled: Spark re-applies row-level
+    assert len(list(returned)) == 1
+    parts = reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+    assert len(parts) == 1 and parts[0].file_path is None
+
+    # hour equality prunes to the files of that hive dir
+    reader.pushFilters([EqualTo(("event_hour",), 2)])
+    reader.partitions()
+    assert 0 < reader.last_plan["files_kept"] < reader.last_plan["files_total"]
+
+    # In() on partition admits, IsNotNull never prunes, unknown col ignored
+    reader.pushFilters(
+        [In(("partition",), (0, 1)), IsNotNull(("payload",)), LessThan(("nope",), 3)]
+    )
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == reader.last_plan["files_total"]
+
+    # date equality on a different day prunes everything
+    reader.pushFilters([EqualTo(("event_date",), datetime.date(2030, 1, 1))])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+
+
+def test_empty_table_reads_zero_rows(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "empty")
+    t.append(prepare_events(_batch(spark, 0, 1)))  # commit once so schema exists
+    t.delete_where("sequence >= 0")
+    register_zombi_datasource(spark)
+    assert _load(spark, t).count() == 0
+
+
+def test_column_add_evolution_serves_null_through_datasource(spark, tmp_path):
+    """Files written before a column-ADD lack the new extracted column;
+    the data source fills NULL for them — same rule as the JVM read."""
+    v1 = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    v2 = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+            FieldSpec(name="label", json_path="label", data_type="utf8"),
+        ],
+    )
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=v1)
+    rows = [("t", 0, json.dumps({"k": i}).encode(), T0 + i * 1000, None, i) for i in range(5)]
+    t1.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=v2)
+    rows2 = [
+        ("t", 0, json.dumps({"k": i, "label": f"x{i}"}).encode(), T0 + i * 1000, None, i)
+        for i in range(5, 8)
+    ]
+    t2.append(prepare_events(spark.createDataFrame(rows2, RAW_EVENT_SCHEMA)))
+
+    register_zombi_datasource(spark)
+    df = _load(spark, t2)
+    assert "label" in df.columns and "k" in df.columns
+    got = sorted((r["k"], r["label"]) for r in df.collect())
+    base = sorted((r["k"], r["label"]) for r in t2.read().collect())
+    assert got == base
+    assert sum(1 for _, label in got if label is None) == 5
+
+
+def test_stream_reads_appends_exactly_once(spark, table, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    batches = []
+
+    def run():
+        local = []
+        q = (
+            spark.readStream.format("zombi")
+            .load(table.path)
+            .writeStream.foreachBatch(lambda df, bid: local.append((bid, df.count())))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return local
+
+    batches.append(run())
+    assert sum(n for _, n in batches[0]) == 18  # default: earliest
+
+    # no new snapshot -> the re-run delivers nothing new
+    assert sum(n for _, n in run()) == 0
+
+    table.append(prepare_events(_batch(spark, 18, 4)))
+    second = run()
+    assert sum(n for _, n in second) == 4  # only the delta
+
+    # compaction must not re-deliver (append snapshots only)
+    table.compact(min_input_files=2)
+    assert sum(n for _, n in run()) == 0
+
+
+def test_stream_starting_version_latest(spark, table, tmp_path):
+    ckpt = str(tmp_path / "ckpt2")
+    seen = []
+    q = (
+        spark.readStream.format("zombi")
+        .option("starting_version", "latest")
+        .load(table.path)
+        .writeStream.foreachBatch(lambda df, bid: seen.append(df.count()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert sum(seen) == 0  # nothing before the stream started counts
+    table.append(prepare_events(_batch(spark, 18, 3)))
+    seen2 = []
+    q2 = (
+        spark.readStream.format("zombi")
+        .option("starting_version", "latest")
+        .load(table.path)
+        .writeStream.foreachBatch(lambda df, bid: seen2.append(df.count()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    assert sum(seen2) == 3

@@ -1,0 +1,388 @@
+"""``spark.read.format("zombi")`` — the event table as a first-class Spark
+data source (PySpark 4 Python DataSource API).
+
+The reference's read interface is "any engine reads the table"
+(SPEC.md:343-352): Zombi produces Iceberg metadata and expects
+Spark/Trino/DuckDB to plan scans from it. This module closes the same
+loop *inside* Spark for our snapshot log: one registered format string
+gives any Spark user
+
+- ``spark.read.format("zombi").load(table_path)`` — a snapshot-consistent
+  batch scan (time travel via ``.option("version", N)``) whose file set
+  comes from the committed manifest, never a directory listing, with
+  Iceberg-style file skipping driven by *pushed filters*
+  (``DataSourceReader.pushFilters``): predicates on ``timestamp_ms`` /
+  ``sequence`` / ``topic`` / ``partition`` prune by the per-file bounds
+  the manifest records (event_table._parquet_file_entry), predicates on
+  the hive partition columns ``event_date`` / ``event_hour`` prune by the
+  directory values. Pruning is an *optimization, never a correctness
+  gate*: every filter is returned to Spark as unhandled, so Spark
+  re-applies it row-level (file bounds admit a value; only rows prove
+  it) and a file with no stats is scanned, not skipped.
+- ``spark.readStream.format("zombi").load(table_path)`` — an incremental
+  append-only stream (the Iceberg incremental-scan / reference consumer
+  offsets analogue, SPEC.md:658-661, rocksdb.rs:396-398): offsets are
+  snapshot *versions*, each micro-batch reads exactly the files appended
+  in ``(start, end]`` (compaction rewrites are excluded — same rule as
+  :meth:`EventTable.added_files`), so a restart from the checkpoint
+  re-reads only what it had not consumed. ``.option("starting_version",
+  "latest")`` starts from now; the default consumes the whole table
+  first.
+
+Scale/role note (honest): the Python DataSource read path moves bytes
+through Python workers as Arrow batches — right for tail/incremental
+consumption, API parity, and manifest-pruned selective scans, where the
+pruning (driver-side, O(metadata)) dominates. Full-table analytics stays
+on the JVM parquet path (:meth:`EventTable.read` /
+:func:`zombi_spark.sources.tables.load_table`), which this module
+deliberately does not replace.
+
+Metadata access is session-free by construction: the snapshot log is
+JSON on disk, and every :class:`EventTable` method used here
+(``latest_version`` / ``scan_files`` / ``added_files`` /
+``table_schema``) only touches files — pinned by
+tests/test_datasource.py::test_event_table_metadata_is_session_free.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+FORMAT_NAME = "zombi"
+
+# manifest stat keys per filterable data column (event_table._parquet_file_entry)
+_BOUND_KEYS = {
+    "timestamp_ms": ("min_ts", "max_ts"),
+    "sequence": ("min_seq", "max_seq"),
+    "topic": ("min_topic", "max_topic"),
+    "partition": ("min_part", "max_part"),
+}
+_HIVE_RE = {
+    "event_date": re.compile(r"event_date=([0-9]{4}-[0-9]{2}-[0-9]{2})(?:/|$)"),
+    "event_hour": re.compile(r"event_hour=([0-9]+)(?:/|$)"),
+}
+
+
+def _table_for(path: str):
+    """Metadata-only EventTable over ``path`` = ``{root}/{name}``.
+
+    ``spark=None`` is deliberate: the metadata methods never touch the
+    session (module docstring), and the data source's driver/executor
+    processes have no JVM session to give.
+    """
+    from zombi_spark.table.event_table import EventTable
+
+    path = path.rstrip("/")
+    if not path:
+        raise ValueError("the zombi format requires a table path: .load('<root>/<name>')")
+    return EventTable(None, os.path.dirname(path) or ".", os.path.basename(path))
+
+
+def _hive_values(entry: dict) -> dict:
+    """Typed event_date/event_hour from the entry's directory layout.
+
+    Prefers the recorded ``partition_dir``; falls back to matching the
+    file path (legacy bare-path manifest entries). Missing ⇒ absent key
+    (the file is then never pruned on that column and the column reads
+    as NULL — stats are optional, correctness is not).
+    """
+    probe = entry.get("partition_dir") or entry.get("file_path", "")
+    out: dict = {}
+    m = _HIVE_RE["event_date"].search(probe)
+    if m:
+        out["event_date"] = datetime.date.fromisoformat(m.group(1))
+    m = _HIVE_RE["event_hour"].search(probe)
+    if m:
+        out["event_hour"] = int(m.group(1))
+    return out
+
+
+def _filter_constraints(filters) -> tuple[list, list]:
+    """Split pushed filters into (prunable constraints, all filters).
+
+    A constraint is ``(column, op, value)`` with op ∈ {"==", ">", ">=",
+    "<", "<=", "in"}. Unsupported shapes (nested paths, IsNull, Not,
+    string matches) are simply not constraints — the file is kept and
+    Spark's row-level re-apply does the work.
+    """
+    constraints = []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            continue
+        col = attr[0]
+        if col not in _BOUND_KEYS and col not in _HIVE_RE:
+            continue
+        if isinstance(f, (EqualTo, EqualNullSafe)):
+            if f.value is not None:
+                constraints.append((col, "==", f.value))
+        elif isinstance(f, GreaterThan):
+            constraints.append((col, ">", f.value))
+        elif isinstance(f, GreaterThanOrEqual):
+            constraints.append((col, ">=", f.value))
+        elif isinstance(f, LessThan):
+            constraints.append((col, "<", f.value))
+        elif isinstance(f, LessThanOrEqual):
+            constraints.append((col, "<=", f.value))
+        elif isinstance(f, In):
+            vals = [v for v in f.value if v is not None]
+            if vals:
+                constraints.append((col, "in", vals))
+    return constraints
+
+
+def _as_comparable(value, reference):
+    """Coerce a pushed-filter literal to the manifest stat's type.
+
+    Spark hands dates as ``datetime.date`` and ints as ``int`` already;
+    the one mismatch seen in practice is date-vs-string when a user
+    compares event_date to a string literal.
+    """
+    if isinstance(reference, datetime.date) and isinstance(value, str):
+        try:
+            return datetime.date.fromisoformat(value)
+        except ValueError:
+            return None
+    if type(value) is type(reference) or isinstance(value, type(reference)):
+        return value
+    if isinstance(reference, int) and isinstance(value, (int, float)):
+        return value
+    return None  # incomparable — never prune on it
+
+
+def _bounds_admit(lo, hi, op: str, value) -> bool:
+    value = _as_comparable(value, lo)
+    if value is None:
+        return True
+    if op == "==":
+        return lo <= value <= hi
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    if op == "in":
+        vals = [_as_comparable(v, lo) for v in value]
+        return any(v is not None and lo <= v <= hi for v in vals)
+    return True
+
+
+def _entry_admits(entry: dict, constraints: list) -> bool:
+    """Iceberg-style file skipping: drop the file only when a constraint
+    *provably* excludes every row. Missing stats ⇒ keep."""
+    hive = _hive_values(entry)
+    for col, op, value in constraints:
+        if col in _BOUND_KEYS:
+            lo_key, hi_key = _BOUND_KEYS[col]
+            if lo_key in entry and hi_key in entry:
+                if not _bounds_admit(entry[lo_key], entry[hi_key], op, value):
+                    return False
+        elif col in hive:
+            v = hive[col]
+            if not _bounds_admit(v, v, op, value):
+                return False
+    return True
+
+
+@dataclass
+class ZombiInputPartition(InputPartition):
+    """One committed data file (or the empty-table sentinel)."""
+
+    file_path: str | None = None
+    hive_values: dict = field(default_factory=dict)
+
+
+def _arrow_field_type(spark_field):
+    import pyarrow as pa
+
+    s = spark_field.dataType.simpleString()
+    mapping = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "timestamp": pa.timestamp("us"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s not in mapping:
+        raise ValueError(f"zombi data source cannot map Spark type {s!r} to Arrow")
+    return mapping[s]
+
+
+def _read_partition(partition: ZombiInputPartition, schema: StructType):
+    """Executor-side read: file parquet → Arrow batches adapted to the
+    declared schema (missing columns NULL — column-ADD evolution; hive
+    partition columns synthesized from the directory values; types cast
+    to the schema's Arrow shape)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if partition.file_path is None:
+        return
+    target = pa.schema(
+        [pa.field(f.name, _arrow_field_type(f), nullable=True) for f in schema.fields]
+    )
+    pf = pq.ParquetFile(partition.file_path)
+    want = [f.name for f in schema.fields if f.name in set(pf.schema_arrow.names)]
+    for raw in pf.iter_batches(columns=want):
+        n = raw.num_rows
+        names = set(raw.schema.names)
+        cols = []
+        for f in target:
+            if f.name in names:
+                col = raw.column(raw.schema.get_field_index(f.name))
+                if col.type != f.type:
+                    col = col.cast(f.type)
+            elif f.name in partition.hive_values:
+                col = pa.nulls(n, f.type).fill_null(
+                    pa.scalar(partition.hive_values[f.name], type=f.type)
+                )
+            else:
+                col = pa.nulls(n, f.type)
+            cols.append(col)
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+class ZombiBatchReader(DataSourceReader):
+    """Snapshot scan planned from the manifest (S10 + A1 file skipping)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path", "")
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        self._constraints: list = []
+        # introspection for tests/bench: set by partitions()
+        self.last_plan: dict = {}
+
+    def pushFilters(self, filters):
+        self._constraints = _filter_constraints(filters)
+        # every filter goes back to Spark (row-level re-apply): the
+        # manifest bounds ADMIT rows, they don't prove them — identical
+        # to EventTable.scan_files' contract
+        return iter(filters)
+
+    def partitions(self):
+        entries = _table_for(self._path).scan_files(version=self._version)
+        kept = [e for e in entries if _entry_admits(e, self._constraints)]
+        self.last_plan = {"files_total": len(entries), "files_kept": len(kept)}
+        if not kept:
+            return [ZombiInputPartition()]  # empty scan sentinel
+        return [
+            ZombiInputPartition(file_path=e["file_path"], hive_values=_hive_values(e))
+            for e in kept
+        ]
+
+    def read(self, partition: ZombiInputPartition):
+        yield from _read_partition(partition, self._schema)
+
+
+class ZombiStreamReader(DataSourceStreamReader):
+    """Incremental append-only source: offset = last consumed snapshot
+    version (T12 consumer offsets; Iceberg incremental scan)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._path = options.get("path", "")
+        self._starting = options.get("starting_version", "earliest")
+
+    def _latest(self) -> int:
+        v = _table_for(self._path).latest_version()
+        return -1 if v is None else v
+
+    def initialOffset(self) -> dict:
+        if self._starting == "earliest":
+            return {"version": -1}
+        if self._starting == "latest":
+            return {"version": self._latest()}
+        return {"version": int(self._starting)}
+
+    def latestOffset(self) -> dict:
+        return {"version": self._latest()}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return [ZombiInputPartition()]
+        entries = _table_for(self._path).added_files(None if v0 < 0 else v0, v1)
+        if not entries:
+            return [ZombiInputPartition()]
+        return [
+            ZombiInputPartition(file_path=e["file_path"], hive_values=_hive_values(e))
+            for e in entries
+        ]
+
+    def read(self, partition: ZombiInputPartition):
+        yield from _read_partition(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the stream's checkpoint; the table keeps every
+        # snapshot until expire_snapshots, so no source-side state
+        pass
+
+
+class ZombiDataSource(DataSource):
+    """``format("zombi")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return table_schema_for(self.options.get("path", ""))
+
+    def reader(self, schema: StructType) -> ZombiBatchReader:
+        return ZombiBatchReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> ZombiStreamReader:
+        return ZombiStreamReader(schema, dict(self.options))
+
+
+def table_schema_for(path: str) -> StructType:
+    """The table's declared schema: ``table.json`` (written at first
+    commit, evolves on column-ADD) — falling back to the canonical event
+    schema for a pre-snapshot table."""
+    table = _table_for(path)
+    meta = table.table_metadata()
+    if meta and "schema" in meta:
+        return StructType.fromJson(meta["schema"])
+    return table.table_schema()
+
+
+def register_zombi_datasource(spark) -> None:
+    """Idempotent ``spark.dataSource.register`` of the zombi format.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` (a runtime SQL
+    conf, default false in Spark 4.1): without it Spark refuses to plan a
+    reader that implements ``pushFilters`` at all, and the manifest-bound
+    file skipping above is the entire point of this source.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ZombiDataSource)
