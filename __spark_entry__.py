@@ -229,6 +229,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
             "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
             "explode_tokens": RQ.q_explode_array,  # rotated out r11
+            "datasource_scan": EQ.q_datasource_scan,  # format("zombi") DSv2, r13
         }.items()
     }
 
@@ -1256,6 +1257,24 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`extra_queries` — same hash-match contract,
     checked by tests/test_oracle_parity.py instead of the driver."""
     return {
+        "datasource_scan": """
+        WITH ev AS (
+          SELECT event_id AS arrival,
+                 'events' AS topic,
+                 CAST(user_id % 8 AS INTEGER) AS partition,
+                 epoch_ms(ts) AS timestamp_ms
+          FROM events
+        ), seq AS (
+          SELECT partition, timestamp_ms,
+                 CAST(row_number() OVER (PARTITION BY topic, partition
+                                         ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT partition, sequence, timestamp_ms,
+               CAST(hour(make_timestamp(timestamp_ms * 1000)) AS INTEGER) AS event_hour
+        FROM seq
+        WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
+        """,
         "small_qty_revenue": """
         WITH aq AS (
           SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey

@@ -414,3 +414,55 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "timestamp_ms", "event_type", "arrival")
     )
+
+
+def _materialized_event_table(spark: SparkSession, sf_dir: str):
+    """The canonical events→zombi mapping COMMITTED as a real EventTable
+    (tmp dir, built once per session × sf_dir) — the fixture for queries
+    that exercise the table/manifest surface itself rather than a plan
+    over the raw parquet. Sequences come from the same write path the
+    oracle replays (row_number over arrival per (topic, partition)),
+    so DuckDB can reproduce the committed rows relationally."""
+    import tempfile
+
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.table.event_table import EventTable
+
+    memo = session_cache(spark, "zombi_ds_tables")
+    table = memo.get(sf_dir)
+    if table is None:
+        ev = zombi_events(spark, sf_dir).select(
+            "topic",
+            "partition",
+            F.encode("payload_str", "UTF-8").alias("payload"),
+            "timestamp_ms",
+            F.lit(None).cast("string").alias("idempotency_key"),
+            F.col("arrival").alias("ingest_order"),
+        )
+        table = EventTable(spark, tempfile.mkdtemp(prefix="zombi_ds_"), "events")
+        table.append(prepare_events(ev))
+        memo[sf_dir] = table
+    return table
+
+
+def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 through the registered ``zombi`` format: a time-range scan of
+    the committed table via ``spark.read.format("zombi")`` — pushed
+    filters prune files by manifest bounds, Spark re-applies them
+    row-level (sources/datasource.py). The oracle replays the write
+    path's sequence assignment + the range predicate relationally."""
+    from zombi_spark.shipping import ensure_package_on_workers
+    from zombi_spark.sources.datasource import register_zombi_datasource
+
+    ensure_package_on_workers(spark)
+    register_zombi_datasource(spark)
+    table = _materialized_event_table(spark, sf_dir)
+    since_ms = 1704067200000 + 7 * 24 * 3600 * 1000  # 2024-01-08
+    until_ms = 1704067200000 + 9 * 24 * 3600 * 1000  # 2024-01-10
+    return (
+        spark.read.format("zombi")
+        .load(table.path)
+        .where((F.col("timestamp_ms") >= since_ms) & (F.col("timestamp_ms") < until_ms))
+        .select("partition", "sequence", "timestamp_ms", "event_hour")
+    )
