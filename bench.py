@@ -312,10 +312,22 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     )
     s3 = ckpt(DC.decontaminate(s2, bench_df, n=8, threshold_pm=800), "decon")
     s4 = ckpt(P.scrub_documents(s3), "pii")
-    s5a = TA.repetition_filter(s4)
+    # quality stage: persist the shared inputs and score ONCE. The lazy
+    # shape re-ran the repetition lineage for each of the model's three
+    # training aggregates, re-derived the (bounded, charset³) tri/bi
+    # model frames under every broadcast join, and re-scored the corpus
+    # for the filter after the quantile pass — 35s of the 53s sf0.1
+    # wall, all recompute. Filtering on the already-scored column is
+    # perplexity_filter's exact semantics (NULL scores fail the >=).
+    s5a = TA.repetition_filter(s4).persist()
     model = LM.train_char_trigram_model(s5a)
-    floor = LM.score_documents(s5a, model).approxQuantile("lm_logprob_e6", [0.1], 0.0)[0]
-    s5 = ckpt(LM.perplexity_filter(s5a, model, int(floor)), "quality")
+    model["tri"] = model["tri"].persist()
+    model["bi"] = model["bi"].persist()
+    scored = LM.score_documents(s5a, model).persist()
+    floor = scored.approxQuantile("lm_logprob_e6", [0.1], 0.0)[0]
+    s5 = ckpt(scored.where(F.col("lm_logprob_e6") >= int(floor)), "quality")
+    for frame in (scored, model["tri"], model["bi"], s5a):
+        frame.unpersist()
     sources = [r.source for r in s5.select("source").distinct().collect()]
     weights = {s: (2.0 if s == "src0" else 1.0) for s in sources}
     s6 = ckpt(

@@ -232,3 +232,41 @@ def test_stream_starting_version_latest(spark, table, tmp_path):
     )
     assert q2.awaitTermination(180)
     assert sum(seen2) == 3
+
+
+def test_split_partitions_row_group_slices(tmp_path):
+    """Large files split into row-group ranges packed to ~max_bytes; the
+    slices cover every row exactly once; small files stay whole; a
+    missing/corrupt footer degrades to one whole-file partition."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zombi_spark.sources.datasource import _read_partition, _split_partitions
+
+    p = str(tmp_path / "big.parquet")
+    table = pa.table({"sequence": pa.array(range(1000), pa.int64())})
+    pq.write_table(table, p, row_group_size=100)  # 10 row groups
+    entry = {"file_path": p, "file_size_bytes": os.path.getsize(p)}
+
+    whole = _split_partitions(entry, {}, max_bytes=10**9)
+    assert len(whole) == 1 and whole[0].row_groups is None
+
+    tiny = _split_partitions(entry, {}, max_bytes=1)  # every group its own slice
+    assert len(tiny) == 10
+    assert [g for part in tiny for g in part.row_groups] == list(range(10))
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("sequence", T.LongType(), True)])
+    seen = []
+    for part in tiny:
+        for batch in _read_partition(part, schema):
+            seen.extend(batch.column(0).to_pylist())
+    assert sorted(seen) == list(range(1000))
+
+    broken = _split_partitions(
+        {"file_path": str(tmp_path / "missing.parquet"), "file_size_bytes": 10**9},
+        {},
+        max_bytes=1,
+    )
+    assert len(broken) == 1 and broken[0].row_groups is None

@@ -37,6 +37,16 @@ on the JVM parquet path (:meth:`EventTable.read` /
 :func:`zombi_spark.sources.tables.load_table`), which this module
 deliberately does not replace.
 
+Deliberately NO ``writeStream.format("zombi")`` sink: exactly-once ingest
+needs per-(topic, partition) sequence assignment against the table's
+committed watermarks plus the 2-phase stream commit — both live in
+:class:`zombi_spark.streaming.ingest.StreamingIngest` (foreachBatch →
+prepare_events → append with ``stream_commit``), the Spark-idiomatic
+transactional-sink shape. A DSv2 stream writer's per-task ``write()``
+cannot assign cross-task-monotonic sequences without re-implementing
+that machinery outside the table; it would be a second, weaker write
+path, not a feature.
+
 Metadata access is session-free by construction: the snapshot log is
 JSON on disk, and every :class:`EventTable` method used here
 (``latest_version`` / ``scan_files`` / ``added_files`` /
@@ -207,10 +217,55 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
 
 @dataclass
 class ZombiInputPartition(InputPartition):
-    """One committed data file (or the empty-table sentinel)."""
+    """One committed data file, a row-group slice of one (large files
+    split so a 512 MB file is not a single task), or the empty-table
+    sentinel."""
 
     file_path: str | None = None
     hive_values: dict = field(default_factory=dict)
+    row_groups: list | None = None  # None = whole file
+
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _split_partitions(entry: dict, hive: dict, max_bytes: int) -> list:
+    """Partition plan for one manifest entry: whole-file below the split
+    threshold; above it, row-group ranges packed to ~max_bytes each
+    (``spark.sql.files.maxPartitionBytes``'s role for this source). The
+    footer read happens only for oversized files — O(large files), not
+    O(files) — and any failure falls back to one whole-file partition
+    (splitting is parallelism, never correctness)."""
+    size = entry.get("file_size_bytes")
+    path = entry["file_path"]
+    if not size or size <= max_bytes:
+        return [ZombiInputPartition(file_path=path, hive_values=hive)]
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        groups: list[list[int]] = []
+        cur: list[int] = []
+        cur_bytes = 0
+        for rg in range(md.num_row_groups):
+            # uncompressed bytes — the better proxy for task memory, and
+            # the only per-group size RowGroupMetaData exposes directly
+            b = md.row_group(rg).total_byte_size
+            if cur and cur_bytes + b > max_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(rg)
+            cur_bytes += b
+        if cur:
+            groups.append(cur)
+        if len(groups) <= 1:
+            return [ZombiInputPartition(file_path=path, hive_values=hive)]
+        return [
+            ZombiInputPartition(file_path=path, hive_values=hive, row_groups=g)
+            for g in groups
+        ]
+    except Exception:
+        return [ZombiInputPartition(file_path=path, hive_values=hive)]
 
 
 def _arrow_field_type(spark_field):
@@ -251,7 +306,7 @@ def _read_partition(partition: ZombiInputPartition, schema: StructType):
     )
     pf = pq.ParquetFile(partition.file_path)
     want = [f.name for f in schema.fields if f.name in set(pf.schema_arrow.names)]
-    for raw in pf.iter_batches(columns=want):
+    for raw in pf.iter_batches(columns=want, row_groups=partition.row_groups):
         n = raw.num_rows
         names = set(raw.schema.names)
         cols = []
@@ -278,6 +333,9 @@ class ZombiBatchReader(DataSourceReader):
         self._path = options.get("path", "")
         v = options.get("version")
         self._version = int(v) if v is not None else None
+        self._max_bytes = int(
+            options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
         self._constraints: list = []
         # introspection for tests/bench: set by partitions()
         self.last_plan: dict = {}
@@ -295,10 +353,11 @@ class ZombiBatchReader(DataSourceReader):
         self.last_plan = {"files_total": len(entries), "files_kept": len(kept)}
         if not kept:
             return [ZombiInputPartition()]  # empty scan sentinel
-        return [
-            ZombiInputPartition(file_path=e["file_path"], hive_values=_hive_values(e))
-            for e in kept
-        ]
+        parts = []
+        for e in kept:
+            parts.extend(_split_partitions(e, _hive_values(e), self._max_bytes))
+        self.last_plan["partitions"] = len(parts)
+        return parts
 
     def read(self, partition: ZombiInputPartition):
         yield from _read_partition(partition, self._schema)
@@ -312,6 +371,9 @@ class ZombiStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = options.get("path", "")
         self._starting = options.get("starting_version", "earliest")
+        self._max_bytes = int(
+            options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
 
     def _latest(self) -> int:
         v = _table_for(self._path).latest_version()
@@ -334,10 +396,10 @@ class ZombiStreamReader(DataSourceStreamReader):
         entries = _table_for(self._path).added_files(None if v0 < 0 else v0, v1)
         if not entries:
             return [ZombiInputPartition()]
-        return [
-            ZombiInputPartition(file_path=e["file_path"], hive_values=_hive_values(e))
-            for e in entries
-        ]
+        parts = []
+        for e in entries:
+            parts.extend(_split_partitions(e, _hive_values(e), self._max_bytes))
+        return parts
 
     def read(self, partition: ZombiInputPartition):
         yield from _read_partition(partition, self._schema)
