@@ -358,6 +358,58 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     extras["pipeline_e2e_stage_secs"] = stage_secs
 
 
+def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
+    """format("zombi") in-artifact evidence (round 13): the pushed-filter
+    time-range scan the ``datasource_scan`` extra query runs, timed over
+    the committed event table, plus the manifest pruning the pushed
+    filters achieve (files kept / files total / planned input
+    partitions). kept < total is the DSv2 file-skipping proof, the same
+    shape as the ``ivfpq``/``ivf_large`` pruning gates. The table build
+    (one append of the canonical events mapping) is untimed setup."""
+    import shutil
+
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from zombi_spark.plans.event_queries import (
+        _materialized_event_table,
+        q_datasource_scan,
+    )
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.sources.datasource import ZombiBatchReader
+
+    t0 = time.perf_counter()
+    table = _materialized_event_table(spark, sf_dir)
+    extras["dsv2_build_sec"] = round(time.perf_counter() - t0, 4)
+    try:
+        runs = []
+        rows = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = q_datasource_scan(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        extras["dsv2_scan_sec"] = round(min(runs), 4)
+        extras["dsv2_scan_runs"] = [round(x, 4) for x in runs]
+        extras["dsv2_scan_rows"] = rows
+        # the plan the pushed range produces (driver-side introspection of
+        # the same reader class Spark instantiates)
+        since_ms = 1704067200000 + 7 * 24 * 3600 * 1000
+        until_ms = 1704067200000 + 9 * 24 * 3600 * 1000
+        reader = ZombiBatchReader(table.table_schema(), {"path": table.path})
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("timestamp_ms",), since_ms),
+                LessThan(("timestamp_ms",), until_ms),
+            ]
+        )
+        parts = reader.partitions()
+        extras["dsv2_files_kept"] = reader.last_plan["files_kept"]
+        extras["dsv2_files_total"] = reader.last_plan["files_total"]
+        extras["dsv2_partitions"] = reader.last_plan.get("partitions", len(parts))
+    finally:
+        shutil.rmtree(os.path.dirname(table.path), ignore_errors=True)
+        session_cache(spark, "zombi_ds_tables").pop(sf_dir, None)
+
+
 def run_tail_under_ingest(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     """T6/S7 under load (VERDICT r7 #6 / r8 #7 / r9 #8): latest-100 page
     latency WHILE appends land concurrently. The serving path is the
@@ -458,15 +510,15 @@ def run_tail_under_ingest(spark, sf_dir: str, tmp: str, extras: dict) -> None:
 # always carries the full scale_<op>_* keys at full precision
 _FLAT_ALIAS = {
     "span_dedup": "span",
-    "content_dedup": "content",
+    "content_dedup": "cont",
     "minhash_lsh_pairs": "minhash",
     "ngram_jaccard": "ngram",
     "embedding_near_dup": "embdup",
-    "semantic_dedup": "semdedup",
+    "semantic_dedup": "semd",
     "ann_topk": "ann",
     "join_dims": "joins",
-    "sessionization": "sessions",
-    "grouping_analytics": "grouping",
+    "sessionization": "sess",
+    "grouping_analytics": "grp",
 }
 
 # the driver tail-captures the last ~2000 chars of stdout; the headline
@@ -986,6 +1038,12 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp_pipe, ignore_errors=True)
 
+    # the format("zombi") read surface (round 13)
+    try:
+        run_datasource_bench(spark, sf_dir, extras)
+    except Exception as exc:  # noqa: BLE001
+        errors["_datasource"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # 10× scale smoke of the pairwise family (content_dedup, minhash,
     # ngram_jaccard, embedding_near_dup, ann_topk): per-op seconds at 1×
     # and 10× plus the growth ratio — sub-quadratic means ratio ≲ 15.
@@ -1162,6 +1220,15 @@ def main() -> None:
         hot["pipe_e2e"] = [
             round(extras["pipeline_e2e_sec"], 1),
             extras["pipeline_e2e_rows"],
+        ]
+    if "dsv2_scan_sec" in extras:
+        # [scan sec, files kept, files total] for the pushed time-range
+        # scan through format("zombi") — kept < total is the DSv2
+        # manifest-pruning proof (partitions/rows on the detail line)
+        hot["dsv2"] = [
+            round(extras["dsv2_scan_sec"], 2),
+            extras["dsv2_files_kept"],
+            extras["dsv2_files_total"],
         ]
     if "tail_under_ingest_ms_p50" in extras:
         hot["tail_ms"] = [

@@ -45,6 +45,7 @@ def _real_shaped_inputs():
         "ivfpq": [2.09, 42, 64],
         "ivf_large": [3.15, 1.73, 107, 255, 1],
         "pipe_e2e": [45.7, [5000, 4992, 4920, 4917, 4917, 4269, 4490, 579, 4043]],
+        "dsv2": [1.23, 48, 720],
         "tail_ms": [10.0, 154.8],
         "maint": [1440, 720, 6],
         "load_avg": [3.8, 4.7, 5.1],
@@ -120,6 +121,7 @@ def test_real_shaped_artifact_keeps_every_gate_under_budget():
         "ivfpq",
         "ivf_large",
         "pipe_e2e",
+        "dsv2",
         "tail_ms",
         "maint",
         "recall_at_5",
