@@ -270,3 +270,119 @@ def test_split_partitions_row_group_slices(tmp_path):
         max_bytes=1,
     )
     assert len(broken) == 1 and broken[0].row_groups is None
+
+
+def test_entry_admits_is_sound_under_fuzzed_bounds():
+    """File-skipping soundness (pure-function fuzz, no Spark): for random
+    row populations and random pushed constraints, a file whose rows
+    contain ANY match must be admitted — pruning may over-admit, never
+    over-prune. This is the invariant that makes pushFilters a safe
+    optimization at any scale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _entry_admits
+
+    ops = st.sampled_from(["==", ">", ">=", "<", "<="])
+    vals = st.integers(min_value=-50, max_value=50)
+
+    def _matches(v, op, x):
+        return {
+            "==": v == x,
+            ">": v > x,
+            ">=": v >= x,
+            "<": v < x,
+            "<=": v <= x,
+        }[op]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        rows=st.lists(vals, min_size=1, max_size=20),
+        constraints=st.lists(st.tuples(ops, vals), min_size=1, max_size=4),
+        with_stats=st.booleans(),
+        hour=st.integers(min_value=0, max_value=23),
+        hour_ops=st.lists(st.tuples(ops, st.integers(0, 23)), max_size=2),
+    )
+    def check(rows, constraints, with_stats, hour, hour_ops):
+        entry = {"file_path": "x.parquet", "partition_dir": f"event_date=2024-01-01/event_hour={hour}"}
+        if with_stats:
+            entry["min_ts"] = min(rows)
+            entry["max_ts"] = max(rows)
+        cons = [("timestamp_ms", op, x) for op, x in constraints] + [
+            ("event_hour", op, x) for op, x in hour_ops
+        ]
+        any_match = any(
+            all(_matches(v, op, x) for op, x in constraints)
+            and all(_matches(hour, op, x) for op, x in hour_ops)
+            for v in rows
+        )
+        if any_match:
+            assert _entry_admits(entry, cons), (rows, cons, entry)
+
+    check()
+
+
+def test_metadata_tables_files_and_snapshots(spark, table):
+    """option("metadata", ...) exposes the manifest as DataFrames — the
+    `SELECT * FROM t.files` / `t.snapshots` Iceberg surface (reference
+    S11, iceberg_storage.rs:1478-1522)."""
+    files = (
+        spark.read.format("zombi").option("metadata", "files").load(table.path)
+    )
+    entries = table.scan_files()
+    got = {r["file_path"]: r for r in files.collect()}
+    assert set(got) == {e["file_path"] for e in entries}
+    assert sum(r["row_count"] for r in got.values()) == 18
+    assert all(r["min_ts"] <= r["max_ts"] for r in got.values())
+
+    # as-of: version 0 lists only the first append's files
+    files_v0 = (
+        spark.read.format("zombi")
+        .option("metadata", "files")
+        .option("version", 0)
+        .load(table.path)
+    )
+    assert sum(r["row_count"] for r in files_v0.collect()) == 12
+
+    snaps = (
+        spark.read.format("zombi").option("metadata", "snapshots").load(table.path)
+    )
+    rows = {r["version"]: r for r in snaps.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[1]["parent_version"] == 0
+    assert all(r["operation"] == "append" and r["n_added"] > 0 for r in rows.values())
+
+    with pytest.raises(Exception, match="unknown metadata table"):
+        spark.read.format("zombi").option("metadata", "nope").load(table.path).count()
+
+
+def test_stream_max_versions_per_batch_paces_catchup(spark, tmp_path):
+    """The catch-up rate limit: with max_versions_per_batch=1, a stream
+    over a 4-snapshot table consumes one snapshot per micro-batch
+    instead of all history in one."""
+    t = EventTable(spark, str(tmp_path), "events")
+    per_version = [5, 3, 4, 2]
+    start = 0
+    for n in per_version:
+        t.append(prepare_events(_batch(spark, start, n)))
+        start += n
+    register_zombi_datasource(spark)
+    counts = []
+    q = (
+        spark.readStream.format("zombi")
+        .option("max_versions_per_batch", 1)
+        .load(t.path)
+        .writeStream.foreachBatch(lambda df, bid: counts.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 240
+    try:
+        while sum(counts) < sum(per_version) and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert [c for c in counts if c > 0] == per_version

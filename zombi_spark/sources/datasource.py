@@ -374,6 +374,18 @@ class ZombiStreamReader(DataSourceStreamReader):
         self._max_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
+        # catch-up rate limit (the maxFilesPerTrigger analogue, in the
+        # source's natural unit): cap how many snapshot versions one
+        # micro-batch may consume. None = unbounded. Two honest caveats:
+        # Trigger.AvailableNow captures its target offset once at start
+        # (the Python stream API has no ReadLimit hook), so availableNow
+        # catch-up runs uncapped — pacing applies to processingTime /
+        # continuous triggers; and latestOffset() has no view of the
+        # checkpointed start, so the first batch after a RESTART is
+        # planned uncapped; every later batch advances ≤ N versions.
+        n = int(options.get("max_versions_per_batch", 0))
+        self._max_versions = n if n > 0 else None
+        self._last_end: int | None = None
 
     def _latest(self) -> int:
         v = _table_for(self._path).latest_version()
@@ -381,16 +393,33 @@ class ZombiStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self._starting == "earliest":
-            return {"version": -1}
-        if self._starting == "latest":
-            return {"version": self._latest()}
-        return {"version": int(self._starting)}
+            v = -1
+        elif self._starting == "latest":
+            v = self._latest()
+        else:
+            v = int(self._starting)
+        self._last_end = v
+        return {"version": v}
 
     def latestOffset(self) -> dict:
-        return {"version": self._latest()}
+        if self._last_end is None:
+            # the micro-batch engine asks for the latest offset BEFORE
+            # initialOffset on a fresh query (observed in 4.1) — seed
+            # from the starting rule so the cap binds on batch 1. On a
+            # restart whose last batch was uncommitted, the engine
+            # replays it through partitions() first, which re-seeds
+            # from the checkpoint; on an idle restart this seed can sit
+            # below the checkpoint for one empty batch, after which
+            # partitions() clamps it forward (see __init__ caveats).
+            self._last_end = int(self.initialOffset()["version"])
+        latest = self._latest()
+        if self._max_versions is not None:
+            latest = min(latest, self._last_end + self._max_versions)
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
+        self._last_end = max(self._last_end if self._last_end is not None else -1, v0, v1)
         if v1 <= v0:
             return [ZombiInputPartition()]
         entries = _table_for(self._path).added_files(None if v0 < 0 else v0, v1)
@@ -410,6 +439,74 @@ class ZombiStreamReader(DataSourceStreamReader):
         pass
 
 
+# metadata "tables" (the `SELECT * FROM t.files` / `t.snapshots` Iceberg
+# surface, reference S11 list_segments iceberg_storage.rs:1478-1522 and
+# the snapshot log): option("metadata", "files"|"snapshots")
+_FILES_FIELDS = [
+    ("file_path", "string"),
+    ("partition_dir", "string"),
+    ("file_size_bytes", "long"),
+    ("row_count", "long"),
+    ("min_ts", "long"),
+    ("max_ts", "long"),
+    ("min_seq", "long"),
+    ("max_seq", "long"),
+    ("min_topic", "string"),
+    ("max_topic", "string"),
+    ("min_part", "int"),
+    ("max_part", "int"),
+    ("key_nulls", "long"),
+]
+_SNAPSHOTS_FIELDS = [
+    ("version", "int"),
+    ("parent_version", "int"),
+    ("snapshot_id", "string"),
+    ("committed_at_ms", "long"),
+    ("operation", "string"),
+    ("n_added", "int"),
+    ("n_removed", "int"),
+]
+
+
+def _meta_schema(fields) -> StructType:
+    # built programmatically: DDL parsing needs a live SparkContext and
+    # the data source's schema() runs in a session-free Python worker
+    from pyspark.sql import types as T
+
+    type_of = {"string": T.StringType(), "long": T.LongType(), "int": T.IntegerType()}
+    return StructType([T.StructField(n, type_of[t], True) for n, t in fields])
+
+
+class ZombiMetadataReader(DataSourceReader):
+    """Driver-planned metadata rows — O(manifest), no data files touched."""
+
+    def __init__(self, options: dict):
+        self._path = options.get("path", "")
+        self._mode = options["metadata"]
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+
+    def partitions(self):
+        return [InputPartition(0)]
+
+    def read(self, partition):
+        table = _table_for(self._path)
+        if self._mode == "files":
+            for e in table.scan_files(version=self._version):
+                yield tuple(e.get(name) for name, _ in _FILES_FIELDS)
+        else:
+            for s in table.snapshots():
+                yield (
+                    s.get("version"),
+                    s.get("parent_version"),
+                    s.get("snapshot_id"),
+                    s.get("committed_at_ms"),
+                    s.get("operation"),
+                    len(s.get("added", [])),
+                    len(s.get("removed", [])),
+                )
+
+
 class ZombiDataSource(DataSource):
     """``format("zombi")`` — see module docstring."""
 
@@ -418,9 +515,20 @@ class ZombiDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> StructType:
+        mode = self.options.get("metadata")
+        if mode == "files":
+            return _meta_schema(_FILES_FIELDS)
+        if mode == "snapshots":
+            return _meta_schema(_SNAPSHOTS_FIELDS)
+        if mode is not None:
+            raise ValueError(
+                f"unknown metadata table {mode!r}: expected 'files' or 'snapshots'"
+            )
         return table_schema_for(self.options.get("path", ""))
 
-    def reader(self, schema: StructType) -> ZombiBatchReader:
+    def reader(self, schema: StructType) -> DataSourceReader:
+        if self.options.get("metadata") is not None:
+            return ZombiMetadataReader(dict(self.options))
         return ZombiBatchReader(schema, dict(self.options))
 
     def streamReader(self, schema: StructType) -> ZombiStreamReader:
