@@ -405,6 +405,20 @@ def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
         extras["dsv2_files_kept"] = reader.last_plan["files_kept"]
         extras["dsv2_files_total"] = reader.last_plan["files_total"]
         extras["dsv2_partitions"] = reader.last_plan.get("partitions", len(parts))
+        # the crossover the module docstring claims (detail line only):
+        # a FULL unfiltered count through the Python-worker Arrow path vs
+        # the JVM parquet path over the same committed file set — the
+        # honest measurement behind "bulk analytics stays JVM-side"
+        for key, frame in (
+            ("dsv2_full_scan_sec", spark.read.format("zombi").load(table.path)),
+            ("jvm_full_scan_sec", table.read()),
+        ):
+            runs_fs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                frame.count()
+                runs_fs.append(time.perf_counter() - t0)
+            extras[key] = round(min(runs_fs), 4)
     finally:
         shutil.rmtree(os.path.dirname(table.path), ignore_errors=True)
         session_cache(spark, "zombi_ds_tables").pop(sf_dir, None)

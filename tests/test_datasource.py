@@ -112,7 +112,7 @@ def test_push_filters_prune_files_by_manifest_bounds(spark, table):
     assert len(list(returned)) == 1
     parts = reader.partitions()
     assert reader.last_plan["files_kept"] == 0
-    assert len(parts) == 1 and parts[0].file_path is None
+    assert len(parts) == 1 and parts[0].slices == []
 
     # hour equality prunes to the files of that hive dir
     reader.pushFilters([EqualTo(("event_hour",), 2)])
@@ -234,42 +234,50 @@ def test_stream_starting_version_latest(spark, table, tmp_path):
     assert sum(seen2) == 3
 
 
-def test_split_partitions_row_group_slices(tmp_path):
+def test_file_slices_row_group_splitting(tmp_path):
     """Large files split into row-group ranges packed to ~max_bytes; the
-    slices cover every row exactly once; small files stay whole; a
-    missing/corrupt footer degrades to one whole-file partition."""
+    slices cover every row exactly once; small files stay whole (padded
+    to the open cost); a missing footer degrades to one whole-file
+    slice."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from zombi_spark.sources.datasource import _read_partition, _split_partitions
+    from zombi_spark.sources.datasource import (
+        _OPEN_COST_BYTES,
+        ZombiInputPartition,
+        _file_slices,
+        _read_partition,
+    )
 
     p = str(tmp_path / "big.parquet")
     table = pa.table({"sequence": pa.array(range(1000), pa.int64())})
     pq.write_table(table, p, row_group_size=100)  # 10 row groups
     entry = {"file_path": p, "file_size_bytes": os.path.getsize(p)}
 
-    whole = _split_partitions(entry, {}, max_bytes=10**9)
-    assert len(whole) == 1 and whole[0].row_groups is None
+    whole = _file_slices(entry, {}, max_bytes=10**9)
+    assert len(whole) == 1 and whole[0][2] is None
+    assert whole[0][3] == _OPEN_COST_BYTES  # open-cost padding
 
-    tiny = _split_partitions(entry, {}, max_bytes=1)  # every group its own slice
+    tiny = _file_slices(entry, {}, max_bytes=1)  # every group its own slice
     assert len(tiny) == 10
-    assert [g for part in tiny for g in part.row_groups] == list(range(10))
+    assert [g for s in tiny for g in s[2]] == list(range(10))
 
     import pyspark.sql.types as T
 
     schema = T.StructType([T.StructField("sequence", T.LongType(), True)])
     seen = []
-    for part in tiny:
+    for s_ in tiny:
+        part = ZombiInputPartition(slices=[s_[:3]])
         for batch in _read_partition(part, schema):
             seen.extend(batch.column(0).to_pylist())
     assert sorted(seen) == list(range(1000))
 
-    broken = _split_partitions(
+    broken = _file_slices(
         {"file_path": str(tmp_path / "missing.parquet"), "file_size_bytes": 10**9},
         {},
         max_bytes=1,
     )
-    assert len(broken) == 1 and broken[0].row_groups is None
+    assert len(broken) == 1 and broken[0][2] is None
 
 
 def test_entry_admits_is_sound_under_fuzzed_bounds():
@@ -386,3 +394,81 @@ def test_stream_max_versions_per_batch_paces_catchup(spark, tmp_path):
     finally:
         q.stop()
     assert [c for c in counts if c > 0] == per_version
+
+
+def test_pack_partitions_invariants_fuzzed(tmp_path):
+    """Planning invariants for any (row-group sizes, max_bytes,
+    min_partitions): the packed partitions cover every row group of
+    every file exactly once, in order; multi-group slices respect
+    max_bytes; and multi-slice partitions respect the derived target."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _pack_partitions
+
+    p = str(tmp_path / "fuzz.parquet")
+    pq.write_table(
+        pa.table({"x": pa.array(range(700), pa.int64())}), p, row_group_size=100
+    )
+    n_groups = pq.ParquetFile(p).metadata.num_row_groups
+    sizes = [
+        pq.ParquetFile(p).metadata.row_group(i).total_byte_size
+        for i in range(n_groups)
+    ]
+    size = os.path.getsize(p)
+    entries = [
+        {"file_path": p, "file_size_bytes": size},
+        {"file_path": p, "file_size_bytes": size},
+    ]
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        max_bytes=st.integers(min_value=1, max_value=sum(sizes) * 3),
+        min_parts=st.integers(min_value=1, max_value=64),
+    )
+    def check(max_bytes, min_parts):
+        parts = _pack_partitions(entries, max_bytes=max_bytes, min_partitions=min_parts)
+        flat = [
+            (path, g)
+            for part in parts
+            for (path, _hive, groups) in part.slices
+            for g in (groups if groups is not None else [None])
+        ]
+        per_file = [None] if size <= max_bytes else list(range(n_groups))
+        assert flat == [(p, g) for _ in entries for g in per_file]
+        for part in parts:
+            for path, _hive, groups in part.slices:
+                if groups is not None and len(groups) > 1:
+                    assert sum(sizes[g] for g in groups) <= max_bytes
+
+    check()
+
+
+def test_catalog_addressed_read(spark, tmp_path):
+    """option("warehouse") + option("table") resolve the path by NAME
+    through the warehouse registry — the catalog surface (S13/S14)
+    joined to the format string. Load without registration fails with
+    the known-tables list."""
+    from zombi_spark.table.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    t = cat.create_table("events")
+    t.append(prepare_events(_batch(spark, 0, 6)))
+    register_zombi_datasource(spark)
+    df = (
+        spark.read.format("zombi")
+        .option("warehouse", str(tmp_path))
+        .option("table", "events")
+        .load()
+    )
+    assert df.count() == 6
+    with pytest.raises(Exception, match="not in catalog"):
+        (
+            spark.read.format("zombi")
+            .option("warehouse", str(tmp_path))
+            .option("table", "nope")
+            .load()
+            .count()
+        )

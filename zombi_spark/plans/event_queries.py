@@ -432,6 +432,8 @@ def _materialized_event_table(spark: SparkSession, sf_dir: str):
     memo = session_cache(spark, "zombi_ds_tables")
     table = memo.get(sf_dir)
     if table is None:
+        import atexit
+        import shutil
         ev = zombi_events(spark, sf_dir).select(
             "topic",
             "partition",
@@ -440,7 +442,12 @@ def _materialized_event_table(spark: SparkSession, sf_dir: str):
             F.lit(None).cast("string").alias("idempotency_key"),
             F.col("arrival").alias("ingest_order"),
         )
-        table = EventTable(spark, tempfile.mkdtemp(prefix="zombi_ds_"), "events")
+        root = tempfile.mkdtemp(prefix="zombi_ds_")
+        # the fixture outlives any one query (session-cached) but not the
+        # process — without this, every test/driver session leaves a
+        # committed table in /tmp
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        table = EventTable(spark, root, "events")
         table.append(prepare_events(ev))
         memo[sf_dir] = table
     return table

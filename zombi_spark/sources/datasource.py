@@ -91,6 +91,41 @@ _HIVE_RE = {
 }
 
 
+def _resolve_path(options: dict) -> str:
+    """The table directory: ``.load("<root>/<name>")``, or addressed BY
+    NAME through the warehouse catalog (``option("warehouse", root)`` +
+    ``option("table", name)`` — the registry the REST catalog serves,
+    table/catalog.py, read session-free from its JSON file)."""
+    path = (options.get("path") or "").rstrip("/")
+    if path:
+        return path
+    warehouse, table = options.get("warehouse"), options.get("table")
+    if warehouse and table:
+        import json
+
+        from zombi_spark.table.catalog import _CATALOG_FILE
+
+        reg_file = os.path.join(warehouse, _CATALOG_FILE)
+        try:
+            with open(reg_file) as fh:
+                reg = json.load(fh)
+        except FileNotFoundError:
+            raise ValueError(
+                f"no catalog registry at {reg_file!r} — register the table "
+                "first (Catalog.register / create_table)"
+            ) from None
+        if table not in reg:
+            raise ValueError(
+                f"table {table!r} not in catalog {reg_file!r}; "
+                f"known: {sorted(reg)}"
+            )
+        return reg[table]["path"]
+    raise ValueError(
+        "the zombi format requires a table path (.load('<root>/<name>')) "
+        "or option('warehouse', root) + option('table', name)"
+    )
+
+
 def _table_for(path: str):
     """Metadata-only EventTable over ``path`` = ``{root}/{name}``.
 
@@ -217,34 +252,40 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
 
 @dataclass
 class ZombiInputPartition(InputPartition):
-    """One committed data file, a row-group slice of one (large files
-    split so a 512 MB file is not a single task), or the empty-table
-    sentinel."""
+    """One scheduled task's worth of data: a list of slices, each
+    ``(file_path, hive_values, row_groups)`` — several small files packed
+    together, or one row-group range of a large file, or the empty-table
+    sentinel (no slices)."""
 
-    file_path: str | None = None
-    hive_values: dict = field(default_factory=dict)
-    row_groups: list | None = None  # None = whole file
+    slices: list = field(default_factory=list)
 
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_DEFAULT_MIN_PARTITIONS = 32
+# Spark's spark.sql.files.openCostInBytes default: the padding that stops
+# thousands of tiny files from bin-packing into one starved task
+_OPEN_COST_BYTES = 4 * 1024 * 1024
 
 
-def _split_partitions(entry: dict, hive: dict, max_bytes: int) -> list:
-    """Partition plan for one manifest entry: whole-file below the split
-    threshold; above it, row-group ranges packed to ~max_bytes each
-    (``spark.sql.files.maxPartitionBytes``'s role for this source). The
-    footer read happens only for oversized files — O(large files), not
-    O(files) — and any failure falls back to one whole-file partition
+def _file_slices(entry: dict, hive: dict, max_bytes: int) -> list:
+    """Slices for one manifest entry: ``[(path, hive, row_groups,
+    effective_bytes)]`` — the whole file below the split threshold
+    (effective size padded to the open cost, Spark's openCostInBytes
+    rule), row-group ranges packed to ~max_bytes above it. The footer
+    read happens only for oversized files — O(large files), not
+    O(files) — and any failure falls back to one whole-file slice
     (splitting is parallelism, never correctness)."""
-    size = entry.get("file_size_bytes")
+    size = entry.get("file_size_bytes") or 0
     path = entry["file_path"]
-    if not size or size <= max_bytes:
-        return [ZombiInputPartition(file_path=path, hive_values=hive)]
+    whole = [(path, hive, None, max(size, _OPEN_COST_BYTES))]
+    if size <= max_bytes:
+        return whole
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
         groups: list[list[int]] = []
+        sizes: list[int] = []
         cur: list[int] = []
         cur_bytes = 0
         for rg in range(md.num_row_groups):
@@ -253,19 +294,49 @@ def _split_partitions(entry: dict, hive: dict, max_bytes: int) -> list:
             b = md.row_group(rg).total_byte_size
             if cur and cur_bytes + b > max_bytes:
                 groups.append(cur)
+                sizes.append(cur_bytes)
                 cur, cur_bytes = [], 0
             cur.append(rg)
             cur_bytes += b
         if cur:
             groups.append(cur)
+            sizes.append(cur_bytes)
         if len(groups) <= 1:
-            return [ZombiInputPartition(file_path=path, hive_values=hive)]
+            return whole
         return [
-            ZombiInputPartition(file_path=path, hive_values=hive, row_groups=g)
-            for g in groups
+            (path, hive, g, max(b, _OPEN_COST_BYTES))
+            for g, b in zip(groups, sizes)
         ]
     except Exception:
-        return [ZombiInputPartition(file_path=path, hive_values=hive)]
+        return whole
+
+
+def _pack_partitions(entries: list, max_bytes: int, min_partitions: int) -> list:
+    """FileSourceScanExec-style planning: split oversized files into
+    row-group slices, then bin-pack slices into partitions of ~target
+    bytes, where target = min(max_bytes, max(openCost, total/min_parts))
+    — Spark's maxSplitBytes rule. Small tables stay parallel (the
+    min_partitions floor), huge files stay split, and a thousand tiny
+    files do NOT become a thousand tasks."""
+    slices: list = []
+    for e in entries:
+        slices.extend(_file_slices(e, _hive_values(e), max_bytes))
+    if not slices:
+        return [ZombiInputPartition()]
+    total = sum(s[3] for s in slices)
+    target = min(max_bytes, max(_OPEN_COST_BYTES, -(-total // max(min_partitions, 1))))
+    parts: list[ZombiInputPartition] = []
+    cur: list = []
+    cur_bytes = 0
+    for s in slices:
+        if cur and cur_bytes + s[3] > target:
+            parts.append(ZombiInputPartition(slices=[x[:3] for x in cur]))
+            cur, cur_bytes = [], 0
+        cur.append(s)
+        cur_bytes += s[3]
+    if cur:
+        parts.append(ZombiInputPartition(slices=[x[:3] for x in cur]))
+    return parts
 
 
 def _arrow_field_type(spark_field):
@@ -299,30 +370,29 @@ def _read_partition(partition: ZombiInputPartition, schema: StructType):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if partition.file_path is None:
-        return
     target = pa.schema(
         [pa.field(f.name, _arrow_field_type(f), nullable=True) for f in schema.fields]
     )
-    pf = pq.ParquetFile(partition.file_path)
-    want = [f.name for f in schema.fields if f.name in set(pf.schema_arrow.names)]
-    for raw in pf.iter_batches(columns=want, row_groups=partition.row_groups):
-        n = raw.num_rows
-        names = set(raw.schema.names)
-        cols = []
-        for f in target:
-            if f.name in names:
-                col = raw.column(raw.schema.get_field_index(f.name))
-                if col.type != f.type:
-                    col = col.cast(f.type)
-            elif f.name in partition.hive_values:
-                col = pa.nulls(n, f.type).fill_null(
-                    pa.scalar(partition.hive_values[f.name], type=f.type)
-                )
-            else:
-                col = pa.nulls(n, f.type)
-            cols.append(col)
-        yield pa.RecordBatch.from_arrays(cols, schema=target)
+    for file_path, hive_values, row_groups in partition.slices:
+        pf = pq.ParquetFile(file_path)
+        want = [f.name for f in schema.fields if f.name in set(pf.schema_arrow.names)]
+        for raw in pf.iter_batches(columns=want, row_groups=row_groups):
+            n = raw.num_rows
+            names = set(raw.schema.names)
+            cols = []
+            for f in target:
+                if f.name in names:
+                    col = raw.column(raw.schema.get_field_index(f.name))
+                    if col.type != f.type:
+                        col = col.cast(f.type)
+                elif f.name in hive_values:
+                    col = pa.nulls(n, f.type).fill_null(
+                        pa.scalar(hive_values[f.name], type=f.type)
+                    )
+                else:
+                    col = pa.nulls(n, f.type)
+                cols.append(col)
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class ZombiBatchReader(DataSourceReader):
@@ -330,11 +400,14 @@ class ZombiBatchReader(DataSourceReader):
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
-        self._path = options.get("path", "")
+        self._path = _resolve_path(options)
         v = options.get("version")
         self._version = int(v) if v is not None else None
         self._max_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self._min_partitions = int(
+            options.get("min_partitions", _DEFAULT_MIN_PARTITIONS)
         )
         self._constraints: list = []
         # introspection for tests/bench: set by partitions()
@@ -351,11 +424,7 @@ class ZombiBatchReader(DataSourceReader):
         entries = _table_for(self._path).scan_files(version=self._version)
         kept = [e for e in entries if _entry_admits(e, self._constraints)]
         self.last_plan = {"files_total": len(entries), "files_kept": len(kept)}
-        if not kept:
-            return [ZombiInputPartition()]  # empty scan sentinel
-        parts = []
-        for e in kept:
-            parts.extend(_split_partitions(e, _hive_values(e), self._max_bytes))
+        parts = _pack_partitions(kept, self._max_bytes, self._min_partitions)
         self.last_plan["partitions"] = len(parts)
         return parts
 
@@ -369,10 +438,13 @@ class ZombiStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
-        self._path = options.get("path", "")
+        self._path = _resolve_path(options)
         self._starting = options.get("starting_version", "earliest")
         self._max_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
+        )
+        self._min_partitions = int(
+            options.get("min_partitions", _DEFAULT_MIN_PARTITIONS)
         )
         # catch-up rate limit (the maxFilesPerTrigger analogue, in the
         # source's natural unit): cap how many snapshot versions one
@@ -423,12 +495,7 @@ class ZombiStreamReader(DataSourceStreamReader):
         if v1 <= v0:
             return [ZombiInputPartition()]
         entries = _table_for(self._path).added_files(None if v0 < 0 else v0, v1)
-        if not entries:
-            return [ZombiInputPartition()]
-        parts = []
-        for e in entries:
-            parts.extend(_split_partitions(e, _hive_values(e), self._max_bytes))
-        return parts
+        return _pack_partitions(entries, self._max_bytes, self._min_partitions)
 
     def read(self, partition: ZombiInputPartition):
         yield from _read_partition(partition, self._schema)
@@ -481,7 +548,7 @@ class ZombiMetadataReader(DataSourceReader):
     """Driver-planned metadata rows — O(manifest), no data files touched."""
 
     def __init__(self, options: dict):
-        self._path = options.get("path", "")
+        self._path = _resolve_path(options)
         self._mode = options["metadata"]
         v = options.get("version")
         self._version = int(v) if v is not None else None
@@ -524,7 +591,7 @@ class ZombiDataSource(DataSource):
             raise ValueError(
                 f"unknown metadata table {mode!r}: expected 'files' or 'snapshots'"
             )
-        return table_schema_for(self.options.get("path", ""))
+        return table_schema_for(_resolve_path(dict(self.options)))
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("metadata") is not None:
