@@ -472,3 +472,13 @@ def test_catalog_addressed_read(spark, tmp_path):
             .load()
             .count()
         )
+
+
+def test_physical_plan_reapplies_pushed_filters(spark, table):
+    """The physical plan must keep a row-level Filter above the Python
+    scan: pushFilters returns every filter unhandled, so manifest
+    pruning can never change results. Guards against a future reader
+    claiming filters as fully handled."""
+    df = _load(spark, table).filter(f"timestamp_ms >= {T0 + 3600_000}")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan and "timestamp_ms" in plan

@@ -52,6 +52,12 @@ JSON on disk, and every :class:`EventTable` method used here
 (``latest_version`` / ``scan_files`` / ``added_files`` /
 ``table_schema``) only touches files — pinned by
 tests/test_datasource.py::test_event_table_metadata_is_session_free.
+
+Retention contract (same as the JVM read path): a planned scan or a
+lagging stream references the snapshot's physical files, which stay on
+disk until ``expire_snapshots`` + ``remove_orphans`` reclaim them —
+size the retention window to exceed the slowest consumer's lag, exactly
+as with Iceberg's incremental scans.
 """
 
 from __future__ import annotations
