@@ -1,0 +1,149 @@
+"""Compaction rewrite strategies (table/clustering.py): sort / z-order
+re-clustering — Iceberg's ``rewrite_data_files`` strategy surface over
+our snapshot log. The contract: rows are preserved EXACTLY; only the
+layout changes, and per-file bounds become tight enough that
+stats-based file skipping (EventTable.scan_files, same bounds the zombi
+data source prunes on) works on the clustered columns.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.clustering import column_bounds, zorder_value
+from zombi_spark.table.event_table import EventTable
+
+T0 = 1704067200000  # one hour holds every row -> ONE storage partition
+
+
+def _grid_batch(spark, start, n):
+    """Rows interleaving producer partition (0-7) and time inside the
+    hour — the worst case for bin-packed layout, the showcase for
+    clustering."""
+    rows = [
+        (
+            "t",
+            i % 8,
+            f"p{i}".encode(),
+            T0 + (i * 7919) % 3_600_000,  # pseudo-shuffled within the hour
+            None,
+            i,
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def _build(spark, tmp_path, name):
+    t = EventTable(spark, str(tmp_path), name)
+    for s in range(4):
+        t.append(prepare_events(_grid_batch(spark, s * 200, 200)))
+    return t
+
+
+def _admitted(t, **kw):
+    return len(t.scan_files(**kw))
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 7), (3, 7), (2, 5)], "a long, b long"
+    )
+    bounds = column_bounds(df, ["a", "b"])
+    assert bounds == {"a": (0, 3), "b": (0, 7)}
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", zorder_value(["a", "b"], bounds, bits=4)).collect()
+    }
+
+    def norm(v, mn, mx):
+        return max(0, min(15, int((v - mn) * (15 / (mx - mn)))))
+
+    def interleave(a, b):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for (a, b), z in got.items():
+        assert z == interleave(norm(a, 0, 3), norm(b, 0, 7)), (a, b)
+
+
+def test_zorder_rewrite_preserves_rows_and_prunes_both_dimensions(spark, tmp_path):
+    t = _build(spark, tmp_path, "zorder")
+    before = sorted(map(tuple, t.read().collect()))
+    snap = t.compact(
+        strategy="zorder",
+        sort_columns=["timestamp_ms", "partition"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=4,
+    )
+    assert snap["strategy"] == "zorder"
+    assert sorted(map(tuple, t.read().collect())) == before  # INV-6
+    total = _admitted(t)
+    assert total >= 4
+    # both dimensions prune: each file is a z-rectangle, so a single
+    # producer partition and a narrow time slice each exclude files
+    assert _admitted(t, partition=0) < total
+    assert _admitted(t, ts_min=T0, ts_max=T0 + 400_000) < total
+
+
+def test_binpack_layout_cannot_prune_the_interleaved_dimension(spark, tmp_path):
+    t = _build(spark, tmp_path, "binpack")
+    t.compact(
+        rewrite_all=True, min_input_files=1, target_files_per_partition=4
+    )
+    total = _admitted(t)
+    assert total >= 4
+    # time sort -> time prunes perfectly ...
+    assert _admitted(t, ts_min=T0, ts_max=T0 + 400_000) < total
+    # ... but every file spans every producer partition
+    assert _admitted(t, partition=0) == total
+
+
+def test_sort_strategy_clusters_leading_column(spark, tmp_path):
+    t = _build(spark, tmp_path, "sorted")
+    t.compact(
+        strategy="sort",
+        sort_columns=["partition", "timestamp_ms"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=4,
+    )
+    total = _admitted(t)
+    assert total >= 4
+    assert _admitted(t, partition=0) < total
+
+
+def test_strategy_validation(spark, tmp_path):
+    t = _build(spark, tmp_path, "bad")
+    with pytest.raises(ValueError, match="cannot cluster"):
+        t.compact(strategy="sort", sort_columns=["payload"], rewrite_all=True,
+                  min_input_files=1)
+    with pytest.raises(ValueError, match="numeric"):
+        t.compact(strategy="zorder", sort_columns=["topic", "partition"],
+                  rewrite_all=True, min_input_files=1)
+    with pytest.raises(ValueError, match="requires sort_columns"):
+        t.compact(strategy="zorder", rewrite_all=True, min_input_files=1)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        t.compact(strategy="cluster", sort_columns=["partition", "sequence"],
+                  rewrite_all=True, min_input_files=1)
+    with pytest.raises(ValueError, match="2-3 columns"):
+        zorder_value(["a"], {"a": (0, 1)})
+
+
+def test_time_travel_across_clustered_rewrite(spark, tmp_path):
+    t = _build(spark, tmp_path, "travel")
+    v_before = t.latest_version()
+    n_before = t.read(version=v_before).count()
+    t.compact(
+        strategy="zorder",
+        sort_columns=["timestamp_ms", "partition"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=2,
+    )
+    assert t.read(version=v_before).count() == n_before
+    assert t.read().count() == n_before

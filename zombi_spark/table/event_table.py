@@ -1808,6 +1808,9 @@ class EventTable:
         small_file_bytes: int = 64 * 1024 * 1024,
         min_input_files: int = 3,
         target_files_per_partition: int = 1,
+        strategy: str = "binpack",
+        sort_columns: list[str] | None = None,
+        rewrite_all: bool = False,
     ) -> dict:
         """M1 small-file compaction (compaction.rs:128-396).
 
@@ -1815,8 +1818,18 @@ class EventTable:
         smaller than ``small_file_bytes``; each is rewritten as
         ``target_files_per_partition`` sorted file(s). Equivalent to
         Iceberg's ``rewrite_data_files`` with min-input-files/target-size.
-        Rewrite preserves every row (INV-6) and the (timestamp_ms, sequence)
-        sort.
+        Rewrite preserves every row (INV-6) and, with the default
+        ``binpack`` strategy, the (timestamp_ms, sequence) sort.
+
+        ``strategy="sort"`` / ``"zorder"`` are the Iceberg rewrite
+        strategies (table/clustering.py): re-cluster rows within each
+        storage partition so per-file bounds turn into tight ranges (sort:
+        leading-column; zorder: a multi-dimensional interleave) and
+        stats-based file skipping prunes on those columns. Clustering
+        rewrites usually want ``rewrite_all=True`` (re-layout EVERY active
+        file, not just small ones) and ``target_files_per_partition > 1``
+        (one output file per partition has trivially tight bounds but no
+        intra-partition skipping).
 
         Commit order is the crash-safe one (compaction.rs:282-396): move
         rewritten files in → commit the swap snapshot → only THEN delete
@@ -1833,7 +1846,7 @@ class EventTable:
         expected_parent = self.latest_version()
         by_partition: dict[str, list[dict]] = {}
         for f in self.files():
-            if f["file_size_bytes"] < small_file_bytes:
+            if rewrite_all or f["file_size_bytes"] < small_file_bytes:
                 by_partition.setdefault(f["partition_dir"], []).append(f)
         candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}
         if not candidates:
@@ -1894,9 +1907,12 @@ class EventTable:
                 )
                 if biggest:
                     cap = max(-(-biggest // target_files_per_partition), 1)
+            from zombi_spark.table.clustering import clustering_sort_columns
+
+            order = clustering_sort_columns(df, strategy, sort_columns)
             wstats = self._write_staged(
                 df.repartition(ntasks, "event_date", "event_hour")
-                .sortWithinPartitions("event_date", "event_hour", "timestamp_ms", "sequence"),
+                .sortWithinPartitions("event_date", "event_hour", *order),
                 staging,
                 expected_ndv=0
                 if all_unkeyed
@@ -1913,6 +1929,9 @@ class EventTable:
             "partitions": sorted(candidates),
             "files_rewritten": len(all_paths),
         }
+        if strategy != "binpack":
+            summary["strategy"] = strategy
+            summary["sort_columns"] = list(sort_columns or [])
         try:
             snap = self._commit_snapshot(
                 summary, added=added, removed=all_paths, expected_parent=expected_parent
