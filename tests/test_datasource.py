@@ -482,3 +482,22 @@ def test_physical_plan_reapplies_pushed_filters(spark, table):
     df = _load(spark, table).filter(f"timestamp_ms >= {T0 + 3600_000}")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan and "timestamp_ms" in plan
+
+
+def test_as_of_ms_timestamp_time_travel(spark, table):
+    """option("as_of_ms") resolves the newest snapshot committed at or
+    before the wall-clock instant (FOR SYSTEM_TIME AS OF); before the
+    first commit it errors rather than serving the latest."""
+    snaps = table.snapshots()
+    t_v0, t_v1 = snaps[0]["committed_at_ms"], snaps[1]["committed_at_ms"]
+    assert table.version_as_of(t_v0) == 0
+    assert table.version_as_of(t_v1 + 10_000) == 1
+    assert table.version_as_of(t_v0 - 1) is None
+
+    if t_v1 > t_v0:  # commits in the same ms can't be told apart
+        assert _load(spark, table, as_of_ms=t_v0).count() == 12
+    assert _load(spark, table, as_of_ms=t_v1 + 10_000).count() == 18
+    with pytest.raises(Exception, match="at or before"):
+        _load(spark, table, as_of_ms=t_v0 - 1).count()
+    with pytest.raises(Exception, match="not both"):
+        _load(spark, table, as_of_ms=t_v1, version=0).count()

@@ -132,6 +132,27 @@ def _resolve_path(options: dict) -> str:
     )
 
 
+def _version_option(path: str, options: dict) -> int | None:
+    """Time travel options: ``version`` (snapshot number) or ``as_of_ms``
+    (newest commit at/before that wall-clock ms — Iceberg's
+    FOR SYSTEM_TIME AS OF). Both set is ambiguous -> error; an as_of_ms
+    older than the first commit errors rather than silently serving the
+    latest."""
+    v, ts = options.get("version"), options.get("as_of_ms")
+    if v is not None and ts is not None:
+        raise ValueError("pass either 'version' or 'as_of_ms', not both")
+    if v is not None:
+        return int(v)
+    if ts is not None:
+        resolved = _table_for(path).version_as_of(int(ts))
+        if resolved is None:
+            raise ValueError(
+                f"no snapshot committed at or before as_of_ms={ts}"
+            )
+        return resolved
+    return None
+
+
 def _table_for(path: str):
     """Metadata-only EventTable over ``path`` = ``{root}/{name}``.
 
@@ -407,8 +428,7 @@ class ZombiBatchReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._path = _resolve_path(options)
-        v = options.get("version")
-        self._version = int(v) if v is not None else None
+        self._version = _version_option(self._path, options)
         self._max_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
@@ -556,8 +576,7 @@ class ZombiMetadataReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = _resolve_path(options)
         self._mode = options["metadata"]
-        v = options.get("version")
-        self._version = int(v) if v is not None else None
+        self._version = _version_option(self._path, options)
 
     def partitions(self):
         return [InputPartition(0)]

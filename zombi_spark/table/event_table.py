@@ -306,6 +306,19 @@ class EventTable:
         names = self._snapshot_files()
         return self._read_snapshot(names[-1]) if names else None
 
+    def version_as_of(self, ts_ms: int) -> int | None:
+        """Timestamp time travel (Iceberg ``FOR SYSTEM_TIME AS OF``): the
+        newest version whose commit time is ≤ ``ts_ms`` — None when the
+        table has no snapshot that old. O(snapshots) metadata reads; pass
+        the result as ``version=`` to :meth:`read`/:meth:`scan_files`."""
+        best = None
+        for snap in self.snapshots():
+            if snap.get("committed_at_ms", 0) <= ts_ms:
+                v = snap.get("version")
+                if v is not None and (best is None or v > best):
+                    best = v
+        return best
+
     def table_metadata(self) -> dict | None:
         """Table-level metadata (schema / partition spec / sort order) —
         the ``v{N}.metadata.json`` analogue (iceberg_storage.rs:1000-1161)."""
