@@ -147,3 +147,41 @@ def test_time_travel_across_clustered_rewrite(spark, tmp_path):
     )
     assert t.read(version=v_before).count() == n_before
     assert t.read().count() == n_before
+
+
+def test_policy_scheduled_recluster(spark, tmp_path):
+    """MaintenancePolicy runs a periodic clustered rewrite (the nightly
+    z-order job): immediately due once configured, then again only after
+    the window elapses; a tick where both re-cluster and small-file
+    compact are due runs ONE rewrite (re-layout subsumes compaction)."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = _build(spark, tmp_path, "policy")
+    fake = {"now": 0.0}
+    policy = MaintenancePolicy(
+        t,
+        recluster_every_s=100.0,
+        recluster_columns=["timestamp_ms", "partition"],
+        recluster_target_files=4,
+        compact_trigger_files=1,  # plain compact would also be due
+        clock=lambda: fake["now"],
+    )
+    before = t.read().count()
+    acts = policy.run_due()
+    kinds = [a["action"] for a in acts]
+    assert "recluster" in kinds and "compact" not in kinds
+    assert all(a["ok"] for a in acts if a["action"] == "recluster")
+    assert t.latest_snapshot()["strategy"] == "zorder"
+    assert t.read().count() == before
+    total = len(t.scan_files())
+    assert len(t.scan_files(partition=0)) < total  # clustered bounds
+
+    # not due again inside the window
+    fake["now"] = 50.0
+    assert "recluster" not in [a["action"] for a in policy.run_due()]
+    # due again after it elapses
+    fake["now"] = 150.0
+    assert "recluster" in [a["action"] for a in policy.run_due()]
+
+    with pytest.raises(ValueError, match="recluster_columns"):
+        MaintenancePolicy(t, recluster_every_s=10.0)

@@ -66,6 +66,10 @@ class MaintenancePolicy:
         expire_keep_last: int = 16,
         orphan_older_than_s: float = 3600.0,
         retention_ms: int | None = None,
+        recluster_every_s: float | None = None,
+        recluster_strategy: str = "zorder",
+        recluster_columns: list[str] | None = None,
+        recluster_target_files: int = 8,
         clock=time.monotonic,
         wall_clock=time.time,
     ) -> None:
@@ -78,6 +82,15 @@ class MaintenancePolicy:
         self.expire_keep_last = expire_keep_last
         self.orphan_older_than_s = orphan_older_than_s
         self.retention_ms = retention_ms
+        if recluster_every_s is not None and not recluster_columns:
+            raise ValueError("recluster_every_s needs recluster_columns")
+        self.recluster_every_s = recluster_every_s
+        self.recluster_strategy = recluster_strategy
+        self.recluster_columns = recluster_columns
+        self.recluster_target_files = recluster_target_files
+        #: monotonic time of the last SUCCESSFUL re-cluster (None = never;
+        #: the first tick with a window configured is immediately due)
+        self._last_recluster: float | None = None
         self._clock = clock
         #: wall clock (epoch seconds) for the retention cutoff — data ages
         #: by timestamp_ms, an epoch quantity, so it CANNOT use the
@@ -153,6 +166,14 @@ class MaintenancePolicy:
             "n_snapshots": n_snapshots,
             "expire_due": n_snapshots > self.expire_keep_last,
             "retention_due": self.retention_ms is not None,
+            "recluster_due": (
+                self.recluster_every_s is not None
+                and bool(files)
+                and (
+                    self._last_recluster is None
+                    or now - self._last_recluster >= self.recluster_every_s
+                )
+            ),
         }
 
     # ------------------------------------------------------------ actions
@@ -208,7 +229,24 @@ class MaintenancePolicy:
                 "retention",
                 lambda: self.table.expire_data_older_than(cutoff),
             )
-        if ev["compact_due"]:
+        if ev["recluster_due"]:
+            # a full re-layout subsumes this tick's small-file compact
+            # (rewrite_all covers every active file), so compact is
+            # skipped when both fire — one rewrite, not two
+            def _recluster():
+                r = self.table.compact(
+                    strategy=self.recluster_strategy,
+                    sort_columns=self.recluster_columns,
+                    rewrite_all=True,
+                    min_input_files=1,
+                    target_files_per_partition=self.recluster_target_files,
+                )
+                self._last_recluster = self._clock()
+                self._backlog_since = None
+                return r
+
+            _record("recluster", _recluster)
+        elif ev["compact_due"]:
             entry_meta = {"reason": ev["compact_reason"]}
 
             def _compact():
