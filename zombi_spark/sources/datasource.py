@@ -187,8 +187,8 @@ def _hive_values(entry: dict) -> dict:
     return out
 
 
-def _filter_constraints(filters) -> tuple[list, list]:
-    """Split pushed filters into (prunable constraints, all filters).
+def _filter_constraints(filters) -> list:
+    """The prunable constraints among the pushed filters.
 
     A constraint is ``(column, op, value)`` with op ∈ {"==", ">", ">=",
     "<", "<=", "in"}. Unsupported shapes (nested paths, IsNull, Not,
