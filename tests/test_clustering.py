@@ -185,3 +185,48 @@ def test_policy_scheduled_recluster(spark, tmp_path):
 
     with pytest.raises(ValueError, match="recluster_columns"):
         MaintenancePolicy(t, recluster_every_s=10.0)
+
+
+def test_clustered_rewrite_over_http(spark, tmp_path):
+    """The /compact route exposes the rewrite-strategy params (M1 over
+    HTTP, handlers.rs:1379-1408 + the r13 strategy surface); validation
+    errors are 400s."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from zombi_spark.streaming.http_edge import HttpIngestEdge
+    from zombi_spark.streaming.ingest import StreamingIngest
+
+    t = _build(spark, tmp_path, "http-cluster")
+    ing = StreamingIngest(
+        spark, str(tmp_path / "landing"), t, str(tmp_path / "ckpt")
+    )
+
+    def resolver(name, create):
+        if name != "http-cluster":
+            raise KeyError(name)
+        return ing
+
+    with HttpIngestEdge(resolver) as srv:
+        url = (
+            f"{srv.base_url}/tables/http-cluster/compact?strategy=zorder"
+            "&sort_columns=timestamp_ms,partition&rewrite_all=true"
+            "&target_files_per_partition=4&min_input_files=1"
+        )
+        req = urllib.request.Request(url, data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            body = _json.loads(resp.read())
+        assert resp.status == 200 and body["files_rewritten"] >= 4
+        assert t.latest_snapshot()["strategy"] == "zorder"
+        assert t.read().count() == 800
+
+        bad = urllib.request.Request(
+            f"{srv.base_url}/tables/http-cluster/compact?strategy=nope"
+            "&sort_columns=partition,sequence&rewrite_all=true&min_input_files=1",
+            data=b"",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(bad, timeout=600)
+        assert exc_info.value.code == 400

@@ -473,10 +473,29 @@ class _Handler(BaseHTTPRequestHandler):
                         self._send_json({"table": table, "flushed": True})
                     else:
                         # M1 over HTTP (handlers.rs:1379-1408);
-                        # min_input_files mirrors CompactionConfig
-                        result = ing.table.compact(
-                            min_input_files=int(_q.get("min_input_files", 3))
-                        )
+                        # min_input_files mirrors CompactionConfig.
+                        # strategy/sort_columns/rewrite_all expose the
+                        # r13 clustered-rewrite surface (the
+                        # rewrite_data_files strategy params); validation
+                        # errors map to 400, not 500
+                        try:
+                            result = ing.table.compact(
+                                min_input_files=int(_q.get("min_input_files", 3)),
+                                strategy=_q.get("strategy", "binpack"),
+                                sort_columns=(
+                                    _q["sort_columns"].split(",")
+                                    if "sort_columns" in _q
+                                    else None
+                                ),
+                                rewrite_all=_q.get("rewrite_all", "") == "true",
+                                target_files_per_partition=int(
+                                    _q.get("target_files_per_partition", 1)
+                                ),
+                            )
+                        except ValueError as exc:
+                            status, body = _err(400, str(exc))
+                            self._send_json(body, status)
+                            return
                         self._send_json(
                             {
                                 "table": table,
