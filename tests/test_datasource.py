@@ -501,3 +501,26 @@ def test_as_of_ms_timestamp_time_travel(spark, table):
         _load(spark, table, as_of_ms=t_v0 - 1).count()
     with pytest.raises(Exception, match="not both"):
         _load(spark, table, as_of_ms=t_v1, version=0).count()
+
+
+def test_stream_starting_as_of_ms(spark, table, tmp_path):
+    """A follower can start 'from yesterday': starting_as_of_ms resolves
+    the snapshot frontier at that wall-clock instant and delivers only
+    what committed after it."""
+    snaps = table.snapshots()
+    t_v0 = snaps[0]["committed_at_ms"]
+    t_v1 = snaps[1]["committed_at_ms"]
+    if t_v1 <= t_v0:
+        pytest.skip("both commits landed in the same millisecond")
+    seen = []
+    q = (
+        spark.readStream.format("zombi")
+        .option("starting_as_of_ms", t_v0)
+        .load(table.path)
+        .writeStream.foreachBatch(lambda df, bid: seen.append(df.count()))
+        .option("checkpointLocation", str(tmp_path / "asof-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert sum(seen) == 6  # only the second append's rows

@@ -466,6 +466,12 @@ class ZombiStreamReader(DataSourceStreamReader):
         self._schema = schema
         self._path = _resolve_path(options)
         self._starting = options.get("starting_version", "earliest")
+        ts = options.get("starting_as_of_ms")
+        self._starting_as_of = int(ts) if ts is not None else None
+        if self._starting_as_of is not None and "starting_version" in options:
+            raise ValueError(
+                "pass either 'starting_version' or 'starting_as_of_ms', not both"
+            )
         self._max_bytes = int(
             options.get("max_partition_bytes", _DEFAULT_MAX_PARTITION_BYTES)
         )
@@ -490,7 +496,13 @@ class ZombiStreamReader(DataSourceStreamReader):
         return -1 if v is None else v
 
     def initialOffset(self) -> dict:
-        if self._starting == "earliest":
+        if self._starting_as_of is not None:
+            # start from a wall-clock instant: deliver every snapshot
+            # committed AFTER it (versions > the as-of resolution; -1
+            # when the instant predates the table = full history)
+            resolved = _table_for(self._path).version_as_of(self._starting_as_of)
+            v = -1 if resolved is None else resolved
+        elif self._starting == "earliest":
             v = -1
         elif self._starting == "latest":
             v = self._latest()
