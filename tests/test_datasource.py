@@ -524,3 +524,43 @@ def test_stream_starting_as_of_ms(spark, table, tmp_path):
     )
     assert q.awaitTermination(180)
     assert sum(seen) == 6  # only the second append's rows
+
+
+def test_planning_scales_with_manifest_only(tmp_path):
+    """Scan planning is O(manifest) driver-side work: packing 7200
+    synthetic entries (a 10× sf0.1 table) takes well under a second and
+    never opens a file (the paths don't exist)."""
+    import time
+
+    from zombi_spark.sources.datasource import _entry_admits, _pack_partitions
+
+    entries = [
+        {
+            "file_path": f"/nonexistent/event_date=2024-01-{1 + i % 28:02d}/"
+            f"event_hour={i % 24}/f{i}.parquet",
+            "partition_dir": f"event_date=2024-01-{1 + i % 28:02d}/event_hour={i % 24}",
+            "file_size_bytes": 200_000,
+            "row_count": 1_000,
+            "min_ts": T0 + i * 60_000,
+            "max_ts": T0 + (i + 1) * 60_000,
+        }
+        for i in range(7200)
+    ]
+    t0 = time.perf_counter()
+    cons = [("timestamp_ms", ">=", T0 + 7200 * 30_000)]
+    kept = [e for e in entries if _entry_admits(e, cons)]
+    parts = _pack_partitions(kept, 128 * 1024 * 1024, 32)
+    elapsed = time.perf_counter() - t0
+    # 3601: entry 3599's max_ts equals the cutoff — bounds ADMIT it
+    assert len(kept) == 3601 and len(parts) >= 32
+    assert elapsed < 1.0, f"planning 7200 entries took {elapsed:.2f}s"
+
+
+def test_batch_time_travel_across_compaction(spark, table):
+    """A version read through the data source keeps serving the
+    pre-compact snapshot's files (physical deletion is deferred to
+    snapshot expiration) — same contract as EventTable.read."""
+    pre = sorted(map(tuple, _load(spark, table, version=1).collect()))
+    table.compact(min_input_files=2)
+    assert sorted(map(tuple, _load(spark, table, version=1).collect())) == pre
+    assert _load(spark, table).count() == 18
