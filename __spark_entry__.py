@@ -140,7 +140,12 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_assign": EQ.q_sequence_assign,  # + partition-column derive (F1)
         "tail_read": EQ.q_tail_read,
         "seq_range_scan": EQ.q_sequence_range,
-        "ts_range_scan": EQ.q_timestamp_range,
+        # r13 rotation: ts_range_scan -> extras (still hash-verified there);
+        # datasource_scan runs the SAME half-open timestamp-range semantics
+        # THROUGH the registered format("zombi") data source (S15 + S9),
+        # so the window keeps a driver-checked ts-range scan and gains the
+        # DSv2 read path
+        "datasource_scan": EQ.q_datasource_scan,
         "idempotent_dedup": EQ.q_idempotent_dedup,
         "watermarks": EQ.q_high_watermarks,
         "hour_grouping": EQ.q_hour_grouping,
@@ -229,7 +234,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "deterministic_sample": PQ.q_deterministic_sample,  # rotated out r7
             "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
             "explode_tokens": RQ.q_explode_array,  # rotated out r11
-            "datasource_scan": EQ.q_datasource_scan,  # format("zombi") DSv2, r13
+            "ts_range_scan": EQ.q_timestamp_range,  # rotated out r13
         }.items()
     }
 
@@ -264,12 +269,18 @@ def oracle_sql() -> dict[str, str]:
         FROM seq WHERE partition = 3 AND sequence >= 20
         ORDER BY sequence LIMIT 50
         """,
-        "ts_range_scan": _EV
+        "datasource_scan": _EV
         + """
-        SELECT arrival, partition, timestamp_ms, event_type
-        FROM ev
+        , seq AS (
+          SELECT partition, timestamp_ms,
+                 CAST(row_number() OVER (PARTITION BY topic, partition
+                                         ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT partition, sequence, timestamp_ms,
+               CAST(hour(make_timestamp(timestamp_ms * 1000)) AS INTEGER) AS event_hour
+        FROM seq
         WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
-        ORDER BY timestamp_ms, arrival
         """,
         "idempotent_dedup": _EV
         + """
@@ -1257,23 +1268,18 @@ def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for :func:`extra_queries` — same hash-match contract,
     checked by tests/test_oracle_parity.py instead of the driver."""
     return {
-        "datasource_scan": """
+        "ts_range_scan": """
         WITH ev AS (
           SELECT event_id AS arrival,
-                 'events' AS topic,
                  CAST(user_id % 8 AS INTEGER) AS partition,
-                 epoch_ms(ts) AS timestamp_ms
+                 epoch_ms(ts) AS timestamp_ms,
+                 event_type
           FROM events
-        ), seq AS (
-          SELECT partition, timestamp_ms,
-                 CAST(row_number() OVER (PARTITION BY topic, partition
-                                         ORDER BY arrival) AS BIGINT) AS sequence
-          FROM ev
         )
-        SELECT partition, sequence, timestamp_ms,
-               CAST(hour(make_timestamp(timestamp_ms * 1000)) AS INTEGER) AS event_hour
-        FROM seq
+        SELECT arrival, partition, timestamp_ms, event_type
+        FROM ev
         WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
+        ORDER BY timestamp_ms, arrival
         """,
         "small_qty_revenue": """
         WITH aq AS (
