@@ -176,15 +176,37 @@ def test_policy_scheduled_recluster(spark, tmp_path):
     total = len(t.scan_files())
     assert len(t.scan_files(partition=0)) < total  # clustered bounds
 
+    # quiesce plain compaction from here: its commits would legitimately
+    # count as "the table changed" and defeat the unchanged-version check
+    policy.compact_trigger_files = 10**9
+    policy.compact_max_age_s = 10**9
     # not due again inside the window
     fake["now"] = 50.0
     assert "recluster" not in [a["action"] for a in policy.run_due()]
-    # due again after it elapses
+    # window elapsed but the table version is UNCHANGED since the last
+    # rewrite: skipped — re-laying-out identical data would churn every
+    # file and a snapshot for nothing (ADVICE r13 change detection)
     fake["now"] = 150.0
+    assert "recluster" not in [a["action"] for a in policy.run_due()]
+    # new data lands -> the elapsed window fires again
+    t.append(prepare_events(_grid_batch(spark, 800, 50)))
     assert "recluster" in [a["action"] for a in policy.run_due()]
 
     with pytest.raises(ValueError, match="recluster_columns"):
         MaintenancePolicy(t, recluster_every_s=10.0)
+    # misconfigured clustering specs fail at CONSTRUCTION, not on every
+    # tick forever (ADVICE r13 fail-fast): zorder arity + unknown column
+    with pytest.raises(ValueError, match="2-3 columns"):
+        MaintenancePolicy(
+            t, recluster_every_s=10.0, recluster_columns=["timestamp_ms"]
+        )
+    with pytest.raises(ValueError, match="cannot cluster"):
+        MaintenancePolicy(
+            t,
+            recluster_every_s=10.0,
+            recluster_strategy="sort",
+            recluster_columns=["payload"],
+        )
 
 
 def test_clustered_rewrite_over_http(spark, tmp_path):

@@ -365,15 +365,15 @@ def test_metadata_tables_files_and_snapshots(spark, table):
 
 
 def test_stream_max_versions_per_batch_paces_catchup(spark, tmp_path):
-    """The catch-up rate limit: with max_versions_per_batch=1, a stream
-    over a 4-snapshot table consumes one snapshot per micro-batch
-    instead of all history in one."""
+    """The catch-up rate limit: with max_versions_per_batch=1, appended
+    snapshots arrive one version per micro-batch, never coalesced.
+
+    The FIRST planned batch is deliberately uncapped (latestOffset with
+    no observed offset returns the true latest — the ADVICE r13
+    exactly-once rule), so pacing is asserted from the versions appended
+    AFTER the stream is running."""
     t = EventTable(spark, str(tmp_path), "events")
-    per_version = [5, 3, 4, 2]
-    start = 0
-    for n in per_version:
-        t.append(prepare_events(_batch(spark, start, n)))
-        start += n
+    t.append(prepare_events(_batch(spark, 0, 5)))
     register_zombi_datasource(spark)
     counts = []
     q = (
@@ -389,11 +389,84 @@ def test_stream_max_versions_per_batch_paces_catchup(spark, tmp_path):
 
     deadline = time.time() + 240
     try:
-        while sum(counts) < sum(per_version) and time.time() < deadline:
+        while sum(counts) < 5 and time.time() < deadline:
+            time.sleep(0.5)
+        per_version = [3, 4, 2]
+        start = 5
+        for n in per_version:
+            t.append(prepare_events(_batch(spark, start, n)))
+            start += n
+        while sum(counts) < 5 + sum(per_version) and time.time() < deadline:
             time.sleep(0.5)
     finally:
         q.stop()
-    assert [c for c in counts if c > 0] == per_version
+    # one version per non-empty batch: the first (uncapped) batch held
+    # the only pre-existing version; each appended version is its own
+    # batch — the cap forbids coalescing even when appends outpace
+    # triggers
+    assert [c for c in counts if c > 0] == [5] + per_version
+
+
+def test_stream_latest_offset_uncapped_until_real_offset_observed(spark, tmp_path):
+    """ADVICE r13 (high): a reader whose first call is latestOffset — an
+    idle RESTART, where the checkpointed offset is invisible to the
+    reader — must return the TRUE latest, not a capped seed. A capped
+    seed (earliest=-1 + cap) sits below the committed offset; a
+    regressed offset in the engine's offset log replays versions already
+    consumed, breaking exactly-once. Once partitions() observes a real
+    offset, the cap binds."""
+    from zombi_spark.sources.datasource import ZombiStreamReader
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in (0, 5, 8):
+        t.append(prepare_events(_batch(spark, s, 3)))
+    reader = ZombiStreamReader(
+        t.table_schema(), {"path": t.path, "max_versions_per_batch": "1"}
+    )
+    # first ask, no offset ever observed: true latest, cap NOT applied
+    assert reader.latestOffset() == {"version": 2}
+    # engine replans a batch from the checkpoint: the cap binds after
+    reader.partitions({"version": -1}, {"version": 0})
+    assert reader.latestOffset() == {"version": 1}
+    reader.partitions({"version": 0}, {"version": 1})
+    assert reader.latestOffset() == {"version": 2}
+
+
+def test_stream_capped_idle_restart_stays_exactly_once(spark, tmp_path):
+    """End-to-end pin of the ADVICE r13 regression scenario: consume a
+    multi-version table under max_versions_per_batch, restart the query
+    IDLE (no new snapshots) — nothing may be re-delivered — then append
+    one version and restart again — only the delta arrives."""
+    t = EventTable(spark, str(tmp_path), "events")
+    per_version = [5, 3, 4]
+    start = 0
+    for n in per_version:
+        t.append(prepare_events(_batch(spark, start, n)))
+        start += n
+    register_zombi_datasource(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        local = []
+        q = (
+            spark.readStream.format("zombi")
+            .option("max_versions_per_batch", 1)
+            .load(t.path)
+            .writeStream.foreachBatch(lambda df, bid: local.append(df.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return local
+
+    assert sum(run()) == sum(per_version)
+    # idle restart: the buggy capped-seed latestOffset regressed the
+    # offset log here and replayed history; fixed = zero new rows
+    assert sum(run()) == 0
+    t.append(prepare_events(_batch(spark, start, 2)))
+    assert sum(run()) == 2
+    assert sum(run()) == 0
 
 
 def test_pack_partitions_invariants_fuzzed(tmp_path):
@@ -564,3 +637,112 @@ def test_batch_time_travel_across_compaction(spark, table):
     table.compact(min_input_files=2)
     assert sorted(map(tuple, _load(spark, table, version=1).collect())) == pre
     assert _load(spark, table).count() == 18
+
+
+# ---------------------------------------------------------------- fields
+# option("fields", ...) — manual column projection (VERDICT r13 #1): the
+# Python DataSource API has no column-pruning hook, so the declared
+# schema is the ONLY thing that narrows what executors read.
+
+
+def test_fields_projection_schema_and_values(spark, table):
+    df = _load(spark, table, fields="sequence,timestamp_ms")
+    assert [f.name for f in df.schema.fields] == ["sequence", "timestamp_ms"]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, table.read().select("sequence", "timestamp_ms").collect())
+    )
+    assert got == want
+    # hive partition columns are projectable too (synthesized from the
+    # directory layout, still without touching payload)
+    df2 = _load(spark, table, fields="event_date,sequence")
+    assert [f.name for f in df2.schema.fields] == ["event_date", "sequence"]
+    assert df2.where(F.col("event_date").isNull()).count() == 0
+    assert df2.count() == 18
+
+
+def test_fields_projection_validation(spark, table):
+    with pytest.raises(Exception, match="unknown field"):
+        _load(spark, table, fields="sequence,nope").count()
+    with pytest.raises(Exception, match="does not apply to metadata"):
+        _load(spark, table, metadata="files", fields="file_path").count()
+    # duplicates collapse instead of producing ambiguous columns
+    assert [
+        f.name for f in _load(spark, table, fields="sequence,sequence").schema.fields
+    ] == ["sequence"]
+
+
+def test_fields_projection_never_reads_payload(table, monkeypatch):
+    """The projection contract at the byte level: a projected
+    _read_partition asks parquet for EXACTLY the projected physical
+    columns — payload's column chunks are never requested. (Spied
+    in-process on pyarrow's iter_batches; the executor path runs this
+    same function.)"""
+    import pyarrow.parquet as pq
+
+    from zombi_spark.sources.datasource import (
+        ZombiInputPartition,
+        _read_partition,
+        table_schema_for,
+    )
+
+    full = table_schema_for(table.path)
+    projected = type(full)([f for f in full.fields if f.name in ("sequence", "timestamp_ms")])
+    entries = table.scan_files()
+    part = ZombiInputPartition(
+        slices=[(e["file_path"], {}, None) for e in entries]
+    )
+    asked: list = []
+    real_pf = pq.ParquetFile
+
+    class SpyParquetFile(real_pf):
+        def iter_batches(self, *args, **kwargs):
+            asked.append(kwargs.get("columns"))
+            return super().iter_batches(*args, **kwargs)
+
+    monkeypatch.setattr(pq, "ParquetFile", SpyParquetFile)
+    batches = list(_read_partition(part, projected))
+    assert asked and all(cols == ["sequence", "timestamp_ms"] for cols in asked)
+    assert sum(b.num_rows for b in batches) == 18
+    assert all(b.schema.names == ["sequence", "timestamp_ms"] for b in batches)
+
+
+def test_sql_view_reads_the_format(spark, table):
+    """S15 from pure SQL (SURVEY §2.1 'any engine reads the table'):
+    register_zombi_view binds the format's options into a temp view any
+    spark.sql query can read — projection (fields), time travel, and
+    row-correct filters included. (A CREATE TABLE ... USING zombi table
+    cannot work: PySpark 4.1 hands the Python data source an EMPTY
+    options dict at scan planning, so the helper + view is the SQL
+    surface — see register_zombi_view's docstring.)"""
+    from zombi_spark.sources.datasource import register_zombi_view
+
+    register_zombi_view(
+        spark, "zombi_sql_events", table.path, fields="sequence,timestamp_ms,event_hour"
+    )
+    try:
+        got = sorted(
+            map(
+                tuple,
+                spark.sql(
+                    "SELECT sequence, timestamp_ms, event_hour "
+                    "FROM zombi_sql_events WHERE event_hour >= 1"
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                table.read()
+                .where("event_hour >= 1")
+                .select("sequence", "timestamp_ms", "event_hour")
+                .collect(),
+            )
+        )
+        assert got == want and got
+        # time travel through a view, SQL-side aggregation
+        register_zombi_view(spark, "zombi_sql_v0", table.path, version=0)
+        assert spark.sql("SELECT count(*) AS n FROM zombi_sql_v0").first()["n"] == 12
+    finally:
+        spark.catalog.dropTempView("zombi_sql_events")
+        spark.catalog.dropTempView("zombi_sql_v0")

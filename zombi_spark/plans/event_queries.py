@@ -457,8 +457,11 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10 through the registered ``zombi`` format: a time-range scan of
     the committed table via ``spark.read.format("zombi")`` — pushed
     filters prune files by manifest bounds, Spark re-applies them
-    row-level (sources/datasource.py). The oracle replays the write
-    path's sequence assignment + the range predicate relationally."""
+    row-level (sources/datasource.py). ``option("fields")`` narrows the
+    read to the projected columns — without it the Python DataSource API
+    (no pruning hook) ships every column, payload binary included,
+    through Arrow. The oracle replays the write path's sequence
+    assignment + the range predicate relationally."""
     from zombi_spark.shipping import ensure_package_on_workers
     from zombi_spark.sources.datasource import register_zombi_datasource
 
@@ -469,6 +472,7 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     until_ms = 1704067200000 + 9 * 24 * 3600 * 1000  # 2024-01-10
     return (
         spark.read.format("zombi")
+        .option("fields", "partition,sequence,timestamp_ms,event_hour")
         .load(table.path)
         .where((F.col("timestamp_ms") >= since_ms) & (F.col("timestamp_ms") < until_ms))
         .select("partition", "sequence", "timestamp_ms", "event_hour")

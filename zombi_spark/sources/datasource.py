@@ -18,7 +18,11 @@ gives any Spark user
   directory values. Pruning is an *optimization, never a correctness
   gate*: every filter is returned to Spark as unhandled, so Spark
   re-applies it row-level (file bounds admit a value; only rows prove
-  it) and a file with no stats is scanned, not skipped.
+  it) and a file with no stats is scanned, not skipped. Column
+  projection is MANUAL — ``.option("fields", "sequence,timestamp_ms")``
+  (the reference's ``?fields=``, handlers.rs:737-764) — because the
+  Python DataSource API has no pruning hook; without it a read ships
+  every column (payload included) through Arrow whatever the select.
 - ``spark.readStream.format("zombi").load(table_path)`` — an incremental
   append-only stream (the Iceberg incremental-scan / reference consumer
   offsets analogue, SPEC.md:658-661, rocksdb.rs:396-398): offsets are
@@ -301,7 +305,15 @@ def _file_slices(entry: dict, hive: dict, max_bytes: int) -> list:
     rule), row-group ranges packed to ~max_bytes above it. The footer
     read happens only for oversized files — O(large files), not
     O(files) — and any failure falls back to one whole-file slice
-    (splitting is parallelism, never correctness)."""
+    (splitting is parallelism, never correctness).
+
+    Unit note: the split TRIGGER compares the manifest's on-disk
+    (compressed) file size to max_bytes, while row-group packing uses
+    ``total_byte_size`` (uncompressed — the better proxy for task
+    memory, and the only per-group size the parquet footer exposes).
+    Mixing them is conservative in the right direction: a file small
+    on disk is never split, and once split, groups are packed by the
+    larger uncompressed measure, so slices err toward smaller tasks."""
     size = entry.get("file_size_bytes") or 0
     path = entry["file_path"]
     whole = [(path, hive, None, max(size, _OPEN_COST_BYTES))]
@@ -485,8 +497,13 @@ class ZombiStreamReader(DataSourceStreamReader):
         # (the Python stream API has no ReadLimit hook), so availableNow
         # catch-up runs uncapped — pacing applies to processingTime /
         # continuous triggers; and latestOffset() has no view of the
-        # checkpointed start, so the first batch after a RESTART is
-        # planned uncapped; every later batch advances ≤ N versions.
+        # checkpointed start, so the FIRST batch a reader instance plans
+        # (query start or restart) is uncapped; every later batch
+        # advances ≤ N versions. Uncapped-first is a correctness rule,
+        # not a shortcut: capping a guessed seed could return an offset
+        # BELOW the checkpointed committed offset, and a regressed
+        # offset in the engine's offset log replays already-consumed
+        # versions — breaking exactly-once (ADVICE r13).
         n = int(options.get("max_versions_per_batch", 0))
         self._max_versions = n if n > 0 else None
         self._last_end: int | None = None
@@ -512,17 +529,20 @@ class ZombiStreamReader(DataSourceStreamReader):
         return {"version": v}
 
     def latestOffset(self) -> dict:
-        if self._last_end is None:
-            # the micro-batch engine asks for the latest offset BEFORE
-            # initialOffset on a fresh query (observed in 4.1) — seed
-            # from the starting rule so the cap binds on batch 1. On a
-            # restart whose last batch was uncommitted, the engine
-            # replays it through partitions() first, which re-seeds
-            # from the checkpoint; on an idle restart this seed can sit
-            # below the checkpoint for one empty batch, after which
-            # partitions() clamps it forward (see __init__ caveats).
-            self._last_end = int(self.initialOffset()["version"])
         latest = self._latest()
+        if self._last_end is None:
+            # First ask in this reader's lifetime. The engine may be on a
+            # fresh query (it asks for latestOffset before initialOffset
+            # in 4.1) or RESTARTING from a checkpoint this reader cannot
+            # see. Return the TRUE latest, uncapped: seeding from the
+            # starting rule and capping that seed could hand back an
+            # offset below the checkpointed committed offset, which the
+            # engine would record and then replay already-consumed
+            # versions from — duplicate delivery (ADVICE r13). The true
+            # latest is always ≥ any committed offset (versions only
+            # grow), so this can never regress; the cap starts binding
+            # once partitions() has observed a real offset.
+            return {"version": latest}
         if self._max_versions is not None:
             latest = min(latest, self._last_end + self._max_versions)
         return {"version": latest}
@@ -620,15 +640,39 @@ class ZombiDataSource(DataSource):
 
     def schema(self) -> StructType:
         mode = self.options.get("metadata")
-        if mode == "files":
-            return _meta_schema(_FILES_FIELDS)
-        if mode == "snapshots":
-            return _meta_schema(_SNAPSHOTS_FIELDS)
+        fields = self.options.get("fields")
         if mode is not None:
+            if fields:
+                raise ValueError("'fields' does not apply to metadata tables")
+            if mode == "files":
+                return _meta_schema(_FILES_FIELDS)
+            if mode == "snapshots":
+                return _meta_schema(_SNAPSHOTS_FIELDS)
             raise ValueError(
                 f"unknown metadata table {mode!r}: expected 'files' or 'snapshots'"
             )
-        return table_schema_for(_resolve_path(dict(self.options)))
+        full = table_schema_for(_resolve_path(dict(self.options)))
+        if not fields:
+            return full
+        # option("fields", "a,b") — MANUAL column projection, the
+        # reference's ?fields= parameter (handlers.rs:737-764). Needed
+        # because PySpark 4.1's Python DataSource API has no
+        # column-pruning hook (DataSourceReader exposes only
+        # partitions/pushFilters/read), so without it every batch read
+        # ships ALL table columns — payload binary included — through
+        # Arrow regardless of the query's select. Narrowing the declared
+        # schema narrows the executor-side parquet reads too
+        # (_read_partition reads only the schema's names).
+        by_name = {f.name: f for f in full.fields}
+        names = [c.strip() for c in fields.split(",") if c.strip()]
+        unknown = [c for c in names if c not in by_name]
+        if unknown:
+            raise ValueError(
+                f"unknown field(s) {unknown}; known: {tuple(by_name)}"
+            )
+        seen: set = set()
+        deduped = [c for c in names if not (c in seen or seen.add(c))]
+        return StructType([by_name[c] for c in deduped])
 
     def reader(self, schema: StructType) -> DataSourceReader:
         if self.options.get("metadata") is not None:
@@ -653,10 +697,37 @@ def table_schema_for(path: str) -> StructType:
 def register_zombi_datasource(spark) -> None:
     """Idempotent ``spark.dataSource.register`` of the zombi format.
 
-    Also flips ``spark.sql.python.filterPushdown.enabled`` (a runtime SQL
-    conf, default false in Spark 4.1): without it Spark refuses to plan a
-    reader that implements ``pushFilters`` at all, and the manifest-bound
-    file skipping above is the entire point of this source.
+    SESSION-GLOBAL SIDE EFFECT (deliberate, ADVICE r13): also enables
+    ``spark.sql.python.filterPushdown.enabled`` — a runtime SQL conf,
+    default false in Spark 4.1, scoped to the whole session and hence to
+    every OTHER Python data source registered in it. Without it Spark
+    refuses to plan a reader that implements ``pushFilters`` at all, and
+    the manifest-bound file skipping above is the entire point of this
+    source. The set is skipped when the conf is already true, so a
+    caller who manages the conf themselves sees no write.
     """
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") != "true":
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ZombiDataSource)
+
+
+def register_zombi_view(spark, view_name: str, path: str | None = None, **options):
+    """The pure-SQL surface of the format: a temp view over
+    ``spark.read.format("zombi")`` so any ``spark.sql`` query reads the
+    table (pushed filters and ``fields`` projection included — filters
+    on a view reach the reader's pushFilters unchanged).
+
+    A temp view, NOT ``CREATE TABLE ... USING zombi``, deliberately:
+    PySpark 4.1 drops a SQL table's OPTIONS when it plans the scan of a
+    Python data source (the reader is constructed with an empty options
+    dict — verified empirically; schema() sees them, reader() does not),
+    so a catalog table can never find its path. The view binds the
+    options at registration instead. Returns the bound DataFrame.
+    """
+    register_zombi_datasource(spark)
+    reader = spark.read.format("zombi")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load(path) if path is not None else reader.load()
+    df.createOrReplaceTempView(view_name)
+    return df

@@ -88,6 +88,38 @@ def column_bounds(df: DataFrame, columns: list[str]) -> dict[str, tuple]:
     }
 
 
+def validate_clustering_spec(strategy: str, sort_columns: list[str] | None) -> None:
+    """Static validation of a (strategy, sort_columns) pair — no
+    DataFrame, no bounds scan. Shared by :func:`clustering_sort_columns`
+    at rewrite time and :class:`~zombi_spark.table.maintenance.
+    MaintenancePolicy` at CONSTRUCTION, so a misconfigured scheduled
+    recluster (zorder with 1 column, a non-clusterable column) fails
+    fast instead of erroring on every tick forever (ADVICE r13)."""
+    if strategy == "binpack":
+        return
+    if strategy not in ("sort", "zorder"):
+        raise ValueError(f"unknown strategy {strategy!r}: binpack | sort | zorder")
+    if not sort_columns:
+        raise ValueError(f"strategy {strategy!r} requires sort_columns")
+    unknown = [c for c in sort_columns if c not in CLUSTERABLE_COLUMNS]
+    if unknown:
+        raise ValueError(
+            f"cannot cluster on {unknown}: per-file bounds exist only for "
+            f"{CLUSTERABLE_COLUMNS} (manifests._BOUND_COLS) — clustering on "
+            "anything else would reorder data no reader can prune on"
+        )
+    if strategy == "zorder":
+        non_numeric = [c for c in sort_columns if c not in ZORDERABLE_COLUMNS]
+        if non_numeric:
+            raise ValueError(
+                f"z-order needs numeric columns ({ZORDERABLE_COLUMNS}); "
+                f"got {non_numeric} — use strategy='sort' for strings"
+            )
+        k = len(sort_columns)
+        if not 2 <= k <= 3:
+            raise ValueError(f"z-order wants 2-3 columns, got {k}")
+
+
 def clustering_sort_columns(
     df: DataFrame, strategy: str, sort_columns: list[str] | None
 ) -> list[Column]:
@@ -102,26 +134,10 @@ def clustering_sort_columns(
     Every strategy preserves rows exactly; only the LAYOUT (and hence the
     per-file bounds) changes.
     """
+    validate_clustering_spec(strategy, sort_columns)
     if strategy == "binpack":
         return [F.col("timestamp_ms"), F.col("sequence")]
-    if not sort_columns:
-        raise ValueError(f"strategy {strategy!r} requires sort_columns")
-    unknown = [c for c in sort_columns if c not in CLUSTERABLE_COLUMNS]
-    if unknown:
-        raise ValueError(
-            f"cannot cluster on {unknown}: per-file bounds exist only for "
-            f"{CLUSTERABLE_COLUMNS} (manifests._BOUND_COLS) — clustering on "
-            "anything else would reorder data no reader can prune on"
-        )
     if strategy == "sort":
         return [F.col(c) for c in sort_columns]
-    if strategy == "zorder":
-        non_numeric = [c for c in sort_columns if c not in ZORDERABLE_COLUMNS]
-        if non_numeric:
-            raise ValueError(
-                f"z-order needs numeric columns ({ZORDERABLE_COLUMNS}); "
-                f"got {non_numeric} — use strategy='sort' for strings"
-            )
-        bounds = column_bounds(df, sort_columns)
-        return [zorder_value(sort_columns, bounds)]
-    raise ValueError(f"unknown strategy {strategy!r}: binpack | sort | zorder")
+    bounds = column_bounds(df, sort_columns)
+    return [zorder_value(sort_columns, bounds)]

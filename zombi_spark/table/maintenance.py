@@ -82,8 +82,14 @@ class MaintenancePolicy:
         self.expire_keep_last = expire_keep_last
         self.orphan_older_than_s = orphan_older_than_s
         self.retention_ms = retention_ms
-        if recluster_every_s is not None and not recluster_columns:
-            raise ValueError("recluster_every_s needs recluster_columns")
+        if recluster_every_s is not None:
+            if not recluster_columns:
+                raise ValueError("recluster_every_s needs recluster_columns")
+            # fail fast at CONSTRUCTION: a bad (strategy, columns) pair
+            # would otherwise error on every tick forever (ADVICE r13)
+            from zombi_spark.table.clustering import validate_clustering_spec
+
+            validate_clustering_spec(recluster_strategy, recluster_columns)
         self.recluster_every_s = recluster_every_s
         self.recluster_strategy = recluster_strategy
         self.recluster_columns = recluster_columns
@@ -91,6 +97,11 @@ class MaintenancePolicy:
         #: monotonic time of the last SUCCESSFUL re-cluster (None = never;
         #: the first tick with a window configured is immediately due)
         self._last_recluster: float | None = None
+        #: table version observed right after the last successful
+        #: re-cluster — a due window with an UNCHANGED version is skipped
+        #: (no data landed; a rewrite_all would churn every file and a
+        #: snapshot for nothing, ADVICE r13)
+        self._last_recluster_version: int | None = None
         self._clock = clock
         #: wall clock (epoch seconds) for the retention cutoff — data ages
         #: by timestamp_ms, an epoch quantity, so it CANNOT use the
@@ -173,6 +184,10 @@ class MaintenancePolicy:
                     self._last_recluster is None
                     or now - self._last_recluster >= self.recluster_every_s
                 )
+                # change detection: version unchanged since the last
+                # successful re-cluster ⇒ the layout is already the one
+                # that rewrite would produce — skip the churn
+                and self.table.latest_version() != self._last_recluster_version
             ),
         }
 
@@ -242,6 +257,9 @@ class MaintenancePolicy:
                     target_files_per_partition=self.recluster_target_files,
                 )
                 self._last_recluster = self._clock()
+                # record the post-rewrite version: the rewrite's own
+                # commit must not look like "new data" next window
+                self._last_recluster_version = self.table.latest_version()
                 self._backlog_since = None
                 return r
 
