@@ -25,9 +25,11 @@ OPS = [
 def _real_shaped_inputs():
     """Sized like the real sf0.1 artifact (the shape that exercised the
     flat rung in round 12)."""
+    # the r14 headline shape: in-suite/best-probe rates and the static
+    # nprobe sweep moved to the detail line; their chars fund the r14
+    # gates (dsv2 projection element, dsv2_st, zorder, vis_ms, 5-point
+    # load_avg)
     hot = {
-        "ingest_events_per_s": 58620,
-        "ingest_isolated": 58982,
         "ing_probes": [[58982, 5.7], [56035, 7.5], [36701, 5.3]],
         "ing_core_s": 6047,
         "app_iso_ms": 1881,
@@ -40,15 +42,17 @@ def _real_shaped_inputs():
             "ivf_cl": 1.0,
             "pq_cl": 0.95,
             "ivfpq_cl": 0.95,
-            "ivf_np": [0.175, 0.65],
         },
         "ivfpq": [2.09, 42, 64],
         "ivf_large": [3.15, 1.73, 107, 255, 1],
         "pipe_e2e": [45.7, [5000, 4992, 4920, 4917, 4917, 4269, 4490, 579, 4043]],
-        "dsv2": [1.23, 48, 720],
+        "dsv2": [1.23, 48, 720, 1.68],
+        "dsv2_st": [4, 3, 61234],
+        "zorder": [24, 4, 96, 5.21],
+        "vis_ms": [1534.2, 2871.9],
         "tail_ms": [10.0, 154.8],
         "maint": [1440, 720, 6],
-        "load_avg": [3.8, 4.7, 5.1],
+        "load_avg": [3.8, 4.7, 4.9, 4.6, 5.1],
     }
     # cell values mirror the measured r12 artifact (x10 mostly seconds,
     # one 17s outlier; rows ratios mostly integral) — the budget math is
@@ -116,12 +120,13 @@ def test_real_shaped_artifact_keeps_every_gate_under_budget():
     for k in (
         "ing_probes",
         "ing_core_s",
-        "app_iso_ms",
-        "compact_iso",
         "ivfpq",
         "ivf_large",
         "pipe_e2e",
         "dsv2",
+        "dsv2_st",
+        "zorder",
+        "vis_ms",
         "tail_ms",
         "maint",
         "recall_at_5",
@@ -157,11 +162,12 @@ def test_moderate_growth_sheds_derivable_keys_not_scale():
     assert d["error_count"] == 2
     assert "scale" in ex and "scale_overflow" not in ex
     if ex.get("hot_trim"):
-        # the shed keys are derivable: best probe from ing_probes, the
-        # static nprobe sweep from the detail line
-        assert "ingest_isolated" not in ex
+        # the shed keys have full-precision detail-line twins
+        # (isolated_probes, pipeline_e2e_rows); the gates all survive
         assert ex["ing_probes"]
-        assert "ivf_np" not in ex["recall_at_5"]
+        assert "app_iso_ms" not in ex
+        for k in ("dsv2", "dsv2_st", "zorder", "vis_ms", "ivfpq", "tail_ms"):
+            assert k in ex, k
 
 
 def test_overflow_is_loud_and_line_stays_parseable():
