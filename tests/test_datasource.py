@@ -746,3 +746,23 @@ def test_sql_view_reads_the_format(spark, table):
     finally:
         spark.catalog.dropTempView("zombi_sql_events")
         spark.catalog.dropTempView("zombi_sql_v0")
+
+
+def test_fields_projection_applies_to_stream_reads(spark, table, tmp_path):
+    """One shared schema(): option("fields") narrows readStream exactly
+    as it narrows batch reads."""
+    seen: list = []
+    q = (
+        spark.readStream.format("zombi")
+        .option("fields", "sequence,partition")
+        .load(table.path)
+        .writeStream.foreachBatch(
+            lambda df, bid: seen.append((df.columns, df.count()))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt-fields"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    assert sum(n for _, n in seen) == 18
+    assert all(cols == ["sequence", "partition"] for cols, _ in seen)

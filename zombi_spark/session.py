@@ -23,6 +23,20 @@ def get_spark(app_name: str = "zombi-spark", shuffle_partitions: int | None = No
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # The streaming-source planner for Python data sources is a SEPARATE
+    # driver-side Python process that must `import zombi_spark` on its
+    # own — sc.addPyFile (shipping.py) reaches executors but not that
+    # runner. Its env comes from the JVM, which inherits THIS process's
+    # env at gateway launch, so exporting PYTHONPATH before getOrCreate
+    # makes `readStream.format("zombi")` work from any working
+    # directory. No-op when the JVM is already up (first caller wins —
+    # that caller's cwd/sys.path already resolved the package).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -51,6 +51,13 @@ cannot assign cross-task-monotonic sequences without re-implementing
 that machinery outside the table; it would be a second, weaker write
 path, not a feature.
 
+Deployment note: the stream-side planner is a separate driver-side
+Python process that must ``import zombi_spark`` on its own —
+``sc.addPyFile`` reaches executors but not that runner. Run from the
+repo root, install the package, or create the session through
+:func:`zombi_spark.session.get_spark`, which exports the package onto
+PYTHONPATH before the JVM (and hence the runner's env) launches.
+
 Metadata access is session-free by construction: the snapshot log is
 JSON on disk, and every :class:`EventTable` method used here
 (``latest_version`` / ``scan_files`` / ``added_files`` /
