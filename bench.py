@@ -375,27 +375,25 @@ def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
         q_datasource_scan,
     )
     from zombi_spark.plans.plan_cache import session_cache
-    from zombi_spark.sources.datasource import ZombiBatchReader
+    from zombi_spark.sources.datasource import (
+        ZombiBatchReader,
+        register_zombi_datasource,
+    )
 
+    register_zombi_datasource(spark)
     t0 = time.perf_counter()
     table = _materialized_event_table(spark, sf_dir)
     extras["dsv2_build_sec"] = round(time.perf_counter() - t0, 4)
     try:
-        runs = []
-        rows = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            rows = q_datasource_scan(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        extras["dsv2_scan_sec"] = round(min(runs), 4)
-        extras["dsv2_scan_runs"] = [round(x, 4) for x in runs]
-        extras["dsv2_scan_rows"] = rows
-        # the r14 projection win, measured: the same pushed-range scan
-        # WITHOUT option("fields") ships all 8 columns (payload binary
-        # included) through Arrow — scan_sec vs this is what the manual
-        # projection buys (the Python DataSource API has no pruning hook)
+        # the r14 projection win, measured: q_datasource_scan projects
+        # via option("fields"); `unprojected` is the SAME pushed-range
+        # scan without it (all 8 columns, payload binary included,
+        # through Arrow — the Python DataSource API has no pruning
+        # hook). Runs ALTERNATE so co-tenant weather hits both sides
+        # equally; min-of-2 each, same as every other number here.
         from pyspark.sql import functions as F
 
+        projected = q_datasource_scan(spark, sf_dir)  # option("fields") inside
         unprojected = (
             spark.read.format("zombi")
             .load(table.path)
@@ -405,12 +403,21 @@ def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
             )
             .select("partition", "sequence", "timestamp_ms", "event_hour")
         )
+        runs = []
         runs_u = []
+        rows = None
         for _ in range(2):
+            t0 = time.perf_counter()
+            rows = projected.count()
+            runs.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             unprojected.count()
             runs_u.append(time.perf_counter() - t0)
+        extras["dsv2_scan_sec"] = round(min(runs), 4)
+        extras["dsv2_scan_runs"] = [round(x, 4) for x in runs]
+        extras["dsv2_scan_rows"] = rows
         extras["dsv2_scan_unprojected_sec"] = round(min(runs_u), 4)
+        extras["dsv2_scan_unprojected_runs"] = [round(x, 4) for x in runs_u]
         # the plan the pushed range produces (driver-side introspection of
         # the same reader class Spark instantiates)
         since_ms = 1704067200000 + 7 * 24 * 3600 * 1000
@@ -618,8 +625,6 @@ def run_visibility_bench(spark, tmp: str, extras: dict) -> None:
     import json as _json
     import urllib.request
 
-    from pyspark.sql import functions as F
-
     from zombi_spark.sources.datasource import register_zombi_datasource
     from zombi_spark.streaming.http_edge import HttpIngestEdge
     from zombi_spark.streaming.ingest import StreamingIngest
@@ -685,6 +690,11 @@ def run_visibility_bench(spark, tmp: str, extras: dict) -> None:
             deadline = time.time() + 60
             while -1 not in _snap_markers() and time.time() < deadline:
                 time.sleep(0.1)
+            if -1 not in _snap_markers():
+                raise RuntimeError(
+                    "warmup event never became snapshot-visible in 60s — "
+                    "ingest loop or data source misconfigured"
+                )
             # one timed poll cycle = the measurement resolution floor
             t0 = time.perf_counter()
             _snap_markers()
