@@ -35,7 +35,6 @@ def _real_shaped_inputs():
         "app_iso_ms": 1881,
         "compact_iso": [2.28, 5.4],
         "append_p50_ms": 1266,
-        "compact_sec": 1.97,
         "recall_at_5": {
             "lsh_iso": 0.675,
             "lsh_cl": 0.95,

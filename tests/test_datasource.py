@@ -766,3 +766,24 @@ def test_fields_projection_applies_to_stream_reads(spark, table, tmp_path):
     assert q.awaitTermination(180)
     assert sum(n for _, n in seen) == 18
     assert all(cols == ["sequence", "partition"] for cols, _ in seen)
+
+
+def test_fields_projection_parity_across_subsets(spark, table):
+    """Projection must never change values, only columns: for assorted
+    subsets (reversed order, hive-only, payload-only, binary+date mix),
+    the projected read equals the full read's select, column order as
+    requested."""
+    full = table.read()
+    for fields in (
+        "timestamp_ms,sequence",               # reversed vs table order
+        "event_hour,event_date",               # hive columns only
+        "payload",                             # the binary column alone
+        "idempotency_key,payload,event_date",  # nullable + binary + date
+        "topic,partition,sequence,timestamp_ms,payload,event_date,event_hour,idempotency_key",
+    ):
+        names = fields.split(",")
+        df = _load(spark, table, fields=fields)
+        assert [f.name for f in df.schema.fields] == names, fields
+        got = sorted(map(tuple, df.collect()))
+        want = sorted(map(tuple, full.select(*names).collect()))
+        assert got == want, fields
