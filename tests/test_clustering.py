@@ -252,3 +252,115 @@ def test_clustered_rewrite_over_http(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(bad, timeout=600)
         assert exc_info.value.code == 400
+
+        # r14 partition scoping over HTTP: a scope naming no real dir is
+        # a clean no-op (0 files rewritten), not an error
+        import urllib.parse as _up
+
+        scoped = urllib.request.Request(
+            f"{srv.base_url}/tables/http-cluster/compact?rewrite_all=true"
+            f"&min_input_files=1&partitions={_up.quote('no/such=dir')}",
+            data=b"",
+            method="POST",
+        )
+        with urllib.request.urlopen(scoped, timeout=600) as resp:
+            body = _json.loads(resp.read())
+        assert body["files_rewritten"] == 0
+
+
+def _two_hour_batch(spark, start, n, hour):
+    """Rows interleaving producer partitions inside ONE given hour —
+    lets a table span two storage partitions deterministically."""
+    rows = [
+        (
+            "t",
+            i % 8,
+            f"p{i}".encode(),
+            T0 + hour * 3_600_000 + (i * 7919) % 3_600_000,
+            None,
+            i,
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_compact_partitions_scope_limits_the_rewrite(spark, tmp_path):
+    """compact(partitions=[dir]) touches ONLY the named storage
+    partition: the other dir's file paths survive byte-identical — the
+    Iceberg rewrite_data_files(where => ...) shape at partition
+    granularity."""
+    t = EventTable(spark, str(tmp_path), "scoped")
+    for s in range(2):
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=0)))
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=1)))
+    dirs = sorted({f["partition_dir"] for f in t.files()})
+    assert len(dirs) == 2
+    before = t.read().count()
+    other_files = {f["file_path"] for f in t.files() if f["partition_dir"] == dirs[1]}
+    r = t.compact(
+        strategy="sort",
+        sort_columns=["partition", "timestamp_ms"],
+        rewrite_all=True,
+        min_input_files=1,
+        partitions=[dirs[0]],
+    )
+    assert r["partitions"] == [dirs[0]]
+    after_other = {f["file_path"] for f in t.files() if f["partition_dir"] == dirs[1]}
+    assert after_other == other_files  # untouched dir keeps its exact files
+    assert t.read().count() == before
+    # scoping to a dir with nothing to rewrite is a snapshot-free no-op
+    assert t.compact(partitions=["nope"], rewrite_all=True, min_input_files=1)["noop"]
+
+
+def test_policy_recluster_is_incremental_after_first_rewrite(spark, tmp_path):
+    """The scheduled re-cluster rewrites ONLY dirty partitions (r14):
+    after the initial full rewrite, an append into one hour dirties that
+    dir alone — the next window's rewrite names just it and the clean
+    dir's files survive untouched. A binpack compact also dirties its
+    dirs (it de-clusters them), so the window after one re-clusters
+    them again."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "incr")
+    for s in range(2):
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=0)))
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=1)))
+    dirs = sorted({f["partition_dir"] for f in t.files()})
+    fake = {"now": 0.0}
+    policy = MaintenancePolicy(
+        t,
+        recluster_every_s=100.0,
+        recluster_columns=["timestamp_ms", "partition"],
+        recluster_target_files=2,
+        compact_trigger_files=10**9,
+        compact_max_age_s=10**9,
+        clock=lambda: fake["now"],
+    )
+    acts = policy.run_due()
+    first = [a for a in acts if a["action"] == "recluster"]
+    assert first and first[0]["ok"]
+    assert first[0]["result"]["partitions"] == dirs  # initial: full table
+
+    # dirty ONE dir with an append; the other stays clean
+    t.append(prepare_events(_two_hour_batch(spark, 500, 60, hour=0)))
+    clean_files = {f["file_path"] for f in t.files() if f["partition_dir"] == dirs[1]}
+    fake["now"] = 150.0
+    acts = policy.run_due()
+    second = [a for a in acts if a["action"] == "recluster"]
+    assert second and second[0]["ok"]
+    assert second[0]["result"]["partitions"] == [dirs[0]]  # only the dirty dir
+    assert {
+        f["file_path"] for f in t.files() if f["partition_dir"] == dirs[1]
+    } == clean_files
+
+    # a plain binpack compact de-clusters dirs[1] -> dirty again
+    t.append(prepare_events(_two_hour_batch(spark, 600, 60, hour=1)))
+    t.compact(min_input_files=1)  # binpack over the small files
+    fake["now"] = 300.0
+    acts = policy.run_due()
+    third = [a for a in acts if a["action"] == "recluster"]
+    assert third and third[0]["ok"]
+    assert dirs[1] in third[0]["result"]["partitions"]
+    # every row still present after three generations of rewrites
+    assert t.read().count() == 520

@@ -491,6 +491,15 @@ class _Handler(BaseHTTPRequestHandler):
                                 target_files_per_partition=int(
                                     _q.get("target_files_per_partition", 1)
                                 ),
+                                # r14 partition scoping (incremental
+                                # maintenance): comma-separated storage
+                                # partition dirs, e.g.
+                                # partitions=event_date=.../event_hour=0
+                                partitions=(
+                                    _q["partitions"].split(",")
+                                    if "partitions" in _q
+                                    else None
+                                ),
                             )
                         except ValueError as exc:
                             status, body = _err(400, str(exc))

@@ -1333,6 +1333,27 @@ class EventTable:
                 out.extend(self._norm_entry(e) for e in snap.get("added", []))
         return out
 
+    def changed_partitions(self, since_version: int | None) -> set[str]:
+        """Storage partition dirs whose FILE SET changed in versions
+        ``(since_version, latest]`` — the dirty set for incremental
+        maintenance (scheduled re-clustering rewrites only these instead
+        of ``rewrite_all``). Unlike :meth:`added_files`, EVERY operation
+        counts: an append dirties its dirs with new data, and a binpack
+        compact dirties its dirs by re-sorting them out of any clustered
+        layout — both need re-clustering. O(snapshots in range) metadata
+        reads, no data files opened."""
+        latest = self.latest_version()
+        if latest is None:
+            return set()
+        start = 0 if since_version is None else since_version + 1
+        out: set[str] = set()
+        for v in range(start, latest + 1):
+            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            for e in snap.get("added", []):
+                out.add(self._norm_entry(e).get("partition_dir") or "")
+        out.discard("")
+        return out
+
     def read_changes(self, from_version: int | None, to_version: int | None = None) -> DataFrame:
         """Incremental read: rows appended in ``(from_version, to_version]``
         — the Iceberg changelog/incremental-scan analogue. A downstream
@@ -1824,6 +1845,7 @@ class EventTable:
         strategy: str = "binpack",
         sort_columns: list[str] | None = None,
         rewrite_all: bool = False,
+        partitions: list[str] | set[str] | None = None,
     ) -> dict:
         """M1 small-file compaction (compaction.rs:128-396).
 
@@ -1850,6 +1872,12 @@ class EventTable:
         pre-compact snapshot with all inputs intact; a crash after it
         leaves the inputs on disk for older snapshots until expiration.
 
+        ``partitions`` scopes the rewrite to the named storage partition
+        dirs (Iceberg's ``rewrite_data_files(where => ...)`` at partition
+        granularity): the incremental-maintenance shape — at 100 TB a
+        scheduled re-cluster rewrites the dirs
+        :meth:`changed_partitions` reports dirty, never the whole table.
+
         If an append commits concurrently, the commit raises
         :class:`CommitConflictError` and this method REBASES once: inputs
         are immutable and the append only added files, so re-committing
@@ -1857,8 +1885,11 @@ class EventTable:
         exactly Iceberg's optimistic-retry path (iceberg_storage.rs:360-374).
         """
         expected_parent = self.latest_version()
+        scope = set(partitions) if partitions is not None else None
         by_partition: dict[str, list[dict]] = {}
         for f in self.files():
+            if scope is not None and f["partition_dir"] not in scope:
+                continue
             if rewrite_all or f["file_size_bytes"] < small_file_bytes:
                 by_partition.setdefault(f["partition_dir"], []).append(f)
         candidates = {p: fs for p, fs in by_partition.items() if len(fs) >= min_input_files}

@@ -245,16 +245,29 @@ class MaintenancePolicy:
                 lambda: self.table.expire_data_older_than(cutoff),
             )
         if ev["recluster_due"]:
-            # a full re-layout subsumes this tick's small-file compact
-            # (rewrite_all covers every active file), so compact is
-            # skipped when both fire — one rewrite, not two
+            # a re-layout subsumes this tick's small-file compact for the
+            # dirty partitions, so compact is skipped when both fire —
+            # one rewrite, not two. INCREMENTAL (r14): only the storage
+            # partitions whose file set changed since the last successful
+            # rewrite are re-clustered (appends bring new data; an
+            # intermediate binpack compact de-clusters a dir — both make
+            # it dirty, changed_partitions counts both). The first
+            # rewrite (no prior version) covers the whole table; at
+            # 100 TB every later window costs O(dirty dirs), never a
+            # full-table rewrite.
             def _recluster():
+                dirty = (
+                    None
+                    if self._last_recluster_version is None
+                    else self.table.changed_partitions(self._last_recluster_version)
+                )
                 r = self.table.compact(
                     strategy=self.recluster_strategy,
                     sort_columns=self.recluster_columns,
                     rewrite_all=True,
                     min_input_files=1,
                     target_files_per_partition=self.recluster_target_files,
+                    partitions=dirty,
                 )
                 self._last_recluster = self._clock()
                 # record the post-rewrite version: the rewrite's own
