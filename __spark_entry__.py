@@ -235,6 +235,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_fingerprint": PQ.q_doc_fingerprint,  # rotated out r10
             "explode_tokens": RQ.q_explode_array,  # rotated out r11
             "ts_range_scan": EQ.q_timestamp_range,  # rotated out r13
+            "sql_view_agg": EQ.q_sql_view_agg,  # r14: S15 via pure SQL
         }.items()
     }
 
@@ -1280,6 +1281,22 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM ev
         WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
         ORDER BY timestamp_ms, arrival
+        """,
+        "sql_view_agg": _EV
+        + """
+        , seq AS (
+          SELECT partition, timestamp_ms,
+                 CAST(row_number() OVER (PARTITION BY topic, partition
+                                         ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT partition,
+               count(*) AS n_events,
+               max(sequence) AS max_seq,
+               min(timestamp_ms) AS first_ts
+        FROM seq
+        WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
+        GROUP BY partition
         """,
         "small_qty_revenue": """
         WITH aq AS (

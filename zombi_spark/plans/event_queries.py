@@ -477,3 +477,37 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("timestamp_ms") >= since_ms) & (F.col("timestamp_ms") < until_ms))
         .select("partition", "sequence", "timestamp_ms", "event_hour")
     )
+
+
+def q_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 from pure SQL (r14): ``register_zombi_view`` binds the format
+    — ``fields`` projection included — into a temp view, and the query
+    is ``spark.sql`` text: the range predicate reaches the reader's
+    ``pushFilters`` through the view, the projection keeps payload bytes
+    off the wire, and the aggregation runs on the view's rows. The
+    oracle replays the write path's sequence assignment relationally
+    (same contract as ``datasource_scan``)."""
+    from zombi_spark.shipping import ensure_package_on_workers
+    from zombi_spark.sources.datasource import register_zombi_view
+
+    ensure_package_on_workers(spark)
+    table = _materialized_event_table(spark, sf_dir)
+    register_zombi_view(
+        spark,
+        "zombi_events_sql_v",
+        table.path,
+        fields="partition,sequence,timestamp_ms",
+    )
+    since_ms = 1704067200000 + 7 * 24 * 3600 * 1000  # 2024-01-08
+    until_ms = 1704067200000 + 9 * 24 * 3600 * 1000  # 2024-01-10
+    return spark.sql(
+        f"""
+        SELECT partition,
+               count(*) AS n_events,
+               max(sequence) AS max_seq,
+               min(timestamp_ms) AS first_ts
+        FROM zombi_events_sql_v
+        WHERE timestamp_ms >= {since_ms} AND timestamp_ms < {until_ms}
+        GROUP BY partition
+        """
+    )
