@@ -364,3 +364,50 @@ def test_policy_recluster_is_incremental_after_first_rewrite(spark, tmp_path):
     assert dirs[1] in third[0]["result"]["partitions"]
     # every row still present after three generations of rewrites
     assert t.read().count() == 520
+
+
+def test_policy_recovers_recluster_watermark_across_restart(spark, tmp_path):
+    """A RESTARTED policy must not pay a full-table rewrite: the last
+    re-cluster's snapshot (operation compact + matching strategy and
+    columns) is recovered from the log at construction, so an unchanged
+    table stays untouched and a dirtied dir is rewritten alone."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "recover")
+    for s in range(2):
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=0)))
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=1)))
+    dirs = sorted({f["partition_dir"] for f in t.files()})
+    kw = dict(
+        recluster_every_s=100.0,
+        recluster_columns=["timestamp_ms", "partition"],
+        recluster_target_files=2,
+        compact_trigger_files=10**9,
+        compact_max_age_s=10**9,
+    )
+    p1 = MaintenancePolicy(t, **kw)
+    acts = p1.run_due()
+    assert [a for a in acts if a["action"] == "recluster"][0]["ok"]
+    v_recluster = t.latest_version()
+
+    # restart: a FRESH policy recovers the watermark from the log
+    p2 = MaintenancePolicy(t, **kw)
+    assert p2._last_recluster_version == v_recluster
+    assert "recluster" not in [a["action"] for a in p2.run_due()]  # unchanged
+
+    t.append(prepare_events(_two_hour_batch(spark, 500, 60, hour=1)))
+    clean = {f["file_path"] for f in t.files() if f["partition_dir"] == dirs[0]}
+    acts = p2.run_due()
+    rec = [a for a in acts if a["action"] == "recluster"]
+    assert rec and rec[0]["ok"]
+    assert rec[0]["result"]["partitions"] == [dirs[1]]  # only the dirty dir
+    assert {f["file_path"] for f in t.files() if f["partition_dir"] == dirs[0]} == clean
+
+    # a policy with DIFFERENT columns must not trust that snapshot
+    p3 = MaintenancePolicy(
+        t,
+        recluster_every_s=100.0,
+        recluster_columns=["sequence", "partition"],
+        recluster_target_files=2,
+    )
+    assert p3._last_recluster_version is None

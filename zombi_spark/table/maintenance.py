@@ -100,8 +100,17 @@ class MaintenancePolicy:
         #: table version observed right after the last successful
         #: re-cluster — a due window with an UNCHANGED version is skipped
         #: (no data landed; a rewrite_all would churn every file and a
-        #: snapshot for nothing, ADVICE r13)
+        #: snapshot for nothing, ADVICE r13), and a changed one rewrites
+        #: only :meth:`EventTable.changed_partitions` since it (r14).
+        #: RECOVERED from the snapshot log at construction: the newest
+        #: compact snapshot committed with this policy's exact
+        #: (strategy, columns) proves everything up to it was clustered,
+        #: so a restarted daemon resumes incremental instead of paying a
+        #: full-table rewrite on its first window. O(snapshots) metadata
+        #: reads; an expired log safely degrades to the full rewrite.
         self._last_recluster_version: int | None = None
+        if recluster_every_s is not None:
+            self._last_recluster_version = self._recover_recluster_version()
         self._clock = clock
         #: wall clock (epoch seconds) for the retention cutoff — data ages
         #: by timestamp_ms, an epoch quantity, so it CANNOT use the
@@ -127,6 +136,24 @@ class MaintenancePolicy:
         #: optimistic commit race every time). Non-blocking: a tick that
         #: finds another in flight skips, it doesn't queue.
         self._tick_lock = threading.Lock()
+
+    def _recover_recluster_version(self) -> int | None:
+        """The newest snapshot version whose commit was THIS policy's
+        re-cluster (operation compact, matching strategy + sort columns)
+        — metadata-only, newest first, stops at the first match."""
+        try:
+            names = self.table._snapshot_files()
+        except Exception:  # noqa: BLE001 — table may not exist yet
+            return None
+        for name in reversed(names):
+            snap = self.table._read_snapshot(name)
+            if (
+                snap.get("operation") == "compact"
+                and snap.get("strategy") == self.recluster_strategy
+                and snap.get("sort_columns") == list(self.recluster_columns or [])
+            ):
+                return int(name[5:13])
+        return None
 
     # ------------------------------------------------------------ evaluate
     def evaluate(self, now: float | None = None) -> dict:
