@@ -787,3 +787,56 @@ def test_fields_projection_parity_across_subsets(spark, table):
         got = sorted(map(tuple, df.collect()))
         want = sorted(map(tuple, full.select(*names).collect()))
         assert got == want, fields
+
+
+def test_fields_projection_with_column_add_evolution(spark, tmp_path):
+    """Projecting an ADDed column: files written before the column
+    existed serve NULL through the projected read, same rule as full
+    reads."""
+    v1 = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    v2 = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+            FieldSpec(name="label", json_path="label", data_type="utf8"),
+        ],
+    )
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=v1)
+    rows = [("t", 0, json.dumps({"k": i}).encode(), T0 + i * 1000, None, i) for i in range(4)]
+    t1.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=v2)
+    rows2 = [
+        ("t", 0, json.dumps({"k": i, "label": f"x{i}"}).encode(), T0 + i * 1000, None, i)
+        for i in range(4, 6)
+    ]
+    t2.append(prepare_events(spark.createDataFrame(rows2, RAW_EVENT_SCHEMA)))
+    register_zombi_datasource(spark)
+    got = sorted(
+        (r["k"], r["label"])
+        for r in _load(spark, t2, fields="k,label").collect()
+    )
+    assert got == sorted(
+        (r["k"], r["label"]) for r in t2.read().select("k", "label").collect()
+    )
+    assert sum(1 for _, label in got if label is None) == 4
+
+
+def test_sql_view_by_catalog_name(spark, table, tmp_path):
+    """register_zombi_view resolves warehouse+table options (no path):
+    the catalog registry names the table, the view serves its rows."""
+    from zombi_spark.sources.datasource import register_zombi_view
+    from zombi_spark.table.catalog import Catalog
+
+    root = os.path.dirname(table.path)
+    Catalog(spark, root).register("events")
+    try:
+        register_zombi_view(
+            spark, "zombi_cat_v", warehouse=root, table="events",
+            fields="sequence,partition",
+        )
+        assert spark.sql("SELECT count(*) AS n FROM zombi_cat_v").first()["n"] == 18
+    finally:
+        spark.catalog.dropTempView("zombi_cat_v")

@@ -1342,6 +1342,8 @@ class EventTable:
         compact dirties its dirs by re-sorting them out of any clustered
         layout — both need re-clustering. O(snapshots in range) metadata
         reads, no data files opened."""
+        import re as _re
+
         latest = self.latest_version()
         if latest is None:
             return set()
@@ -1350,7 +1352,15 @@ class EventTable:
         for v in range(start, latest + 1):
             snap = self._read_snapshot(f"snap-{v:08d}.json")
             for e in snap.get("added", []):
-                out.add(self._norm_entry(e).get("partition_dir") or "")
+                e = self._norm_entry(e)
+                d = e.get("partition_dir")
+                if not d:
+                    # legacy bare-path entries: derive from the hive layout
+                    m = _re.search(
+                        r"(event_date=[^/]+/event_hour=[^/]+)", e.get("file_path", "")
+                    )
+                    d = m.group(1) if m else ""
+                out.add(d)
         out.discard("")
         return out
 
