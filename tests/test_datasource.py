@@ -840,3 +840,18 @@ def test_sql_view_by_catalog_name(spark, table, tmp_path):
         assert spark.sql("SELECT count(*) AS n FROM zombi_cat_v").first()["n"] == 18
     finally:
         spark.catalog.dropTempView("zombi_cat_v")
+
+
+def test_lagging_consumer_past_expiry_gets_retention_error(spark, tmp_path):
+    """A consumer whose offset predates expire_snapshots must get the
+    retention contract spelled out, not a FileNotFoundError that reads
+    like corruption (module docstring: size the retention window to
+    exceed the slowest consumer's lag)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(5):
+        t.append(prepare_events(_batch(spark, s * 3, 3)))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired.*retention|retention.*expired"):
+        t.added_files(0, t.latest_version())
+    # a live offset still reads fine
+    assert t.added_files(t.latest_version() - 1, t.latest_version())

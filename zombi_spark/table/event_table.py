@@ -1328,7 +1328,17 @@ class EventTable:
         out: list[dict] = []
         start = 0 if from_version is None else from_version + 1
         for v in range(start, to_version + 1):
-            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            try:
+                snap = self._read_snapshot(f"snap-{v:08d}.json")
+            except FileNotFoundError:
+                # the consumer's lag outran the retention window — say so
+                # (the raw FileNotFoundError reads like corruption)
+                raise ValueError(
+                    f"snapshot {v} has been expired (expire_snapshots); this "
+                    "consumer lags past the retention window — size keep_last "
+                    "to exceed the slowest consumer's lag, or restart the "
+                    "consumer from a live offset"
+                ) from None
             if snap.get("operation") == "append":
                 out.extend(self._norm_entry(e) for e in snap.get("added", []))
         return out
@@ -1350,7 +1360,14 @@ class EventTable:
         start = 0 if since_version is None else since_version + 1
         out: set[str] = set()
         for v in range(start, latest + 1):
-            snap = self._read_snapshot(f"snap-{v:08d}.json")
+            try:
+                snap = self._read_snapshot(f"snap-{v:08d}.json")
+            except FileNotFoundError:
+                # the range predates the retention window (snapshot
+                # expired): the delta is unknowable — every active dir
+                # is conservatively dirty (a full rewrite is correct,
+                # never wrong, just bigger)
+                return {f["partition_dir"] for f in self.files()}
             for e in snap.get("added", []):
                 e = self._norm_entry(e)
                 d = e.get("partition_dir")
