@@ -439,6 +439,14 @@ def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
         # honest measurement behind "bulk analytics stays JVM-side"
         for key, frame in (
             ("dsv2_full_scan_sec", spark.read.format("zombi").load(table.path)),
+            # the projection win where it is largest: a FULL-table read
+            # (no pruning) with vs without the payload binary on the wire
+            (
+                "dsv2_full_scan_projected_sec",
+                spark.read.format("zombi")
+                .option("fields", "partition,sequence,timestamp_ms")
+                .load(table.path),
+            ),
             ("jvm_full_scan_sec", table.read()),
         ):
             runs_fs = []
