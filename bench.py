@@ -478,8 +478,6 @@ def run_zorder_stream_bench(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     ``readStream.format("zombi")`` with ``max_versions_per_batch``
     pacing; versions in, micro-batches observed, end-to-end rows/s.
     """
-    import pyarrow.parquet as _pq  # noqa: F401 — fail fast if absent
-
     from pyspark.sql import functions as F
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
 

@@ -855,3 +855,85 @@ def test_lagging_consumer_past_expiry_gets_retention_error(spark, tmp_path):
         t.added_files(0, t.latest_version())
     # a live offset still reads fine
     assert t.added_files(t.latest_version() - 1, t.latest_version())
+
+
+def test_extracted_column_bounds_prune_files(spark, tmp_path):
+    """r14: extraction tables record per-file ``col_stats`` bounds for
+    extracted INTEGER columns (both writer paths), and the data source's
+    pushed filters prune on them — the same Iceberg lower/upper-bound
+    contract the system columns get. Pruning stays an optimization:
+    results equal the JVM read under every predicate."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from zombi_spark.table.event_table import _parquet_file_entry
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    # three appends with DISJOINT k ranges inside one hour: file bounds
+    # on k are the only thing that can tell the files apart
+    for base in (0, 1000, 2000):
+        rows = [
+            ("t", 0, json.dumps({"k": base + i}).encode(), T0 + i, None, base + i)
+            for i in range(20)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    entries = t.scan_files()
+    assert all("col_stats" in e and "k" in e["col_stats"] for e in entries)
+    # manifest bounds equal a fresh footer read on every file — BOTH
+    # writer paths produce the same col_stats contract
+    for e in entries:
+        refetched = _parquet_file_entry(e["file_path"], t.data_path)
+        assert e["col_stats"] == refetched.get("col_stats"), e["file_path"]
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    reader.pushFilters([GreaterThan(("k",), 1500)])
+    reader.partitions()
+    assert 0 < reader.last_plan["files_kept"] < reader.last_plan["files_total"]
+    reader.pushFilters([EqualTo(("k",), 1005)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] < reader.last_plan["files_total"]
+    # value outside every file's range prunes everything
+    reader.pushFilters([EqualTo(("k",), 10**9)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+
+    # pruning never gates correctness: rows match the JVM path (column
+    # order normalized — the declared extraction schema orders columns
+    # differently than the JVM parquet read; values are the contract)
+    df = _load(spark, t)
+    base_df = t.read()
+    cols = sorted(df.columns)
+    assert cols == sorted(base_df.columns)
+    for cond in ("k > 1500", "k = 1005", "k = 999999999", "k < 0"):
+        assert sorted(map(tuple, df.filter(cond).select(*cols).collect())) == sorted(
+            map(tuple, base_df.filter(cond).select(*cols).collect())
+        ), cond
+
+
+def test_extracted_column_bounds_absent_for_all_null(spark, tmp_path):
+    """A file whose extracted column is entirely NULL records no bounds
+    for it (absent ⇒ never skipped), and a filter on it keeps the file —
+    stats are an optimization, never a correctness gate."""
+    from pyspark.sql.datasource import EqualTo
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    rows = [("t", 0, b"{}", T0 + i, None, i) for i in range(10)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    entries = t.scan_files()
+    assert all("k" not in (e.get("col_stats") or {}) for e in entries)
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    reader.pushFilters([EqualTo(("k",), 7)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == reader.last_plan["files_total"]
+    assert _load(spark, t).where("k = 7").count() == 0
+    assert _load(spark, t).where("k IS NULL").count() == 10

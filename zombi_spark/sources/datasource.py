@@ -204,7 +204,11 @@ def _filter_constraints(filters) -> list:
     A constraint is ``(column, op, value)`` with op ∈ {"==", ">", ">=",
     "<", "<=", "in"}. Unsupported shapes (nested paths, IsNull, Not,
     string matches) are simply not constraints — the file is kept and
-    Spark's row-level re-apply does the work.
+    Spark's row-level re-apply does the work. Columns beyond the system
+    set are kept too: extraction tables record per-file ``col_stats``
+    bounds for extracted integer columns (event_table.
+    _parquet_file_entry), and :func:`_entry_admits` prunes on whichever
+    source an entry carries.
     """
     constraints = []
     for f in filters:
@@ -212,8 +216,6 @@ def _filter_constraints(filters) -> list:
         if not attr or len(attr) != 1:
             continue
         col = attr[0]
-        if col not in _BOUND_KEYS and col not in _HIVE_RE:
-            continue
         if isinstance(f, (EqualTo, EqualNullSafe)):
             if f.value is not None:
                 constraints.append((col, "==", f.value))
@@ -273,8 +275,15 @@ def _bounds_admit(lo, hi, op: str, value) -> bool:
 
 def _entry_admits(entry: dict, constraints: list) -> bool:
     """Iceberg-style file skipping: drop the file only when a constraint
-    *provably* excludes every row. Missing stats ⇒ keep."""
+    *provably* excludes every row. Missing stats ⇒ keep. Bounds come
+    from three sources, all optional per entry: the fixed system-column
+    keys (_BOUND_KEYS), the hive directory values, and the
+    ``col_stats`` dict of extracted-column bounds. col_stats bounds
+    cover NON-NULL values only — sound for these operators, none of
+    which a NULL row can satisfy (IS NULL never becomes a constraint).
+    """
     hive = _hive_values(entry)
+    col_stats = entry.get("col_stats") or {}
     for col, op, value in constraints:
         if col in _BOUND_KEYS:
             lo_key, hi_key = _BOUND_KEYS[col]
@@ -284,6 +293,10 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
         elif col in hive:
             v = hive[col]
             if not _bounds_admit(v, v, op, value):
+                return False
+        elif col in col_stats:
+            lo, hi = col_stats[col]
+            if not _bounds_admit(lo, hi, op, value):
                 return False
     return True
 

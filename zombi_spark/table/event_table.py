@@ -161,6 +161,53 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                 nulls.append(st.null_count)
             else:
                 entry["key_nulls"] = sum(nulls)
+        # r14: per-file bounds for EXTRACTED integer columns
+        # (schema-on-write tables, §1.3) as ``col_stats: {name: [lo,
+        # hi]}`` — the same Iceberg lower/upper-bound contract the
+        # system columns get, so manifest planning (scan_files, the
+        # zombi data source's pushed filters) can skip files on
+        # extracted predicates too. Integer physical types only: bounds
+        # are exact, with no NaN ordering or string-truncation
+        # semantics. Bounds cover NON-NULL values (an equality/range
+        # predicate never matches NULL, so that is the sound prune set);
+        # an all-null row group contributes nothing, a group with values
+        # but no stats makes the column unknowable → key absent → the
+        # file is never skipped on it.
+        system = {
+            "sequence", "topic", "partition", "payload",
+            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
+        }
+        col_stats: dict = {}
+        for name, i in idx.items():
+            if name in system:
+                continue
+            col_schema = md.schema.column(i)
+            if col_schema.physical_type not in ("INT32", "INT64"):
+                continue
+            lt = str(col_schema.logical_type.type)
+            if lt not in ("NONE", "INT"):  # dates/times also ride INT32/64
+                continue
+            los, his = [], []
+            knowable = True
+            for rg in range(md.num_row_groups):
+                cmd = md.row_group(rg).column(i)
+                st = cmd.statistics
+                if st is not None and st.has_min_max:
+                    los.append(st.min)
+                    his.append(st.max)
+                elif (
+                    st is not None
+                    and st.null_count is not None
+                    and st.null_count == cmd.num_values
+                ):
+                    continue  # entirely null: contributes no bounds
+                else:
+                    knowable = False
+                    break
+            if knowable and los:
+                col_stats[name] = [min(los), max(his)]
+        if col_stats:
+            entry["col_stats"] = col_stats
     except Exception:
         # stats are an optimization — a file with no footer stats is
         # still correct, it just never gets skipped
@@ -860,8 +907,21 @@ class EventTable:
             "rel string, row_count long, file_size_bytes long, "
             "min_ts long, max_ts long, min_seq long, max_seq long, "
             "min_topic string, max_topic string, min_part int, max_part int, "
-            "key_nulls long"
+            "key_nulls long, col_stats string"
         )
+        # extracted integer columns get per-file bounds (same contract as
+        # the footer path's col_stats — see _parquet_file_entry); the
+        # names are resolved driver-side, the bounds computed write-time
+        _SYSTEM_COLS = {
+            "sequence", "topic", "partition", "payload",
+            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
+        }
+        int_stat_cols = [
+            f.name
+            for f in data_fields
+            if f.name not in _SYSTEM_COLS
+            and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        ]
 
         def _write_batches(batches):
             import uuid as _uuid
@@ -885,6 +945,7 @@ class EventTable:
                     ("min_part", pa.int32()),
                     ("max_part", pa.int32()),
                     ("key_nulls", pa.int64()),
+                    ("col_stats", pa.string()),
                 ]
             )
             blist = list(batches)
@@ -930,6 +991,13 @@ class EventTable:
                             smin, smax = _mm("sequence")
                             topmin, topmax = _mm("topic")
                             pmin, pmax = _mm("partition")
+                            cstats = {}
+                            for cname in int_stat_cols:
+                                clo, chi = _mm(cname)
+                                if clo is not None:  # all-null ⇒ absent
+                                    cstats[cname] = [clo, chi]
+                            import json as _json
+
                             out_rows.append(
                                 {
                                     "rel": os.path.join(rel_dir, fname),
@@ -944,6 +1012,7 @@ class EventTable:
                                     "min_part": pmin,
                                     "max_part": pmax,
                                     "key_nulls": sl.column("idempotency_key").null_count,
+                                    "col_stats": _json.dumps(cstats) if cstats else None,
                                 }
                             )
             yield pa.RecordBatch.from_pylist(out_rows, schema=stats_schema)
@@ -1031,10 +1100,15 @@ class EventTable:
                     **{
                         k: v
                         for k, v in pre.items()
-                        if k != "rel"
+                        if k not in ("rel", "col_stats")
                         and not (v is None and (k.startswith("min_") or k.startswith("max_")))
                     },
                 }
+                # write-time extracted-column bounds ride as a JSON string
+                # through the Arrow stats schema; the manifest stores the
+                # dict (same shape as the footer path's col_stats)
+                if pre.get("col_stats"):
+                    entry["col_stats"] = json.loads(pre["col_stats"])
                 return entry
             return _parquet_file_entry(dest, self.data_path)
 
