@@ -411,3 +411,69 @@ def test_policy_recovers_recluster_watermark_across_restart(spark, tmp_path):
         recluster_target_files=2,
     )
     assert p3._last_recluster_version is None
+
+
+def test_cluster_on_extracted_integer_column(spark, tmp_path):
+    """r14: extracted integer columns carry col_stats bounds, so they
+    are CLUSTERABLE — sort or z-order by an extracted id re-layouts the
+    files into disjoint id ranges the data source prunes on."""
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.sources.datasource import ZombiBatchReader
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="account_id", json_path="a", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "byid", schema_config=cfg)
+    # one hour, ids interleaved across appends: binpack bounds on
+    # account_id cover everything, clustering is the only separator
+    for s in range(3):
+        rows = [
+            ("t", i % 4, _json.dumps({"a": (i * 31 + s) % 400}).encode(),
+             T0 + (i * 977) % 3_600_000, None, s * 200 + i)
+            for i in range(200)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    before = t.read().count()
+
+    def _kept(value_op):
+        reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+        reader.pushFilters([value_op])
+        reader.partitions()
+        return reader.last_plan["files_kept"], reader.last_plan["files_total"]
+
+    t.compact(
+        strategy="sort",
+        sort_columns=["account_id"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=6,
+    )
+    assert t.read().count() == before  # INV-6 across the id re-layout
+    kept, total = _kept(EqualTo(("account_id",), 57))
+    assert 0 < kept < total
+    kept_hi, _ = _kept(GreaterThan(("account_id",), 395))
+    assert 0 < kept_hi < total
+    # values equal across layouts
+    assert t.read().where("account_id = 57").count() > 0
+
+    # z-order with an extracted dimension validates and prunes both dims
+    t.compact(
+        strategy="zorder",
+        sort_columns=["timestamp_ms", "account_id"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=6,
+    )
+    assert t.read().count() == before
+    kept_z, total_z = _kept(EqualTo(("account_id",), 57))
+    assert 0 < kept_z < total_z
+
+    # a non-existent column still fails fast, message naming both sets
+    with pytest.raises(ValueError, match="extracted integer columns"):
+        t.compact(strategy="sort", sort_columns=["nope"], rewrite_all=True,
+                  min_input_files=1)

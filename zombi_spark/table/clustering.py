@@ -88,32 +88,47 @@ def column_bounds(df: DataFrame, columns: list[str]) -> dict[str, tuple]:
     }
 
 
-def validate_clustering_spec(strategy: str, sort_columns: list[str] | None) -> None:
+def validate_clustering_spec(
+    strategy: str,
+    sort_columns: list[str] | None,
+    extracted_int_columns: tuple[str, ...] | list[str] = (),
+) -> None:
     """Static validation of a (strategy, sort_columns) pair — no
     DataFrame, no bounds scan. Shared by :func:`clustering_sort_columns`
     at rewrite time and :class:`~zombi_spark.table.maintenance.
     MaintenancePolicy` at CONSTRUCTION, so a misconfigured scheduled
     recluster (zorder with 1 column, a non-clusterable column) fails
-    fast instead of erroring on every tick forever (ADVICE r13)."""
+    fast instead of erroring on every tick forever (ADVICE r13).
+
+    ``extracted_int_columns`` are a table's schema-config integer
+    columns: since r14 they carry per-file ``col_stats`` bounds
+    (event_table._parquet_file_entry), so clustering on them yields
+    readable, prunable layout — both as sort leaders and as z-order
+    dimensions (integers normalize exactly)."""
     if strategy == "binpack":
         return
     if strategy not in ("sort", "zorder"):
         raise ValueError(f"unknown strategy {strategy!r}: binpack | sort | zorder")
     if not sort_columns:
         raise ValueError(f"strategy {strategy!r} requires sort_columns")
-    unknown = [c for c in sort_columns if c not in CLUSTERABLE_COLUMNS]
+    clusterable = set(CLUSTERABLE_COLUMNS) | set(extracted_int_columns)
+    unknown = [c for c in sort_columns if c not in clusterable]
     if unknown:
         raise ValueError(
             f"cannot cluster on {unknown}: per-file bounds exist only for "
-            f"{CLUSTERABLE_COLUMNS} (manifests._BOUND_COLS) — clustering on "
-            "anything else would reorder data no reader can prune on"
+            f"{CLUSTERABLE_COLUMNS} (manifests._BOUND_COLS) and the "
+            f"table's extracted integer columns {tuple(extracted_int_columns)} "
+            "(col_stats) — clustering on anything else would reorder data "
+            "no reader can prune on"
         )
     if strategy == "zorder":
-        non_numeric = [c for c in sort_columns if c not in ZORDERABLE_COLUMNS]
+        zorderable = set(ZORDERABLE_COLUMNS) | set(extracted_int_columns)
+        non_numeric = [c for c in sort_columns if c not in zorderable]
         if non_numeric:
             raise ValueError(
-                f"z-order needs numeric columns ({ZORDERABLE_COLUMNS}); "
-                f"got {non_numeric} — use strategy='sort' for strings"
+                f"z-order needs numeric columns ({ZORDERABLE_COLUMNS} + "
+                f"extracted ints); got {non_numeric} — use strategy='sort' "
+                "for strings"
             )
         k = len(sort_columns)
         if not 2 <= k <= 3:
@@ -121,7 +136,10 @@ def validate_clustering_spec(strategy: str, sort_columns: list[str] | None) -> N
 
 
 def clustering_sort_columns(
-    df: DataFrame, strategy: str, sort_columns: list[str] | None
+    df: DataFrame,
+    strategy: str,
+    sort_columns: list[str] | None,
+    extracted_int_columns: tuple[str, ...] | list[str] = (),
 ) -> list[Column]:
     """The within-storage-partition sort for a compaction rewrite.
 
@@ -134,7 +152,7 @@ def clustering_sort_columns(
     Every strategy preserves rows exactly; only the LAYOUT (and hence the
     per-file bounds) changes.
     """
-    validate_clustering_spec(strategy, sort_columns)
+    validate_clustering_spec(strategy, sort_columns, extracted_int_columns)
     if strategy == "binpack":
         return [F.col("timestamp_ms"), F.col("sequence")]
     if strategy == "sort":

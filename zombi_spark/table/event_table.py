@@ -329,6 +329,22 @@ class EventTable:
         out.append(T.StructField("_payload_overflow", T.BinaryType(), True))
         return T.StructType(out)
 
+    def extracted_int_columns(self) -> tuple[str, ...]:
+        """The schema-config INTEGER columns — since r14 they carry
+        per-file ``col_stats`` bounds in the manifest (both writer
+        paths), which makes them clusterable and prunable exactly like
+        the system bound columns."""
+        system = {
+            "sequence", "topic", "partition", "payload",
+            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
+        }
+        return tuple(
+            f.name
+            for f in self.table_schema().fields
+            if f.name not in system
+            and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+        )
+
     # ---------------------------------------------------------------- meta
     def _snapshot_files(self) -> list[str]:
         if not os.path.isdir(self.meta_path):
@@ -2054,7 +2070,9 @@ class EventTable:
                     cap = max(-(-biggest // target_files_per_partition), 1)
             from zombi_spark.table.clustering import clustering_sort_columns
 
-            order = clustering_sort_columns(df, strategy, sort_columns)
+            order = clustering_sort_columns(
+                df, strategy, sort_columns, self.extracted_int_columns()
+            )
             wstats = self._write_staged(
                 df.repartition(ntasks, "event_date", "event_hour")
                 .sortWithinPartitions("event_date", "event_hour", *order),

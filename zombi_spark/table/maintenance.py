@@ -89,7 +89,11 @@ class MaintenancePolicy:
             # would otherwise error on every tick forever (ADVICE r13)
             from zombi_spark.table.clustering import validate_clustering_spec
 
-            validate_clustering_spec(recluster_strategy, recluster_columns)
+            validate_clustering_spec(
+                recluster_strategy,
+                recluster_columns,
+                table.extracted_int_columns(),
+            )
         self.recluster_every_s = recluster_every_s
         self.recluster_strategy = recluster_strategy
         self.recluster_columns = recluster_columns
