@@ -562,3 +562,42 @@ def test_tombstones_carry_real_stats_and_header_schema_id(spark, tmp_path):
     # header schema-id: matches the metadata's current schema id
     _schema, hdr, _recs = read_container(mfs[0]["manifest_path"])
     assert int(hdr["schema-id"].decode()) == meta["current-schema-id"]
+
+
+def test_extracted_column_bounds_reach_avro_manifests(spark, tmp_path):
+    """r14: an extraction table's col_stats bounds ride into the Avro
+    manifest as spec single-value bounds keyed by the extracted column's
+    field id — a STOCK Iceberg reader can skip files on the extracted
+    predicate, not just our JSON-manifest planners."""
+    import json as _json
+
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    rows = [
+        ("t", 0, _json.dumps({"k": 100 + i}).encode(), 1704067200000 + i, None, i)
+        for i in range(12)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    meta = _current_meta(t)
+    fid = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    assert "k" in fid
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    expected = {os.path.abspath(e["file_path"]): e for e in t.scan_files()}
+    assert all("k" in (e.get("col_stats") or {}) for e in expected.values())
+    for df in MF.live_data_files(cur["manifest-list"]):
+        e = expected[df["file_path"]]
+        upper = {kv["key"]: kv["value"] for kv in df["upper_bounds"]}
+        lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+        assert MF.decode_bound(lower[fid["k"]], "long") == e["col_stats"]["k"][0]
+        assert MF.decode_bound(upper[fid["k"]], "long") == e["col_stats"]["k"][1]

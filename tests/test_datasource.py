@@ -937,3 +937,60 @@ def test_extracted_column_bounds_absent_for_all_null(spark, tmp_path):
     assert reader.last_plan["files_kept"] == reader.last_plan["files_total"]
     assert _load(spark, t).where("k = 7").count() == 0
     assert _load(spark, t).where("k IS NULL").count() == 10
+
+
+def test_entry_admits_is_sound_for_extracted_col_stats():
+    """The r14 col_stats pruning path carries the same soundness
+    invariant as the system bound columns (pure-function fuzz): for
+    random non-null value populations of an extracted column and random
+    pushed constraints on it, a file containing ANY matching row is
+    always admitted — including entries with partial/no stats and
+    constraints mixing system and extracted columns."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _entry_admits
+
+    ops = st.sampled_from(["==", ">", ">=", "<", "<="])
+    vals = st.integers(min_value=-50, max_value=50)
+
+    def _matches(v, op, x):
+        return {
+            "==": v == x,
+            ">": v > x,
+            ">=": v >= x,
+            "<": v < x,
+            "<=": v <= x,
+        }[op]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        k_rows=st.lists(vals, min_size=1, max_size=20),
+        ts_rows=st.lists(vals, min_size=1, max_size=20),
+        k_cons=st.lists(st.tuples(ops, vals), min_size=1, max_size=3),
+        ts_cons=st.lists(st.tuples(ops, vals), max_size=2),
+        with_k_stats=st.booleans(),
+        with_ts_stats=st.booleans(),
+    )
+    def check(k_rows, ts_rows, k_cons, ts_cons, with_k_stats, with_ts_stats):
+        # rows pair the i-th k with the i-th ts (cycled) — one file
+        n = max(len(k_rows), len(ts_rows))
+        rows = [(k_rows[i % len(k_rows)], ts_rows[i % len(ts_rows)]) for i in range(n)]
+        entry = {"file_path": "x.parquet"}
+        if with_k_stats:
+            entry["col_stats"] = {"k": [min(k_rows), max(k_rows)]}
+        if with_ts_stats:
+            entry["min_ts"] = min(ts_rows)
+            entry["max_ts"] = max(ts_rows)
+        cons = [("k", op, x) for op, x in k_cons] + [
+            ("timestamp_ms", op, x) for op, x in ts_cons
+        ]
+        any_match = any(
+            all(_matches(k, op, x) for op, x in k_cons)
+            and all(_matches(ts, op, x) for op, x in ts_cons)
+            for k, ts in rows
+        )
+        if any_match:
+            assert _entry_admits(entry, cons), (rows, cons, entry)
+
+    check()

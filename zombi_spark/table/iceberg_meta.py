@@ -267,6 +267,13 @@ def _field_ids(meta: dict) -> dict[str, int]:
     return {f["name"]: f["id"] for f in schema["fields"]}
 
 
+def _field_types(meta: dict) -> dict[str, str]:
+    """name → iceberg type for the current schema — lets manifests encode
+    extracted-column ``col_stats`` bounds at the exact spec width."""
+    schema = meta["schemas"][meta["current-schema-id"]]
+    return {f["name"]: f["type"] for f in schema["fields"]}
+
+
 def _avro_partition_fields(meta: dict) -> list[dict]:
     """Partition-spec fields as Avro schema nodes for the manifest's
     data_file.partition struct (dates as int days with the date
@@ -341,6 +348,7 @@ def _write_commit_manifests(
             spec_json,
             schema_id=schema_id,
             spec_id=spec_id,
+            field_types=_field_types(meta),
         )
         prior = MF.read_manifest_list(prev_list) if prev_list else []
         manifest_files = prior + [mf]
@@ -390,6 +398,7 @@ def _write_commit_manifests(
         mf = MF.write_manifest(
             mdir, entries, snapshot_id, seq_num, field_ids, pfields,
             schema_json, spec_json, schema_id=schema_id, spec_id=spec_id,
+            field_types=_field_types(meta),
         )
         manifest_files = [mf]
     return MF.write_manifest_list(mdir, snapshot_id, manifest_files)
@@ -550,7 +559,8 @@ def rebuild_metadata(
             for path, e in sorted(active.items())
         ]
         mf = MF.write_manifest(
-            mdir, entries, sid, snap["version"] + 1, field_ids, pfields, schema_json, spec_json
+            mdir, entries, sid, snap["version"] + 1, field_ids, pfields,
+            schema_json, spec_json, field_types=_field_types(meta),
         )
         mlist = MF.write_manifest_list(mdir, sid, [mf])
         ice = {
@@ -706,6 +716,7 @@ def rewrite_manifests(table_path: str, active_entries: list[dict], backend=None)
         json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"]),
         schema_id=meta["current-schema-id"],
         spec_id=meta["default-spec-id"],
+        field_types=_field_types(meta),
     )
     cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
     _append_metadata_log(mdir, meta)

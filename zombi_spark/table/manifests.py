@@ -262,10 +262,20 @@ _BOUND_COLS = [
 ]
 
 
-def entry_to_data_file(entry: dict, field_ids: dict[str, int], partition_fields: list[dict]) -> dict:
+def entry_to_data_file(
+    entry: dict,
+    field_ids: dict[str, int],
+    partition_fields: list[dict],
+    field_types: dict[str, str] | None = None,
+) -> dict:
     """JSON manifest entry (event_table snapshot) → Avro data_file record.
     ``field_ids`` maps column name → Iceberg field id for the CURRENT
-    schema (extraction tables shift ids, so never hardcode)."""
+    schema (extraction tables shift ids, so never hardcode).
+    ``field_types`` (name → iceberg type) enables bounds for the entry's
+    ``col_stats`` extracted-column stats (r14): only int/long columns
+    carry col_stats, and the single-value serialization needs the exact
+    width, so a column with no known type is skipped — stock readers
+    then simply see no bounds for it, never wrong ones."""
     part_values = _parse_partition_dir(entry.get("partition_dir", ""))
     lower, upper = [], []
     for col, lo_key, hi_key, typ in _BOUND_COLS:
@@ -273,6 +283,12 @@ def entry_to_data_file(entry: dict, field_ids: dict[str, int], partition_fields:
             fid = field_ids[col]
             lower.append({"key": fid, "value": encode_bound(entry[lo_key], typ)})
             upper.append({"key": fid, "value": encode_bound(entry[hi_key], typ)})
+    for col, bounds in sorted((entry.get("col_stats") or {}).items()):
+        typ = (field_types or {}).get(col)
+        if col in field_ids and typ in ("int", "long"):
+            fid = field_ids[col]
+            lower.append({"key": fid, "value": encode_bound(bounds[0], typ)})
+            upper.append({"key": fid, "value": encode_bound(bounds[1], typ)})
     return {
         "content": 0,  # DATA
         "file_path": os.path.abspath(entry["file_path"]),
@@ -302,9 +318,12 @@ def write_manifest(
     spec_json: str,
     schema_id: int = 0,
     spec_id: int = 0,
+    field_types: dict[str, str] | None = None,
 ) -> dict:
     """Write one Avro manifest of (status, json-entry) pairs; returns its
-    manifest_file record for the manifest list."""
+    manifest_file record for the manifest list. ``field_types`` (name →
+    iceberg type) lets entries' extracted-column ``col_stats`` ride as
+    spec bounds — see entry_to_data_file."""
     schema = manifest_entry_schema(partition_fields)
     records = []
     counts = {ADDED: 0, EXISTING: 0, DELETED: 0}
@@ -318,7 +337,9 @@ def write_manifest(
                 "snapshot_id": snapshot_id,
                 "sequence_number": sequence_number,
                 "file_sequence_number": sequence_number,
-                "data_file": entry_to_data_file(e, field_ids, partition_fields),
+                "data_file": entry_to_data_file(
+                    e, field_ids, partition_fields, field_types
+                ),
             }
         )
     path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
