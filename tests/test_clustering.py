@@ -477,3 +477,110 @@ def test_cluster_on_extracted_integer_column(spark, tmp_path):
     with pytest.raises(ValueError, match="extracted integer columns"):
         t.compact(strategy="sort", sort_columns=["nope"], rewrite_all=True,
                   min_input_files=1)
+
+
+def test_recluster_watermark_survives_interleaved_append(spark, tmp_path):
+    """ADVICE r14 (medium): an append committed between the policy's
+    dirty-set read and the rewrite's commit must NOT land below the new
+    watermark — the policy keeps the pre-rewrite version as the
+    watermark when the commit rebased, so the NEXT window re-scans the
+    interleaved commit and re-clusters its partitions."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "race")
+    for s in range(2):
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=0)))
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=1)))
+    dirs = sorted({f["partition_dir"] for f in t.files()})
+    fake = {"now": 0.0}
+    policy = MaintenancePolicy(
+        t,
+        recluster_every_s=100.0,
+        recluster_columns=["timestamp_ms", "partition"],
+        recluster_target_files=2,
+        compact_trigger_files=10**9,
+        compact_max_age_s=10**9,
+        clock=lambda: fake["now"],
+    )
+    assert [a for a in policy.run_due() if a["action"] == "recluster"][0]["ok"]
+
+    # window 2: dirty dirs[0], and RACE an append into dirs[1] after the
+    # policy has read its dirty set but before the rewrite commits
+    t.append(prepare_events(_two_hour_batch(spark, 500, 40, hour=0)))
+    real_cp = t.changed_partitions
+
+    def racing_cp(since):
+        dirty = real_cp(since)
+        t.append(prepare_events(_two_hour_batch(spark, 600, 40, hour=1)))
+        return dirty
+
+    t.changed_partitions = racing_cp
+    v_pre = t.latest_version()  # what the policy observes as `pre`
+    fake["now"] = 150.0
+    try:
+        acts = policy.run_due()
+    finally:
+        del t.changed_partitions  # restore the bound method
+    rec = [a for a in acts if a["action"] == "recluster"]
+    assert rec and rec[0]["ok"]
+    assert rec[0]["result"]["partitions"] == [dirs[0]]  # raced append unseen
+    # rebased commit (pre + 2) ⇒ watermark stays at the PRE version …
+    assert rec[0]["result"]["version"] == v_pre + 2
+    assert policy._last_recluster_version == v_pre
+
+    # … so the next window still sees the interleaved append as dirty
+    fake["now"] = 300.0
+    acts = policy.run_due()
+    rec = [a for a in acts if a["action"] == "recluster"]
+    assert rec and rec[0]["ok"]
+    assert dirs[1] in rec[0]["result"]["partitions"]
+    assert t.read().count() == 480
+
+
+def test_manual_scoped_compact_does_not_poison_watermark_recovery(spark, tmp_path):
+    """ADVICE r14 (low): a MANUAL partition-scoped compact with the same
+    strategy+columns looks like a policy re-cluster in the snapshot log,
+    but proves only its own dirs were clustered. Restart recovery must
+    skip it (summary ``scoped``) and resume from the policy's own last
+    rewrite, so partitions dirtied before the scoped compact are still
+    re-scanned."""
+    from zombi_spark.table.maintenance import MaintenancePolicy
+
+    t = EventTable(spark, str(tmp_path), "scoped")
+    for s in range(2):
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=0)))
+        t.append(prepare_events(_two_hour_batch(spark, s * 100, 100, hour=1)))
+    dirs = sorted({f["partition_dir"] for f in t.files()})
+    kw = dict(
+        recluster_every_s=100.0,
+        recluster_columns=["timestamp_ms", "partition"],
+        recluster_target_files=2,
+        compact_trigger_files=10**9,
+        compact_max_age_s=10**9,
+    )
+    p1 = MaintenancePolicy(t, **kw)
+    assert [a for a in p1.run_due() if a["action"] == "recluster"][0]["ok"]
+    v_full = t.latest_version()
+
+    # dirty BOTH dirs, then a user manually re-clusters only dirs[0]
+    t.append(prepare_events(_two_hour_batch(spark, 500, 40, hour=0)))
+    t.append(prepare_events(_two_hour_batch(spark, 600, 40, hour=1)))
+    r = t.compact(
+        strategy="zorder",
+        sort_columns=["timestamp_ms", "partition"],
+        rewrite_all=True,
+        min_input_files=1,
+        partitions=[dirs[0]],
+    )
+    assert t.latest_snapshot().get("scoped") is True
+
+    # restart: recovery must NOT trust the scoped compact's version
+    p2 = MaintenancePolicy(t, **kw)
+    assert p2._last_recluster_version == v_full
+    acts = p2.run_due()
+    rec = [a for a in acts if a["action"] == "recluster"]
+    assert rec and rec[0]["ok"]
+    # the window re-clusters everything dirtied since v_full — including
+    # dirs[1], which a recovery trusting the scoped compact would skip
+    assert dirs[1] in rec[0]["result"]["partitions"]
+    assert t.read().count() == 480

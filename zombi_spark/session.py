@@ -31,9 +31,15 @@ def get_spark(app_name: str = "zombi-spark", shuffle_partitions: int | None = No
     # makes `readStream.format("zombi")` work from any working
     # directory. No-op when the JVM is already up (first caller wins —
     # that caller's cwd/sys.path already resolved the package).
-    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Export ONLY when the package is a repo checkout (ADVICE r14): an
+    # installed zombi_spark (site-packages / dist-packages) resolves in
+    # any bare interpreter already, and prepending a path there could
+    # shadow the installed copy in every subsequently spawned subprocess.
+    here = os.path.abspath(__file__)
+    pkg_parent = os.path.dirname(os.path.dirname(here))
+    installed = any(p in ("site-packages", "dist-packages") for p in here.split(os.sep))
     existing = os.environ.get("PYTHONPATH", "")
-    if pkg_parent not in existing.split(os.pathsep):
+    if not installed and pkg_parent not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = (
             f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
         )

@@ -69,6 +69,19 @@ from zombi_spark.ingest.batch import EVENT_SCHEMA, validate_table_name
 
 _META_DIR = "_zombi_meta"
 _DATA_DIR = "data"
+
+#: The canonical system columns every event table carries. Anything NOT
+#: in this set is a schema-config EXTRACTED column (plus
+#: ``_payload_overflow``, excluded by type at each use site). One
+#: definition, used by the footer stats path, the write-time Arrow stats
+#: path, and the extracted-column schema probes — the three were
+#: hand-duplicated and could drift silently (ADVICE r14).
+SYSTEM_COLUMNS = frozenset(
+    {
+        "sequence", "topic", "partition", "payload",
+        "timestamp_ms", "idempotency_key", "event_date", "event_hour",
+    }
+)
 # a full active-file list ("base") is materialized at least this often so
 # delta replay is bounded: reconstruction reads ≤ _REBASE_EVERY snapshots
 _REBASE_EVERY = 32
@@ -173,13 +186,9 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
         # an all-null row group contributes nothing, a group with values
         # but no stats makes the column unknowable → key absent → the
         # file is never skipped on it.
-        system = {
-            "sequence", "topic", "partition", "payload",
-            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
-        }
         col_stats: dict = {}
         for name, i in idx.items():
-            if name in system:
+            if name in SYSTEM_COLUMNS:
                 continue
             col_schema = md.schema.column(i)
             if col_schema.physical_type not in ("INT32", "INT64"):
@@ -334,14 +343,10 @@ class EventTable:
         per-file ``col_stats`` bounds in the manifest (both writer
         paths), which makes them clusterable and prunable exactly like
         the system bound columns."""
-        system = {
-            "sequence", "topic", "partition", "payload",
-            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
-        }
         return tuple(
             f.name
             for f in self.table_schema().fields
-            if f.name not in system
+            if f.name not in SYSTEM_COLUMNS
             and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
         )
 
@@ -928,14 +933,10 @@ class EventTable:
         # extracted integer columns get per-file bounds (same contract as
         # the footer path's col_stats — see _parquet_file_entry); the
         # names are resolved driver-side, the bounds computed write-time
-        _SYSTEM_COLS = {
-            "sequence", "topic", "partition", "payload",
-            "timestamp_ms", "idempotency_key", "event_date", "event_hour",
-        }
         int_stat_cols = [
             f.name
             for f in data_fields
-            if f.name not in _SYSTEM_COLS
+            if f.name not in SYSTEM_COLUMNS
             and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
         ]
 
@@ -1963,6 +1964,7 @@ class EventTable:
         sort_columns: list[str] | None = None,
         rewrite_all: bool = False,
         partitions: list[str] | set[str] | None = None,
+        extra_summary: dict | None = None,
     ) -> dict:
         """M1 small-file compaction (compaction.rs:128-396).
 
@@ -1994,6 +1996,10 @@ class EventTable:
         granularity): the incremental-maintenance shape — at 100 TB a
         scheduled re-cluster rewrites the dirs
         :meth:`changed_partitions` reports dirty, never the whole table.
+        Scoped rewrites record ``scoped: true`` in the snapshot summary.
+        ``extra_summary`` keys ride into the summary verbatim (the
+        maintenance policy records its observed pre-version there so a
+        restarted daemon recovers the exact watermark).
 
         If an append commits concurrently, the commit raises
         :class:`CommitConflictError` and this method REBASES once: inputs
@@ -2095,6 +2101,13 @@ class EventTable:
         if strategy != "binpack":
             summary["strategy"] = strategy
             summary["sort_columns"] = list(sort_columns or [])
+        if partitions is not None:
+            # a partition-scoped rewrite proves nothing about the REST of
+            # the table — maintenance watermark recovery must not mistake
+            # it for a full re-cluster (ADVICE r14)
+            summary["scoped"] = True
+        if extra_summary:
+            summary.update(extra_summary)
         try:
             snap = self._commit_snapshot(
                 summary, added=added, removed=all_paths, expected_parent=expected_parent

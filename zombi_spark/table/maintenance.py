@@ -144,19 +144,36 @@ class MaintenancePolicy:
     def _recover_recluster_version(self) -> int | None:
         """The newest snapshot version whose commit was THIS policy's
         re-cluster (operation compact, matching strategy + sort columns)
-        — metadata-only, newest first, stops at the first match."""
+        — metadata-only, newest first, stops at the first usable match.
+
+        A policy-committed rewrite carries ``recluster_pre_version`` in
+        its summary; recovery replays the live watermark rule on it: a
+        commit exactly one above the observed pre-version proves no
+        append interleaved (watermark = the commit), anything else
+        resumes from the pre-version. A MANUAL partition-scoped compact
+        (API/HTTP ``partitions=``, summary ``scoped``) with a matching
+        strategy looks identical but proves only its OWN dirs were
+        clustered — trusting it would permanently skip partitions
+        dirtied before it (ADVICE r14), so it is skipped."""
         try:
             names = self.table._snapshot_files()
         except Exception:  # noqa: BLE001 — table may not exist yet
             return None
         for name in reversed(names):
             snap = self.table._read_snapshot(name)
-            if (
+            if not (
                 snap.get("operation") == "compact"
                 and snap.get("strategy") == self.recluster_strategy
                 and snap.get("sort_columns") == list(self.recluster_columns or [])
             ):
-                return int(name[5:13])
+                continue
+            v = int(name[5:13])
+            pre = snap.get("recluster_pre_version")
+            if pre is not None:
+                return v if v == int(pre) + 1 else int(pre)
+            if snap.get("scoped"):
+                continue
+            return v
         return None
 
     # ------------------------------------------------------------ evaluate
@@ -287,6 +304,11 @@ class MaintenancePolicy:
             # 100 TB every later window costs O(dirty dirs), never a
             # full-table rewrite.
             def _recluster():
+                # observe the version BEFORE computing the dirty set: any
+                # commit landing after this point must stay ABOVE the
+                # watermark this window records, or its partitions would
+                # silently never be re-clustered (ADVICE r14 race)
+                pre = self.table.latest_version()
                 dirty = (
                     None
                     if self._last_recluster_version is None
@@ -299,11 +321,27 @@ class MaintenancePolicy:
                     min_input_files=1,
                     target_files_per_partition=self.recluster_target_files,
                     partitions=dirty,
+                    # recorded in the snapshot so a RESTARTED daemon can
+                    # replay the same watermark rule (_recover_recluster_version)
+                    extra_summary={"recluster_pre_version": pre},
                 )
                 self._last_recluster = self._clock()
-                # record the post-rewrite version: the rewrite's own
-                # commit must not look like "new data" next window
-                self._last_recluster_version = self.table.latest_version()
+                # Watermark = the rewrite's OWN committed version, never
+                # latest_version() (which may already include an append
+                # committed while the rewrite ran). A commit more than one
+                # version above `pre` means an append interleaved between
+                # the dirty-set read and the commit (the rewrite REBASED
+                # over it): that append is below `committed` but was never
+                # in `dirty`, so keep `pre` as the watermark and let the
+                # next window re-scan the interleaved commits — one window
+                # of re-churn, never a silently-stale layout.
+                committed = r.get("version")
+                clean = (
+                    committed is not None
+                    and pre is not None
+                    and (committed == pre if r.get("noop") else committed == pre + 1)
+                )
+                self._last_recluster_version = committed if clean else pre
                 self._backlog_since = None
                 return r
 
