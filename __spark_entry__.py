@@ -236,6 +236,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "explode_tokens": RQ.q_explode_array,  # rotated out r11
             "ts_range_scan": EQ.q_timestamp_range,  # rotated out r13
             "sql_view_agg": EQ.q_sql_view_agg,  # r14: S15 via pure SQL
+            # r15: pushed string equality on an EXTRACTED column over a
+            # string-re-clustered extraction table (categorical pruning)
+            "extracted_scan": EQ.q_extracted_scan,
         }.items()
     }
 
@@ -1296,6 +1299,27 @@ def extra_oracle_sql() -> dict[str, str]:
                min(timestamp_ms) AS first_ts
         FROM seq
         WHERE timestamp_ms >= 1704672000000 AND timestamp_ms < 1704844800000
+        GROUP BY partition
+        """,
+        # r15: the extraction-table write path round-trips event_type /
+        # value / user_id through to_json → schema-on-write extraction;
+        # both engines then read the same parquet doubles, so the cents
+        # quantization is deterministic. Sequence replay identical to
+        # datasource_scan's.
+        "extracted_scan": _EV
+        + """
+        , seq AS (
+          SELECT partition, event_type, value,
+                 CAST(row_number() OVER (PARTITION BY topic, partition
+                                         ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT partition,
+               count(*) AS n_events,
+               max(sequence) AS max_seq,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM seq
+        WHERE event_type = 'purchase'
         GROUP BY partition
         """,
         "small_qty_revenue": """

@@ -601,3 +601,86 @@ def test_extracted_column_bounds_reach_avro_manifests(spark, tmp_path):
         lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
         assert MF.decode_bound(lower[fid["k"]], "long") == e["col_stats"]["k"][0]
         assert MF.decode_bound(upper[fid["k"]], "long") == e["col_stats"]["k"][1]
+
+
+def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
+    """r15: string (Iceberg-truncated), double (NaN-guarded), and
+    boolean col_stats ride into the Avro manifest as typed single-value
+    bounds — including a LOWER-ONLY string bound when the upper
+    increment overflows (spec bounds maps are per-field optional)."""
+    import json as _json
+
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.table.event_table import truncate_upper_bound
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="country", json_path="country", data_type="utf8"),
+            FieldSpec(name="score", json_path="score", data_type="float64"),
+            FieldSpec(name="flag", json_path="flag", data_type="boolean"),
+        ],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    overflow = "\U0010FFFF" * 20  # all-max string: upper bound undefinable
+    rows = [
+        (
+            "t",
+            0,
+            _json.dumps(
+                {
+                    "country": overflow if i == 11 else f"US-{i:02d}-padded-long",
+                    "score": 1.5 * i,
+                    "flag": i % 2 == 0,
+                }
+            ).encode(),
+            1704067200000 + i,
+            None,
+            i,
+        )
+        for i in range(12)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    assert truncate_upper_bound(overflow) is None  # the shape under test
+
+    meta = _current_meta(t)
+    fid = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    typ = {
+        f["name"]: f["type"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    assert typ["country"] == "string" and typ["score"] == "double"
+    assert typ["flag"] == "boolean"
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    expected = {os.path.abspath(e["file_path"]): e for e in t.scan_files()}
+    checked = 0
+    for df in MF.live_data_files(cur["manifest-list"]):
+        e = expected[df["file_path"]]
+        cs = e.get("col_stats") or {}
+        upper = {kv["key"]: kv["value"] for kv in df["upper_bounds"] or []}
+        lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"] or []}
+        if "country" in cs:
+            lo, hi = cs["country"]
+            assert MF.decode_bound(lower[fid["country"]], "string") == lo
+            if hi is None:
+                assert fid["country"] not in upper  # lower-only bound
+            else:
+                assert MF.decode_bound(upper[fid["country"]], "string") == hi
+            checked += 1
+        if "score" in cs:
+            assert MF.decode_bound(lower[fid["score"]], "double") == cs["score"][0]
+            assert MF.decode_bound(upper[fid["score"]], "double") == cs["score"][1]
+        if "flag" in cs:
+            assert MF.decode_bound(lower[fid["flag"]], "boolean") == cs["flag"][0]
+            assert MF.decode_bound(upper[fid["flag"]], "boolean") == cs["flag"][1]
+    assert checked > 0
+    # the overflow string forced at least one file into the lower-only arm
+    assert any(
+        (e.get("col_stats") or {}).get("country", [None, "x"])[1] is None
+        for e in expected.values()
+    )

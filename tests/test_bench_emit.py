@@ -35,22 +35,25 @@ def _real_shaped_inputs():
         "app_iso_ms": 1881,
         "compact_iso": [2.28, 5.4],
         "append_p50_ms": 1266,
-        "recall_at_5": {
-            "lsh_iso": 0.675,
-            "lsh_cl": 0.95,
-            "ivf_cl": 1.0,
-            "pq_cl": 0.95,
-            "ivfpq_cl": 0.95,
-        },
+        # pinned order: [lsh_iso, lsh_cl, ivf_cl, pq_cl, ivfpq_cl] (r15)
+        "recall5": [0.675, 0.95, 1.0, 0.95, 0.95],
         "ivfpq": [2.09, 42, 64],
         "ivf_large": [3.15, 1.73, 107, 255, 1],
         "pipe_e2e": [45.7, [5000, 4992, 4920, 4917, 4917, 4269, 4490, 579, 4043]],
         "dsv2": [1.23, 48, 720, 1.68],
+        "dsv2_fat": [0.29, 1.19],
         "dsv2_st": [4, 3, 61234],
         "zorder": [24, 4, 96, 5.21],
         "vis_ms": [1534.2, 2871.9],
         "tail_ms": [10.0, 154.8],
         "maint": [1440, 720, 6],
+        # r15: the regressor re-run adjudication records ride the
+        # headline (3 worst candidates, [loop, rerun, load])
+        "rq": {
+            "hour_group": [0.44, 0.41, 12.2],
+            "quality_fe": [0.4, 0.37, 11.8],
+            "join_asof": [0.34, 0.3, 9.4],
+        },
         "load_avg": [3.8, 4.7, 4.9, 4.6, 5.1],
     }
     # cell values mirror the measured r12 artifact (x10 mostly seconds,
@@ -123,15 +126,18 @@ def test_real_shaped_artifact_keeps_every_gate_under_budget():
         "ivf_large",
         "pipe_e2e",
         "dsv2",
+        "dsv2_fat",
         "dsv2_st",
         "zorder",
         "vis_ms",
         "tail_ms",
-        "maint",
-        "recall_at_5",
+        "rq",
         "load_avg",
     ):
         assert k in ex, k
+    # recall and maint survive (maint may shed only under hot_trim)
+    assert "recall5" in ex
+    assert "maint" in ex or ex.get("hot_trim")
     assert len(d["queries"]) == 50
 
 
@@ -165,8 +171,10 @@ def test_moderate_growth_sheds_derivable_keys_not_scale():
         # (isolated_probes, pipeline_e2e_rows); the gates all survive
         assert ex["ing_probes"]
         assert "app_iso_ms" not in ex
-        for k in ("dsv2", "dsv2_st", "zorder", "vis_ms", "ivfpq", "tail_ms"):
+        for k in ("dsv2", "dsv2_fat", "dsv2_st", "zorder", "vis_ms", "ivfpq", "tail_ms"):
             assert k in ex, k
+        # the adjudication records survive trim under 10-char prefixes
+        assert "rq" in ex and all(len(n) <= 10 for n in ex["rq"])
 
 
 def test_overflow_is_loud_and_line_stays_parseable():

@@ -474,7 +474,7 @@ def test_cluster_on_extracted_integer_column(spark, tmp_path):
     assert 0 < kept_z < total_z
 
     # a non-existent column still fails fast, message naming both sets
-    with pytest.raises(ValueError, match="extracted integer columns"):
+    with pytest.raises(ValueError, match="extracted stat columns"):
         t.compact(strategy="sort", sort_columns=["nope"], rewrite_all=True,
                   min_input_files=1)
 
@@ -584,3 +584,63 @@ def test_manual_scoped_compact_does_not_poison_watermark_recovery(spark, tmp_pat
     # dirs[1], which a recovery trusting the scoped compact would skip
     assert dirs[1] in rec[0]["result"]["partitions"]
     assert t.read().count() == 480
+
+
+def test_cluster_on_extracted_string_column(spark, tmp_path):
+    """r15: extracted STRING columns carry Iceberg-truncated col_stats
+    bounds, so sort-strategy clustering on them is valid — re-layout by
+    country turns an interleaved table into range-disjoint files an
+    equality predicate prunes. Z-order on strings stays rejected (no
+    exact fixed-width normalization)."""
+    import json as _json
+
+    from pyspark.sql.datasource import EqualTo
+
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.sources.datasource import ZombiBatchReader
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="country", json_path="c", data_type="utf8")],
+    )
+    t = EventTable(spark, str(tmp_path), "bycountry", schema_config=cfg)
+    countries = ["AR", "BR", "DE", "IN", "JP", "US"]
+    for s in range(3):
+        rows = [
+            ("t", i % 4, _json.dumps({"c": countries[(i + s) % 6]}).encode(),
+             T0 + (i * 977) % 3_600_000, None, s * 200 + i)
+            for i in range(200)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    before = t.read().count()
+    us_before = t.read().where("country = 'US'").count()
+
+    def _kept():
+        reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+        reader.pushFilters([EqualTo(("country",), "US")])
+        reader.partitions()
+        return reader.last_plan["files_kept"], reader.last_plan["files_total"]
+
+    # interleaved layout: every file's bounds span AR..US — nothing prunes
+    kept, total = _kept()
+    assert kept == total
+    t.compact(
+        strategy="sort",
+        sort_columns=["country"],
+        rewrite_all=True,
+        min_input_files=1,
+        target_files_per_partition=6,
+    )
+    assert t.read().count() == before  # INV-6 across the re-layout
+    kept, total = _kept()
+    assert 0 < kept < total
+    assert t.read().where("country = 'US'").count() == us_before > 0
+
+    # z-order on a string dimension fails fast with the sort hint
+    with pytest.raises(ValueError, match="z-order needs numeric"):
+        t.compact(
+            strategy="zorder",
+            sort_columns=["timestamp_ms", "country"],
+            rewrite_all=True,
+            min_input_files=1,
+        )

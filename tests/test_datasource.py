@@ -994,3 +994,316 @@ def test_entry_admits_is_sound_for_extracted_col_stats():
             assert _entry_admits(entry, cons), (rows, cons, entry)
 
     check()
+
+
+# --------------------------------------------------------------- r15 bounds
+def test_string_truncation_helpers():
+    """Iceberg string-bound truncation semantics (UnicodeUtil): prefix
+    lower, incremented upper, carry past U+10FFFF, surrogate-range skip,
+    all-max ⇒ no upper bound."""
+    from zombi_spark.table.event_table import (
+        increment_string,
+        truncate_lower_bound,
+        truncate_upper_bound,
+    )
+
+    # short values pass through exactly
+    assert truncate_lower_bound("hello") == "hello"
+    assert truncate_upper_bound("hello") == "hello"
+    # 16-cp truncation; upper increments the LAST kept code point
+    long = "hello world extra chars"
+    assert truncate_lower_bound(long) == "hello world extr"
+    assert truncate_upper_bound(long) == "hello world exts"
+    # the bounds bracket the value
+    assert truncate_lower_bound(long) <= long < truncate_upper_bound(long)
+    # carry: a trailing U+10FFFF drops and increments the previous cp
+    s = "ab" + chr(0x10FFFF) * 15
+    up = truncate_upper_bound(s)
+    assert up == "ac" and up > s[:16]
+    # all-max prefix: no sound upper bound exists
+    assert truncate_upper_bound(chr(0x10FFFF) * 17) is None
+    assert increment_string(chr(0x10FFFF) * 3) is None
+    # surrogate range is skipped, bound stays valid UTF-8
+    t = ("x" * 15 + chr(0xD7FF)) + "tail"
+    up = truncate_upper_bound(t)
+    assert up == "x" * 15 + chr(0xE000) and up > t
+    up.encode("utf-8")  # must not raise
+    # unicode: multi-byte code points count as ONE position
+    u = "né" * 10
+    assert len(truncate_lower_bound(u)) == 16
+    assert truncate_upper_bound(u) > u[:16]
+
+
+def test_extracted_string_bounds_prune_files(spark, tmp_path):
+    """r15: extraction tables record Iceberg-truncated per-file string
+    bounds; `WHERE country = 'US'` plans exactly 1 of N range-disjoint
+    files, prefix pushdown (LIKE 'xx%') prunes too, and results equal
+    the JVM read under every predicate."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    from zombi_spark.table.event_table import _parquet_file_entry
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="country", json_path="country", data_type="utf8")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    # 4 appends with DISJOINT country values inside one hour; "ZZ..." is
+    # >16 cp so its bounds exercise truncation on the real write path
+    countries = ["AR", "BR", "US", "ZZ" + "z" * 20]
+    for ci, c in enumerate(countries):
+        rows = [
+            ("t", 0, json.dumps({"country": c}).encode(), T0 + i, None, ci * 100 + i)
+            for i in range(15)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    entries = t.scan_files()
+    assert all("country" in (e.get("col_stats") or {}) for e in entries)
+    # bounds are ≤16 code points and bracket the values; BOTH writer
+    # paths produce the same manifest contract as a fresh footer read
+    for e in entries:
+        lo, hi = e["col_stats"]["country"]
+        assert len(lo) <= 16 and (hi is None or len(hi) <= 16)
+        refetched = _parquet_file_entry(e["file_path"], t.data_path)
+        assert e["col_stats"] == refetched.get("col_stats"), e["file_path"]
+    long_entry = [e for e in entries if e["col_stats"]["country"][0].startswith("ZZ")]
+    assert long_entry[0]["col_stats"]["country"] == ["ZZ" + "z" * 14, "ZZ" + "z" * 13 + "{"]
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    # THE planning pin: an equality on the categorical extracted column
+    # plans exactly 1 of 4 files
+    reader.pushFilters([EqualTo(("country",), "US")])
+    reader.partitions()
+    assert (reader.last_plan["files_kept"], reader.last_plan["files_total"]) == (1, 4)
+    # prefix pushdown (LIKE 'ZZ%') keeps only the long-value file
+    reader.pushFilters([StringStartsWith(("country",), "ZZ")])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 1
+    # range prunes; a value past every bound prunes everything
+    reader.pushFilters([GreaterThan(("country",), "BR")])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 2
+    reader.pushFilters([EqualTo(("country",), "zzzz")])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+    # equality INSIDE a truncated range keeps the file (prefix-ambiguous)
+    reader.pushFilters([EqualTo(("country",), "ZZ" + "z" * 14 + "a")])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 1
+
+    # the files metadata table exposes the bounds for SQL inspection
+    meta = (
+        spark.read.format("zombi").option("metadata", "files").load(t.path).collect()
+    )
+    assert all(r["col_stats"] and "country" in json.loads(r["col_stats"]) for r in meta)
+
+    # pruning never gates correctness: rows match the JVM path
+    df = _load(spark, t)
+    base_df = t.read()
+    cols = sorted(df.columns)
+    for cond in (
+        "country = 'US'",
+        "country LIKE 'ZZ%'",
+        "country > 'BR'",
+        "country = 'zzzz'",
+        f"country = '{'ZZ' + 'z' * 20}'",
+    ):
+        assert sorted(map(tuple, df.filter(cond).select(*cols).collect())) == sorted(
+            map(tuple, base_df.filter(cond).select(*cols).collect())
+        ), cond
+
+
+def test_extracted_float_bool_bounds_nan_guard(spark, tmp_path):
+    """r15: float extracted columns carry exact [lo, hi] bounds ONLY for
+    NaN-free files (Spark orders NaN above +inf and matches NaN = NaN,
+    so a finite upper bound on a NaN-carrying file would wrongly prune
+    `x > huge`); booleans carry trivial bounds. Both writer paths."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="score", json_path="score", data_type="float64"),
+            FieldSpec(name="flag", json_path="flag", data_type="boolean"),
+        ],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    # clean ranges [0,9] and [100,109]; third file NaN-poisoned (JSON
+    # string "NaN" -> cast to double NaN on the extraction path); vary
+    # keys so both the Arrow (unkeyed) and parquet-mr (keyed) writers run
+    for base, nan_at, keyed in ((0, None, False), (100, None, True), (200, 3, False)):
+        rows = [
+            (
+                "t",
+                0,
+                json.dumps(
+                    {"score": "NaN" if i == nan_at else base + i, "flag": base == 0}
+                ).encode(),
+                T0 + i,
+                f"k{base + i}" if keyed else None,
+                base + i,
+            )
+            for i in range(10)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    assert t.read().where("isnan(score)").count() == 1
+    entries = t.scan_files()
+    assert len(entries) == 3
+    by_score = {tuple((e.get("col_stats") or {}).get("score", ())) for e in entries}
+    assert by_score == {(0.0, 9.0), (100.0, 109.0), ()}  # () = NaN ⇒ no bound
+    flag_of = {
+        tuple((e.get("col_stats") or {}).get("score", ())): (e.get("col_stats") or {}).get("flag")
+        for e in entries
+    }
+    assert flag_of[(0.0, 9.0)] == [True, True]
+    assert flag_of[(100.0, 109.0)] == [False, False]
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    # the NaN file has no score bounds, so score predicates always keep
+    # it — `score > 1e9` must NOT prune it (its NaN row matches in Spark)
+    reader.pushFilters([GreaterThan(("score",), 1e9)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 1
+    reader.pushFilters([EqualTo(("score",), 105.0)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 2  # clean file 2 + NaN file
+    reader.pushFilters([EqualTo(("flag",), True)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 1  # only the base=0 file
+
+    # Parity baseline runs with parquet pushdown OFF: Spark's own JVM
+    # parquet scan drops the NaN row under `score > 1e9` (parquet-cpp
+    # stats ignore NaN, the row group gets pruned) even though Spark
+    # row-level semantics match it — the exact unsoundness our planner
+    # guards against. Row-level evaluation is the ground truth here.
+    df = _load(spark, t)
+    base_df = t.read()
+    cols = sorted(df.columns)
+    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
+    try:
+        def canon(frame, cond):
+            # stringified rows: Python's nan != nan would fail tuple
+            # equality on the very row this test is about
+            return sorted(
+                tuple(map(str, r)) for r in frame.filter(cond).select(*cols).collect()
+            )
+
+        for cond in (
+            "score > 1e9",          # only the NaN row (NaN > everything)
+            "score = cast('NaN' as double)",
+            "score = 105.0",
+            "score <= 0.0",
+            "flag = true",
+        ):
+            assert canon(df, cond) == canon(base_df, cond), cond
+    finally:
+        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    assert df.where("score > 1e9").count() == 1
+
+
+def test_entry_admits_is_sound_for_string_col_stats():
+    """Pruning-soundness fuzz for TRUNCATED string bounds: random string
+    populations, bounds built exactly the way the writers build them
+    (truncate(width) lower / truncate+increment upper, possibly
+    one-sided), random =, <, >=, startswith constraints — a file
+    containing ANY matching row is always admitted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _entry_admits
+    from zombi_spark.table.event_table import (
+        truncate_lower_bound,
+        truncate_upper_bound,
+    )
+
+    # small alphabet INCLUDING the max code point so increment-overflow
+    # and carry paths get exercised at width=3
+    alpha = st.text(
+        alphabet=["a", "b", "é", chr(0xD7FF), chr(0x10FFFF)], min_size=0, max_size=6
+    )
+    ops = st.sampled_from(["==", ">", ">=", "<", "<=", "startswith"])
+
+    def _matches(v, op, x):
+        if op == "startswith":
+            return v.startswith(x)
+        return {
+            "==": v == x,
+            ">": v > x,
+            ">=": v >= x,
+            "<": v < x,
+            "<=": v <= x,
+        }[op]
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        rows=st.lists(alpha, min_size=1, max_size=12),
+        cons=st.lists(st.tuples(ops, alpha), min_size=1, max_size=3),
+        width=st.integers(min_value=1, max_value=4),
+        with_stats=st.booleans(),
+    )
+    def check(rows, cons, width, with_stats):
+        entry = {"file_path": "x.parquet"}
+        if with_stats:
+            entry["col_stats"] = {
+                "c": [
+                    truncate_lower_bound(min(rows), width),
+                    truncate_upper_bound(max(rows), width),
+                ]
+            }
+        constraints = [("c", op, x) for op, x in cons]
+        any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
+        if any_match:
+            assert _entry_admits(entry, constraints), (rows, constraints, entry)
+
+    check()
+
+
+def test_entry_admits_is_sound_for_float_col_stats():
+    """Pruning-soundness fuzz for float bounds under Spark's NaN/-0.0
+    semantics: NaN orders ABOVE +inf and NaN = NaN matches; -0.0 equals
+    0.0. Entries are built the writers' way (any NaN ⇒ no bounds), match
+    evaluation uses Spark semantics — any matching row ⇒ admitted."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _entry_admits
+
+    vals = st.sampled_from(
+        [0.0, -0.0, 1.5, -2.5, 1e300, -1e300, float("inf"), float("-inf"), float("nan")]
+    )
+    ops = st.sampled_from(["==", ">", ">=", "<", "<="])
+
+    def _cmp(v, x):
+        # Spark total order for the comparison operators: NaN above all
+        if math.isnan(v) and math.isnan(x):
+            return 0
+        if math.isnan(v):
+            return 1
+        if math.isnan(x):
+            return -1
+        return (v > x) - (v < x)  # -0.0 == 0.0 here, matching Spark
+
+    def _matches(v, op, x):
+        c = _cmp(v, x)
+        return {"==": c == 0, ">": c > 0, ">=": c >= 0, "<": c < 0, "<=": c <= 0}[op]
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        rows=st.lists(vals, min_size=1, max_size=12),
+        cons=st.lists(st.tuples(ops, vals), min_size=1, max_size=3),
+        with_stats=st.booleans(),
+    )
+    def check(rows, cons, with_stats):
+        entry = {"file_path": "x.parquet"}
+        if with_stats and not any(math.isnan(v) for v in rows):
+            entry["col_stats"] = {"s": [min(rows), max(rows)]}
+        constraints = [("s", op, x) for op, x in cons]
+        any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
+        if any_match:
+            assert _entry_admits(entry, constraints), (rows, constraints, entry)
+
+    check()

@@ -72,3 +72,47 @@ def test_follow_across_compaction_no_double_delivery(spark, tmp_path):
     t.append(prepare_events(_batch(spark, 12, 2)))
     f.process(lambda df, v: counts.append(df.count()))
     assert counts == [12, 0, 2]
+
+
+def test_expire_snapshots_protects_live_follower_window(spark, tmp_path, caplog):
+    """r15 retention-vs-consumer-lag guard: expire_snapshots refuses to
+    kill the snapshot window a registered follower still needs — BEFORE
+    the history is gone (the r14 added_files error fires after). The
+    safe prefix still expires, the lagging group is named in a warning,
+    and catching up (or protect_followers=False) releases the rest."""
+    import logging
+
+    import pytest
+
+    t = EventTable(spark, str(tmp_path), "events")
+    for s in range(5):
+        t.append(prepare_events(_batch(spark, s * 4, 4)))  # versions 0..4
+    f = TableFollower(t, "pipeline")
+    f.commit(1)  # processed through version 1; still needs 2..4
+
+    with caplog.at_level(logging.WARNING):
+        expired = t.expire_snapshots(keep_last=1)
+    # unguarded keep_last=1 would expire 0..3; the guard stops at the
+    # follower's position: only versions ≤ 1 go
+    assert expired == [0, 1]
+    assert any("pipeline" in r.message for r in caplog.records)
+    # the follower's incremental read still works over the kept window
+    changes, to_v = f.poll()
+    assert to_v == 4 and changes.count() == 12
+    f.commit(to_v)
+
+    # caught up: the remaining backlog expires normally, silently
+    assert t.expire_snapshots(keep_last=1) == [2, 3]
+
+    # a new lagging group can be overridden explicitly — after which its
+    # poll fails with the retention-lag contract error, not a phantom
+    for s in range(5, 8):
+        t.append(prepare_events(_batch(spark, s * 4, 4)))  # versions 5..7
+    g = TableFollower(t, "stale-group")
+    g.commit(4)
+    # snapshot 4 is already processed — only it expires; 5..6 held
+    assert t.expire_snapshots(keep_last=1) == [4]
+    expired = t.expire_snapshots(keep_last=1, protect_followers=False)
+    assert expired == [5, 6]
+    with pytest.raises(ValueError, match="retention window"):
+        g.poll()

@@ -479,6 +479,92 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_extraction_table(spark: SparkSession, sf_dir: str):
+    """The events mapping committed as a schema-on-write EXTRACTION
+    table (§1.3) and re-clustered by the extracted ``event_type`` string
+    column — the fixture for the r15 categorical-pruning surface: every
+    file's Iceberg-truncated string bounds cover one event_type range,
+    so an equality predicate plans a subset of files. Built once per
+    session × sf_dir (same memo discipline as the plain fixture)."""
+    import tempfile
+
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.table.event_table import EventTable
+
+    memo = session_cache(spark, "zombi_extract_tables")
+    table = memo.get(sf_dir)
+    if table is None:
+        import atexit
+        import shutil
+
+        ev = zombi_events(spark, sf_dir).select(
+            "topic",
+            "partition",
+            F.encode(
+                F.to_json(F.struct("event_type", "value", "user_id")), "UTF-8"
+            ).alias("payload"),
+            "timestamp_ms",
+            F.lit(None).cast("string").alias("idempotency_key"),
+            F.col("arrival").alias("ingest_order"),
+        )
+        cfg = TableSchemaConfig(
+            payload_format="json",
+            fields=[
+                FieldSpec(name="event_type", json_path="event_type", data_type="utf8"),
+                FieldSpec(name="value", json_path="value", data_type="float64"),
+                FieldSpec(name="user_id", json_path="user_id", data_type="int64"),
+            ],
+        )
+        root = tempfile.mkdtemp(prefix="zombi_ext_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        table = EventTable(spark, root, "events", schema_config=cfg)
+        table.append(prepare_events(ev))
+        # sort-strategy re-cluster on the extracted STRING column: rows
+        # are preserved exactly (INV-6), only the layout changes — the
+        # string bounds become disjoint ranges the planner prunes on
+        table.compact(
+            strategy="sort",
+            sort_columns=["event_type"],
+            rewrite_all=True,
+            min_input_files=1,
+            target_files_per_partition=4,
+        )
+        memo[sf_dir] = table
+    return table
+
+
+def q_extracted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 categorical pruning end to end: an equality predicate on an
+    EXTRACTED string column, pushed through ``format("zombi")`` into the
+    manifest's Iceberg-truncated string bounds (event_table.
+    truncate_{lower,upper}_bound; reference string bound encoding
+    iceberg.rs:41-76, extraction targets contracts/schema.rs:56-63),
+    over a table re-clustered by that column — with the extracted double
+    riding along through the same projection. The oracle replays the
+    write path's sequence assignment + the JSON round trip relationally
+    (value survives to_json → from_json exactly: both sides read the
+    same parquet doubles)."""
+    from zombi_spark.shipping import ensure_package_on_workers
+    from zombi_spark.sources.datasource import register_zombi_datasource
+
+    ensure_package_on_workers(spark)
+    register_zombi_datasource(spark)
+    table = _materialized_extraction_table(spark, sf_dir)
+    df = (
+        spark.read.format("zombi")
+        .option("fields", "partition,sequence,event_type,value")
+        .load(table.path)
+        .where(F.col("event_type") == "purchase")
+    )
+    return df.groupBy("partition").agg(
+        F.count("*").alias("n_events"),
+        F.max("sequence").alias("max_seq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
 def q_sql_view_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15 from pure SQL (r14): ``register_zombi_view`` binds the format
     — ``fields`` projection included — into a temp view, and the query

@@ -74,6 +74,7 @@ as with Iceberg's incremental scans.
 from __future__ import annotations
 
 import datetime
+import math
 import os
 import re
 from dataclasses import dataclass, field
@@ -90,6 +91,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
 )
 from pyspark.sql.types import StructType
 
@@ -202,13 +204,13 @@ def _filter_constraints(filters) -> list:
     """The prunable constraints among the pushed filters.
 
     A constraint is ``(column, op, value)`` with op ∈ {"==", ">", ">=",
-    "<", "<=", "in"}. Unsupported shapes (nested paths, IsNull, Not,
-    string matches) are simply not constraints — the file is kept and
-    Spark's row-level re-apply does the work. Columns beyond the system
-    set are kept too: extraction tables record per-file ``col_stats``
-    bounds for extracted integer columns (event_table.
-    _parquet_file_entry), and :func:`_entry_admits` prunes on whichever
-    source an entry carries.
+    "<", "<=", "in", "startswith"}. Unsupported shapes (nested paths,
+    IsNull, Not, contains/endswith) are simply not constraints — the
+    file is kept and Spark's row-level re-apply does the work. Columns
+    beyond the system set are kept too: extraction tables record
+    per-file ``col_stats`` bounds for extracted int/string/float/bool
+    columns (event_table._parquet_file_entry), and
+    :func:`_entry_admits` prunes on whichever source an entry carries.
     """
     constraints = []
     for f in filters:
@@ -231,6 +233,9 @@ def _filter_constraints(filters) -> list:
             vals = [v for v in f.value if v is not None]
             if vals:
                 constraints.append((col, "in", vals))
+        elif isinstance(f, StringStartsWith):
+            if isinstance(f.value, str):
+                constraints.append((col, "startswith", f.value))
     return constraints
 
 
@@ -239,8 +244,13 @@ def _as_comparable(value, reference):
 
     Spark hands dates as ``datetime.date`` and ints as ``int`` already;
     the one mismatch seen in practice is date-vs-string when a user
-    compares event_date to a string literal.
+    compares event_date to a string literal. A NaN literal is NEVER
+    comparable: col_stats bounds exclude NaN by construction while Spark
+    orders NaN above +inf and matches NaN = NaN, so no bound may prune
+    on it.
     """
+    if isinstance(value, float) and math.isnan(value):
+        return None
     if isinstance(reference, datetime.date) and isinstance(value, str):
         try:
             return datetime.date.fromisoformat(value)
@@ -248,28 +258,46 @@ def _as_comparable(value, reference):
             return None
     if type(value) is type(reference) or isinstance(value, type(reference)):
         return value
-    if isinstance(reference, int) and isinstance(value, (int, float)):
+    if isinstance(reference, (int, float)) and isinstance(value, (int, float)):
         return value
     return None  # incomparable — never prune on it
 
 
 def _bounds_admit(lo, hi, op: str, value) -> bool:
+    """Can any row inside ``[lo, hi]`` satisfy ``op value``? ``hi`` may
+    be None — a ONE-SIDED bound (r15: a truncated string upper bound
+    whose increment overflowed): the unknown side never proves
+    exclusion, so operators needing it keep the file."""
+    if op == "startswith":
+        # rows matching lie in [value, increment_string(value)); admit
+        # on range overlap. Sound with truncated bounds: lo ≤ true min
+        # and hi ≥ true max, so a disjoint [lo, hi] proves disjoint data.
+        if not isinstance(value, str) or not isinstance(lo, str):
+            return True
+        if hi is not None and hi < value:
+            return False
+        from zombi_spark.table.event_table import increment_string
+
+        succ = increment_string(value)
+        return succ is None or lo < succ
     value = _as_comparable(value, lo)
     if value is None:
         return True
     if op == "==":
-        return lo <= value <= hi
+        return lo <= value and (hi is None or value <= hi)
     if op == ">":
-        return hi > value
+        return hi is None or hi > value
     if op == ">=":
-        return hi >= value
+        return hi is None or hi >= value
     if op == "<":
         return lo < value
     if op == "<=":
         return lo <= value
     if op == "in":
         vals = [_as_comparable(v, lo) for v in value]
-        return any(v is not None and lo <= v <= hi for v in vals)
+        return any(
+            v is not None and lo <= v and (hi is None or v <= hi) for v in vals
+        )
     return True
 
 
@@ -523,7 +551,10 @@ class ZombiStreamReader(DataSourceStreamReader):
         # not a shortcut: capping a guessed seed could return an offset
         # BELOW the checkpointed committed offset, and a regressed
         # offset in the engine's offset log replays already-consumed
-        # versions — breaking exactly-once (ADVICE r13).
+        # versions — breaking exactly-once (ADVICE r13). Operator
+        # runbook for the uncapped paths: restart a deep-backlog
+        # follower from option("starting_version") / starting_as_of_ms
+        # (README "Runbook note", r15).
         n = int(options.get("max_versions_per_batch", 0))
         self._max_versions = n if n > 0 else None
         self._last_end: int | None = None
@@ -601,6 +632,10 @@ _FILES_FIELDS = [
     ("min_part", "int"),
     ("max_part", "int"),
     ("key_nulls", "long"),
+    # r15: extracted-column bounds as a JSON string ({name: [lo, hi]},
+    # hi null = one-sided truncated string bound) — lets an operator
+    # inspect why a file was or wasn't pruned from plain SQL
+    ("col_stats", "string"),
 ]
 _SNAPSHOTS_FIELDS = [
     ("version", "int"),
@@ -634,10 +669,17 @@ class ZombiMetadataReader(DataSourceReader):
         return [InputPartition(0)]
 
     def read(self, partition):
+        import json as _json
+
         table = _table_for(self._path)
         if self._mode == "files":
             for e in table.scan_files(version=self._version):
-                yield tuple(e.get(name) for name, _ in _FILES_FIELDS)
+                yield tuple(
+                    _json.dumps(e[name], sort_keys=True)
+                    if name == "col_stats" and e.get(name) is not None
+                    else e.get(name)
+                    for name, _ in _FILES_FIELDS
+                )
         else:
             for s in table.snapshots():
                 yield (

@@ -24,13 +24,14 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from zombi_spark.streaming.offsets import ConsumerOffsets
+from zombi_spark.streaming.offsets import VERSION_SLOT, ConsumerOffsets
 from zombi_spark.table.event_table import EventTable
 
 # versions are tracked in the offsets store under a reserved pseudo
-# partition, so table-follow positions and (deprecated) per-partition
-# sequence offsets can share one file without colliding
-_VERSION_SLOT = -1
+# partition (offsets.VERSION_SLOT), so table-follow positions and
+# (deprecated) per-partition sequence offsets share one file without
+# colliding — and expire_snapshots' retention guard can read them
+_VERSION_SLOT = VERSION_SLOT
 
 
 class TableFollower:

@@ -22,6 +22,14 @@ import uuid
 
 _OFFSETS_FILE = "_zombi_offsets.json"
 
+#: Reserved pseudo partition for TableFollower's per-group snapshot
+#: VERSION positions (streaming/follower.py) — real partitions are ≥ 0,
+#: so follower positions and the deprecated per-partition sequence
+#: offsets share one file without colliding. Defined HERE so
+#: EventTable.expire_snapshots can read follower lag without importing
+#: follower.py (which imports event_table — cycle).
+VERSION_SLOT = -1
+
 
 class ConsumerOffsets:
     """Per-table consumer-group offset store.
@@ -92,3 +100,16 @@ class ConsumerOffsets:
             for k, v in self._read().items()
             if k.startswith(prefix)
         }
+
+    def follower_positions(self) -> dict[str, int]:
+        """group → last fully-processed snapshot version, for every
+        registered table follower (the :data:`VERSION_SLOT` pseudo
+        partition). One metadata file read; the retention guard in
+        ``EventTable.expire_snapshots`` sizes its kill window from the
+        minimum of these."""
+        out: dict[str, int] = {}
+        for k, v in self._read().items():
+            group, _, part = k.rpartition(":")
+            if group and part == str(VERSION_SLOT):
+                out[group] = int(v)
+        return out

@@ -92,6 +92,7 @@ def validate_clustering_spec(
     strategy: str,
     sort_columns: list[str] | None,
     extracted_int_columns: tuple[str, ...] | list[str] = (),
+    extracted_sortable_columns: tuple[str, ...] | list[str] = (),
 ) -> None:
     """Static validation of a (strategy, sort_columns) pair — no
     DataFrame, no bounds scan. Shared by :func:`clustering_sort_columns`
@@ -104,20 +105,30 @@ def validate_clustering_spec(
     columns: since r14 they carry per-file ``col_stats`` bounds
     (event_table._parquet_file_entry), so clustering on them yields
     readable, prunable layout — both as sort leaders and as z-order
-    dimensions (integers normalize exactly)."""
+    dimensions (integers normalize exactly).
+    ``extracted_sortable_columns`` are the remaining stat-bounded
+    extracted columns (r15: strings with Iceberg-truncated bounds,
+    NaN-guarded doubles, booleans) — valid SORT leaders (their bounds
+    prune), but never z-order dimensions (no exact fixed-width
+    normalization)."""
     if strategy == "binpack":
         return
     if strategy not in ("sort", "zorder"):
         raise ValueError(f"unknown strategy {strategy!r}: binpack | sort | zorder")
     if not sort_columns:
         raise ValueError(f"strategy {strategy!r} requires sort_columns")
-    clusterable = set(CLUSTERABLE_COLUMNS) | set(extracted_int_columns)
+    clusterable = (
+        set(CLUSTERABLE_COLUMNS)
+        | set(extracted_int_columns)
+        | set(extracted_sortable_columns)
+    )
     unknown = [c for c in sort_columns if c not in clusterable]
     if unknown:
         raise ValueError(
             f"cannot cluster on {unknown}: per-file bounds exist only for "
             f"{CLUSTERABLE_COLUMNS} (manifests._BOUND_COLS) and the "
-            f"table's extracted integer columns {tuple(extracted_int_columns)} "
+            f"table's extracted stat columns "
+            f"{tuple(extracted_int_columns) + tuple(extracted_sortable_columns)} "
             "(col_stats) — clustering on anything else would reorder data "
             "no reader can prune on"
         )
@@ -140,6 +151,7 @@ def clustering_sort_columns(
     strategy: str,
     sort_columns: list[str] | None,
     extracted_int_columns: tuple[str, ...] | list[str] = (),
+    extracted_sortable_columns: tuple[str, ...] | list[str] = (),
 ) -> list[Column]:
     """The within-storage-partition sort for a compaction rewrite.
 
@@ -152,7 +164,9 @@ def clustering_sort_columns(
     Every strategy preserves rows exactly; only the LAYOUT (and hence the
     per-file bounds) changes.
     """
-    validate_clustering_spec(strategy, sort_columns, extracted_int_columns)
+    validate_clustering_spec(
+        strategy, sort_columns, extracted_int_columns, extracted_sortable_columns
+    )
     if strategy == "binpack":
         return [F.col("timestamp_ms"), F.col("sequence")]
     if strategy == "sort":

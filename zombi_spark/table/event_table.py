@@ -82,6 +82,50 @@ SYSTEM_COLUMNS = frozenset(
         "timestamp_ms", "idempotency_key", "event_date", "event_hour",
     }
 )
+
+#: Iceberg's default metrics truncation width (write.metadata.metrics
+#: default truncate(16)) — string bounds in manifests are prefixes, not
+#: full values, so a pathological 1 MB document key cannot bloat every
+#: manifest entry it touches.
+STRING_BOUND_WIDTH = 16
+
+
+def increment_string(s: str) -> str | None:
+    """The exclusive-prefix successor of ``s``: the smallest practical
+    string strictly greater than EVERY string that starts with ``s``.
+
+    Iceberg's ``UnicodeUtil.truncateStringMax`` increment rule: bump the
+    last code point; a position already at U+10FFFF carries into the one
+    before it (dropping the tail), and when every position is U+10FFFF
+    there is no successor — ``None`` (the caller records no upper bound;
+    unknowable is never skipped). Increments that would land in the
+    surrogate range U+D800-DFFF jump to U+E000: still strictly greater,
+    and the bound stays valid UTF-8 for JSON manifests and Avro.
+    """
+    for i in range(len(s) - 1, -1, -1):
+        cp = ord(s[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:
+            cp = 0xE000
+        if cp <= 0x10FFFF:
+            return s[:i] + chr(cp)
+    return None
+
+
+def truncate_lower_bound(s: str, width: int = STRING_BOUND_WIDTH) -> str:
+    """Iceberg string LOWER bound: the value itself when short enough,
+    else its ``width``-code-point prefix — a prefix sorts ≤ the value,
+    so the truncated bound stays a sound lower bound."""
+    return s if len(s) <= width else s[:width]
+
+
+def truncate_upper_bound(s: str, width: int = STRING_BOUND_WIDTH) -> str | None:
+    """Iceberg string UPPER bound: the value itself when short enough,
+    else the truncated prefix INCREMENTED past every string sharing it
+    (:func:`increment_string`); ``None`` when the increment overflows —
+    the column then records a one-sided ``[lo, null]`` bound."""
+    if len(s) <= width:
+        return s
+    return increment_string(s[:width])
 # a full active-file list ("base") is materialized at least this often so
 # delta replay is bounded: reconstruction reads ≤ _REBASE_EVERY snapshots
 _REBASE_EVERY = 32
@@ -131,7 +175,8 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
         "file_size_bytes": os.path.getsize(path),
     }
     try:
-        md = pq.ParquetFile(path).metadata
+        pf = pq.ParquetFile(path)
+        md = pf.metadata
         entry["row_count"] = md.num_rows
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for col, lo_key, hi_key in (
@@ -174,27 +219,61 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                 nulls.append(st.null_count)
             else:
                 entry["key_nulls"] = sum(nulls)
-        # r14: per-file bounds for EXTRACTED integer columns
-        # (schema-on-write tables, §1.3) as ``col_stats: {name: [lo,
-        # hi]}`` — the same Iceberg lower/upper-bound contract the
-        # system columns get, so manifest planning (scan_files, the
-        # zombi data source's pushed filters) can skip files on
-        # extracted predicates too. Integer physical types only: bounds
-        # are exact, with no NaN ordering or string-truncation
-        # semantics. Bounds cover NON-NULL values (an equality/range
-        # predicate never matches NULL, so that is the sound prune set);
-        # an all-null row group contributes nothing, a group with values
-        # but no stats makes the column unknowable → key absent → the
-        # file is never skipped on it.
+        # r14/r15: per-file bounds for EXTRACTED columns (schema-on-write
+        # tables, §1.3) as ``col_stats: {name: [lo, hi]}`` — the same
+        # Iceberg lower/upper-bound contract the system columns get, so
+        # manifest planning (the zombi data source's pushed filters) can
+        # skip files on extracted predicates too. r14 covered integers;
+        # r15 adds strings (Iceberg truncation semantics — truncate the
+        # lower bound, truncate+increment the upper, hi=null on
+        # increment overflow; reference extraction targets declare
+        # Utf8|Float64|Boolean too, contracts/schema.rs:56-63, string
+        # bound encoding iceberg.rs:41-76), booleans, and floats.
+        #
+        # Soundness notes. Bounds cover NON-NULL values (none of the
+        # prunable operators match NULL). A footer string min/max the
+        # WRITER already truncated stays sound: parquet-mr truncates max
+        # with the same increment rule, so footer (min, max) are valid
+        # (lower, upper) bounds even when inexact, and re-truncating a
+        # bound keeps it a bound. Floats are the one type whose footer
+        # stats CANNOT be trusted blind: pyarrow writes min/max that
+        # silently ignore NaN (verified empirically), while Spark orders
+        # NaN above +inf and matches NaN = NaN — a finite upper bound on
+        # a NaN-carrying file would wrongly prune `x > huge`. So float
+        # columns are proven NaN-free by reading the column (one-column
+        # read at append time, extraction tables only); any NaN ⇒ no
+        # bounds recorded. A group with values but no stats makes the
+        # column unknowable → key absent → the file is never skipped.
         col_stats: dict = {}
         for name, i in idx.items():
             if name in SYSTEM_COLUMNS:
                 continue
             col_schema = md.schema.column(i)
-            if col_schema.physical_type not in ("INT32", "INT64"):
-                continue
+            phys = col_schema.physical_type
             lt = str(col_schema.logical_type.type)
-            if lt not in ("NONE", "INT"):  # dates/times also ride INT32/64
+            if phys in ("INT32", "INT64") and lt in ("NONE", "INT"):
+                kind = "int"  # dates/times also ride INT32/64 — excluded
+            elif phys == "BYTE_ARRAY" and lt in ("STRING", "UTF8"):
+                kind = "string"
+            elif phys in ("FLOAT", "DOUBLE") and lt == "NONE":
+                kind = "float"
+            elif phys == "BOOLEAN":
+                kind = "bool"
+            else:
+                continue
+            if kind == "float":
+                try:
+                    import pyarrow.compute as pc
+
+                    col = pf.read(columns=[name]).column(0)
+                    if col.null_count == len(col):
+                        continue  # entirely null: no bounds, sound
+                    if pc.any(pc.is_nan(col)).as_py():
+                        continue  # NaN-poisoned: no finite bound is sound
+                    mm = pc.min_max(col)
+                    col_stats[name] = [mm["min"].as_py(), mm["max"].as_py()]
+                except Exception:  # noqa: BLE001 — stats stay optional
+                    pass
                 continue
             los, his = [], []
             knowable = True
@@ -213,7 +292,19 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                 else:
                     knowable = False
                     break
-            if knowable and los:
+            if not (knowable and los):
+                continue
+            if kind == "string":
+                try:
+                    los = [v.decode("utf-8") if isinstance(v, bytes) else v for v in los]
+                    his = [v.decode("utf-8") if isinstance(v, bytes) else v for v in his]
+                except UnicodeDecodeError:
+                    continue  # undecodable stat: unknowable, never skipped
+                col_stats[name] = [
+                    truncate_lower_bound(min(los)),
+                    truncate_upper_bound(max(his)),
+                ]
+            else:
                 col_stats[name] = [min(los), max(his)]
         if col_stats:
             entry["col_stats"] = col_stats
@@ -338,16 +429,34 @@ class EventTable:
         out.append(T.StructField("_payload_overflow", T.BinaryType(), True))
         return T.StructType(out)
 
+    def extracted_stat_columns(self) -> dict[str, str]:
+        """name → bounds kind (``int | string | float | bool``) for every
+        extracted column that carries per-file ``col_stats`` bounds in
+        the manifest. r14 covered integers; r15 added strings (Iceberg
+        truncation semantics), NaN-guarded doubles, and booleans — the
+        reference's full extraction target list (contracts/
+        schema.rs:56-63). Binary extracted fields and the
+        ``_payload_overflow`` column have no orderable bounds."""
+        kind_of = {
+            "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+            "string": "string", "float": "float", "double": "float",
+            "boolean": "bool",
+        }
+        return {
+            f.name: kind_of[f.dataType.simpleString()]
+            for f in self.table_schema().fields
+            if f.name not in SYSTEM_COLUMNS
+            and f.dataType.simpleString() in kind_of
+        }
+
     def extracted_int_columns(self) -> tuple[str, ...]:
         """The schema-config INTEGER columns — since r14 they carry
         per-file ``col_stats`` bounds in the manifest (both writer
         paths), which makes them clusterable and prunable exactly like
-        the system bound columns."""
+        the system bound columns. (Z-order keeps requiring integers;
+        sort-strategy clustering accepts any stat column.)"""
         return tuple(
-            f.name
-            for f in self.table_schema().fields
-            if f.name not in SYSTEM_COLUMNS
-            and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+            name for name, kind in self.extracted_stat_columns().items() if kind == "int"
         )
 
     # ---------------------------------------------------------------- meta
@@ -930,14 +1039,20 @@ class EventTable:
             "min_topic string, max_topic string, min_part int, max_part int, "
             "key_nulls long, col_stats string"
         )
-        # extracted integer columns get per-file bounds (same contract as
-        # the footer path's col_stats — see _parquet_file_entry); the
-        # names are resolved driver-side, the bounds computed write-time
-        int_stat_cols = [
-            f.name
+        # extracted columns get per-file bounds (same contract as the
+        # footer path's col_stats — see _parquet_file_entry); the
+        # (name, kind) pairs are resolved driver-side, the bounds
+        # computed write-time from the exact Arrow data the file holds
+        kind_of = {
+            "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+            "string": "string", "float": "float", "double": "float",
+            "boolean": "bool",
+        }
+        stat_cols = [
+            (f.name, kind_of[f.dataType.simpleString()])
             for f in data_fields
             if f.name not in SYSTEM_COLUMNS
-            and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+            and f.dataType.simpleString() in kind_of
         ]
 
         def _write_batches(batches):
@@ -1009,9 +1124,25 @@ class EventTable:
                             topmin, topmax = _mm("topic")
                             pmin, pmax = _mm("partition")
                             cstats = {}
-                            for cname in int_stat_cols:
+                            for cname, ckind in stat_cols:
+                                scol = sl.column(cname)
+                                if scol.null_count == len(scol):
+                                    continue  # all-null ⇒ absent
+                                if ckind == "float" and pc.any(
+                                    pc.is_nan(scol)
+                                ).as_py():
+                                    continue  # NaN-poisoned ⇒ no bound
                                 clo, chi = _mm(cname)
-                                if clo is not None:  # all-null ⇒ absent
+                                if clo is None:
+                                    continue
+                                if ckind == "string":
+                                    # Iceberg truncation: prefix lower,
+                                    # incremented upper (None = one-sided)
+                                    cstats[cname] = [
+                                        truncate_lower_bound(clo),
+                                        truncate_upper_bound(chi),
+                                    ]
+                                else:
                                     cstats[cname] = [clo, chi]
                             import json as _json
 
@@ -1906,17 +2037,56 @@ class EventTable:
             "version": snap["version"],
         }
 
-    def expire_snapshots(self, keep_last: int = 5) -> list[int]:
+    def expire_snapshots(
+        self, keep_last: int = 5, protect_followers: bool = True
+    ) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (Iceberg
         ``expire_snapshots``). The oldest survivor is rewritten with a
         materialized full file list first, so delta replay never dangles.
         Returns the expired version numbers; follow with
-        :meth:`remove_orphans` to reclaim the files only they referenced."""
+        :meth:`remove_orphans` to reclaim the files only they referenced.
+
+        ``protect_followers`` (r15): a registered TableFollower at
+        position P reads snapshots ``P+1..latest`` incrementally —
+        expiring any of those turns its next poll into the added_files
+        retention-lag error AFTER the history is already gone. The guard
+        refuses exactly the snapshots a registered follower group still
+        needs (it clamps the kill window to versions ≤ min position and
+        WARNS naming the lagging groups), so retention keeps ticking for
+        everything safe and the operator sees who is holding the log.
+        Pass ``protect_followers=False`` to kill an abandoned group's
+        window anyway."""
         names = self._snapshot_files()
         if len(names) <= keep_last:
             return []
         keep_last = max(keep_last, 1)
         cut = len(names) - keep_last
+        if protect_followers and cut > 0:
+            from zombi_spark.streaming.offsets import ConsumerOffsets
+
+            positions = ConsumerOffsets(self.path).follower_positions()
+            if positions:
+                min_pos = min(positions.values())
+                safe_cut = sum(1 for n in names if int(n[5:13]) <= min_pos)
+                if safe_cut < cut:
+                    import logging
+
+                    lagging = {
+                        g: p for g, p in positions.items() if p < int(names[cut][5:13])
+                    }
+                    logging.getLogger(__name__).warning(
+                        "expire_snapshots(keep_last=%d) on %r would kill the "
+                        "window follower group(s) %s still need; keeping "
+                        "snapshots > version %d (protect_followers=False "
+                        "overrides)",
+                        keep_last,
+                        self.name,
+                        lagging,
+                        min_pos,
+                    )
+                    cut = safe_cut
+        if cut <= 0:
+            return []
         oldest_kept = names[cut]
         snap = self._read_snapshot(oldest_kept)
         if "files" not in snap:
@@ -2076,8 +2246,13 @@ class EventTable:
                     cap = max(-(-biggest // target_files_per_partition), 1)
             from zombi_spark.table.clustering import clustering_sort_columns
 
+            stat_kinds = self.extracted_stat_columns()
             order = clustering_sort_columns(
-                df, strategy, sort_columns, self.extracted_int_columns()
+                df,
+                strategy,
+                sort_columns,
+                tuple(n for n, k in stat_kinds.items() if k == "int"),
+                tuple(n for n, k in stat_kinds.items() if k != "int"),
             )
             wstats = self._write_staged(
                 df.repartition(ntasks, "event_date", "event_hour")

@@ -89,10 +89,12 @@ class MaintenancePolicy:
             # would otherwise error on every tick forever (ADVICE r13)
             from zombi_spark.table.clustering import validate_clustering_spec
 
+            stat_kinds = table.extracted_stat_columns()
             validate_clustering_spec(
                 recluster_strategy,
                 recluster_columns,
-                table.extracted_int_columns(),
+                tuple(n for n, k in stat_kinds.items() if k == "int"),
+                tuple(n for n, k in stat_kinds.items() if k != "int"),
             )
         self.recluster_every_s = recluster_every_s
         self.recluster_strategy = recluster_strategy

@@ -52,6 +52,8 @@ def encode_bound(value, iceberg_type: str) -> bytes:
         return struct.pack("<d", float(value))
     if iceberg_type == "float":
         return struct.pack("<f", float(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
     raise TypeError(f"unsupported bound type: {iceberg_type}")
 
 
@@ -66,6 +68,8 @@ def decode_bound(raw: bytes, iceberg_type: str):
         return struct.unpack("<d", raw)[0]
     if iceberg_type == "float":
         return struct.unpack("<f", raw)[0]
+    if iceberg_type == "boolean":
+        return raw != b"\x00"
     raise TypeError(f"unsupported bound type: {iceberg_type}")
 
 
@@ -272,10 +276,13 @@ def entry_to_data_file(
     ``field_ids`` maps column name → Iceberg field id for the CURRENT
     schema (extraction tables shift ids, so never hardcode).
     ``field_types`` (name → iceberg type) enables bounds for the entry's
-    ``col_stats`` extracted-column stats (r14): only int/long columns
-    carry col_stats, and the single-value serialization needs the exact
-    width, so a column with no known type is skipped — stock readers
-    then simply see no bounds for it, never wrong ones."""
+    ``col_stats`` extracted-column stats (r14 ints; r15 strings/doubles/
+    booleans): the single-value serialization needs the exact type, so a
+    column with no known type is skipped — stock readers then simply see
+    no bounds for it, never wrong ones. String col_stats arrive ALREADY
+    Iceberg-truncated (event_table.truncate_{lower,upper}_bound); a null
+    upper (increment overflow) emits a lower-only bound, which the spec
+    permits (bounds maps are per-field optional)."""
     part_values = _parse_partition_dir(entry.get("partition_dir", ""))
     lower, upper = [], []
     for col, lo_key, hi_key, typ in _BOUND_COLS:
@@ -285,10 +292,14 @@ def entry_to_data_file(
             upper.append({"key": fid, "value": encode_bound(entry[hi_key], typ)})
     for col, bounds in sorted((entry.get("col_stats") or {}).items()):
         typ = (field_types or {}).get(col)
-        if col in field_ids and typ in ("int", "long"):
+        if col in field_ids and typ in (
+            "int", "long", "string", "double", "float", "boolean"
+        ):
             fid = field_ids[col]
-            lower.append({"key": fid, "value": encode_bound(bounds[0], typ)})
-            upper.append({"key": fid, "value": encode_bound(bounds[1], typ)})
+            if bounds[0] is not None:
+                lower.append({"key": fid, "value": encode_bound(bounds[0], typ)})
+            if bounds[1] is not None:
+                upper.append({"key": fid, "value": encode_bound(bounds[1], typ)})
     return {
         "content": 0,  # DATA
         "file_path": os.path.abspath(entry["file_path"]),
