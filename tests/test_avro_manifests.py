@@ -678,6 +678,13 @@ def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
         if "flag" in cs:
             assert MF.decode_bound(lower[fid["flag"]], "boolean") == cs["flag"][0]
             assert MF.decode_bound(upper[fid["flag"]], "boolean") == cs["flag"][1]
+        # r15: exact null counts ride as Iceberg null_value_counts; the
+        # top-level value_counts carry the record count
+        nvc = {kv["key"]: kv["value"] for kv in df["null_value_counts"] or []}
+        vc = {kv["key"]: kv["value"] for kv in df["value_counts"] or []}
+        for col, n in (e.get("col_nulls") or {}).items():
+            assert nvc[fid[col]] == n
+            assert vc[fid[col]] == e["row_count"]
     assert checked > 0
     # the overflow string forced at least one file into the lower-only arm
     assert any(

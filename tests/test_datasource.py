@@ -1223,11 +1223,13 @@ def test_entry_admits_is_sound_for_string_col_stats():
     alpha = st.text(
         alphabet=["a", "b", "é", chr(0xD7FF), chr(0x10FFFF)], min_size=0, max_size=6
     )
-    ops = st.sampled_from(["==", ">", ">=", "<", "<=", "startswith"])
+    ops = st.sampled_from(["==", ">", ">=", "<", "<=", "startswith", "in"])
 
     def _matches(v, op, x):
         if op == "startswith":
             return v.startswith(x)
+        if op == "in":
+            return v in x
         return {
             "==": v == x,
             ">": v > x,
@@ -1239,7 +1241,11 @@ def test_entry_admits_is_sound_for_string_col_stats():
     @settings(max_examples=400, deadline=None)
     @given(
         rows=st.lists(alpha, min_size=1, max_size=12),
-        cons=st.lists(st.tuples(ops, alpha), min_size=1, max_size=3),
+        cons=st.lists(
+            st.tuples(ops, alpha, st.lists(alpha, min_size=1, max_size=3)),
+            min_size=1,
+            max_size=3,
+        ),
         width=st.integers(min_value=1, max_value=4),
         with_stats=st.booleans(),
     )
@@ -1252,6 +1258,7 @@ def test_entry_admits_is_sound_for_string_col_stats():
                     truncate_upper_bound(max(rows), width),
                 ]
             }
+        cons = [(op, vals if op == "in" else x) for op, x, vals in cons]
         constraints = [("c", op, x) for op, x in cons]
         any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
         if any_match:
@@ -1302,6 +1309,166 @@ def test_entry_admits_is_sound_for_float_col_stats():
         if with_stats and not any(math.isnan(v) for v in rows):
             entry["col_stats"] = {"s": [min(rows), max(rows)]}
         constraints = [("s", op, x) for op, x in cons]
+        any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
+        if any_match:
+            assert _entry_admits(entry, constraints), (rows, constraints, entry)
+
+    check()
+
+
+def test_extracted_string_in_list_and_evolution(spark, tmp_path):
+    """IN-list pushdown on an extracted string column, and column-ADD
+    evolution: files written BEFORE the string column existed carry no
+    bounds for it (never skipped), serve NULL for the column, and a
+    predicate on it still returns exactly the JVM-read rows."""
+    from pyspark.sql.datasource import In
+
+    v1 = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=v1)
+    rows = [("t", 0, json.dumps({"k": i}).encode(), T0 + i, None, i) for i in range(10)]
+    t1.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    # evolve: add the string column, then append per-country batches
+    v2 = TableSchemaConfig(
+        payload_format="json",
+        fields=[
+            FieldSpec(name="k", json_path="k", data_type="int64"),
+            FieldSpec(name="country", json_path="c", data_type="utf8"),
+        ],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=v2)
+    for ci, c in enumerate(["AR", "BR", "US"]):
+        rows = [
+            ("t", 0, json.dumps({"k": 100 + ci * 10 + i, "c": c}).encode(),
+             T0 + i, None, 100 + ci * 10 + i)
+            for i in range(5)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+
+    entries = t.scan_files()
+    pre = [e for e in entries if "country" not in (e.get("col_stats") or {})]
+    assert len(pre) == 1  # only the pre-evolution file lacks bounds
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    reader.pushFilters([In(("country",), ("AR", "US"))])
+    reader.partitions()
+    # 2 bounded matches + the boundless pre-evolution file stay; BR goes
+    assert (reader.last_plan["files_kept"], reader.last_plan["files_total"]) == (3, 4)
+
+    df = _load(spark, t)
+    base_df = t.read()
+    cols = sorted(df.columns)
+    for cond in (
+        "country IN ('AR', 'US')",
+        "country IS NULL",
+        "country = 'BR'",
+    ):
+        assert sorted(map(tuple, df.filter(cond).select(*cols).collect())) == sorted(
+            map(tuple, base_df.filter(cond).select(*cols).collect())
+        ), cond
+    assert df.where("country IS NULL").count() == 10
+
+
+def test_null_count_skipping_is_null_and_not_null(spark, tmp_path):
+    """r15 col_nulls: IS NULL skips files proven all-valued, IS NOT NULL
+    skips files proven all-null (Iceberg null_value_counts semantics),
+    on BOTH writer paths — and results equal the JVM read."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="country", json_path="c", data_type="utf8")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    # file A: country always set (unkeyed → Arrow writer)
+    # file B: country entirely absent (keyed → parquet-mr writer)
+    # file C: mixed nulls
+    for base, payloads, keyed in (
+        (0, [{"c": "US"}] * 8, False),
+        (100, [{}] * 8, True),
+        (200, [{"c": "AR"}, {}] * 4, False),
+    ):
+        rows = [
+            ("t", 0, json.dumps(p).encode(), T0 + i,
+             f"k{base + i}" if keyed else None, base + i)
+            for i, p in enumerate(payloads)
+        ]
+        t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    entries = t.scan_files()
+    assert len(entries) == 3
+    nulls = sorted((e.get("col_nulls") or {}).get("country") for e in entries)
+    assert nulls == [0, 4, 8]
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    reader.pushFilters([IsNull(("country",))])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 2  # the all-valued file skips
+    reader.pushFilters([IsNotNull(("country",))])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 2  # the all-null file skips
+    # hive dir columns are never null for committed rows
+    reader.pushFilters([IsNull(("event_date",))])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+
+    df = _load(spark, t)
+    base_df = t.read()
+    cols = sorted(df.columns)
+
+    def canon(frame, cond):
+        # stringify: NULL country values make raw tuples unorderable
+        return sorted(
+            tuple(map(str, r)) for r in frame.filter(cond).select(*cols).collect()
+        )
+
+    for cond in ("country IS NULL", "country IS NOT NULL", "event_date IS NULL"):
+        assert canon(df, cond) == canon(base_df, cond), cond
+    assert df.where("country IS NULL").count() == 12
+
+
+def test_entry_admits_is_sound_for_null_count_skipping():
+    """Soundness fuzz for the r15 isnull/notnull skipping: random
+    populations WITH nulls, entries built the writers' way (col_stats
+    over non-null values, col_nulls exact), constraints mixing
+    comparisons with IS NULL / IS NOT NULL — any matching row ⇒
+    admitted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import _entry_admits
+
+    vals = st.one_of(st.none(), st.integers(min_value=-20, max_value=20))
+    ops = st.sampled_from(["==", ">", "<", "isnull", "notnull"])
+
+    def _matches(v, op, x):
+        if op == "isnull":
+            return v is None
+        if op == "notnull":
+            return v is not None
+        if v is None:
+            return False
+        return {"==": v == x, ">": v > x, "<": v < x}[op]
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        rows=st.lists(vals, min_size=1, max_size=15),
+        cons=st.lists(st.tuples(ops, st.integers(-20, 20)), min_size=1, max_size=3),
+        with_stats=st.booleans(),
+        with_nulls=st.booleans(),
+    )
+    def check(rows, cons, with_stats, with_nulls):
+        entry = {"file_path": "x.parquet", "row_count": len(rows)}
+        present = [v for v in rows if v is not None]
+        if with_stats and present:
+            entry["col_stats"] = {"k": [min(present), max(present)]}
+        if with_nulls:
+            entry["col_nulls"] = {"k": sum(1 for v in rows if v is None)}
+        constraints = [("k", op, x) for op, x in cons]
         any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
         if any_match:
             assert _entry_admits(entry, constraints), (rows, constraints, entry)

@@ -89,6 +89,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -204,13 +206,14 @@ def _filter_constraints(filters) -> list:
     """The prunable constraints among the pushed filters.
 
     A constraint is ``(column, op, value)`` with op ∈ {"==", ">", ">=",
-    "<", "<=", "in", "startswith"}. Unsupported shapes (nested paths,
-    IsNull, Not, contains/endswith) are simply not constraints — the
-    file is kept and Spark's row-level re-apply does the work. Columns
-    beyond the system set are kept too: extraction tables record
-    per-file ``col_stats`` bounds for extracted int/string/float/bool
-    columns (event_table._parquet_file_entry), and
-    :func:`_entry_admits` prunes on whichever source an entry carries.
+    "<", "<=", "in", "startswith", "isnull", "notnull"}. Unsupported
+    shapes (nested paths, Not, contains/endswith) are simply not
+    constraints — the file is kept and Spark's row-level re-apply does
+    the work. Columns beyond the system set are kept too: extraction
+    tables record per-file ``col_stats`` bounds and ``col_nulls``
+    counts for extracted int/string/float/bool columns (event_table.
+    _parquet_file_entry), and :func:`_entry_admits` prunes on whichever
+    source an entry carries.
     """
     constraints = []
     for f in filters:
@@ -236,6 +239,10 @@ def _filter_constraints(filters) -> list:
         elif isinstance(f, StringStartsWith):
             if isinstance(f.value, str):
                 constraints.append((col, "startswith", f.value))
+        elif isinstance(f, IsNull):
+            constraints.append((col, "isnull", None))
+        elif isinstance(f, IsNotNull):
+            constraints.append((col, "notnull", None))
     return constraints
 
 
@@ -280,6 +287,15 @@ def _bounds_admit(lo, hi, op: str, value) -> bool:
 
         succ = increment_string(value)
         return succ is None or lo < succ
+    if op == "in":
+        # handled BEFORE the scalar coercion: the value is a LIST, which
+        # _as_comparable (rightly) rejects — routing it there first made
+        # every In() constraint silently never prune (latent since r13,
+        # sound but useless; caught by the r15 string-In planning test)
+        vals = [_as_comparable(v, lo) for v in value]
+        return any(
+            v is not None and lo <= v and (hi is None or v <= hi) for v in vals
+        )
     value = _as_comparable(value, lo)
     if value is None:
         return True
@@ -293,11 +309,6 @@ def _bounds_admit(lo, hi, op: str, value) -> bool:
         return lo < value
     if op == "<=":
         return lo <= value
-    if op == "in":
-        vals = [_as_comparable(v, lo) for v in value]
-        return any(
-            v is not None and lo <= v and (hi is None or v <= hi) for v in vals
-        )
     return True
 
 
@@ -307,12 +318,30 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
     from three sources, all optional per entry: the fixed system-column
     keys (_BOUND_KEYS), the hive directory values, and the
     ``col_stats`` dict of extracted-column bounds. col_stats bounds
-    cover NON-NULL values only — sound for these operators, none of
-    which a NULL row can satisfy (IS NULL never becomes a constraint).
+    cover NON-NULL values only — sound for the comparison operators,
+    none of which a NULL row can satisfy; IS NULL / IS NOT NULL prune
+    on the separate ``col_nulls`` exact counts (r15), never on bounds.
     """
     hive = _hive_values(entry)
     col_stats = entry.get("col_stats") or {}
+    col_nulls = entry.get("col_nulls") or {}
     for col, op, value in constraints:
+        if op in ("isnull", "notnull"):
+            # null-count skipping (r15, Iceberg null_value_counts): a
+            # file proven all-valued excludes IS NULL; a file proven
+            # all-null excludes IS NOT NULL. Hive dir columns are never
+            # null for rows in that dir. Unknown counts ⇒ keep.
+            nulls = col_nulls.get(col)
+            if nulls is None and col == "idempotency_key":
+                nulls = entry.get("key_nulls")
+            if op == "isnull":
+                if nulls == 0 or col in hive:
+                    return False
+            else:
+                rc = entry.get("row_count")
+                if nulls is not None and rc and nulls == rc:
+                    return False
+            continue
         if col in _BOUND_KEYS:
             lo_key, hi_key = _BOUND_KEYS[col]
             if lo_key in entry and hi_key in entry:
@@ -632,10 +661,12 @@ _FILES_FIELDS = [
     ("min_part", "int"),
     ("max_part", "int"),
     ("key_nulls", "long"),
-    # r15: extracted-column bounds as a JSON string ({name: [lo, hi]},
-    # hi null = one-sided truncated string bound) — lets an operator
-    # inspect why a file was or wasn't pruned from plain SQL
+    # r15: extracted-column bounds ({name: [lo, hi]}, hi null =
+    # one-sided truncated string bound) and exact null counts as JSON
+    # strings — lets an operator inspect why a file was or wasn't
+    # pruned from plain SQL
     ("col_stats", "string"),
+    ("col_nulls", "string"),
 ]
 _SNAPSHOTS_FIELDS = [
     ("version", "int"),
@@ -676,7 +707,7 @@ class ZombiMetadataReader(DataSourceReader):
             for e in table.scan_files(version=self._version):
                 yield tuple(
                     _json.dumps(e[name], sort_keys=True)
-                    if name == "col_stats" and e.get(name) is not None
+                    if name in ("col_stats", "col_nulls") and e.get(name) is not None
                     else e.get(name)
                     for name, _ in _FILES_FIELDS
                 )

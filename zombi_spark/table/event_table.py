@@ -244,7 +244,12 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
         # read at append time, extraction tables only); any NaN ⇒ no
         # bounds recorded. A group with values but no stats makes the
         # column unknowable → key absent → the file is never skipped.
+        # ``col_nulls`` (r15) rides beside the bounds: exact per-file
+        # null counts for the same extracted columns — the Iceberg
+        # null_value_counts contract — so IS NULL skips files proven
+        # all-valued and IS NOT NULL skips files proven all-null.
         col_stats: dict = {}
+        col_nulls: dict = {}
         for name, i in idx.items():
             if name in SYSTEM_COLUMNS:
                 continue
@@ -266,6 +271,7 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                     import pyarrow.compute as pc
 
                     col = pf.read(columns=[name]).column(0)
+                    col_nulls[name] = col.null_count
                     if col.null_count == len(col):
                         continue  # entirely null: no bounds, sound
                     if pc.any(pc.is_nan(col)).as_py():
@@ -275,11 +281,13 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                 except Exception:  # noqa: BLE001 — stats stay optional
                     pass
                 continue
+            chunks = [md.row_group(rg).column(i) for rg in range(md.num_row_groups)]
+            sts = [c.statistics for c in chunks]
+            if all(st is not None and st.null_count is not None for st in sts):
+                col_nulls[name] = sum(st.null_count for st in sts)
             los, his = [], []
             knowable = True
-            for rg in range(md.num_row_groups):
-                cmd = md.row_group(rg).column(i)
-                st = cmd.statistics
+            for cmd, st in zip(chunks, sts):
                 if st is not None and st.has_min_max:
                     los.append(st.min)
                     his.append(st.max)
@@ -308,6 +316,8 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                 col_stats[name] = [min(los), max(his)]
         if col_stats:
             entry["col_stats"] = col_stats
+        if col_nulls:
+            entry["col_nulls"] = col_nulls
     except Exception:
         # stats are an optimization — a file with no footer stats is
         # still correct, it just never gets skipped
@@ -1037,7 +1047,7 @@ class EventTable:
             "rel string, row_count long, file_size_bytes long, "
             "min_ts long, max_ts long, min_seq long, max_seq long, "
             "min_topic string, max_topic string, min_part int, max_part int, "
-            "key_nulls long, col_stats string"
+            "key_nulls long, col_stats string, col_nulls string"
         )
         # extracted columns get per-file bounds (same contract as the
         # footer path's col_stats — see _parquet_file_entry); the
@@ -1078,6 +1088,7 @@ class EventTable:
                     ("max_part", pa.int32()),
                     ("key_nulls", pa.int64()),
                     ("col_stats", pa.string()),
+                    ("col_nulls", pa.string()),
                 ]
             )
             blist = list(batches)
@@ -1124,10 +1135,14 @@ class EventTable:
                             topmin, topmax = _mm("topic")
                             pmin, pmax = _mm("partition")
                             cstats = {}
+                            cnulls = {}
                             for cname, ckind in stat_cols:
                                 scol = sl.column(cname)
+                                # exact null counts ALWAYS (zero is the
+                                # valuable case: it lets IS NULL skip)
+                                cnulls[cname] = scol.null_count
                                 if scol.null_count == len(scol):
-                                    continue  # all-null ⇒ absent
+                                    continue  # all-null ⇒ no bounds
                                 if ckind == "float" and pc.any(
                                     pc.is_nan(scol)
                                 ).as_py():
@@ -1161,6 +1176,7 @@ class EventTable:
                                     "max_part": pmax,
                                     "key_nulls": sl.column("idempotency_key").null_count,
                                     "col_stats": _json.dumps(cstats) if cstats else None,
+                                    "col_nulls": _json.dumps(cnulls) if cnulls else None,
                                 }
                             )
             yield pa.RecordBatch.from_pylist(out_rows, schema=stats_schema)
@@ -1248,15 +1264,18 @@ class EventTable:
                     **{
                         k: v
                         for k, v in pre.items()
-                        if k not in ("rel", "col_stats")
+                        if k not in ("rel", "col_stats", "col_nulls")
                         and not (v is None and (k.startswith("min_") or k.startswith("max_")))
                     },
                 }
-                # write-time extracted-column bounds ride as a JSON string
-                # through the Arrow stats schema; the manifest stores the
-                # dict (same shape as the footer path's col_stats)
+                # write-time extracted-column bounds/null counts ride as
+                # JSON strings through the Arrow stats schema; the
+                # manifest stores the dicts (same shape as the footer
+                # path's col_stats / col_nulls)
                 if pre.get("col_stats"):
                     entry["col_stats"] = json.loads(pre["col_stats"])
+                if pre.get("col_nulls"):
+                    entry["col_nulls"] = json.loads(pre["col_nulls"])
                 return entry
             return _parquet_file_entry(dest, self.data_path)
 

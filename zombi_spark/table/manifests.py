@@ -300,6 +300,20 @@ def entry_to_data_file(
                 lower.append({"key": fid, "value": encode_bound(bounds[0], typ)})
             if bounds[1] is not None:
                 upper.append({"key": fid, "value": encode_bound(bounds[1], typ)})
+    # r15: exact null counts as Iceberg null_value_counts (+ the
+    # top-level value_counts = record count) — a stock reader can plan
+    # IS NULL / IS NOT NULL skips from the manifest alone
+    nulls_map = dict(entry.get("col_nulls") or {})
+    if "key_nulls" in entry:
+        nulls_map.setdefault("idempotency_key", entry["key_nulls"])
+    value_counts, null_counts = [], []
+    rc = entry.get("row_count")
+    for col, n in sorted(nulls_map.items()):
+        if col in field_ids:
+            fid = field_ids[col]
+            null_counts.append({"key": fid, "value": int(n)})
+            if rc is not None:
+                value_counts.append({"key": fid, "value": int(rc)})
     return {
         "content": 0,  # DATA
         "file_path": os.path.abspath(entry["file_path"]),
@@ -308,8 +322,8 @@ def entry_to_data_file(
         "record_count": entry.get("row_count", 0),
         "file_size_in_bytes": entry.get("file_size_bytes", 0),
         "column_sizes": None,
-        "value_counts": None,
-        "null_value_counts": None,
+        "value_counts": value_counts or None,
+        "null_value_counts": null_counts or None,
         "lower_bounds": lower or None,
         "upper_bounds": upper or None,
         "key_metadata": None,
