@@ -1173,34 +1173,43 @@ def test_extracted_float_bool_bounds_nan_guard(spark, tmp_path):
     reader.partitions()
     assert reader.last_plan["files_kept"] == 1  # only the base=0 file
 
-    # Parity baseline runs with parquet pushdown OFF: Spark's own JVM
-    # parquet scan drops the NaN row under `score > 1e9` (parquet-cpp
-    # stats ignore NaN, the row group gets pruned) even though Spark
-    # row-level semantics match it — the exact unsoundness our planner
-    # guards against. Row-level evaluation is the ground truth here.
+    # The Arrow writer suppressed footer stats for the NaN-carrying
+    # double column (parquet-cpp would write NaN-ignoring min/max that
+    # Spark's JVM scan row-group-prunes on, returning WRONG rows for
+    # `x > huge`; parquet-mr drops such stats itself) — so the JVM read
+    # below is correct WITH pushdown on, and both paths agree.
+    import pyarrow.parquet as pq
+
+    nan_entry = next(
+        e for e in entries if "score" not in (e.get("col_stats") or {})
+    )
+    md = pq.ParquetFile(nan_entry["file_path"]).metadata
+    si = {md.schema.column(i).name: i for i in range(md.num_columns)}["score"]
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(si).statistics
+        assert st is None or not st.has_min_max
+
     df = _load(spark, t)
     base_df = t.read()
     cols = sorted(df.columns)
-    spark.conf.set("spark.sql.parquet.filterPushdown", "false")
-    try:
-        def canon(frame, cond):
-            # stringified rows: Python's nan != nan would fail tuple
-            # equality on the very row this test is about
-            return sorted(
-                tuple(map(str, r)) for r in frame.filter(cond).select(*cols).collect()
-            )
 
-        for cond in (
-            "score > 1e9",          # only the NaN row (NaN > everything)
-            "score = cast('NaN' as double)",
-            "score = 105.0",
-            "score <= 0.0",
-            "flag = true",
-        ):
-            assert canon(df, cond) == canon(base_df, cond), cond
-    finally:
-        spark.conf.set("spark.sql.parquet.filterPushdown", "true")
+    def canon(frame, cond):
+        # stringified rows: Python's nan != nan would fail tuple
+        # equality on the very row this test is about
+        return sorted(
+            tuple(map(str, r)) for r in frame.filter(cond).select(*cols).collect()
+        )
+
+    for cond in (
+        "score > 1e9",          # only the NaN row (NaN > everything)
+        "score = cast('NaN' as double)",
+        "score = 105.0",
+        "score <= 0.0",
+        "flag = true",
+    ):
+        assert canon(df, cond) == canon(base_df, cond), cond
     assert df.where("score > 1e9").count() == 1
+    assert base_df.where("score > 1e9").count() == 1  # JVM path, pushdown ON
 
 
 def test_entry_admits_is_sound_for_string_col_stats():
@@ -1411,6 +1420,12 @@ def test_null_count_skipping_is_null_and_not_null(spark, tmp_path):
     reader.pushFilters([IsNotNull(("country",))])
     reader.partitions()
     assert reader.last_plan["files_kept"] == 2  # the all-null file skips
+    # col <=> NULL is IS NULL
+    from pyspark.sql.datasource import EqualNullSafe
+
+    reader.pushFilters([EqualNullSafe(("country",), None)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 2
     # hive dir columns are never null for committed rows
     reader.pushFilters([IsNull(("event_date",))])
     reader.partitions()

@@ -224,6 +224,10 @@ def _filter_constraints(filters) -> list:
         if isinstance(f, (EqualTo, EqualNullSafe)):
             if f.value is not None:
                 constraints.append((col, "==", f.value))
+            elif isinstance(f, EqualNullSafe):
+                # col <=> NULL is exactly IS NULL (an EqualTo with a
+                # null literal never reaches pushdown — Spark folds it)
+                constraints.append((col, "isnull", None))
         elif isinstance(f, GreaterThan):
             constraints.append((col, ">", f.value))
         elif isinstance(f, GreaterThanOrEqual):

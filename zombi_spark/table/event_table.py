@@ -1124,7 +1124,32 @@ class EventTable:
                             sl = body.slice(i, step)
                             fname = f"part-{_uuid.uuid4().hex}.parquet"
                             fp = os.path.join(dest, fname)
-                            pq.write_table(sl, fp, compression="zstd")
+                            # NaN-carrying double columns get NO footer
+                            # stats: parquet-cpp would write min/max that
+                            # ignore NaN, and Spark's JVM parquet scan
+                            # row-group-prunes on them — returning WRONG
+                            # rows for `x > huge` (Spark orders NaN above
+                            # +inf; verified empirically, r15). parquet-mr
+                            # drops such stats itself; match it.
+                            nan_cols = {
+                                cname
+                                for cname, ckind in stat_cols
+                                if ckind == "float"
+                                and sl.column(cname).null_count < len(sl.column(cname))
+                                and pc.any(pc.is_nan(sl.column(cname))).as_py()
+                            }
+                            pq.write_table(
+                                sl,
+                                fp,
+                                compression="zstd",
+                                write_statistics=(
+                                    True
+                                    if not nan_cols
+                                    else [
+                                        c for c in sl.schema.names if c not in nan_cols
+                                    ]
+                                ),
+                            )
 
                             def _mm(col):
                                 r = pc.min_max(sl.column(col))
@@ -1143,9 +1168,7 @@ class EventTable:
                                 cnulls[cname] = scol.null_count
                                 if scol.null_count == len(scol):
                                     continue  # all-null ⇒ no bounds
-                                if ckind == "float" and pc.any(
-                                    pc.is_nan(scol)
-                                ).as_py():
+                                if cname in nan_cols:
                                     continue  # NaN-poisoned ⇒ no bound
                                 clo, chi = _mm(cname)
                                 if clo is None:
