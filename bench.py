@@ -1022,50 +1022,74 @@ def emit_headline(
         hot["scale_flat"] = True
         line = _emit(2, 2, flat=True)
     if len(line) > _HEADLINE_BUDGET:
-        # before dropping any gate: shed hot keys whose FULL-PRECISION
-        # twins live on the detail line (isolated_probes carries the
-        # iso append/compact numbers; pipeline_e2e_rows carries the
-        # stage ledger, squeezed here to [wall, rows in, rows out]) —
-        # plus any pre-r14 keys if a caller still passes them
+        # before dropping any gate: shed redundancy INCREMENTALLY,
+        # least-adjudication-valuable first, STOPPING as soon as the
+        # line fits (r15 — the all-at-once trim threw away
+        # compact_iso/app_iso_ms/maint even when 20 spare chars would
+        # have kept them, and the detail-line twins are NOT guaranteed
+        # to survive the driver's artifact tail window). Every shed key
+        # keeps a full-precision detail-line twin for local runs.
+        def _shed_legacy():
+            for k in ("ingest_isolated", "ingest_events_per_s"):
+                hot.pop(k, None)
+            if isinstance(hot.get("recall_at_5"), dict):
+                # dict -> pinned-order list (pre-r15 callers only):
+                # [lsh_iso, lsh_cl, ivf_cl, pq_cl, ivfpq_cl]
+                r5 = hot.pop("recall_at_5")
+                hot["recall5"] = [
+                    r5.get(k)
+                    for k in ("lsh_iso", "lsh_cl", "ivf_cl", "pq_cl", "ivfpq_cl")
+                ]
+            pe = hot.get("pipe_e2e")
+            if (
+                isinstance(pe, list)
+                and len(pe) == 2
+                and isinstance(pe[1], list)
+                and len(pe[1]) > 2
+            ):
+                hot["pipe_e2e"] = [pe[0], pe[1][0], pe[1][-1]]
+
+        def _shed_load_avg():  # 5-point series -> [start, max, end]
+            la = hot.get("load_avg")
+            if isinstance(la, list) and len(la) > 3:
+                mid = [x for x in la if x is not None]
+                hot["load_avg"] = [la[0], max(mid) if mid else None, la[-1]]
+
+        def _shed_rq_loads():  # load stamps -> ints (names already <=10)
+            if isinstance(hot.get("rq"), dict):
+                hot["rq"] = {
+                    n[:10]: (v[:2] + [int(round(v[2]))] if len(v) == 3 else v)
+                    for n, v in hot["rq"].items()
+                }
+
+        def _shed_ivf_build():  # build sec: stable across rounds
+            if isinstance(hot.get("ivf_large"), list) and len(hot["ivf_large"]) == 5:
+                hot["ivf_large"] = hot["ivf_large"][1:]
+
+        def _shed_dsv2_unproj():  # dsv2_fat carries the projection claim
+            if isinstance(hot.get("dsv2"), list) and len(hot["dsv2"]) == 4:
+                hot["dsv2"] = hot["dsv2"][:3]
+
+        def _shed_probe3():  # 3-probe series -> best 2
+            if isinstance(hot.get("ing_probes"), list) and len(hot["ing_probes"]) > 2:
+                hot["ing_probes"] = sorted(hot["ing_probes"], reverse=True)[:2]
+
         hot["hot_trim"] = True
-        for k in ("ingest_isolated", "ingest_events_per_s", "app_iso_ms", "compact_iso"):
-            hot.pop(k, None)
-        # maint's three numbers have full-name detail twins
-        # (tail_files_peak / tail_files_final / tail_maint_compacts)
-        hot.pop("maint", None)
-        if isinstance(hot.get("recall_at_5"), dict):
-            # dict → pinned-order list (the key names are the redundancy):
-            # [lsh_iso, lsh_cl, ivf_cl, pq_cl, ivfpq_cl]
-            r5 = hot.pop("recall_at_5")
-            hot["recall5"] = [
-                r5.get(k) for k in ("lsh_iso", "lsh_cl", "ivf_cl", "pq_cl", "ivfpq_cl")
-            ]
-        if isinstance(hot.get("ivf_large"), list) and len(hot["ivf_large"]) == 5:
-            hot["ivf_large"] = hot["ivf_large"][1:]  # build sec: detail twin
-        if isinstance(hot.get("rq"), dict):
-            # keep the adjudication records, shed their name chars (the
-            # 10-char prefix is unambiguous across the 50-query window)
-            # and round the load stamp to an integer
-            hot["rq"] = {
-                n[:10]: (v[:2] + [int(round(v[2]))] if len(v) == 3 else v)
-                for n, v in hot["rq"].items()
-            }
-        # remaining redundancy with full-precision detail twins: the
-        # 3-probe ingest series → best 2 (isolated_probes), the dsv2
-        # unprojected companion (dsv2_scan_unprojected_sec), and the
-        # 5-point load series → [start, max, end] (query_loop_loads)
-        if isinstance(hot.get("ing_probes"), list) and len(hot["ing_probes"]) > 2:
-            hot["ing_probes"] = sorted(hot["ing_probes"], reverse=True)[:2]
-        if isinstance(hot.get("dsv2"), list) and len(hot["dsv2"]) == 4:
-            hot["dsv2"] = hot["dsv2"][:3]
-        la = hot.get("load_avg")
-        if isinstance(la, list) and len(la) > 3:
-            mid = [x for x in la if x is not None]
-            hot["load_avg"] = [la[0], max(mid) if mid else None, la[-1]]
-        pe = hot.get("pipe_e2e")
-        if isinstance(pe, list) and len(pe) == 2 and isinstance(pe[1], list) and len(pe[1]) > 2:
-            hot["pipe_e2e"] = [pe[0], pe[1][0], pe[1][-1]]
-        line = _emit(2, 2, flat=True)
+        for shed in (
+            _shed_legacy,
+            _shed_load_avg,
+            _shed_rq_loads,
+            _shed_ivf_build,
+            _shed_dsv2_unproj,
+            _shed_probe3,
+            lambda: hot.pop("maint", None),
+            lambda: hot.pop("app_iso_ms", None),
+            lambda: hot.pop("compact_iso", None),
+        ):
+            shed()
+            line = _emit(2, 2, flat=True)
+            if len(line) <= _HEADLINE_BUDGET:
+                break
     if len(line) > _HEADLINE_BUDGET:
         # last resort: keep the line parseable — move the scale block to
         # the detail line only and SAY SO (never silently truncate)

@@ -641,6 +641,22 @@ def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
         for i in range(12)
     ]
     t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    # second file: one NaN score (string 'NaN' casts to double NaN on the
+    # extraction path) — its exact NaN count must reach nan_value_counts
+    rows2 = [
+        (
+            "t",
+            0,
+            _json.dumps(
+                {"country": "NN", "score": "NaN" if i == 2 else i, "flag": True}
+            ).encode(),
+            1704067200000 + 100 + i,
+            None,
+            100 + i,
+        )
+        for i in range(6)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows2, RAW_EVENT_SCHEMA)))
     assert truncate_upper_bound(overflow) is None  # the shape under test
 
     meta = _current_meta(t)
@@ -679,13 +695,24 @@ def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
             assert MF.decode_bound(lower[fid["flag"]], "boolean") == cs["flag"][0]
             assert MF.decode_bound(upper[fid["flag"]], "boolean") == cs["flag"][1]
         # r15: exact null counts ride as Iceberg null_value_counts; the
-        # top-level value_counts carry the record count
+        # top-level value_counts carry the record count, and exact NaN
+        # counts ride as nan_value_counts (field-id 137)
         nvc = {kv["key"]: kv["value"] for kv in df["null_value_counts"] or []}
         vc = {kv["key"]: kv["value"] for kv in df["value_counts"] or []}
         for col, n in (e.get("col_nulls") or {}).items():
             assert nvc[fid[col]] == n
             assert vc[fid[col]] == e["row_count"]
+        nanc = {kv["key"]: kv["value"] for kv in df["nan_value_counts"] or []}
+        for col, n in (e.get("col_nans") or {}).items():
+            assert nanc[fid[col]] == n
     assert checked > 0
+    # the NaN file recorded exactly one NaN for score (and no bounds)
+    nan_entries = [
+        e for e in expected.values() if (e.get("col_nans") or {}).get("score")
+    ]
+    assert len(nan_entries) == 1
+    assert nan_entries[0]["col_nans"]["score"] == 1
+    assert "score" not in (nan_entries[0].get("col_stats") or {})
     # the overflow string forced at least one file into the lower-only arm
     assert any(
         (e.get("col_stats") or {}).get("country", [None, "x"])[1] is None

@@ -135,9 +135,10 @@ def test_real_shaped_artifact_keeps_every_gate_under_budget():
         "load_avg",
     ):
         assert k in ex, k
-    # recall and maint survive (maint may shed only under hot_trim)
     assert "recall5" in ex
-    assert "maint" in ex or ex.get("hot_trim")
+    # r15: trim is INCREMENTAL — at the real artifact shape the
+    # iso-evidence keys the judge diffs across rounds must survive
+    assert "maint" in ex and "app_iso_ms" in ex and "compact_iso" in ex
     assert len(d["queries"]) == 50
 
 

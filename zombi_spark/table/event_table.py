@@ -250,6 +250,7 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
         # all-valued and IS NOT NULL skips files proven all-null.
         col_stats: dict = {}
         col_nulls: dict = {}
+        col_nans: dict = {}
         for name, i in idx.items():
             if name in SYSTEM_COLUMNS:
                 continue
@@ -273,8 +274,11 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                     col = pf.read(columns=[name]).column(0)
                     col_nulls[name] = col.null_count
                     if col.null_count == len(col):
+                        col_nans[name] = 0
                         continue  # entirely null: no bounds, sound
-                    if pc.any(pc.is_nan(col)).as_py():
+                    nans = int(pc.sum(pc.is_nan(col)).as_py() or 0)
+                    col_nans[name] = nans
+                    if nans:
                         continue  # NaN-poisoned: no finite bound is sound
                     mm = pc.min_max(col)
                     col_stats[name] = [mm["min"].as_py(), mm["max"].as_py()]
@@ -318,6 +322,8 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
             entry["col_stats"] = col_stats
         if col_nulls:
             entry["col_nulls"] = col_nulls
+        if col_nans:
+            entry["col_nans"] = col_nans
     except Exception:
         # stats are an optimization — a file with no footer stats is
         # still correct, it just never gets skipped
@@ -1047,7 +1053,7 @@ class EventTable:
             "rel string, row_count long, file_size_bytes long, "
             "min_ts long, max_ts long, min_seq long, max_seq long, "
             "min_topic string, max_topic string, min_part int, max_part int, "
-            "key_nulls long, col_stats string, col_nulls string"
+            "key_nulls long, col_stats string, col_nulls string, col_nans string"
         )
         # extracted columns get per-file bounds (same contract as the
         # footer path's col_stats — see _parquet_file_entry); the
@@ -1089,6 +1095,7 @@ class EventTable:
                     ("key_nulls", pa.int64()),
                     ("col_stats", pa.string()),
                     ("col_nulls", pa.string()),
+                    ("col_nans", pa.string()),
                 ]
             )
             blist = list(batches)
@@ -1131,13 +1138,17 @@ class EventTable:
                             # rows for `x > huge` (Spark orders NaN above
                             # +inf; verified empirically, r15). parquet-mr
                             # drops such stats itself; match it.
-                            nan_cols = {
-                                cname
-                                for cname, ckind in stat_cols
-                                if ckind == "float"
-                                and sl.column(cname).null_count < len(sl.column(cname))
-                                and pc.any(pc.is_nan(sl.column(cname))).as_py()
-                            }
+                            nan_counts = {}
+                            for cname, ckind in stat_cols:
+                                if ckind != "float":
+                                    continue
+                                fcol = sl.column(cname)
+                                nan_counts[cname] = (
+                                    0
+                                    if fcol.null_count == len(fcol)
+                                    else int(pc.sum(pc.is_nan(fcol)).as_py() or 0)
+                                )
+                            nan_cols = {c for c, n in nan_counts.items() if n}
                             pq.write_table(
                                 sl,
                                 fp,
@@ -1200,6 +1211,9 @@ class EventTable:
                                     "key_nulls": sl.column("idempotency_key").null_count,
                                     "col_stats": _json.dumps(cstats) if cstats else None,
                                     "col_nulls": _json.dumps(cnulls) if cnulls else None,
+                                    "col_nans": _json.dumps(nan_counts)
+                                    if nan_counts
+                                    else None,
                                 }
                             )
             yield pa.RecordBatch.from_pylist(out_rows, schema=stats_schema)
@@ -1287,18 +1301,17 @@ class EventTable:
                     **{
                         k: v
                         for k, v in pre.items()
-                        if k not in ("rel", "col_stats", "col_nulls")
+                        if k not in ("rel", "col_stats", "col_nulls", "col_nans")
                         and not (v is None and (k.startswith("min_") or k.startswith("max_")))
                     },
                 }
-                # write-time extracted-column bounds/null counts ride as
-                # JSON strings through the Arrow stats schema; the
+                # write-time extracted-column bounds/null/NaN counts ride
+                # as JSON strings through the Arrow stats schema; the
                 # manifest stores the dicts (same shape as the footer
-                # path's col_stats / col_nulls)
-                if pre.get("col_stats"):
-                    entry["col_stats"] = json.loads(pre["col_stats"])
-                if pre.get("col_nulls"):
-                    entry["col_nulls"] = json.loads(pre["col_nulls"])
+                # path's col_stats / col_nulls / col_nans)
+                for jk in ("col_stats", "col_nulls", "col_nans"):
+                    if pre.get(jk):
+                        entry[jk] = json.loads(pre[jk])
                 return entry
             return _parquet_file_entry(dest, self.data_path)
 

@@ -135,6 +135,12 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
                 "default": None,
             },
             {
+                "name": "nan_value_counts",
+                "type": _opt(_kv_map("k138_v139", 138, 139, "long")),
+                "field-id": 137,
+                "default": None,
+            },
+            {
                 "name": "lower_bounds",
                 "type": _opt(_kv_map("k126_v127", 126, 127, "bytes")),
                 "field-id": 125,
@@ -314,6 +320,11 @@ def entry_to_data_file(
             null_counts.append({"key": fid, "value": int(n)})
             if rc is not None:
                 value_counts.append({"key": fid, "value": int(rc)})
+    nan_counts = [
+        {"key": field_ids[col], "value": int(n)}
+        for col, n in sorted((entry.get("col_nans") or {}).items())
+        if col in field_ids
+    ]
     return {
         "content": 0,  # DATA
         "file_path": os.path.abspath(entry["file_path"]),
@@ -324,6 +335,7 @@ def entry_to_data_file(
         "column_sizes": None,
         "value_counts": value_counts or None,
         "null_value_counts": null_counts or None,
+        "nan_value_counts": nan_counts or None,
         "lower_bounds": lower or None,
         "upper_bounds": upper or None,
         "key_metadata": None,
