@@ -1054,3 +1054,48 @@ def test_row_delete_key_selector_edge_cases(edge):
         assert status == 400 and "idempotency_keys" in body["error"]["message"], bad
     # nothing else was deleted by the rejected requests
     assert t.read().count() == 3
+
+
+def test_followers_route_reports_lag_and_retention_coverage(edge):
+    """r15: GET /tables/{t}/followers — per-group position, lag, and
+    whether the retained snapshot window still covers the group's next
+    incremental read (the observable half of the expire_snapshots
+    retention guard)."""
+    from zombi_spark.streaming.follower import TableFollower
+
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(3):
+        _call(
+            f"{base}/tables/followed",
+            "POST",
+            json.dumps(
+                {"payload": f"p-{i}", "partition": 0, "timestamp_ms": 1704067200000 + i}
+            ).encode(),
+        )
+        _call(f"{base}/tables/followed/flush", "POST", b"")
+    t = ingests["followed"].table
+    assert t.latest_version() == 2
+
+    f = TableFollower(t, "pipeline")
+    f.commit(0)  # processed version 0; lags by 2
+    status, body = _call(f"{base}/tables/followed/followers")
+    assert status == 200
+    assert body["latest_version"] == 2 and body["oldest_retained_version"] == 0
+    g = body["followers"]["pipeline"]
+    assert g == {"position": 0, "lag_versions": 2, "covered": True}
+
+    # expire past the follower WITH the override: coverage flips false
+    t.expire_snapshots(keep_last=1, protect_followers=False)
+    status, body = _call(f"{base}/tables/followed/followers")
+    assert body["oldest_retained_version"] == 2
+    assert body["followers"]["pipeline"]["covered"] is False
+
+    # a caught-up group is covered regardless of window
+    f.commit(2)
+    status, body = _call(f"{base}/tables/followed/followers")
+    assert body["followers"]["pipeline"] == {
+        "position": 2,
+        "lag_versions": 0,
+        "covered": True,
+    }

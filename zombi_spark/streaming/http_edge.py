@@ -31,6 +31,11 @@ Routes (api/handlers.rs):
   GET  /tables/{t}/rollup the rollup state (per topic/partition/hour
                           counts, bytes, ts bounds, hwm) — served from
                           the O(keys) state, never a table scan
+  GET  /tables/{t}/followers  registered follower groups: position,
+                          lag in versions, and whether the retained
+                          snapshot window still covers the group's next
+                          incremental read (the observable half of the
+                          expire_snapshots retention guard, r15)
   POST /consumers/{g}/commit  T12 consumer-offset commit (body: topic,
                           partition, offset — handlers.rs:1146-1169)
   GET  /consumers/{g}/offset  committed offset (?topic=&partition= —
@@ -882,6 +887,40 @@ class _Handler(BaseHTTPRequestHandler):
                 for (topic, part), seq in ing.table.watermark_map().items()
             }
             self._send_json({"table": table, "committed_watermarks": wm})
+            return
+        if len(parts) == 3 and parts[2] == "followers":
+            # retention-vs-consumer-lag observability (r15, the metric
+            # half of the expire_snapshots guard): per registered
+            # follower group — last processed version, lag in versions,
+            # and whether the retained snapshot window still covers its
+            # next incremental read. An operator watching `covered:
+            # false` approaching knows WHO is holding the snapshot log
+            # before the guard starts clamping retention.
+            from zombi_spark.streaming.offsets import ConsumerOffsets
+
+            t = ing.table
+            latest = t.latest_version()
+            oldest = None
+            names = t._snapshot_files()
+            if names:
+                oldest = int(names[0][5:13])
+            groups = {}
+            for g, pos in ConsumerOffsets(t.path).follower_positions().items():
+                groups[g] = {
+                    "position": pos,
+                    "lag_versions": None if latest is None else max(latest - pos, 0),
+                    # next read starts at pos+1; covered while that
+                    # snapshot (or anything newer it needs) is retained
+                    "covered": oldest is None or pos + 1 >= oldest or pos >= (latest or 0),
+                }
+            self._send_json(
+                {
+                    "table": table,
+                    "latest_version": latest,
+                    "oldest_retained_version": oldest,
+                    "followers": groups,
+                }
+            )
             return
         if len(parts) != 2:
             status, body = _err(404, "no such route")
