@@ -706,13 +706,14 @@ def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
         for col, n in (e.get("col_nans") or {}).items():
             assert nanc[fid[col]] == n
     assert checked > 0
-    # the NaN file recorded exactly one NaN for score (and no bounds)
+    # the NaN file recorded exactly one NaN for score, and its bounds
+    # cover the NON-NaN values (rows2 scores 0,1,3,4,5 — 2 was the NaN)
     nan_entries = [
         e for e in expected.values() if (e.get("col_nans") or {}).get("score")
     ]
     assert len(nan_entries) == 1
     assert nan_entries[0]["col_nans"]["score"] == 1
-    assert "score" not in (nan_entries[0].get("col_stats") or {})
+    assert nan_entries[0]["col_stats"]["score"] == [0.0, 5.0]
     # the overflow string forced at least one file into the lower-only arm
     assert any(
         (e.get("col_stats") or {}).get("country", [None, "x"])[1] is None

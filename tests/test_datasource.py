@@ -1150,10 +1150,18 @@ def test_extracted_float_bool_bounds_nan_guard(spark, tmp_path):
     assert t.read().where("isnan(score)").count() == 1
     entries = t.scan_files()
     assert len(entries) == 3
+    # the NaN-poisoned file still records bounds — over the non-NaN
+    # values (203 was the NaN slot) — plus its exact NaN count; the
+    # planner restricts those bounds to the NaN-sound operators
     by_score = {tuple((e.get("col_stats") or {}).get("score", ())) for e in entries}
-    assert by_score == {(0.0, 9.0), (100.0, 109.0), ()}  # () = NaN ⇒ no bound
+    assert by_score == {(0.0, 9.0), (100.0, 109.0), (200.0, 209.0)}
+    nans_of = {
+        tuple(e["col_stats"]["score"]): (e.get("col_nans") or {}).get("score")
+        for e in entries
+    }
+    assert nans_of == {(0.0, 9.0): 0, (100.0, 109.0): 0, (200.0, 209.0): 1}
     flag_of = {
-        tuple((e.get("col_stats") or {}).get("score", ())): (e.get("col_stats") or {}).get("flag")
+        tuple(e["col_stats"]["score"]): (e.get("col_stats") or {}).get("flag")
         for e in entries
     }
     assert flag_of[(0.0, 9.0)] == [True, True]
@@ -1161,14 +1169,16 @@ def test_extracted_float_bool_bounds_nan_guard(spark, tmp_path):
 
     register_zombi_datasource(spark)
     reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
-    # the NaN file has no score bounds, so score predicates always keep
-    # it — `score > 1e9` must NOT prune it (its NaN row matches in Spark)
+    # `score > 1e9` must NOT prune the NaN file (its NaN row matches in
+    # Spark, which orders NaN above +inf) — the clean files both prune
     reader.pushFilters([GreaterThan(("score",), 1e9)])
     reader.partitions()
     assert reader.last_plan["files_kept"] == 1
+    # but the NaN-SOUND operators prune it: == 105 excludes [200, 209]
+    # (a NaN row can never equal a non-NaN literal)
     reader.pushFilters([EqualTo(("score",), 105.0)])
     reader.partitions()
-    assert reader.last_plan["files_kept"] == 2  # clean file 2 + NaN file
+    assert reader.last_plan["files_kept"] == 1  # clean file 2 only
     reader.pushFilters([EqualTo(("flag",), True)])
     reader.partitions()
     assert reader.last_plan["files_kept"] == 1  # only the base=0 file
@@ -1181,7 +1191,7 @@ def test_extracted_float_bool_bounds_nan_guard(spark, tmp_path):
     import pyarrow.parquet as pq
 
     nan_entry = next(
-        e for e in entries if "score" not in (e.get("col_stats") or {})
+        e for e in entries if (e.get("col_nans") or {}).get("score")
     )
     md = pq.ParquetFile(nan_entry["file_path"]).metadata
     si = {md.schema.column(i).name: i for i in range(md.num_columns)}["score"]
@@ -1279,14 +1289,29 @@ def test_entry_admits_is_sound_for_string_col_stats():
 def test_entry_admits_is_sound_for_float_col_stats():
     """Pruning-soundness fuzz for float bounds under Spark's NaN/-0.0
     semantics: NaN orders ABOVE +inf and NaN = NaN matches; -0.0 equals
-    0.0. Entries are built the writers' way (any NaN ⇒ no bounds), match
-    evaluation uses Spark semantics — any matching row ⇒ admitted."""
+    0.0. Entries are built the writers' way (bounds over the non-NaN
+    values + an exact col_nans count; the planner must keep poisoned
+    files for >/>=), match evaluation uses Spark semantics — any
+    matching row ⇒ admitted."""
     import math
 
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from zombi_spark.sources.datasource import _entry_admits
+
+    # directed pin first: an In() carrying a NaN literal can match NaN
+    # rows (Spark: NaN = NaN), so it must never prune — even a file
+    # whose finite bounds exclude everything else
+    poisoned = {
+        "file_path": "x",
+        "row_count": 2,
+        "col_stats": {"s": [1.0, 5.0]},
+        "col_nans": {"s": 1},
+    }
+    assert _entry_admits(poisoned, [("s", "in", [float("nan")])])
+    assert _entry_admits(poisoned, [("s", ">", 1e9)])  # NaN > everything
+    assert not _entry_admits(poisoned, [("s", "==", 9.0)])  # NaN-sound op
 
     vals = st.sampled_from(
         [0.0, -0.0, 1.5, -2.5, 1e300, -1e300, float("inf"), float("-inf"), float("nan")]
@@ -1312,11 +1337,15 @@ def test_entry_admits_is_sound_for_float_col_stats():
         rows=st.lists(vals, min_size=1, max_size=12),
         cons=st.lists(st.tuples(ops, vals), min_size=1, max_size=3),
         with_stats=st.booleans(),
+        with_nans=st.booleans(),
     )
-    def check(rows, cons, with_stats):
-        entry = {"file_path": "x.parquet"}
-        if with_stats and not any(math.isnan(v) for v in rows):
-            entry["col_stats"] = {"s": [min(rows), max(rows)]}
+    def check(rows, cons, with_stats, with_nans):
+        entry = {"file_path": "x.parquet", "row_count": len(rows)}
+        finite = [v for v in rows if not math.isnan(v)]
+        if with_stats and finite:
+            entry["col_stats"] = {"s": [min(finite), max(finite)]}
+        if with_nans:
+            entry["col_nans"] = {"s": sum(1 for v in rows if math.isnan(v))}
         constraints = [("s", op, x) for op, x in cons]
         any_match = any(all(_matches(v, op, x) for op, x in cons) for v in rows)
         if any_match:

@@ -297,9 +297,11 @@ def _bounds_admit(lo, hi, op: str, value) -> bool:
         # every In() constraint silently never prune (latent since r13,
         # sound but useless; caught by the r15 string-In planning test)
         vals = [_as_comparable(v, lo) for v in value]
-        return any(
-            v is not None and lo <= v and (hi is None or v <= hi) for v in vals
-        )
+        if any(v is None for v in vals):
+            # an incomparable literal (a NaN — which DOES match NaN rows
+            # in Spark — or a type mismatch) means exclusion is unprovable
+            return True
+        return any(lo <= v and (hi is None or v <= hi) for v in vals)
     value = _as_comparable(value, lo)
     if value is None:
         return True
@@ -329,6 +331,7 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
     hive = _hive_values(entry)
     col_stats = entry.get("col_stats") or {}
     col_nulls = entry.get("col_nulls") or {}
+    col_nans = entry.get("col_nans") or {}
     for col, op, value in constraints:
         if op in ("isnull", "notnull"):
             # null-count skipping (r15, Iceberg null_value_counts): a
@@ -357,6 +360,19 @@ def _entry_admits(entry: dict, constraints: list) -> bool:
                 return False
         elif col in col_stats:
             lo, hi = col_stats[col]
+            if (
+                op in (">", ">=")
+                and isinstance(lo, float)
+                and col_nans.get(col) != 0
+            ):
+                # float bounds cover non-NaN values; Spark orders NaN
+                # above +inf, so an upper bound proves nothing for >/>=
+                # unless the file is PROVEN NaN-free (col_nans == 0).
+                # Unknown counts (None) keep the file too. The other
+                # operators stay sound: NaN satisfies none of them
+                # against a non-NaN literal (NaN literals never prune —
+                # _as_comparable).
+                continue
             if not _bounds_admit(lo, hi, op, value):
                 return False
     return True

@@ -279,7 +279,14 @@ def _parquet_file_entry(path: str, data_path: str) -> dict:
                     nans = int(pc.sum(pc.is_nan(col)).as_py() or 0)
                     col_nans[name] = nans
                     if nans:
-                        continue  # NaN-poisoned: no finite bound is sound
+                        # NaN-poisoned: bounds over the FINITE-or-inf
+                        # values still serve the NaN-sound operators
+                        # (<, <=, ==, in — NaN satisfies none of them
+                        # against a non-NaN literal); the planner keeps
+                        # the file for >, >= whenever col_nans != 0
+                        col = pc.filter(col, pc.invert(pc.is_nan(col)))
+                        if len(col) == 0:
+                            continue
                     mm = pc.min_max(col)
                     col_stats[name] = [mm["min"].as_py(), mm["max"].as_py()]
                 except Exception:  # noqa: BLE001 — stats stay optional
@@ -1180,7 +1187,19 @@ class EventTable:
                                 if scol.null_count == len(scol):
                                     continue  # all-null ⇒ no bounds
                                 if cname in nan_cols:
-                                    continue  # NaN-poisoned ⇒ no bound
+                                    # bounds over the non-NaN values:
+                                    # the planner restricts them to the
+                                    # NaN-sound operators via col_nans
+                                    valid = pc.filter(
+                                        scol, pc.invert(pc.is_nan(scol))
+                                    )
+                                    if len(valid):
+                                        r = pc.min_max(valid)
+                                        cstats[cname] = [
+                                            r["min"].as_py(),
+                                            r["max"].as_py(),
+                                        ]
+                                    continue
                                 clo, chi = _mm(cname)
                                 if clo is None:
                                     continue
