@@ -719,3 +719,56 @@ def test_string_float_bool_bounds_reach_avro_manifests(spark, tmp_path):
         (e.get("col_stats") or {}).get("country", [None, "x"])[1] is None
         for e in expected.values()
     )
+
+
+def test_promoted_int_bounds_mixed_width_avro_decode(spark, tmp_path):
+    """r15 int -> long promotion and the Avro manifests: manifests
+    written BEFORE the promotion are reused verbatim (4-byte int bound
+    buffers), manifests written after encode 8-byte longs — and the
+    decoder resolves both by buffer width under the CURRENT (long)
+    schema type, exactly Iceberg's Conversions.fromByteBuffer rule."""
+    import json as _json
+
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+
+    narrow = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="n", json_path="n", data_type="int32")],
+    )
+    wide = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="n", json_path="n", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=narrow)
+    rows = [
+        ("t", 0, _json.dumps({"n": 10 + i}).encode(), 1704067200000 + i, None, i)
+        for i in range(6)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t = EventTable(spark, str(tmp_path), "events", schema_config=wide)
+    big = 2**40
+    rows = [
+        ("t", 0, _json.dumps({"n": big + i}).encode(), 1704067200000 + 100 + i, None, 6 + i)
+        for i in range(6)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA), existing=t.read()))
+
+    meta = _current_meta(t)
+    fid = {
+        f["name"]: f["id"]
+        for f in meta["schemas"][meta["current-schema-id"]]["fields"]
+    }
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    expected = {os.path.abspath(e["file_path"]): e for e in t.scan_files()}
+    widths = set()
+    for df in MF.live_data_files(cur["manifest-list"]):
+        e = expected[df["file_path"]]
+        lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+        upper = {kv["key"]: kv["value"] for kv in df["upper_bounds"]}
+        widths.add(len(lower[fid["n"]]))
+        assert MF.decode_bound(lower[fid["n"]], "long") == e["col_stats"]["n"][0]
+        assert MF.decode_bound(upper[fid["n"]], "long") == e["col_stats"]["n"][1]
+    # both generations present: the old manifest was reused, not rewritten
+    assert widths == {4, 8}

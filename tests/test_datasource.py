@@ -1518,3 +1518,59 @@ def test_entry_admits_is_sound_for_null_count_skipping():
             assert _entry_admits(entry, constraints), (rows, constraints, entry)
 
     check()
+
+
+def test_promoted_int_column_bounds_prune_and_read_parity(spark, tmp_path):
+    """r15 type widening through the format: pre-promotion files carry
+    int col_stats, post-promotion files long — one pushed predicate
+    prunes on both, and the Arrow read path serves the INT32 files under
+    the widened LONG declared schema (per-batch cast)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    narrow = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="n", json_path="n", data_type="int32")],
+    )
+    wide = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="n", json_path="n", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=narrow)
+    rows = [
+        ("t", 0, json.dumps({"n": i}).encode(), T0 + i, None, i) for i in range(20)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t = EventTable(spark, str(tmp_path), "events", schema_config=wide)
+    big = 2**40
+    rows = [
+        ("t", 0, json.dumps({"n": big + i}).encode(), T0 + 100 + i, None, 20 + i)
+        for i in range(20)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA), existing=t.read()))
+
+    entries = t.scan_files()
+    assert len(entries) == 2
+    assert all("n" in (e.get("col_stats") or {}) for e in entries)
+
+    register_zombi_datasource(spark)
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    # a long-range predicate prunes the pre-promotion file by its int bounds
+    reader.pushFilters([GreaterThan(("n",), 2**39)])
+    reader.partitions()
+    assert reader.last_plan == {"files_total": 2, "files_kept": 1, "partitions": 1}
+    reader.pushFilters([EqualTo(("n",), 5)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 1
+    reader.pushFilters([EqualTo(("n",), -1)])
+    reader.partitions()
+    assert reader.last_plan["files_kept"] == 0
+
+    # read parity across the mixed INT32/INT64 file set, with predicates
+    df = _load(spark, t)
+    assert df.schema["n"].dataType.simpleString() == "bigint"
+    base_df = t.read()
+    cols = sorted(df.columns)
+    for cond in (f"n > {2**39}", "n = 5", "n < 0", "n IS NOT NULL"):
+        assert sorted(map(tuple, df.filter(cond).select(*cols).collect())) == sorted(
+            map(tuple, base_df.filter(cond).select(*cols).collect())
+        ), cond

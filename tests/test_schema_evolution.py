@@ -302,3 +302,130 @@ def test_nested_extraction_table_overflow_exact(spark, tmp_path):
     assert json.loads(bytes(got[1]._payload_overflow)) == {"other": 2}
     # row 2: everything extracted → NULL overflow
     assert got[2]._payload_overflow is None
+
+
+# --------------------------------------- r15: safe type promotion (widening)
+W_NARROW = TableSchemaConfig(
+    payload_format="json",
+    fields=[FieldSpec(name="n", json_path="n", data_type="int32")],
+)
+W_WIDE = TableSchemaConfig(
+    payload_format="json",
+    fields=[FieldSpec(name="n", json_path="n", data_type="int64")],
+)
+
+
+def _nbatch(spark, seq_start, values):
+    rows = [
+        ("t", 0, json.dumps({"n": int(v)}).encode(),
+         1704067200000 + (seq_start + i) * 1000, None, seq_start + i)
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+def test_int32_to_int64_widening_old_files_read_as_long(spark, tmp_path):
+    """Iceberg's one legal in-set promotion, int -> long (the
+    counter-outgrew-int32 case): files written as INT32 serve the widened
+    LONG declared schema natively; new appends store INT64 values past
+    2^31; compaction across the boundary preserves every value."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=W_NARROW)
+    t1.append(prepare_events(_nbatch(spark, 0, [0, 1, 2, 3])))
+    assert t1.table_schema()["n"].dataType == T.IntegerType()
+    # physical proof: the pre-promotion file really is INT32 on disk
+    f0 = t1.scan_files()[0]["file_path"]
+    n_idx = pq.ParquetFile(f0).schema_arrow.names.index("n")
+    assert str(pq.ParquetFile(f0).schema_arrow.types[n_idx]) == "int32"
+
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=W_WIDE)
+    big = 2**40
+    t2.append(prepare_events(_nbatch(spark, 4, [big, big + 1]), existing=t2.read()))
+    assert t2.table_schema()["n"].dataType == T.LongType()
+    got = {r.sequence: r.n for r in t2.read().collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: big, 6: big + 1}
+    # evolution is a table property: a fresh config-free handle sees LONG
+    assert (
+        EventTable(spark, str(tmp_path), "events").table_schema()["n"].dataType
+        == T.LongType()
+    )
+    # compaction across the promotion boundary: INV-6, values identical
+    t2.compact(min_input_files=1)
+    assert {r.sequence: r.n for r in t2.read().collect()} == got
+
+
+def test_widening_stale_narrow_config_tolerated(spark, tmp_path):
+    """A reader/writer still deployed with the pre-promotion int32 config
+    opens the widened table without error and does NOT narrow it back —
+    the stored type is authoritative (table property, not session)."""
+    from pyspark.sql import types as T
+
+    EventTable(spark, str(tmp_path), "events", schema_config=W_NARROW)
+    EventTable(spark, str(tmp_path), "events", schema_config=W_WIDE)
+    t3 = EventTable(spark, str(tmp_path), "events", schema_config=W_NARROW)
+    assert t3.table_schema()["n"].dataType == T.LongType()
+    # appends through the stale handle extract with the WIDE stored type
+    big = 2**40
+    t3.append(prepare_events(_nbatch(spark, 0, [big])))
+    assert [r.n for r in t3.read().collect()] == [big]
+
+
+def test_widening_rejects_everything_but_int32_to_int64(spark, tmp_path):
+    import pytest
+
+    EventTable(spark, str(tmp_path), "events", schema_config=W_WIDE)
+    for bad_type in ("utf8", "float64", "boolean"):
+        bad = TableSchemaConfig(
+            payload_format="json",
+            fields=[FieldSpec(name="n", json_path="n", data_type=bad_type)],
+        )
+        with pytest.raises(ValueError, match="cannot change type"):
+            EventTable(spark, str(tmp_path), "events", schema_config=bad)
+
+
+def test_widening_updates_iceberg_metadata_schema(spark, tmp_path):
+    """The promotion lands in the Iceberg v2 metadata as a NEW schema
+    entry whose promoted field keeps its field id (spec rule) with the
+    wider type — external engines plan longs, not stale ints."""
+    import os
+
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=W_NARROW)
+    t1.append(prepare_events(_nbatch(spark, 0, [1, 2])))
+    mdir = os.path.join(t1.path, "metadata")
+
+    def cur_meta():
+        hint = int(open(os.path.join(mdir, "version-hint.text")).read())
+        return json.load(open(os.path.join(mdir, f"v{hint}.metadata.json")))
+
+    m1 = cur_meta()
+    s1 = m1["schemas"][m1["current-schema-id"]]
+    f1 = next(f for f in s1["fields"] if f["name"] == "n")
+    assert f1["type"] == "int"
+
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=W_WIDE)
+    t2.append(prepare_events(_nbatch(spark, 2, [2**40]), existing=t2.read()))
+    m2 = cur_meta()
+    assert len(m2["schemas"]) == 2  # promotion appended a schema entry
+    s2 = m2["schemas"][m2["current-schema-id"]]
+    f2 = next(f for f in s2["fields"] if f["name"] == "n")
+    assert f2["type"] == "long" and f2["id"] == f1["id"]  # same id, wider
+    assert m2["last-column-id"] == m1["last-column-id"]  # no new columns
+
+
+def test_external_ddl_reads_across_promotion_boundary(spark, tmp_path):
+    """DuckDB reads the mixed INT32/INT64 file set through external_ddl
+    (union_by_name promotes) — any-engine reads survive the widening."""
+    import duckdb
+
+    t1 = EventTable(spark, str(tmp_path), "events", schema_config=W_NARROW)
+    t1.append(prepare_events(_nbatch(spark, 0, [5, 6])))
+    t2 = EventTable(spark, str(tmp_path), "events", schema_config=W_WIDE)
+    big = 2**40
+    t2.append(prepare_events(_nbatch(spark, 2, [big]), existing=t2.read()))
+
+    con = duckdb.connect()
+    con.execute(t2.external_ddl(view_name="ev"))
+    rows = con.execute("select n from ev order by sequence").fetchall()
+    assert [r[0] for r in rows] == [5, 6, big]

@@ -397,22 +397,38 @@ class EventTable:
 
     def _merge_extracted_fields(self, config) -> None:
         """Record (and widen) the table's extracted-field list — the
-        column-add half of schema evolution. Type changes to an existing
-        field are rejected (Iceberg only allows compatible promotions;
-        we allow none)."""
+        column-add half of schema evolution, plus Iceberg's safe type
+        promotions (r15): ``int32 -> int64`` widens the stored type (the
+        counter-outgrew-int32 case; Iceberg spec "int to long" evolution).
+        Spark 4's parquet readers serve pre-promotion INT32 files under
+        the widened LONG declared schema natively (both vectorized and
+        row paths), the DSv2 read path casts per Arrow batch, and the
+        4-byte bounds in already-written Avro manifests stay decodable
+        (manifests.decode_bound resolves by buffer width, Iceberg's
+        Conversions rule). A config narrower than the stored type is
+        tolerated and keeps the wider stored type — evolution is a table
+        property, not a session property. Every other type change is
+        rejected (matches Iceberg: no narrowing, no cross-kind casts)."""
+        promotions = {("int32", "int64")}
         os.makedirs(self.meta_path, exist_ok=True)
         current = {f["name"]: f for f in self.extracted_fields()}
         for spec in config.fields:
             prev = current.get(spec.name)
+            data_type = spec.data_type
             if prev is not None and prev["data_type"] != spec.data_type:
-                raise ValueError(
-                    f"extracted field {spec.name!r} cannot change type "
-                    f"{prev['data_type']!r} -> {spec.data_type!r}"
-                )
+                if (prev["data_type"], spec.data_type) in promotions:
+                    pass  # widen: record the new, wider type
+                elif (spec.data_type, prev["data_type"]) in promotions:
+                    data_type = prev["data_type"]  # stale config: keep wide
+                else:
+                    raise ValueError(
+                        f"extracted field {spec.name!r} cannot change type "
+                        f"{prev['data_type']!r} -> {spec.data_type!r}"
+                    )
             current[spec.name] = {
                 "name": spec.name,
                 "json_path": spec.json_path,
-                "data_type": spec.data_type,
+                "data_type": data_type,
             }
         tmp = self._extracted_fields_path() + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:

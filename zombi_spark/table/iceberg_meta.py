@@ -123,20 +123,30 @@ def fields_for_spark_schema(spark_schema) -> list[dict]:
 
 
 def _evolve_schema(meta: dict, spark_schema) -> None:
-    """Column-add schema evolution, Iceberg-style: if the table's current
-    Spark schema has columns the metadata's current schema lacks, append
-    a NEW schema entry — existing columns keep their field ids, new ones
-    get fresh ids past last-column-id — and point current-schema-id at
-    it. (Type changes are rejected upstream; drops don't occur.)"""
+    """Column-add + safe-promotion schema evolution, Iceberg-style: if
+    the table's current Spark schema has columns the metadata's current
+    schema lacks, OR an existing column was promoted (int -> long, the
+    one promotion the table layer allows — Iceberg spec "int to long"),
+    append a NEW schema entry — existing columns keep their field ids
+    (promotions too, per spec), new ones get fresh ids past
+    last-column-id — and point current-schema-id at it. (Other type
+    changes are rejected upstream; drops don't occur.)"""
+    promotions = {("int", "long")}
     current = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in current["fields"]}
     want = [(f.name, not f.nullable, _SPARK_TO_ICEBERG[f.dataType.simpleString()]) for f in spark_schema.fields]
-    if set(n for n, _r, _t in want) == set(by_name):
+    promoted = {
+        n for n, _r, t in want
+        if n in by_name and (by_name[n]["type"], t) in promotions
+    }
+    if set(n for n, _r, _t in want) == set(by_name) and not promoted:
         return
     next_id = meta["last-column-id"]
     fields = []
     for name, required, typ in want:
-        if name in by_name:
+        if name in promoted:
+            fields.append({**by_name[name], "type": typ})  # same id, wider type
+        elif name in by_name:
             fields.append(dict(by_name[name]))
         else:
             next_id += 1

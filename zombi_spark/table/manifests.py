@@ -59,6 +59,12 @@ def encode_bound(value, iceberg_type: str) -> bytes:
 
 def decode_bound(raw: bytes, iceberg_type: str):
     if iceberg_type == "long":
+        # Iceberg type promotion (spec: int -> long is a legal schema
+        # evolution): manifests written BEFORE the promotion carry 4-byte
+        # int bounds that are never rewritten — readers resolve by buffer
+        # width, exactly like Iceberg's Conversions.fromByteBuffer.
+        if len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
         return struct.unpack("<q", raw)[0]
     if iceberg_type in ("int", "date"):
         return struct.unpack("<i", raw)[0]
