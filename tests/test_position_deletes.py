@@ -1,0 +1,331 @@
+"""Merge-on-read position deletes (Iceberg v2 delete files) — the
+100 TB takedown cost model: ``delete_where(mode="merge-on-read")``
+writes a sorted (data file path, row index) parquet instead of
+rewriting data files, every read path anti-joins the active tombstones,
+and compaction migrates them back to pure data files. Copy-on-write
+(delete_where.rs has no reference analogue; SQL DELETE semantics) and
+merge-on-read must be observationally identical on every surface."""
+
+import json
+import os
+
+import pytest
+
+from zombi_spark.ingest.batch import RAW_EVENT_SCHEMA, prepare_events
+from zombi_spark.table.event_table import CommitConflictError, EventTable
+
+T0 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _batch(spark, start, n, topic="t", step_ms=1000, key=None):
+    rows = [
+        (
+            topic,
+            0,
+            f"p{i}".encode(),
+            T0 + i * step_ms,
+            f"{key}{i}" if key else None,
+            i,
+        )
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(rows, RAW_EVENT_SCHEMA)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 20)))
+    t.append(prepare_events(_batch(spark, 20, 10), existing=t.read()))
+    return t
+
+
+def test_mor_delete_removes_rows_without_rewriting_files(spark, table):
+    files_before = {e["file_path"] for e in table.scan_files()}
+    before = {(r.sequence, bytes(r.payload)) for r in table.read().collect()}
+    r = table.delete_where("sequence % 7 = 0", mode="merge-on-read")
+    assert r["files_rewritten"] == 0 and r["rows_removed"] == 4
+    assert os.path.isfile(r["delete_file"])
+    # NOT ONE data file changed — the merge-on-read contract
+    assert {e["file_path"] for e in table.scan_files()} == files_before
+    after = {(r2.sequence, bytes(r2.payload)) for r2 in table.read().collect()}
+    assert after == {x for x in before if x[0] % 7 != 0}
+    # the delete-file entry is in the manifest with its reference list
+    (d,) = table.delete_files()
+    assert d["content"] == "position-deletes"
+    assert d["row_count"] == 4
+    assert set(d["referenced_files"]) <= files_before
+    # time travel still serves the pre-delete rows
+    assert table.read(version=r["version"] - 1).count() == 30
+    # the delete parquet itself is Iceberg-v2-shaped and sorted
+    import pyarrow.parquet as pq
+
+    dt = pq.read_table(r["delete_file"])
+    assert dt.schema.names == ["file_path", "pos"]
+    pairs = list(zip(dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()))
+    assert pairs == sorted(pairs)
+    # recorded paths are exactly manifest paths (no URI scheme residue)
+    assert set(dt.column("file_path").to_pylist()) <= files_before
+
+
+def test_mor_null_predicate_rows_are_kept(spark, table):
+    # rows where the predicate is NULL are kept — SQL DELETE semantics
+    r = table.delete_where("idempotency_key = 'nope'", mode="merge-on-read")
+    assert r.get("noop") is True and table.read().count() == 30
+
+
+def test_mor_redelete_is_noop_and_deletes_stack(spark, table):
+    v0 = table.latest_version()
+    r1 = table.delete_where("sequence <= 3", mode="merge-on-read")
+    r2 = table.delete_where("sequence = 10", mode="merge-on-read")
+    assert (r1["rows_removed"], r2["rows_removed"]) == (3, 1)
+    assert len(table.delete_files()) == 2
+    # already-tombstoned rows neither match again nor resurrect
+    r3 = table.delete_where("sequence <= 3", mode="merge-on-read")
+    assert r3.get("noop") is True and table.latest_version() == v0 + 2
+    assert sorted(r.sequence for r in table.read().collect()) == sorted(
+        s for s in range(1, 31) if s > 3 and s != 10
+    )
+
+
+def test_compact_migrates_mor_deletes_to_data_files(spark, table):
+    table.delete_where("sequence % 5 = 0", mode="merge-on-read")
+    live = sorted((r.sequence, bytes(r.payload)) for r in table.read().collect())
+    snap = table.compact(min_input_files=1, rewrite_all=True)
+    assert snap["version"] is not None
+    # consumed: every tombstone applied, delete files dropped
+    assert table.delete_files() == []
+    assert sorted(
+        (r.sequence, bytes(r.payload)) for r in table.read().collect()
+    ) == live
+    # and the tombstoned rows are PHYSICALLY absent from the new files
+    raw = spark.read.schema(table.table_schema()).parquet(
+        *[e["file_path"] for e in table.scan_files()]
+    )
+    assert raw.count() == len(live)
+
+
+def test_scoped_compact_keeps_deletes_referencing_other_files(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    # two storage partitions: hour 0 and hour 1
+    t.append(prepare_events(_batch(spark, 0, 6)))
+    t.append(prepare_events(_batch(spark, 3600, 6, step_ms=1000), existing=t.read()))
+    dirs = sorted({e["partition_dir"] for e in t.scan_files()})
+    assert len(dirs) == 2
+    r = t.delete_where("true", ts_max=T0 + 10_000, mode="merge-on-read")
+    assert r["rows_removed"] == 6
+    # compact ONLY the other partition: the delete file's references are
+    # untouched, so it must survive the commit
+    t.compact(min_input_files=1, rewrite_all=True, partitions=[dirs[1]])
+    assert len(t.delete_files()) == 1
+    assert sorted(x.sequence for x in t.read().collect()) == list(range(7, 13))
+    # compacting the referenced partition consumes it
+    t.compact(min_input_files=1, rewrite_all=True, partitions=[dirs[0]])
+    assert t.delete_files() == []
+    assert sorted(x.sequence for x in t.read().collect()) == list(range(7, 13))
+
+
+def test_cow_delete_does_not_resurrect_mor_tombstones(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 10)))
+    t.delete_where("sequence = 3", mode="merge-on-read")
+    # copy-on-write rewrite of the same file: the tombstoned row must not
+    # ride into the rewritten file, and the consumed delete file is
+    # dropped in the same commit
+    r = t.delete_where("sequence = 5")
+    assert r["rows_removed"] == 1
+    assert t.delete_files() == []
+    assert sorted(x.sequence for x in t.read().collect()) == [
+        s for s in range(1, 11) if s not in (3, 5)
+    ]
+
+
+def test_mor_and_cow_are_observationally_identical(spark, tmp_path):
+    ta = EventTable(spark, str(tmp_path / "a"), "events")
+    tb = EventTable(spark, str(tmp_path / "b"), "events")
+    for t in (ta, tb):
+        t.append(prepare_events(_batch(spark, 0, 15, key="k")))
+    ra = ta.delete_where("sequence % 4 = 1", mode="merge-on-read")
+    rb = tb.delete_where("sequence % 4 = 1")  # copy-on-write
+    assert ra["rows_removed"] == rb["rows_removed"] > 0
+    cols = ["topic", "partition", "sequence", "timestamp_ms", "idempotency_key"]
+    rows = lambda t: sorted(map(tuple, t.read().select(*cols).collect()))  # noqa: E731
+    assert rows(ta) == rows(tb)
+    # watermarks / idempotency history agree too
+    assert ta.watermark_map() == tb.watermark_map()
+    ha = sorted(map(tuple, ta.idempotency_history(retention_hours=None).collect()))
+    hb = sorted(map(tuple, tb.idempotency_history(retention_hours=None).collect()))
+    assert ha == hb and len(ha) == 15 - ra["rows_removed"]
+
+
+def test_latest_n_scan_excludes_tombstones(spark, table):
+    table.delete_where("sequence >= 28", mode="merge-on-read")
+    top = (
+        table.scan_latest(3)
+        .orderBy("timestamp_ms", ascending=False)
+        .limit(3)
+        .collect()
+    )
+    assert [r.sequence for r in top] == [27, 26, 25]
+
+
+def test_expire_rebase_carries_delete_files(spark, table):
+    """expire_snapshots rewrites the oldest kept snapshot as a replay
+    BASE ("files" materialized) — if the delete list didn't ride along,
+    every older tombstone would silently vanish from later replays."""
+    table.delete_where("sequence <= 5", mode="merge-on-read")
+    # a few more commits so the MOR snapshot falls below the keep window
+    for s in (40, 50):
+        table.append(prepare_events(_batch(spark, s, 2), existing=table.read()))
+    expired = table.expire_snapshots(keep_last=2)
+    assert expired
+    assert len(table.delete_files()) == 1  # the entry survived expiration
+    assert sorted(r.sequence for r in table.read().collect()) == sorted(
+        s for s in range(6, 35) if s <= 30
+    ) + [31, 32, 33, 34]
+
+
+def test_orphan_sweep_spares_referenced_delete_files(spark, table):
+    r = table.delete_where("sequence = 2", mode="merge-on-read")
+    removed = table.remove_orphans(older_than_s=0)
+    assert r["delete_file"] not in removed and os.path.isfile(r["delete_file"])
+    # compact consumes it; expire + sweep then reclaims the delete parquet
+    table.compact(min_input_files=1, rewrite_all=True)
+    table.expire_snapshots(keep_last=1)
+    removed = table.remove_orphans(older_than_s=0)
+    assert r["delete_file"] in removed and not os.path.isfile(r["delete_file"])
+    assert sorted(x.sequence for x in table.read().collect()) == [
+        s for s in range(1, 31) if s != 2
+    ]
+
+
+def test_retention_drops_fully_dead_delete_files(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 6)))
+    t.append(prepare_events(_batch(spark, 3600, 6), existing=t.read()))
+    r = t.delete_where("true", ts_max=T0 + 10_000, mode="merge-on-read")
+    assert r["rows_removed"] == 6
+    # age out hour 0 entirely: the delete file references only doomed
+    # files, so the same commit drops it
+    out = t.expire_data_older_than(T0 + 3_000_000)
+    assert out["files_removed"] >= 1
+    assert t.delete_files() == []
+    assert sorted(x.sequence for x in t.read().collect()) == list(range(7, 13))
+
+
+def test_mor_delete_on_extraction_table(spark, tmp_path):
+    from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig
+
+    cfg = TableSchemaConfig(
+        payload_format="json",
+        fields=[FieldSpec(name="k", json_path="k", data_type="int64")],
+    )
+    t = EventTable(spark, str(tmp_path), "events", schema_config=cfg)
+    rows = [
+        ("t", 0, json.dumps({"k": i}).encode(), T0 + i * 1000, None, i)
+        for i in range(12)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    r = t.delete_where("k >= 9", mode="merge-on-read")
+    assert r["rows_removed"] == 3
+    assert sorted(x.k for x in t.read().collect()) == list(range(9))
+
+
+def test_external_ddl_applies_position_deletes(spark, table):
+    import duckdb
+
+    r = table.delete_where("sequence % 3 = 0", mode="merge-on-read")
+    con = duckdb.connect()
+    con.execute(table.external_ddl(view_name="ev"))
+    got = sorted(x[0] for x in con.execute("select sequence from ev").fetchall())
+    want = sorted(x.sequence for x in table.read().collect())
+    assert got == want and all(s % 3 != 0 for s in got)
+    # and the PRE-delete snapshot's DDL serves the full row set
+    con.execute(table.external_ddl(view_name="ev0", version=r["version"] - 1))
+    assert con.execute("select count(*) from ev0").fetchone()[0] == 30
+
+
+def test_mor_rebase_on_concurrent_append_succeeds(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    racer = EventTable(spark, str(tmp_path), "events")
+    orig = t._commit_snapshot
+    calls = {"n": 0}
+
+    def racing_commit(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            racer.append(prepare_events(_batch(spark, 100, 3), existing=racer.read()))
+        return orig(*a, **kw)
+
+    t._commit_snapshot = racing_commit
+    try:
+        r = t.delete_where("sequence = 4", mode="merge-on-read")
+    finally:
+        t._commit_snapshot = orig
+    # the rebase re-committed on top of the racing append: both effects land
+    assert r["rows_removed"] == 1
+    assert t.read().count() == 8 - 1 + 3
+
+
+def test_mor_aborts_when_race_rewrites_referenced_file(spark, tmp_path):
+    """A racing compact rewrote the file our positions reference: the
+    tombstones would apply to NOTHING on the new snapshot — committing
+    would silently under-delete, so the rebase must abort."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    racer = EventTable(spark, str(tmp_path), "events")
+    orig = t._commit_snapshot
+    calls = {"n": 0}
+
+    def racing_commit(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            racer.compact(min_input_files=1, rewrite_all=True)
+        return orig(*a, **kw)
+
+    t._commit_snapshot = racing_commit
+    try:
+        with pytest.raises(CommitConflictError):
+            t.delete_where("sequence = 4", mode="merge-on-read")
+    finally:
+        t._commit_snapshot = orig
+    assert t.read().count() == 8  # nothing was deleted
+
+
+def test_compact_aborts_when_race_adds_tombstones_on_inputs(spark, tmp_path):
+    """Compact read its inputs BEFORE a merge-on-read delete landed on
+    them: committing the rewrite would resurrect the taken-down rows —
+    the rebase must abort (the takedown wins)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 8)))
+    racer = EventTable(spark, str(tmp_path), "events")
+    orig = t._commit_snapshot
+    calls = {"n": 0}
+
+    def racing_commit(*a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            racer.delete_where("sequence = 4", mode="merge-on-read")
+        return orig(*a, **kw)
+
+    t._commit_snapshot = racing_commit
+    try:
+        with pytest.raises(CommitConflictError):
+            t.compact(min_input_files=1, rewrite_all=True)
+    finally:
+        t._commit_snapshot = orig
+    # the takedown is in effect; compacting NOW applies it
+    assert sorted(x.sequence for x in t.read().collect()) == [
+        s for s in range(1, 9) if s != 4
+    ]
+    t.compact(min_input_files=1, rewrite_all=True)
+    assert t.delete_files() == []
+    assert sorted(x.sequence for x in t.read().collect()) == [
+        s for s in range(1, 9) if s != 4
+    ]
+
+
+def test_invalid_mode_rejected(spark, table):
+    with pytest.raises(ValueError, match="mode"):
+        table.delete_where("true", mode="merge_on_read")

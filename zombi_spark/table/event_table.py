@@ -375,6 +375,8 @@ class EventTable:
         # version -> list[file entry dict]; snapshots are immutable once
         # committed, so the cache never invalidates
         self._active_cache: dict[int, list[dict]] = {}
+        # version -> list[position-delete file entry dict] (same immutability)
+        self._active_delete_cache: dict[int, list[dict]] = {}
         if schema_config is not None and schema_config.fields:
             # reject converting a PLAIN table that already holds data:
             # extraction tables drop the payload column from the schema,
@@ -573,6 +575,8 @@ class EventTable:
         added: list[dict] | None = None,
         removed: list[str] | None = None,
         expected_parent: int | None = None,
+        added_deletes: list[dict] | None = None,
+        removed_deletes: list[str] | None = None,
     ) -> dict:
         """Atomic versioned commit of a manifest delta.
 
@@ -612,6 +616,13 @@ class EventTable:
             "added": added,
             "removed": removed,
         }
+        # merge-on-read position-delete deltas ride the same snapshot
+        # (keys absent on commits that touch none — old snapshot shape
+        # unchanged)
+        if added_deletes:
+            snap["added_deletes"] = added_deletes
+        if removed_deletes:
+            snap["removed_deletes"] = removed_deletes
         if version % _REBASE_EVERY == 0:
             # materialize the full list (manifest-list rebase): replay the
             # parent chain once, apply this delta — O(active files), paid
@@ -621,6 +632,15 @@ class EventTable:
             snap["files"] = [
                 f for f in parent_files if f["file_path"] not in removed_set
             ] + added
+            # the rebase base carries the delete list too (the replay in
+            # _active_delete_files stops at the same base snapshot)
+            parent_dels = (
+                self._active_delete_files(current) if current is not None else []
+            )
+            removed_del_set = set(removed_deletes or [])
+            snap["delete_files"] = [
+                d for d in parent_dels if d["file_path"] not in removed_del_set
+            ] + (added_deletes or [])
         tmp = os.path.join(self.meta_path, f".snap-{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp")
         final = os.path.join(self.meta_path, f"snap-{version:08d}.json")
         with open(tmp, "w") as fh:
@@ -734,6 +754,93 @@ class EventTable:
         self._active_cache[version] = out
         return out
 
+    def _active_delete_files(self, version: int) -> list[dict]:
+        """Active POSITION-DELETE file entries AS OF ``version`` — the
+        merge-on-read side of the manifest replay (Iceberg v2 delete
+        files). Entries carry ``file_path`` (the delete parquet),
+        ``row_count``, ``file_size_bytes``, and ``referenced_files``
+        (the data files whose positions it tombstones — bounded by
+        design: a takedown touches few files of a 100 TB table, and
+        that list is what lets compaction drop consumed delete files
+        and scan planning skip non-intersecting ones)."""
+        if version in self._active_delete_cache:
+            return self._active_delete_cache[version]
+        deltas: list[dict] = []
+        base: list[dict] = []
+        v = version
+        while v >= 0:
+            try:
+                snap = self._read_snapshot(f"snap-{v:08d}.json")
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {v} (reached resolving version {version}) "
+                    "has been expired — time travel is bounded by "
+                    "expire_snapshots' retained window"
+                ) from None
+            if "files" in snap:
+                # rebase snapshots materialize BOTH lists; rebase
+                # snapshots written before merge-on-read existed have no
+                # delete files by construction
+                base = snap.get("delete_files", [])
+                break
+            deltas.append(snap)
+            parent = snap.get("parent_version")
+            v = -1 if parent is None else parent
+        dels = {e["file_path"]: e for e in base}
+        for snap in reversed(deltas):
+            for p in snap.get("removed_deletes", []):
+                dels.pop(p, None)
+            for e in snap.get("added_deletes", []):
+                dels[e["file_path"]] = e
+        out = sorted(dels.values(), key=lambda d: d["file_path"])
+        self._active_delete_cache[version] = out
+        return out
+
+    def delete_files(self, version: int | None = None) -> list[dict]:
+        """Active position-delete file entries (the ``t.delete_files``
+        metadata surface; empty for tables with no merge-on-read
+        deletes)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        return list(self._active_delete_files(version))
+
+    def _apply_position_deletes(
+        self, df: DataFrame, dels: list[dict]
+    ) -> DataFrame:
+        """Anti-join ``df`` (a parquet scan of manifest files) against
+        the position-delete files: a row is dead iff some delete file
+        holds its exact (data file path, row index) — Iceberg v2
+        merge-on-read. Data-file paths are fresh UUIDs on every
+        write/rewrite, so a position can never mis-apply to a later
+        file; positions whose data file has since been rewritten match
+        nothing (dead weight until compaction drops the delete file).
+        The delete side broadcasts below a row cap (takedowns are small
+        by nature); above it the join falls back to shuffle + AQE."""
+        if not dels:
+            return df
+        return self._position_delete_probe(df, dels).drop("_zdel_file", "_zdel_pos")
+
+    def _position_delete_probe(self, df: DataFrame, dels: list[dict]) -> DataFrame:
+        """``df`` widened with the normalized data-file path
+        (``_zdel_file``) and in-file row index (``_zdel_pos``), with the
+        position-delete anti-join applied when ``dels`` is non-empty —
+        the shared kernel for reads (which drop the helper columns) and
+        delete/compact planning (which group on them)."""
+        probe = df.withColumn(
+            "_zdel_file",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        ).withColumn("_zdel_pos", F.col("_metadata.row_index"))
+        if not dels:
+            return probe
+        dd = self.spark.read.parquet(*[d["file_path"] for d in dels]).select(
+            F.col("file_path").alias("_zdel_file"), F.col("pos").alias("_zdel_pos")
+        )
+        if sum(d.get("row_count", 0) for d in dels) <= 4_000_000:
+            dd = F.broadcast(dd)
+        return probe.join(dd, ["_zdel_file", "_zdel_pos"], "left_anti")
+
     def scan_files(
         self,
         version: int | None = None,
@@ -812,6 +919,21 @@ class EventTable:
             )
             return f"CREATE OR REPLACE VIEW {view} AS SELECT {cols} WHERE false"
         file_list = ", ".join(_json.dumps(os.path.abspath(f)) for f in sorted(files))
+        dels = [d["file_path"] for d in self.delete_files(version=version)]
+        if dels:
+            # merge-on-read: the external engine applies the position
+            # tombstones itself — DuckDB's filename/file_row_number
+            # virtual columns are exactly the (data file, row index) key
+            # the delete files record
+            del_list = ", ".join(_json.dumps(os.path.abspath(p)) for p in sorted(dels))
+            return (
+                f"CREATE OR REPLACE VIEW {view} AS "
+                f"SELECT r.* EXCLUDE (filename, file_row_number) "
+                f"FROM read_parquet([{file_list}], hive_partitioning = true, "
+                f"union_by_name = true, filename = true, file_row_number = true) r "
+                f"ANTI JOIN read_parquet([{del_list}]) d "
+                f"ON r.filename = d.file_path AND r.file_row_number = d.pos"
+            )
         # union_by_name: files written before a column-add evolution lack
         # the newer extracted columns; name-based unification serves NULL
         # for them (same rule our declared-schema reads apply)
@@ -901,7 +1023,17 @@ class EventTable:
             e["file_path"]
             for e in self.plan_latest_files(n, version=version, topic=topic, partition=partition)
         ]
-        return self._read_file_list(files)
+        df = self._read_file_list(files)
+        if files:
+            # merge-on-read: the planned files may hold tombstoned rows
+            # (the row-count planning over-covers, never under-covers)
+            df = self._apply_position_deletes(
+                df,
+                self._active_delete_files(
+                    self.latest_version() if version is None else version
+                ),
+            )
+        return df
 
     # --------------------------------------------------------------- write
     def _target_records_per_file(self, target_file_bytes: int) -> int | None:
@@ -1621,7 +1753,12 @@ class EventTable:
                 partition=partition,
             )
         ]
-        return self._read_file_list(files)
+        df = self._read_file_list(files)
+        if files:
+            df = self._apply_position_deletes(
+                df, self._active_delete_files(version)
+            )
+        return df
 
     def added_files(self, from_version: int | None, to_version: int | None = None) -> list[dict]:
         """Manifest entries of files carrying data APPENDED in versions
@@ -1699,7 +1836,12 @@ class EventTable:
         pipeline that checkpoints the last version it processed re-reads
         ONLY the new files, never the table (at 100 TB: the day's appends,
         not the history). Files stay readable across compaction because
-        physical deletion is deferred to snapshot expiration."""
+        physical deletion is deferred to snapshot expiration.
+
+        Append-only by contract (Iceberg's incremental scan rule):
+        merge-on-read position deletes do NOT retro-apply here — a
+        consumer that already processed a later-deleted row keeps its
+        copy, exactly as with copy-on-write deletes."""
         files = [e["file_path"] for e in self.added_files(from_version, to_version)]
         return self._read_file_list(files)
 
@@ -1764,9 +1906,14 @@ class EventTable:
                 cutoff = max(known) - retention_hours * 3_600_000
                 entries = self.scan_files(ts_min=cutoff)
         files = [e["file_path"] for e in entries]
-        return self._read_file_list(files).select(
-            "topic", "partition", "idempotency_key"
-        )
+        probe = self._read_file_list(files)
+        if files:
+            # merge-on-read parity with copy-on-write: a taken-down row's
+            # key leaves the idempotency history in both modes
+            probe = self._apply_position_deletes(
+                probe, self._active_delete_files(self.latest_version())
+            )
+        return probe.select("topic", "partition", "idempotency_key")
 
     def high_watermarks(self) -> DataFrame:
         """A2: max committed sequence per (topic, partition)
@@ -1834,6 +1981,11 @@ class EventTable:
                 live.add(self._norm_entry(e)["file_path"])
             for e in snap.get("added", []):
                 live.add(self._norm_entry(e)["file_path"])
+            # position-delete files are snapshot-referenced artifacts too
+            for e in snap.get("delete_files", []):
+                live.add(e["file_path"])
+            for e in snap.get("added_deletes", []):
+                live.add(e["file_path"])
         return live
 
     def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
@@ -1945,11 +2097,21 @@ class EventTable:
                 "files_removed": len(doomed),
                 "rows_removed": sum(e.get("row_count", 0) for e in doomed),
             }
+            # delete files whose every referenced data file ages out with
+            # this cut are fully dead — drop them in the same commit
+            doomed_paths = {e["file_path"] for e in doomed}
+            consumed = [
+                d["file_path"]
+                for d in self._active_delete_files(expected)
+                if d.get("referenced_files")
+                and set(d["referenced_files"]) <= doomed_paths
+            ]
             try:
                 snap = self._commit_snapshot(
                     summary,
                     removed=[e["file_path"] for e in doomed],
                     expected_parent=expected,
+                    removed_deletes=consumed,
                 )
                 return {
                     "files_removed": len(doomed),
@@ -1968,46 +2130,69 @@ class EventTable:
         ts_max: int | None = None,
         topic: str | None = None,
         partition: int | None = None,
+        mode: str = "copy-on-write",
     ) -> dict:
-        """Row-level DELETE (copy-on-write) — the takedown/right-to-be-
-        forgotten primitive the reference's hourly retention cannot
-        express (its only deletes are whole-hour ``delete_range``s,
+        """Row-level DELETE — the takedown/right-to-be-forgotten
+        primitive the reference's hourly retention cannot express (its
+        only deletes are whole-hour ``delete_range``s,
         rocksdb.rs:1150-1237). Semantics are SQL ``DELETE WHERE``: rows
         where ``predicate`` evaluates TRUE are removed; FALSE *and NULL*
-        rows are kept.
+        rows are kept. Two modes, Iceberg v2's exactly:
 
-        Two-phase plan, shaped for a takedown touching few files out of
-        a 100 TB table:
+        ``mode="copy-on-write"`` (default) — two-phase find + rewrite:
 
         1. **Find** — candidate files come from :meth:`scan_files` with
            any caller-supplied bounds (metadata-only skipping), then ONE
-           column-pruned Spark job counts matching rows per file
-           (``_metadata.file_path``). The scan reads only the predicate's
-           columns and parquet row-group stats / bloom filters prune
-           inside each file. Files with zero matches are never rewritten
-           — their manifest entries carry forward untouched.
+           column-pruned Spark job counts matching LIVE rows per file
+           (``_metadata.file_path``; rows tombstoned by earlier
+           merge-on-read deletes neither count nor resurrect). The scan
+           reads only the predicate's columns and parquet row-group
+           stats / bloom filters prune inside each file. Files with zero
+           matches are never rewritten — their manifest entries carry
+           forward untouched.
         2. **Rewrite** — only the matched files are read full-width,
            surviving rows are staged sorted (same layout/bloom rules as
            append), moved in, and committed as one (added, removed)
-           snapshot delta. Crash order is compaction's (move → commit →
-           defer physical delete): a crash before the commit leaves the
-           table on the pre-delete snapshot with only unreferenced
-           staging orphans (``remove_orphans`` reaps them).
+           snapshot delta; position-delete files fully consumed by the
+           rewrite are dropped from the manifest in the same commit.
+           Crash order is compaction's (move → commit → defer physical
+           delete): a crash before the commit leaves the table on the
+           pre-delete snapshot with only unreferenced staging orphans
+           (``remove_orphans`` reaps them).
 
-        Concurrency: inputs are immutable and a racing append only adds
-        files, so on :class:`CommitConflictError` the same delta rebases
-        once (compaction.rs:98-137's optimistic-retry rule); if a racing
-        compact/retention removed one of our inputs, abort — the caller
-        re-plans. Old snapshots still serve the deleted rows (time
-        travel) until ``expire_snapshots`` + ``remove_orphans``; a
-        *guaranteed-erasure* workflow is delete_where → expire_snapshots
-        → remove_orphans.
+        ``mode="merge-on-read"`` — the 100 TB cost model: instead of
+        rewriting data files, the find phase's (data file, row index)
+        pairs are written as ONE sorted position-delete parquet
+        (Iceberg v2 position deletes: columns ``file_path``, ``pos``)
+        and committed as a delete-file delta — O(matching rows), never
+        O(rewritten bytes). Every read path anti-joins the active
+        delete files (:meth:`_apply_position_deletes`); compaction
+        applies them and drops the consumed delete files, migrating
+        merge-on-read deletes back to pure data files. Data-file paths
+        are fresh UUIDs on every write, so a recorded position can
+        never mis-apply to a later file.
+
+        Concurrency (both modes): inputs are immutable and a racing
+        append only adds files, so on :class:`CommitConflictError` the
+        same delta rebases once (compaction.rs:98-137's optimistic-retry
+        rule); if a racing compact/retention removed one of our inputs —
+        or, for copy-on-write, a racing merge-on-read delete tombstoned
+        rows inside them (committing our rewrite would resurrect exactly
+        those rows) — abort: the caller re-plans. Old snapshots still
+        serve the deleted rows (time travel) until ``expire_snapshots``
+        + ``remove_orphans``; a *guaranteed-erasure* workflow is
+        delete_where → (compact for merge-on-read) → expire_snapshots →
+        remove_orphans.
 
         ``predicate`` is a Column or a SQL string. Returns
-        ``{"files_rewritten", "rows_removed", "version", "noop"?}``.
+        ``{"files_rewritten", "rows_removed", "version", "noop"?}``;
+        merge-on-read adds ``files_referenced`` and ``delete_file``.
         """
-        from urllib.parse import unquote, urlparse
-
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"delete_where mode must be 'copy-on-write' or "
+                f"'merge-on-read', got {mode!r}"
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))  # NULL predicate = keep
         if self.latest_version() is None:
@@ -2030,47 +2215,59 @@ class EventTable:
                 "version": expected_parent,
                 "noop": True,
             }
-        # phase 1: per-file match counts (column-pruned scan; stats and
-        # the idempotency-key bloom prune row groups before decode)
-        counts = (
-            self._read_file_list(sorted(candidates))
-            .where(hit)
-            .groupBy(F.col("_metadata.file_path").alias("_fp"))
-            .count()
-            .collect()
-        )
-
-        def _local(uri: str) -> str:
-            p = urlparse(uri)
-            return unquote(p.path) if p.scheme else uri
-
+        active_dels = self._active_delete_files(expected_parent)
+        # phase 1: per-file match counts over LIVE rows (column-pruned
+        # scan; stats and the idempotency-key bloom prune row groups
+        # before decode; prior merge-on-read tombstones anti-joined out)
+        hits = self._position_delete_probe(
+            self._read_file_list(sorted(candidates)), active_dels
+        ).where(hit)
+        if mode == "merge-on-read":
+            # the same frame feeds the count AND the position write
+            hits = hits.persist()
+        counts = hits.groupBy("_zdel_file").count().collect()
         matched: dict[str, int] = {}
         for r in counts:
-            path = _local(r["_fp"])
+            path = r["_zdel_file"]
             if path not in candidates:
                 # a counted file that doesn't map back into the candidate
                 # set means URI normalization diverged (symlinked table
                 # path, non-file scheme); silently skipping it would report
                 # a takedown as noop while matching rows still exist
                 raise RuntimeError(
-                    f"delete_where: scanned file {r['_fp']!r} (normalized "
-                    f"{path!r}) is not in the manifest candidate set — "
-                    "path normalization diverged; refusing to under-delete"
+                    f"delete_where: scanned file {path!r} is not in the "
+                    "manifest candidate set — path normalization diverged; "
+                    "refusing to under-delete"
                 )
             matched[path] = r["count"]
         rows_removed = sum(matched.values())
         if not matched:
             # no row matched anywhere: like a no-op compact, do not mint
             # a snapshot for an empty delta
+            if mode == "merge-on-read":
+                hits.unpersist()
             return {
                 "files_rewritten": 0,
                 "rows_removed": 0,
                 "version": expected_parent,
                 "noop": True,
             }
+        if mode == "merge-on-read":
+            return self._commit_position_deletes(
+                hits, sorted(matched), rows_removed, expected_parent
+            )
         # phase 2: rewrite ONLY the matched files without the doomed rows
+        # (and without rows prior merge-on-read deletes already removed —
+        # carrying them into the rewrite would resurrect them, since the
+        # tombstones point at the OLD paths)
         inputs = [candidates[p] for p in matched]
-        survivors = self._read_file_list(sorted(matched)).where(~hit)
+        survivors = (
+            self._position_delete_probe(
+                self._read_file_list(sorted(matched)), active_dels
+            )
+            .drop("_zdel_file", "_zdel_pos")
+            .where(~hit)
+        )
         staging = os.path.join(self.path, f".delete-{uuid.uuid4().hex}")
         ntasks = max(min(len(inputs), self.spark.sparkContext.defaultParallelism), 1)
         all_unkeyed = all("key_nulls" in f for f in inputs) and sum(
@@ -2091,6 +2288,15 @@ class EventTable:
         )
         added = self._move_staged_in(staging, prefix="deleted-", stats=wstats)
         self._rmtree(staging)
+        # position-delete files whose every referenced data file is being
+        # rewritten are fully consumed: every position they hold points at
+        # a removed path — drop them in the same commit
+        consumed = [
+            d["file_path"]
+            for d in active_dels
+            if d.get("referenced_files")
+            and set(d["referenced_files"]) <= set(matched)
+        ]
         prior = self.latest_snapshot()
         summary = {
             "operation": "row-delete",
@@ -2104,6 +2310,7 @@ class EventTable:
                 added=added,
                 removed=list(matched),
                 expected_parent=expected_parent,
+                removed_deletes=consumed,
             )
         except CommitConflictError:
             # rebase once — sound iff every input survives on the new
@@ -2113,6 +2320,15 @@ class EventTable:
             active = {e["file_path"] for e in self._active_files(new_parent)}
             if not set(matched) <= active:
                 raise
+            # and iff no NEW merge-on-read delete landed on our inputs in
+            # the gap: our rewrite predates its tombstones, so committing
+            # would resurrect exactly the rows it took down
+            applied = {d["file_path"] for d in active_dels}
+            for d in self._active_delete_files(new_parent):
+                if d["file_path"] not in applied and set(
+                    d.get("referenced_files", [])
+                ) & set(matched):
+                    raise
             prior = self.latest_snapshot()
             summary["watermarks"] = dict(prior.get("watermarks", {})) if prior else {}
             snap = self._commit_snapshot(
@@ -2120,10 +2336,93 @@ class EventTable:
                 added=added,
                 removed=list(matched),
                 expected_parent=new_parent,
+                removed_deletes=consumed,
             )
         return {
             "files_rewritten": len(inputs),
             "rows_removed": rows_removed,
+            "version": snap["version"],
+        }
+
+    def _commit_position_deletes(
+        self,
+        hits: DataFrame,
+        referenced: list[str],
+        rows_removed: int,
+        expected_parent: int,
+    ) -> dict:
+        """Merge-on-read commit half of :meth:`delete_where`: write the
+        matched (file, pos) pairs as one sorted Iceberg-v2-shaped
+        position-delete parquet under ``data/_deletes/`` (the leading
+        underscore keeps directory-globbing engines from reading it as
+        data; our own planners read explicit manifest lists) and commit
+        it as an ``added_deletes`` delta — no data file is touched."""
+        staging = os.path.join(self.path, f".delete-{uuid.uuid4().hex}")
+        try:
+            (
+                hits.select(
+                    F.col("_zdel_file").alias("file_path"),
+                    F.col("_zdel_pos").alias("pos"),
+                )
+                .repartition(1)
+                .sortWithinPartitions("file_path", "pos")
+                .write.parquet(staging)
+            )
+        finally:
+            hits.unpersist()
+        part = next(
+            os.path.join(dp, f)
+            for dp, _ds, fs in os.walk(staging)
+            for f in sorted(fs)
+            if f.endswith(".parquet")
+        )
+        deletes_dir = os.path.join(self.data_path, "_deletes")
+        os.makedirs(deletes_dir, exist_ok=True)
+        dest = os.path.join(deletes_dir, f"posdel-{uuid.uuid4().hex}.parquet")
+        self.backend.promote(part, dest)
+        self._rmtree(staging)
+        entry = {
+            "file_path": dest,
+            "content": "position-deletes",
+            "row_count": rows_removed,
+            "file_size_bytes": os.path.getsize(dest),
+            "referenced_files": referenced,
+        }
+        prior = self.latest_snapshot()
+        summary = {
+            "operation": "row-delete",
+            "mode": "merge-on-read",
+            "watermarks": dict(prior.get("watermarks", {})) if prior else {},
+            "files_rewritten": 0,
+            "rows_removed": rows_removed,
+            "files_referenced": len(referenced),
+        }
+        try:
+            snap = self._commit_snapshot(
+                summary, expected_parent=expected_parent, added_deletes=[entry]
+            )
+        except CommitConflictError:
+            # rebase once: sound iff every referenced data file is still
+            # active (a racing rewrite means our positions point at paths
+            # the new snapshot no longer reads — the takedown would
+            # silently delete nothing: abort, the caller re-plans)
+            new_parent = self.latest_version()
+            active = {e["file_path"] for e in self._active_files(new_parent)}
+            if not set(referenced) <= active:
+                raise
+            summary["watermarks"] = (
+                dict(self.latest_snapshot().get("watermarks", {}))
+                if self.latest_snapshot()
+                else {}
+            )
+            snap = self._commit_snapshot(
+                summary, expected_parent=new_parent, added_deletes=[entry]
+            )
+        return {
+            "files_rewritten": 0,
+            "rows_removed": rows_removed,
+            "files_referenced": len(referenced),
+            "delete_file": dest,
             "version": snap["version"],
         }
 
@@ -2180,6 +2479,10 @@ class EventTable:
         oldest_kept = names[cut]
         snap = self._read_snapshot(oldest_kept)
         if "files" not in snap:
+            # materialize BOTH lists: "files" is the replay-base marker,
+            # so omitting the delete list here would silently drop every
+            # merge-on-read tombstone older than the expire cut
+            snap["delete_files"] = self._active_delete_files(snap["version"])
             snap["files"] = self._active_files(snap["version"])
             tmp = os.path.join(self.meta_path, f".{oldest_kept}.{uuid.uuid4().hex[:8]}.tmp")
             with open(tmp, "w") as fh:
@@ -2192,6 +2495,7 @@ class EventTable:
             expired.append(int(fname[5:13]))
             os.remove(os.path.join(self.meta_path, fname))
         self._active_cache.clear()
+        self._active_delete_cache.clear()
         try:
             from zombi_spark.table.iceberg_meta import rewrite_after_expire
 
@@ -2296,7 +2600,15 @@ class EventTable:
             # on the storage key, write sorted into a staging tree, then
             # move the rewritten files in.
             all_paths = [f["file_path"] for fs in candidates.values() for f in fs]
-            df = self._read_file_list(all_paths)
+            # merge-on-read migration: the rewrite applies every active
+            # position tombstone (NOT applying them would resurrect
+            # taken-down rows into the compacted files), and delete files
+            # fully consumed by this rewrite are dropped in the commit —
+            # compaction is how merge-on-read deletes become pure data
+            active_dels = self._active_delete_files(expected_parent)
+            df = self._apply_position_deletes(
+                self._read_file_list(all_paths), active_dels
+            )
             staging = os.path.join(self.path, f".compact-{uuid.uuid4().hex}")
             # task count: each storage partition hashes to exactly ONE
             # shuffle partition, so one-task-per-candidate just multiplies
@@ -2373,9 +2685,22 @@ class EventTable:
             summary["scoped"] = True
         if extra_summary:
             summary.update(extra_summary)
+        # position-delete files fully consumed by this rewrite (every
+        # referenced data file is among the inputs) leave the manifest
+        # with the same commit — their tombstones were applied above
+        consumed = [
+            d["file_path"]
+            for d in active_dels
+            if d.get("referenced_files")
+            and set(d["referenced_files"]) <= set(all_paths)
+        ]
         try:
             snap = self._commit_snapshot(
-                summary, added=added, removed=all_paths, expected_parent=expected_parent
+                summary,
+                added=added,
+                removed=all_paths,
+                expected_parent=expected_parent,
+                removed_deletes=consumed,
             )
         except CommitConflictError:
             # rebase once: inputs are immutable, so the delta re-applies
@@ -2386,10 +2711,23 @@ class EventTable:
             active = {e["file_path"] for e in self._active_files(new_parent)}
             if not set(all_paths) <= active:
                 raise
+            # a merge-on-read delete that landed on our inputs AFTER we
+            # read them means our rewrite predates its tombstones —
+            # committing would resurrect the taken-down rows: abort
+            applied = {d["file_path"] for d in active_dels}
+            for d in self._active_delete_files(new_parent):
+                if d["file_path"] not in applied and set(
+                    d.get("referenced_files", [])
+                ) & set(all_paths):
+                    raise
             prior = self.latest_snapshot()
             summary["watermarks"] = dict(prior.get("watermarks", {})) if prior else {}
             snap = self._commit_snapshot(
-                summary, added=added, removed=all_paths, expected_parent=new_parent
+                summary,
+                added=added,
+                removed=all_paths,
+                expected_parent=new_parent,
+                removed_deletes=consumed,
             )
         # ---- commit point passed: NOW the inputs may be physically
         # deleted. They remain referenced by older snapshots, so delete
