@@ -1557,7 +1557,12 @@ def test_promoted_int_column_bounds_prune_and_read_parity(spark, tmp_path):
     # a long-range predicate prunes the pre-promotion file by its int bounds
     reader.pushFilters([GreaterThan(("n",), 2**39)])
     reader.partitions()
-    assert reader.last_plan == {"files_total": 2, "files_kept": 1, "partitions": 1}
+    assert reader.last_plan == {
+        "files_total": 2,
+        "files_kept": 1,
+        "partitions": 1,
+        "delete_files": 0,
+    }
     reader.pushFilters([EqualTo(("n",), 5)])
     reader.partitions()
     assert reader.last_plan["files_kept"] == 1
@@ -1574,3 +1579,139 @@ def test_promoted_int_column_bounds_prune_and_read_parity(spark, tmp_path):
         assert sorted(map(tuple, df.filter(cond).select(*cols).collect())) == sorted(
             map(tuple, base_df.filter(cond).select(*cols).collect())
         ), cond
+
+
+def test_format_applies_position_deletes(spark, tmp_path):
+    """Merge-on-read through the format: a batch read anti-masks the
+    tombstoned (file, row index) pairs executor-side — parity with
+    EventTable.read after a delete, including under a fields projection
+    and a pushed filter; time travel to the pre-delete snapshot still
+    serves every row; the stream stays append-only (deletes do not
+    retro-apply — Iceberg's incremental-scan rule)."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 12)))
+    t.append(prepare_events(_batch(spark, 12, 6)))
+    register_zombi_datasource(spark)
+    doomed = t.read().where("sequence % 4 = 0").count()
+    r = t.delete_where("sequence % 4 = 0", mode="merge-on-read")
+    assert r["rows_removed"] == doomed > 0
+
+    df = _load(spark, t)
+    base = t.read()
+    cols = sorted(df.columns)
+    assert sorted(map(tuple, df.select(*cols).collect())) == sorted(
+        map(tuple, base.select(*cols).collect())
+    )
+    assert df.count() == 18 - doomed
+    # fields projection composes with the anti-mask
+    seqs = sorted(
+        x.sequence
+        for x in _load(spark, t, fields="sequence").collect()
+    )
+    assert seqs == sorted(x.sequence for x in base.collect())
+    # pushed filter + deletes: pruning and masking are independent
+    got = sorted(
+        map(tuple, _load(spark, t).where("sequence > 5").select(*cols).collect())
+    )
+    want = sorted(map(tuple, base.where("sequence > 5").select(*cols).collect()))
+    assert got == want and got
+    # time travel: the pre-delete snapshot is untouched
+    assert _load(spark, t, version=r["version"] - 1).count() == 18
+    # the plan records the delete-file attachment
+    reader = ZombiBatchReader(t.table_schema(), {"path": t.path})
+    reader.pushFilters([])
+    parts = reader.partitions()
+    assert reader.last_plan["delete_files"] == 1
+    assert any(p.deletes for p in parts)
+
+    # stream catch-up is append-only: it re-serves the ORIGINAL appended
+    # rows, tombstones not retro-applied (documented contract)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("zombi")
+        .load(t.path)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 18
+
+
+def test_format_position_deletes_on_split_row_groups(spark, tmp_path):
+    """Row-group-split slices keep in-file row indexes exact: a
+    hand-built 10-row-group file is sliced per group, tombstones planted
+    across groups, and every slice masks exactly its own rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+
+    from zombi_spark.sources.datasource import (
+        ZombiInputPartition,
+        _file_slices,
+        _read_partition,
+    )
+
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(
+        pa.table({"sequence": pa.array(range(1000), pa.int64())}),
+        p,
+        row_group_size=100,
+    )
+    # tombstone rows across several groups (incl. group boundaries)
+    doomed = [0, 99, 100, 101, 250, 555, 999]
+    dpath = str(tmp_path / "posdel.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([os.path.abspath(p)] * len(doomed)),
+                "pos": pa.array(doomed, pa.int64()),
+            }
+        ),
+        dpath,
+    )
+    schema = T.StructType([T.StructField("sequence", T.LongType(), True)])
+    slices = _file_slices(
+        {"file_path": p, "file_size_bytes": os.path.getsize(p)}, {}, max_bytes=1
+    )
+    assert len(slices) == 10  # one slice per row group
+    got = []
+    for s in slices:
+        part = ZombiInputPartition(slices=[s[:3]], deletes=[dpath])
+        for b in _read_partition(part, schema):
+            got.extend(b.column(0).to_pylist())
+    assert sorted(got) == [i for i in range(1000) if i not in doomed]
+    # whole-file read agrees
+    part = ZombiInputPartition(slices=[(p, {}, None)], deletes=[dpath])
+    whole = [
+        v for b in _read_partition(part, schema) for v in b.column(0).to_pylist()
+    ]
+    assert sorted(whole) == sorted(got)
+
+
+def test_metadata_delete_files_table(spark, tmp_path):
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(prepare_events(_batch(spark, 0, 10)))
+    register_zombi_datasource(spark)
+    meta = (
+        spark.read.format("zombi").option("metadata", "delete_files").load(t.path)
+    )
+    assert meta.count() == 0  # no deletes yet
+    r = t.delete_where("sequence <= 2", mode="merge-on-read")
+    rows = (
+        spark.read.format("zombi")
+        .option("metadata", "delete_files")
+        .load(t.path)
+        .collect()
+    )
+    assert len(rows) == 1
+    (m,) = rows
+    assert m.file_path == r["delete_file"]
+    assert m.content == "position-deletes" and m.row_count == r["rows_removed"] > 0
+    assert json.loads(m.referenced_files)
+    # unknown metadata table error names the new surface
+    with pytest.raises(Exception, match="delete_files"):
+        spark.read.format("zombi").option("metadata", "nope").load(t.path).schema

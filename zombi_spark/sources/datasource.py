@@ -23,6 +23,11 @@ gives any Spark user
   (the reference's ``?fields=``, handlers.rs:737-764) — because the
   Python DataSource API has no pruning hook; without it a read ships
   every column (payload included) through Arrow whatever the select.
+  Merge-on-read position deletes (r15) apply at batch-read time: each
+  task anti-masks the tombstoned (file, row index) pairs of the delete
+  files intersecting its slices, so ``format("zombi")`` and
+  ``EventTable.read`` agree row-for-row after a
+  ``delete_where(mode="merge-on-read")``.
 - ``spark.readStream.format("zombi").load(table_path)`` — an incremental
   append-only stream (the Iceberg incremental-scan / reference consumer
   offsets analogue, SPEC.md:658-661, rocksdb.rs:396-398): offsets are
@@ -383,9 +388,13 @@ class ZombiInputPartition(InputPartition):
     """One scheduled task's worth of data: a list of slices, each
     ``(file_path, hive_values, row_groups)`` — several small files packed
     together, or one row-group range of a large file, or the empty-table
-    sentinel (no slices)."""
+    sentinel (no slices). ``deletes`` carries the position-delete
+    parquet paths whose referenced data files intersect this
+    partition's slices (merge-on-read); the executor anti-masks their
+    (file, row index) pairs while reading."""
 
     slices: list = field(default_factory=list)
+    deletes: list = field(default_factory=list)
 
 
 _DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
@@ -502,33 +511,82 @@ def _read_partition(partition: ZombiInputPartition, schema: StructType):
     """Executor-side read: file parquet → Arrow batches adapted to the
     declared schema (missing columns NULL — column-ADD evolution; hive
     partition columns synthesized from the directory values; types cast
-    to the schema's Arrow shape)."""
+    to the schema's Arrow shape). When the partition carries
+    position-delete files (merge-on-read), each batch is anti-masked by
+    the tombstoned row indexes for its data file — a numpy searchsorted
+    over the sorted positions, applied per row group so in-file row
+    indexes stay exact under row-group-split slices."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = pa.schema(
         [pa.field(f.name, _arrow_field_type(f), nullable=True) for f in schema.fields]
     )
+
+    def adapt(raw, hive_values):
+        n = raw.num_rows
+        names = set(raw.schema.names)
+        cols = []
+        for f in target:
+            if f.name in names:
+                col = raw.column(raw.schema.get_field_index(f.name))
+                if col.type != f.type:
+                    col = col.cast(f.type)
+            elif f.name in hive_values:
+                col = pa.nulls(n, f.type).fill_null(
+                    pa.scalar(hive_values[f.name], type=f.type)
+                )
+            else:
+                col = pa.nulls(n, f.type)
+            cols.append(col)
+        return pa.RecordBatch.from_arrays(cols, schema=target)
+
+    del_tbl = None
+    if partition.deletes:
+        del_tbl = pa.concat_tables(
+            [pq.read_table(p, columns=["file_path", "pos"]) for p in partition.deletes]
+        )
     for file_path, hive_values, row_groups in partition.slices:
         pf = pq.ParquetFile(file_path)
         want = [f.name for f in schema.fields if f.name in set(pf.schema_arrow.names)]
-        for raw in pf.iter_batches(columns=want, row_groups=row_groups):
-            n = raw.num_rows
-            names = set(raw.schema.names)
-            cols = []
-            for f in target:
-                if f.name in names:
-                    col = raw.column(raw.schema.get_field_index(f.name))
-                    if col.type != f.type:
-                        col = col.cast(f.type)
-                elif f.name in hive_values:
-                    col = pa.nulls(n, f.type).fill_null(
-                        pa.scalar(hive_values[f.name], type=f.type)
-                    )
-                else:
-                    col = pa.nulls(n, f.type)
-                cols.append(col)
-            yield pa.RecordBatch.from_arrays(cols, schema=target)
+        positions = None
+        if del_tbl is not None:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            sel = del_tbl.filter(
+                pc.equal(del_tbl.column("file_path"), os.path.abspath(file_path))
+            )
+            if sel.num_rows:
+                positions = np.sort(sel.column("pos").to_numpy())
+        if positions is None:
+            for raw in pf.iter_batches(columns=want, row_groups=row_groups):
+                yield adapt(raw, hive_values)
+            continue
+        import numpy as np
+
+        md = pf.metadata
+        starts = []
+        acc = 0
+        for i in range(md.num_row_groups):
+            starts.append(acc)
+            acc += md.row_group(i).num_rows
+        rgs = list(range(md.num_row_groups)) if row_groups is None else list(row_groups)
+        for rg in rgs:
+            local = 0
+            for raw in pf.iter_batches(columns=want, row_groups=[rg]):
+                n = raw.num_rows
+                base = starts[rg] + local
+                local += n
+                lo = int(np.searchsorted(positions, base))
+                hi = int(np.searchsorted(positions, base + n))
+                if lo < hi:
+                    mask = np.ones(n, dtype=bool)
+                    mask[(positions[lo:hi] - base).astype(np.int64)] = False
+                    raw = raw.filter(pa.array(mask))
+                    if raw.num_rows == 0:
+                        continue
+                yield adapt(raw, hive_values)
 
 
 class ZombiBatchReader(DataSourceReader):
@@ -556,11 +614,32 @@ class ZombiBatchReader(DataSourceReader):
         return iter(filters)
 
     def partitions(self):
-        entries = _table_for(self._path).scan_files(version=self._version)
+        table = _table_for(self._path)
+        entries = table.scan_files(version=self._version)
         kept = [e for e in entries if _entry_admits(e, self._constraints)]
         self.last_plan = {"files_total": len(entries), "files_kept": len(kept)}
         parts = _pack_partitions(kept, self._max_bytes, self._min_partitions)
         self.last_plan["partitions"] = len(parts)
+        # merge-on-read: ship each task only the delete files whose
+        # referenced data files intersect its slices (pruning stays an
+        # optimization — a position for an unread file matches nothing)
+        version = (
+            self._version if self._version is not None else table.latest_version()
+        )
+        dels = table._active_delete_files(version) if version is not None else []
+        if dels:
+            for p in parts:
+                slice_files = {os.path.abspath(s[0]) for s in p.slices}
+                p.deletes = [
+                    d["file_path"]
+                    for d in dels
+                    if not d.get("referenced_files")
+                    or any(
+                        os.path.abspath(rf) in slice_files
+                        for rf in d["referenced_files"]
+                    )
+                ]
+        self.last_plan["delete_files"] = len(dels)
         return parts
 
     def read(self, partition: ZombiInputPartition):
@@ -569,7 +648,13 @@ class ZombiBatchReader(DataSourceReader):
 
 class ZombiStreamReader(DataSourceStreamReader):
     """Incremental append-only source: offset = last consumed snapshot
-    version (T12 consumer offsets; Iceberg incremental scan)."""
+    version (T12 consumer offsets; Iceberg incremental scan).
+
+    Append-only by contract: merge-on-read position deletes do NOT
+    retro-apply to already-appended versions (Iceberg's incremental
+    scan rule, same as EventTable.read_changes) — a consumer that
+    processed a later-deleted row keeps its copy, exactly as with
+    copy-on-write deletes."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -697,6 +782,15 @@ _SNAPSHOTS_FIELDS = [
     ("n_added", "int"),
     ("n_removed", "int"),
 ]
+# r15: the t.delete_files surface (merge-on-read position deletes) —
+# referenced_files as a JSON array string (same convention as col_stats)
+_DELETE_FILES_FIELDS = [
+    ("file_path", "string"),
+    ("content", "string"),
+    ("row_count", "long"),
+    ("file_size_bytes", "long"),
+    ("referenced_files", "string"),
+]
 
 
 def _meta_schema(fields) -> StructType:
@@ -731,6 +825,14 @@ class ZombiMetadataReader(DataSourceReader):
                     else e.get(name)
                     for name, _ in _FILES_FIELDS
                 )
+        elif self._mode == "delete_files":
+            for d in table.delete_files(version=self._version):
+                yield tuple(
+                    _json.dumps(sorted(d[name]))
+                    if name == "referenced_files" and d.get(name) is not None
+                    else d.get(name)
+                    for name, _ in _DELETE_FILES_FIELDS
+                )
         else:
             for s in table.snapshots():
                 yield (
@@ -761,8 +863,11 @@ class ZombiDataSource(DataSource):
                 return _meta_schema(_FILES_FIELDS)
             if mode == "snapshots":
                 return _meta_schema(_SNAPSHOTS_FIELDS)
+            if mode == "delete_files":
+                return _meta_schema(_DELETE_FILES_FIELDS)
             raise ValueError(
-                f"unknown metadata table {mode!r}: expected 'files' or 'snapshots'"
+                f"unknown metadata table {mode!r}: expected 'files', "
+                "'snapshots', or 'delete_files'"
             )
         full = table_schema_for(_resolve_path(dict(self.options)))
         if not fields:
