@@ -239,6 +239,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # r15: pushed string equality on an EXTRACTED column over a
             # string-re-clustered extraction table (categorical pruning)
             "extracted_scan": EQ.q_extracted_scan,
+            # r15: merge-on-read position deletes (Iceberg v2 delete
+            # files) — takedown without rewriting data files
+            "mor_delete": EQ.q_mor_delete,
         }.items()
     }
 
@@ -1320,6 +1323,22 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         FROM seq
         WHERE event_type = 'purchase'
+        GROUP BY partition
+        """,
+        "mor_delete": _EV
+        + """
+        , seq AS (
+          SELECT partition,
+                 CAST(row_number() OVER (PARTITION BY topic, partition
+                                         ORDER BY arrival) AS BIGINT) AS sequence
+          FROM ev
+        )
+        SELECT partition,
+               count(*) AS n_live,
+               CAST(sum(sequence) AS BIGINT) AS sum_seq,
+               CAST(0 AS BIGINT) AS n_ghost
+        FROM seq
+        WHERE sequence % 10 <> 3
         GROUP BY partition
         """,
         "small_qty_revenue": """

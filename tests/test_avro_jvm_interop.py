@@ -108,3 +108,40 @@ def test_apache_avro_java_reads_golden_fixture_bytes(spark):
         assert len(jvm_recs) == len(ours) and len(jvm_recs) >= 1
         assert jvm_recs == [_normalize(r) for r in ours]
         assert schema_name in {"manifest_entry", "manifest_file"}
+
+
+def test_apache_avro_java_reads_delete_manifest_bytes(spark, tmp_path):
+    """r15 merge-on-read: the DELETE manifest (content=1, unpartitioned
+    spec, empty partition record) decodes identically under Apache Avro
+    Java — including the reserved-field-id path bounds — so a stock v2
+    reader can plan the tombstones from our bytes."""
+    t = EventTable(spark, str(tmp_path), "events")
+    t.append(_batch(spark, 0, 10))
+    r = t.delete_where("sequence % 4 = 2", mode="merge-on-read")
+    assert r["rows_removed"] > 0
+
+    from zombi_spark.table import manifests as MF
+    from zombi_spark.table.iceberg_meta import current_metadata
+
+    meta = current_metadata(t.path)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    dm = next(
+        m for m in MF.read_manifest_list(cur["manifest-list"])
+        if m.get("content", 0) == 1
+    )
+    schema_name, jvm_recs = _jvm_records(spark, dm["manifest_path"])
+    assert schema_name == "manifest_entry"
+    _header, _schema, ours = read_container(dm["manifest_path"])
+    ours_n = [_normalize(r) for r in ours]
+    assert len(jvm_recs) == len(ours_n) == 1
+    assert jvm_recs == ours_n
+    jdf = jvm_recs[0]["data_file"]
+    assert jdf["content"] == 1
+    assert jdf["file_path"] == os.path.abspath(r["delete_file"])
+    # the JVM-decoded path bounds recover the referenced data files
+    (dele,) = t.delete_files()
+    refs = sorted(os.path.abspath(p) for p in dele["referenced_files"])
+    lower = {kv["key"]: kv["value"] for kv in jdf["lower_bounds"]}
+    assert lower[MF.POS_DELETE_PATH_FID].encode("latin-1").decode("utf-8") == refs[0]

@@ -772,3 +772,94 @@ def test_promoted_int_bounds_mixed_width_avro_decode(spark, tmp_path):
         assert MF.decode_bound(upper[fid["n"]], "long") == e["col_stats"]["n"][1]
     # both generations present: the old manifest was reused, not rewritten
     assert widths == {4, 8}
+
+
+def test_position_delete_files_reach_avro_manifests(spark, tmp_path):
+    """r15 merge-on-read: the position-delete file rides into the Iceberg
+    metadata as a DELETE manifest (content=1) under the unpartitioned
+    spec, with file_path lower/upper bounds (reserved field id
+    2147483546) spanning the referenced data files — decoded back from
+    the BYTES, the external-reader contract. Compaction consumes it: the
+    post-compact manifest list carries no delete manifest."""
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [
+        ("t", 0, f"p{i}".encode(), 1704067200000 + i * 1000, None, i)
+        for i in range(12)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    r = t.delete_where("sequence % 5 = 2", mode="merge-on-read")
+    assert r["rows_removed"] > 0
+
+    meta = _current_meta(t)
+    # the unpartitioned spec joined the metadata; the default stays 0
+    specs = {s["spec-id"]: s["fields"] for s in meta["partition-specs"]}
+    assert specs[meta["default-spec-id"]] and [] in specs.values()
+    unpart_id = next(k for k, v in specs.items() if v == [])
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    mfs = MF.read_manifest_list(cur["manifest-list"])
+    data_mfs = [m for m in mfs if m.get("content", 0) == 0]
+    del_mfs = [m for m in mfs if m.get("content", 0) == 1]
+    assert len(del_mfs) == 1 and data_mfs
+    (dm,) = del_mfs
+    assert dm["partition_spec_id"] == unpart_id
+    assert dm["added_files_count"] == 1 and dm["added_rows_count"] == r["rows_removed"]
+    # the delete manifest's header says deletes; its entry names the
+    # delete parquet with content=1 and referenced-file path bounds
+    _schema, hdr, recs = avro_io.read_container(dm["manifest_path"])
+    assert hdr["content"] == b"deletes"
+    (entry,) = recs
+    df = entry["data_file"]
+    assert df["content"] == 1
+    assert df["file_path"] == os.path.abspath(r["delete_file"])
+    assert df["record_count"] == r["rows_removed"]
+    (dele,) = t.delete_files()
+    refs = sorted(os.path.abspath(p) for p in dele["referenced_files"])
+    lower = {kv["key"]: kv["value"] for kv in df["lower_bounds"]}
+    upper = {kv["key"]: kv["value"] for kv in df["upper_bounds"]}
+    assert MF.decode_bound(lower[MF.POS_DELETE_PATH_FID], "string") == refs[0]
+    assert MF.decode_bound(upper[MF.POS_DELETE_PATH_FID], "string") == refs[-1]
+    # live_data_files is unchanged by the delete (no data file touched);
+    # live_delete_files lists exactly the delete parquet
+    assert {d["file_path"] for d in MF.live_data_files(cur["manifest-list"])} == {
+        os.path.abspath(e["file_path"]) for e in t.scan_files()
+    }
+    assert [d["file_path"] for d in MF.live_delete_files(cur["manifest-list"])] == [
+        os.path.abspath(r["delete_file"])
+    ]
+
+    # compaction consumes the tombstones: no delete manifest remains
+    t.compact(min_input_files=1, rewrite_all=True)
+    meta2 = _current_meta(t)
+    cur2 = next(
+        s for s in meta2["snapshots"] if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    assert MF.live_delete_files(cur2["manifest-list"]) == []
+
+
+def test_read_via_iceberg_metadata_applies_position_deletes(spark, tmp_path):
+    """The metadata-only read path (what a stock external v2 reader
+    does) anti-joins the delete manifests' position files: row parity
+    with EventTable.read after a merge-on-read takedown, and snapshot-id
+    time travel to the pre-delete snapshot serves every row."""
+    from zombi_spark.table.iceberg_reader import read_via_iceberg_metadata
+
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [
+        ("t", 0, f"p{i}".encode(), 1704067200000 + i * 1000, None, i)
+        for i in range(15)
+    ]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    t.delete_where("sequence % 3 = 1", mode="merge-on-read")
+
+    got = read_via_iceberg_metadata(spark, t.path)
+    cols = sorted(c for c in got.columns)
+    want = t.read()
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # pre-delete snapshot by ICEBERG snapshot id: all 15 rows
+    meta = _current_meta(t)
+    pre = meta["snapshots"][-2]["snapshot-id"]
+    assert read_via_iceberg_metadata(spark, t.path, snapshot_id=pre).count() == 15

@@ -479,6 +479,73 @@ def q_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_mor_table(spark: SparkSession, sf_dir: str):
+    """The events mapping committed and then row-taken-down via
+    ``delete_where(mode="merge-on-read")`` — a DEDICATED fixture (the
+    delete mutates the table, so the shared datasource fixture must stay
+    pristine for the scan queries). The build pins the merge-on-read
+    contract: after the takedown commit, the data-file set is unchanged
+    — only a position-delete file was added."""
+    import tempfile
+
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.plans.plan_cache import session_cache
+    from zombi_spark.shipping import ensure_package_on_workers
+    from zombi_spark.table.event_table import EventTable
+
+    ensure_package_on_workers(spark)
+    memo = session_cache(spark, "zombi_mor_tables")
+    table = memo.get(sf_dir)
+    if table is None:
+        import atexit
+        import shutil
+
+        ev = zombi_events(spark, sf_dir).select(
+            "topic",
+            "partition",
+            F.encode("payload_str", "UTF-8").alias("payload"),
+            "timestamp_ms",
+            F.lit(None).cast("string").alias("idempotency_key"),
+            F.col("arrival").alias("ingest_order"),
+        )
+        root = tempfile.mkdtemp(prefix="zombi_mor_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        table = EventTable(spark, root, "events")
+        table.append(prepare_events(ev))
+        files_before = {e["file_path"] for e in table.scan_files()}
+        res = table.delete_where("sequence % 10 = 3", mode="merge-on-read")
+        if {e["file_path"] for e in table.scan_files()} != files_before:
+            raise AssertionError(
+                "merge-on-read takedown rewrote data files"
+            )
+        if not res.get("rows_removed"):
+            raise AssertionError("merge-on-read takedown matched no rows")
+        memo[sf_dir] = table
+    return table
+
+
+def q_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8+ merge-on-read row takedown (Iceberg v2 position deletes):
+    rows with ``sequence % 10 = 3`` are tombstoned WITHOUT rewriting a
+    single data file (event_table.delete_where mode="merge-on-read");
+    the read anti-joins the position-delete file. The per-partition
+    aggregate bakes the contract into the hash: ``n_ghost`` counts
+    surviving tombstoned rows and must be 0 everywhere — the DuckDB
+    oracle replays the sequence assignment and excludes the doomed rows
+    relationally."""
+    table = _materialized_mor_table(spark, sf_dir)
+    return (
+        table.read()
+        .groupBy("partition")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("sequence").alias("sum_seq"),
+            F.count(F.when(F.col("sequence") % 10 == 3, 1)).alias("n_ghost"),
+        )
+        .orderBy("partition")
+    )
+
+
 def _materialized_extraction_table(spark: SparkSession, sf_dir: str):
     """The events mapping committed as a schema-on-write EXTRACTION
     table (§1.3) and re-clustered by the extracted ``event_type`` string

@@ -684,6 +684,7 @@ class EventTable:
                 snap_for_meta,
                 spark_schema=self.table_schema(),
                 active_entries_fn=lambda: self._active_files(version),
+                active_deletes_fn=lambda: self._active_delete_files(version),
                 backend=self.backend,
             )
         except Exception as exc:
@@ -2059,7 +2060,12 @@ class EventTable:
         latest = self.latest_version()
         if latest is None:
             raise ValueError("no snapshot to rewrite manifests for")
-        return rewrite_manifests(self.path, self._active_files(latest), backend=self.backend)
+        return rewrite_manifests(
+            self.path,
+            self._active_files(latest),
+            backend=self.backend,
+            active_deletes=self._active_delete_files(latest),
+        )
 
     def expire_data_older_than(self, ts_ms: int) -> dict:
         """Cold-tier retention — the table-level sibling of the landing

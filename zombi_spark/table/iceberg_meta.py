@@ -310,6 +310,20 @@ def _norm_entry(e) -> dict:
     return e if isinstance(e, dict) else {"file_path": e}
 
 
+def _ensure_unpartitioned_spec(meta: dict) -> int:
+    """The unpartitioned partition spec's id, appending it to the
+    metadata when absent — position-delete files reference data files
+    across storage partitions, so their manifests bind to an empty
+    partition struct (spec-legal; pruning comes from the file_path
+    bounds instead)."""
+    for spec in meta["partition-specs"]:
+        if not spec.get("fields"):
+            return spec["spec-id"]
+    spec_id = max(s["spec-id"] for s in meta["partition-specs"]) + 1
+    meta["partition-specs"].append({"spec-id": spec_id, "fields": []})
+    return spec_id
+
+
 def _write_commit_manifests(
     table_path: str,
     meta: dict,
@@ -317,6 +331,7 @@ def _write_commit_manifests(
     snapshot_id: int,
     seq_num: int,
     active_entries_fn=None,
+    active_deletes_fn=None,
 ) -> str:
     """Write this commit's Avro manifest(s) + manifest list; returns the
     manifest-list path. Appends carry the previous list forward with one
@@ -360,7 +375,13 @@ def _write_commit_manifests(
             spec_id=spec_id,
             field_types=_field_types(meta),
         )
-        prior = MF.read_manifest_list(prev_list) if prev_list else []
+        # carry DATA manifests only: the delete-manifest set is
+        # regenerated in full each commit (O(active delete files) — tiny)
+        prior = (
+            [m for m in MF.read_manifest_list(prev_list) if m.get("content", 0) == 0]
+            if prev_list
+            else []
+        )
         manifest_files = prior + [mf]
     else:
         # removal commit, or no usable previous Avro list (legacy table):
@@ -411,6 +432,16 @@ def _write_commit_manifests(
             field_types=_field_types(meta),
         )
         manifest_files = [mf]
+    dels = list(active_deletes_fn()) if active_deletes_fn is not None else []
+    if dels:
+        del_spec_id = _ensure_unpartitioned_spec(meta)
+        added_del = {d["file_path"] for d in snap.get("added_deletes", [])}
+        manifest_files.append(
+            MF.write_delete_manifest(
+                mdir, dels, snapshot_id, seq_num, schema_json,
+                added_paths=added_del, spec_id=del_spec_id,
+            )
+        )
     return MF.write_manifest_list(mdir, snapshot_id, manifest_files)
 
 
@@ -420,6 +451,7 @@ def write_metadata_for_commit(
     snap: dict,
     spark_schema=None,
     active_entries_fn=None,
+    active_deletes_fn=None,
     backend=None,
 ) -> str:
     """Extend the table's Iceberg metadata with one committed snapshot and
@@ -467,7 +499,8 @@ def write_metadata_for_commit(
     sid = snapshot_id_long(snap["snapshot_id"])
     parent_hex = snap.get("parent_snapshot_hex")
     manifest_list = _write_commit_manifests(
-        table_path, meta, snap, sid, version + 1, active_entries_fn
+        table_path, meta, snap, sid, version + 1, active_entries_fn,
+        active_deletes_fn,
     )
     ice_snap = {
         "snapshot-id": sid,
@@ -550,6 +583,7 @@ def rebuild_metadata(
     spec_json = json.dumps(meta["partition-specs"][meta["default-spec-id"]]["fields"])
     prev_sid = None
     active: dict[str, dict] = {}
+    active_dels: dict[str, dict] = {}
     for snap in snapshots:
         sid = snapshot_id_long(snap["snapshot_id"])
         # replay the log to this snapshot's active set and write ONE full
@@ -557,12 +591,17 @@ def rebuild_metadata(
         # rare recovery path (expire_snapshots bounds the log)
         if "files" in snap:
             active = {_norm_entry(e)["file_path"]: _norm_entry(e) for e in snap["files"]}
+            active_dels = {e["file_path"]: e for e in snap.get("delete_files", [])}
         else:
             for p in snap.get("removed", []):
                 active.pop(p, None)
             for e in snap.get("added", []):
                 e = _norm_entry(e)
                 active[e["file_path"]] = e
+            for p in snap.get("removed_deletes", []):
+                active_dels.pop(p, None)
+            for e in snap.get("added_deletes", []):
+                active_dels[e["file_path"]] = e
         added_paths = {_norm_entry(e)["file_path"] for e in snap.get("added", [])}
         entries = [
             (MF.ADDED if path in added_paths else MF.EXISTING, e)
@@ -572,7 +611,17 @@ def rebuild_metadata(
             mdir, entries, sid, snap["version"] + 1, field_ids, pfields,
             schema_json, spec_json, field_types=_field_types(meta),
         )
-        mlist = MF.write_manifest_list(mdir, sid, [mf])
+        mfs = [mf]
+        if active_dels:
+            del_spec_id = _ensure_unpartitioned_spec(meta)
+            added_del = {d["file_path"] for d in snap.get("added_deletes", [])}
+            mfs.append(
+                MF.write_delete_manifest(
+                    mdir, list(active_dels.values()), sid, snap["version"] + 1,
+                    schema_json, added_paths=added_del, spec_id=del_spec_id,
+                )
+            )
+        mlist = MF.write_manifest_list(mdir, sid, mfs)
         ice = {
             "snapshot-id": sid,
             "sequence-number": snap["version"] + 1,
@@ -693,7 +742,12 @@ def _gc_unreferenced_metadata(
     return removed
 
 
-def rewrite_manifests(table_path: str, active_entries: list[dict], backend=None) -> str:
+def rewrite_manifests(
+    table_path: str,
+    active_entries: list[dict],
+    backend=None,
+    active_deletes: list[dict] | None = None,
+) -> str:
     """Iceberg's ``rewrite_manifests`` action, metadata-only: merge the
     CURRENT snapshot's carry-forward manifest list into ONE full manifest
     of the active files (all EXISTING, no data touched), bump the
@@ -728,7 +782,19 @@ def rewrite_manifests(table_path: str, active_entries: list[dict], backend=None)
         spec_id=meta["default-spec-id"],
         field_types=_field_types(meta),
     )
-    cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], [mf])
+    mfs = [mf]
+    if active_deletes:
+        mfs.append(
+            MF.write_delete_manifest(
+                mdir,
+                list(active_deletes),
+                cur["snapshot-id"],
+                cur["sequence-number"],
+                json.dumps(meta["schemas"][meta["current-schema-id"]]),
+                spec_id=_ensure_unpartitioned_spec(meta),
+            )
+        )
+    cur["manifest-list"] = MF.write_manifest_list(mdir, cur["snapshot-id"], mfs)
     _append_metadata_log(mdir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     out = _write_next_metadata(mdir, meta, backend)

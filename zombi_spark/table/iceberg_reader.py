@@ -72,4 +72,24 @@ def read_via_iceberg_metadata(
     from zombi_spark.table.event_table import _discovery_threshold
 
     with _discovery_threshold(spark, len(files)):
-        return spark.read.schema(schema).option("basePath", data_root).parquet(*files)
+        df = spark.read.schema(schema).option("basePath", data_root).parquet(*files)
+    # v2 merge-on-read: anti-join the snapshot's position-delete files
+    # (content=1 manifests) on (data file path, row index) — what any
+    # stock v2 reader does while scanning
+    dels = [d["file_path"] for d in MF.live_delete_files(snap["manifest-list"])]
+    if dels:
+        from pyspark.sql import functions as F
+
+        dd = spark.read.parquet(*dels).select(
+            F.col("file_path").alias("_zdel_file"), F.col("pos").alias("_zdel_pos")
+        )
+        df = (
+            df.withColumn(
+                "_zdel_file",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            )
+            .withColumn("_zdel_pos", F.col("_metadata.row_index"))
+            .join(F.broadcast(dd), ["_zdel_file", "_zdel_pos"], "left_anti")
+            .drop("_zdel_file", "_zdel_pos")
+        )
+    return df

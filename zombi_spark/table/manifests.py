@@ -350,6 +350,121 @@ def entry_to_data_file(
     }
 
 
+# Iceberg spec: the reserved field ids of the position-delete file schema
+POS_DELETE_PATH_FID = 2147483546  # file_path (string)
+POS_DELETE_POS_FID = 2147483545  # pos (long)
+
+
+def write_delete_manifest(
+    mdir: str,
+    delete_entries: list[dict],
+    snapshot_id: int,
+    sequence_number: int,
+    schema_json: str,
+    added_paths: set | None = None,
+    spec_id: int = 1,
+) -> dict:
+    """Write a DELETE manifest (Iceberg v2 ``content=1``) of the active
+    position-delete files; returns its manifest_file record.
+
+    The delete files reference data files across storage partitions, so
+    they belong to the UNPARTITIONED spec (``spec_id``, an empty
+    partition struct) — spec-legal, and partition pruning for them is
+    replaced by the file_path lower/upper bounds each entry carries
+    (min/max referenced data file, reserved field id 2147483546).
+
+    Sequence numbers: every entry takes the CURRENT sequence number,
+    including carried (EXISTING) ones. For position deletes this is
+    sound by construction — a reader applies a delete file to data
+    files with data-sequence ≤ the delete's, and matching is by exact
+    (file_path, pos); claiming a too-new sequence can only add no-op
+    anti-joins against files the positions never name, never an
+    under-delete."""
+    schema = manifest_entry_schema([])
+    added_paths = added_paths or set()
+    records = []
+    counts = {ADDED: 0, EXISTING: 0, DELETED: 0}
+    rows = {ADDED: 0, EXISTING: 0, DELETED: 0}
+    for d in sorted(delete_entries, key=lambda x: x["file_path"]):
+        status = ADDED if d["file_path"] in added_paths else EXISTING
+        counts[status] += 1
+        rows[status] += d.get("row_count", 0)
+        refs = sorted(d.get("referenced_files") or [])
+        bounds = (
+            {
+                "lower_bounds": [
+                    {
+                        "key": POS_DELETE_PATH_FID,
+                        "value": encode_bound(os.path.abspath(refs[0]), "string"),
+                    }
+                ],
+                "upper_bounds": [
+                    {
+                        "key": POS_DELETE_PATH_FID,
+                        "value": encode_bound(os.path.abspath(refs[-1]), "string"),
+                    }
+                ],
+            }
+            if refs
+            else {"lower_bounds": None, "upper_bounds": None}
+        )
+        records.append(
+            {
+                "status": status,
+                "snapshot_id": snapshot_id,
+                "sequence_number": sequence_number,
+                "file_sequence_number": sequence_number,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": os.path.abspath(d["file_path"]),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": d.get("row_count", 0),
+                    "file_size_in_bytes": d.get("file_size_bytes", 0),
+                    "column_sizes": None,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "nan_value_counts": None,
+                    **bounds,
+                    "key_metadata": None,
+                    "split_offsets": None,
+                    "sort_order_id": None,
+                },
+            }
+        )
+    path = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    avro_io.write_container(
+        path,
+        schema,
+        records,
+        metadata={
+            "schema": schema_json,
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": "deletes",
+        },
+    )
+    return {
+        "manifest_path": os.path.abspath(path),
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": spec_id,
+        "content": 1,  # deletes
+        "sequence_number": sequence_number,
+        "min_sequence_number": sequence_number,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": counts[ADDED],
+        "existing_files_count": counts[EXISTING],
+        "deleted_files_count": counts[DELETED],
+        "added_rows_count": rows[ADDED],
+        "existing_rows_count": rows[EXISTING],
+        "deleted_rows_count": rows[DELETED],
+        "partitions": None,
+        "key_metadata": None,
+    }
+
+
 def write_manifest(
     mdir: str,
     entries: list[tuple[int, dict]],
@@ -443,9 +558,27 @@ def read_manifest_entries(path: str) -> list[dict]:
 
 def live_data_files(manifest_list_path: str) -> list[dict]:
     """All non-DELETED data_file records reachable from a manifest list —
-    the file set an external engine would scan for the snapshot."""
+    the file set an external engine would scan for the snapshot. DELETE
+    manifests (content=1, position-delete files) are not data; see
+    :func:`live_delete_files`."""
     out = []
     for mf in read_manifest_list(manifest_list_path):
+        if mf.get("content", 0) != 0:
+            continue
+        for entry in read_manifest_entries(mf["manifest_path"]):
+            if entry["status"] != DELETED:
+                out.append(entry["data_file"])
+    return out
+
+
+def live_delete_files(manifest_list_path: str) -> list[dict]:
+    """All non-DELETED position-delete file records reachable from a
+    manifest list (content=1 manifests) — what a stock v2 reader would
+    anti-join while scanning the snapshot."""
+    out = []
+    for mf in read_manifest_list(manifest_list_path):
+        if mf.get("content", 0) != 1:
+            continue
         for entry in read_manifest_entries(mf["manifest_path"]):
             if entry["status"] != DELETED:
                 out.append(entry["data_file"])
@@ -476,6 +609,8 @@ def committed_watermarks_from_manifests(
     recovery path remains the snapshot summary's carried watermarks, A4)."""
     per_partition: dict[int, int] = {}
     for mf in read_manifest_list(manifest_list_path):
+        if mf.get("content", 0) != 0:
+            continue  # delete manifests carry no sequence watermarks
         for entry in read_manifest_entries(mf["manifest_path"]):
             if entry["status"] == DELETED:
                 continue
