@@ -460,6 +460,78 @@ def run_datasource_bench(spark, sf_dir: str, extras: dict) -> None:
         session_cache(spark, "zombi_ds_tables").pop(sf_dir, None)
 
 
+def run_mor_delete_bench(spark, sf_dir: str, extras: dict) -> None:
+    """Merge-on-read takedown economics, measured (round 15): the same
+    ~1% takedown predicate on two identical committed tables — one
+    merge-on-read (position-delete commit, zero data files rewritten),
+    one copy-on-write (find + rewrite) — plus the read-side cost of
+    carrying the tombstones (full count before the delete vs after) and
+    the compaction that migrates them back to pure data. At 100 TB the
+    claim is that mor_delete_sec stays O(matching rows) while
+    cow_delete_sec is O(rewritten bytes); at bench scale both are small,
+    so the artifact records the RATIO shape rather than a throughput."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from zombi_spark.ingest.batch import prepare_events
+    from zombi_spark.plans.event_queries import zombi_events
+    from zombi_spark.table.event_table import EventTable
+
+    ev = zombi_events(spark, sf_dir).select(
+        "topic",
+        "partition",
+        F.encode("payload_str", "UTF-8").alias("payload"),
+        "timestamp_ms",
+        F.lit(None).cast("string").alias("idempotency_key"),
+        F.col("arrival").alias("ingest_order"),
+    )
+    roots = []
+    try:
+        tables = []
+        for _ in range(2):
+            root = tempfile.mkdtemp(prefix="zombi-bench-mor-")
+            roots.append(root)
+            t = EventTable(spark, root, "events")
+            t.append(prepare_events(ev))
+            tables.append(t)
+        mor_t, cow_t = tables
+        pred = "sequence % 100 = 7"
+
+        t0 = time.perf_counter()
+        clean_rows = mor_t.read().count()
+        extras["mor_read_clean_sec"] = round(time.perf_counter() - t0, 4)
+
+        t0 = time.perf_counter()
+        r = mor_t.delete_where(pred, mode="merge-on-read")
+        extras["mor_delete_sec"] = round(time.perf_counter() - t0, 4)
+        extras["mor_rows_removed"] = r["rows_removed"]
+
+        t0 = time.perf_counter()
+        tomb_rows = mor_t.read().count()
+        extras["mor_read_tombstoned_sec"] = round(time.perf_counter() - t0, 4)
+        if tomb_rows != clean_rows - r["rows_removed"]:
+            raise AssertionError(
+                f"tombstoned count {tomb_rows} != {clean_rows} - {r['rows_removed']}"
+            )
+
+        t0 = time.perf_counter()
+        cow = cow_t.delete_where(pred)
+        extras["cow_delete_sec"] = round(time.perf_counter() - t0, 4)
+        if cow["rows_removed"] != r["rows_removed"]:
+            raise AssertionError("mor/cow removed different row counts")
+
+        t0 = time.perf_counter()
+        mor_t.compact(min_input_files=1, rewrite_all=True)
+        extras["mor_compact_sec"] = round(time.perf_counter() - t0, 4)
+        if mor_t.delete_files():
+            raise AssertionError("compact left delete files behind")
+    finally:
+        for root in roots:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def run_dsv2_fat_bench(spark, extras: dict) -> None:
     """The option("fields") projection win at the data shape SCALE.md
     argues (VERDICT r14 wrong #2): a table whose payload column is ~2 KB
@@ -930,8 +1002,9 @@ _FLAT_ALIAS = {
 }
 
 # the driver tail-captures the last ~2000 chars of stdout; the headline
-# must stay a complete JSON line inside that window with margin
-_HEADLINE_BUDGET = 1900
+# is the LAST line, so only its trailing newline shares the window —
+# 1920 keeps ~80 chars of margin (r15: +20 funds the `mor` gate)
+_HEADLINE_BUDGET = 1920
 
 
 def _num(x):
@@ -1074,6 +1147,14 @@ def emit_headline(
             if isinstance(hot.get("ing_probes"), list) and len(hot["ing_probes"]) > 2:
                 hot["ing_probes"] = sorted(hot["ing_probes"], reverse=True)[:2]
 
+        def _shed_mor_read():  # keep the mor-vs-cow pair, drop read sec
+            if isinstance(hot.get("mor"), list) and len(hot["mor"]) == 3:
+                hot["mor"] = hot["mor"][:2]
+
+        def _shed_vis_ints():  # sub-ms precision at p50 ~1.5s is noise
+            if isinstance(hot.get("vis_ms"), list):
+                hot["vis_ms"] = [int(round(v)) for v in hot["vis_ms"]]
+
         hot["hot_trim"] = True
         for shed in (
             _shed_legacy,
@@ -1082,6 +1163,8 @@ def emit_headline(
             _shed_ivf_build,
             _shed_dsv2_unproj,
             _shed_probe3,
+            _shed_mor_read,
+            _shed_vis_ints,
             lambda: hot.pop("maint", None),
             lambda: hot.pop("app_iso_ms", None),
             lambda: hot.pop("compact_iso", None),
@@ -1523,6 +1606,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["_dsv2_fat"] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # merge-on-read vs copy-on-write takedown cost + read-side tombstone
+    # overhead (round 15)
+    try:
+        run_mor_delete_bench(spark, sf_dir, extras)
+    except Exception as exc:  # noqa: BLE001
+        errors["_mor_delete"] = f"{type(exc).__name__}: {exc}"[:500]
+
     # z-order pruning effectiveness + the incremental (stream) half of
     # the S15 gate (round 14)
     tmp_z = tempfile.mkdtemp(prefix="zombi-bench-zorder-")
@@ -1795,6 +1885,16 @@ def main() -> None:
         hot["dsv2_fat"] = [
             round(extras["dsv2_fat_projected_sec"], 2),
             round(extras["dsv2_fat_unprojected_sec"], 2),
+        ]
+    if "mor_delete_sec" in extras:
+        # [merge-on-read takedown sec, copy-on-write takedown sec for
+        # the SAME ~1% predicate on an identical table, tombstoned full
+        # count sec] (clean count / rows removed / compact-migration sec
+        # on the detail line) — the r15 position-delete economics gate
+        hot["mor"] = [
+            round(extras["mor_delete_sec"], 2),
+            round(extras["cow_delete_sec"], 2),
+            round(extras["mor_read_tombstoned_sec"], 2),
         ]
     if "dsv2_stream_rows_per_s" in extras:
         # [live versions appended, non-empty micro-batches (≤2 versions

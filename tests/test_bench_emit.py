@@ -42,6 +42,8 @@ def _real_shaped_inputs():
         "pipe_e2e": [45.7, [5000, 4992, 4920, 4917, 4917, 4269, 4490, 579, 4043]],
         "dsv2": [1.23, 48, 720, 1.68],
         "dsv2_fat": [0.29, 1.19],
+        # r15: [mor takedown sec, cow takedown sec, tombstoned count sec]
+        "mor": [0.84, 3.12, 0.41],
         "dsv2_st": [4, 3, 61234],
         "zorder": [24, 4, 96, 5.21],
         "vis_ms": [1534.2, 2871.9],

@@ -1099,3 +1099,42 @@ def test_followers_route_reports_lag_and_retention_coverage(edge):
         "lag_versions": 0,
         "covered": True,
     }
+
+
+def test_row_delete_merge_on_read_over_http(edge):
+    """POST /tables/{t}/delete with mode=merge-on-read: the takedown
+    commits a position-delete file (zero data files rewritten), reads
+    exclude the rows, and an invalid mode is a 400."""
+    srv, ingests = edge
+    base = srv.base_url
+    for i in range(6):
+        status, _ = _call(
+            f"{base}/tables/mordel",
+            "POST",
+            json.dumps(
+                {
+                    "payload": f'{{"i":{i}}}',
+                    "partition": 0,
+                    "timestamp_ms": 1704067200000 + i * 1000,
+                    "idempotency_key": f"k{i}",
+                }
+            ).encode(),
+        )
+        assert status == 202
+    status, body = _call(
+        f"{base}/tables/mordel/delete",
+        "POST",
+        json.dumps({"idempotency_keys": ["k1", "k4"], "mode": "merge-on-read"}).encode(),
+    )
+    assert status == 200
+    assert body["mode"] == "merge-on-read"
+    assert body["rows_removed"] == 2 and body["files_rewritten"] == 0
+    t = ingests["mordel"].table
+    assert t.read().count() == 4
+    assert len(t.delete_files()) == 1
+    status, body = _call(
+        f"{base}/tables/mordel/delete",
+        "POST",
+        json.dumps({"idempotency_keys": ["k0"], "mode": "nonsense"}).encode(),
+    )
+    assert status == 400 and "mode" in body["error"]["message"]

@@ -20,7 +20,10 @@ Routes (api/handlers.rs):
   POST /tables/{t}/rollup refresh the incremental materialized rollup
                           (delta-only fold; 409 while another
                           maintenance action runs)
-  POST /tables/{t}/delete row-level takedown: JSON body of structured
+  POST /tables/{t}/delete row-level takedown (``"mode":
+                          "merge-on-read"`` writes an Iceberg v2
+                          position-delete file instead of rewriting —
+                          the 100 TB cost model): JSON body of structured
                           selectors (``idempotency_keys`` list, ``topic``,
                           ``partition``, ``ts_min``/``ts_max`` ms) ANDed
                           into one ``EventTable.delete_where`` — never raw
@@ -554,7 +557,10 @@ class _Handler(BaseHTTPRequestHandler):
                     status, body_ = _err(400, "body must be a JSON object")
                     self._send_json(body_, status)
                     return
-                allowed = {"idempotency_keys", "topic", "partition", "ts_min", "ts_max", "flush"}
+                allowed = {
+                    "idempotency_keys", "topic", "partition", "ts_min",
+                    "ts_max", "flush", "mode",
+                }
                 unknown = set(spec) - allowed
                 if unknown:
                     status, body_ = _err(400, f"unknown selector(s): {sorted(unknown)}")
@@ -634,14 +640,23 @@ class _Handler(BaseHTTPRequestHandler):
                             )
                             self._send_json(body_, status)
                             return
-                    report = ing.table.delete_where(
-                        pred,
-                        ts_min=int(spec["ts_min"]) if "ts_min" in spec else None,
-                        ts_max=int(spec["ts_max"]) if "ts_max" in spec else None,
-                        topic=str(spec["topic"]) if "topic" in spec else None,
-                        partition=int(spec["partition"]) if "partition" in spec else None,
-                    )
-                    self._send_json({"table": table, **report})
+                    mode = str(spec.get("mode", "copy-on-write"))
+                    try:
+                        report = ing.table.delete_where(
+                            pred,
+                            ts_min=int(spec["ts_min"]) if "ts_min" in spec else None,
+                            ts_max=int(spec["ts_max"]) if "ts_max" in spec else None,
+                            topic=str(spec["topic"]) if "topic" in spec else None,
+                            partition=int(spec["partition"]) if "partition" in spec else None,
+                            mode=mode,
+                        )
+                    except ValueError as exc:
+                        if "mode" not in str(exc):
+                            raise
+                        status, body_ = _err(400, str(exc))
+                        self._send_json(body_, status)
+                        return
+                    self._send_json({"table": table, "mode": mode, **report})
                 finally:
                     ing.maintenance_lock.release()
             elif action == "rollup":
