@@ -1715,3 +1715,70 @@ def test_metadata_delete_files_table(spark, tmp_path):
     # unknown metadata table error names the new surface
     with pytest.raises(Exception, match="delete_files"):
         spark.read.format("zombi").option("metadata", "nope").load(t.path).schema
+
+
+def test_position_mask_soundness_fuzz(tmp_path):
+    """Hypothesis fuzz of the executor-side tombstone mask: random file
+    shapes (rows × row-group size), random doomed sets, random slice
+    granularity — surviving values always equal the Python-set
+    difference, across whole-file and split reads, exactly once each."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.types as T
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from zombi_spark.sources.datasource import (
+        ZombiInputPartition,
+        _file_slices,
+        _read_partition,
+    )
+
+    schema = T.StructType([T.StructField("sequence", T.LongType(), True)])
+    counter = {"n": 0}
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n_rows=st.integers(min_value=1, max_value=400),
+        rg_size=st.integers(min_value=1, max_value=97),
+        doomed_frac=st.floats(min_value=0.0, max_value=1.0),
+        max_bytes=st.sampled_from([1, 512, 10**9]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(n_rows, rg_size, doomed_frac, max_bytes, seed):
+        import random
+
+        counter["n"] += 1
+        p = str(tmp_path / f"fz{counter['n']}.parquet")
+        pq.write_table(
+            pa.table({"sequence": pa.array(range(n_rows), pa.int64())}),
+            p,
+            row_group_size=rg_size,
+        )
+        rng = random.Random(seed)
+        doomed = sorted(
+            i for i in range(n_rows) if rng.random() < doomed_frac
+        )
+        dpath = str(tmp_path / f"fz{counter['n']}-del.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": pa.array([os.path.abspath(p)] * len(doomed)),
+                    "pos": pa.array(doomed, pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        slices = _file_slices(
+            {"file_path": p, "file_size_bytes": os.path.getsize(p)},
+            {},
+            max_bytes=max_bytes,
+        )
+        got = []
+        for s in slices:
+            part = ZombiInputPartition(slices=[s[:3]], deletes=[dpath])
+            for b in _read_partition(part, schema):
+                got.extend(b.column(0).to_pylist())
+        assert sorted(got) == [i for i in range(n_rows) if i not in set(doomed)]
+
+    check()

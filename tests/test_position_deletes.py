@@ -329,3 +329,77 @@ def test_compact_aborts_when_race_adds_tombstones_on_inputs(spark, tmp_path):
 def test_invalid_mode_rejected(spark, table):
     with pytest.raises(ValueError, match="mode"):
         table.delete_where("true", mode="merge_on_read")
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_interleavings_match_set_model(spark, tmp_path, seed):
+    """Model check: a seeded random program of append / merge-on-read
+    delete / copy-on-write delete / full compact / expire+orphan-sweep
+    against a plain Python set of live sequences — after EVERY op the
+    table's visible rows equal the model exactly (no resurrection, no
+    under-delete, no loss across compaction-consumption or snapshot
+    expiration)."""
+    import random
+
+    rng = random.Random(seed)
+    t = EventTable(spark, str(tmp_path / str(seed)), "events")
+
+    alive: set[int] = set()
+    next_seq = 1
+
+    def do_append():
+        nonlocal next_seq
+        n = rng.randint(3, 8)
+        rows = [
+            ("t", 0, f"p{next_seq + i}".encode(), T0 + (next_seq + i) * 1000, None, i)
+            for i in range(n)
+        ]
+        # the PRODUCTION sequence seeding: carried watermarks, not a scan
+        # of visible rows — after a takedown the visible max rewinds but
+        # the watermark does not (sequences are never reused; INV-1)
+        wm_map = t.watermark_map()
+        watermarks = (
+            spark.createDataFrame(
+                [(tp, p, s) for (tp, p), s in wm_map.items()],
+                "topic string, partition int, _base_seq long",
+            )
+            if wm_map
+            else None
+        )
+        t.append(
+            prepare_events(
+                spark.createDataFrame(rows, RAW_EVENT_SCHEMA), watermarks=watermarks
+            )
+        )
+        alive.update(range(next_seq, next_seq + n))
+        next_seq += n
+
+    def do_delete(mode):
+        m = rng.choice([3, 5, 7])
+        r = rng.randrange(m)
+        t.delete_where(f"sequence % {m} = {r}", mode=mode)
+        alive.difference_update({s for s in alive if s % m == r})
+
+    def do_compact():
+        t.compact(min_input_files=1, rewrite_all=True)
+        assert t.delete_files() == []  # full rewrite consumes every tombstone
+
+    def do_expire():
+        t.expire_snapshots(keep_last=2)
+        t.remove_orphans(older_than_s=0)
+
+    do_append()
+    ops = [do_append, lambda: do_delete("merge-on-read"),
+           lambda: do_delete("copy-on-write"), do_compact, do_expire]
+    for _ in range(9):
+        rng.choice(ops)()
+        got = sorted(x.sequence for x in t.read().collect())
+        assert got == sorted(alive), f"seed={seed}"
+        # the format agrees with the JVM read at every step
+    from zombi_spark.sources.datasource import register_zombi_datasource
+
+    register_zombi_datasource(spark)
+    fmt = sorted(
+        x.sequence for x in spark.read.format("zombi").load(t.path).collect()
+    )
+    assert fmt == sorted(alive)
