@@ -403,3 +403,22 @@ def test_random_interleavings_match_set_model(spark, tmp_path, seed):
         x.sequence for x in spark.read.format("zombi").load(t.path).collect()
     )
     assert fmt == sorted(alive)
+
+
+def test_table_stats_reports_tombstones(spark, table):
+    from zombi_spark.table.stats import table_stats
+
+    s0 = table_stats(table)
+    assert s0["position_delete_files"] == 0 and s0["position_delete_rows"] == 0
+    r = table.delete_where("sequence % 6 = 0", mode="merge-on-read")
+    s1 = table_stats(table)
+    assert s1["position_delete_files"] == 1
+    assert s1["position_delete_rows"] == r["rows_removed"]
+    # physical row count unchanged (no data file rewritten); visible =
+    # total - tombstones while the tombstones are pending
+    assert s1["total_rows"] == s0["total_rows"]
+    assert table.read().count() == s1["total_rows"] - s1["position_delete_rows"]
+    table.compact(min_input_files=1, rewrite_all=True)
+    s2 = table_stats(table)
+    assert s2["position_delete_rows"] == 0
+    assert s2["total_rows"] == s0["total_rows"] - r["rows_removed"]

@@ -391,3 +391,32 @@ def test_below_threshold_refresh_stays_on_unsharded_fast_path(spark, tmp_path, m
     state_dir = os.path.join(str(tmp_path / "rollup"), ptr["state_dir"])
     assert not any(d.startswith("_shard=") for d in os.listdir(state_dir))
     assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+
+def test_mor_delete_triggers_full_rebuild(spark, tmp_path):
+    """A merge-on-read takedown removes ROWS while removing no data file
+    (its snapshot marker is added_deletes, removed stays empty) — the
+    additive fold would keep counting the tombstoned rows, so the next
+    refresh must rebuild from the live (deletes-applied) table. The
+    tombstone-consuming compact afterwards stays on the additive path:
+    the rows it drops were already invisible at the delete snapshot."""
+    t = EventTable(spark, str(tmp_path), "events")
+    rows = [("t", 0, b"x", 1704067200000 + i, None, i) for i in range(10)]
+    t.append(prepare_events(spark.createDataFrame(rows, RAW_EVENT_SCHEMA)))
+    roll = MaterializedRollup(t, str(tmp_path / "rollup"))
+    roll.refresh()
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 10
+
+    rep = t.delete_where("sequence <= 4", mode="merge-on-read")
+    assert rep["rows_removed"] == 4 and rep["files_rewritten"] == 0
+    rep2 = roll.refresh()
+    assert rep2["rebuilt"] is True
+    assert roll.read().agg(F.sum("n_events")).first()[0] == 6
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)
+
+    # consuming compact: additive path, state still exact
+    t.compact(min_input_files=1, rewrite_all=True)
+    assert t.delete_files() == []
+    rep3 = roll.refresh()
+    assert rep3["rebuilt"] is False
+    assert _same(roll.read(), _expected(t, KEYS), KEYS)

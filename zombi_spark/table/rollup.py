@@ -216,14 +216,20 @@ class MaterializedRollup:
 
     def _rows_were_removed_in(self, from_version: int | None, to_version: int) -> bool:
         """True when a snapshot in ``(from_version, to_version]`` removed
-        ROWS from the table (retention delete). Compaction also records
-        removed files but is row-preserving (its adds carry the same
-        rows), so the additive fold stays valid across it."""
+        ROWS from the table (retention delete, row takedown — including
+        a MERGE-ON-READ takedown, which removes rows while removing no
+        data file: ``added_deletes`` is its marker). Compaction also
+        records removed files but is row-preserving from the fold's view
+        (its adds carry the same VISIBLE rows — tombstones it consumes
+        were already invisible at their delete snapshot), so the
+        additive fold stays valid across it."""
         for s in self.table.snapshots():
             if (from_version is None or s["version"] > from_version) and s[
                 "version"
             ] <= to_version:
                 if s.get("removed") and s.get("operation") != "compact":
+                    return True
+                if s.get("added_deletes"):
                     return True
         return False
 

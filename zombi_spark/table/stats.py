@@ -40,6 +40,14 @@ def table_stats(table: EventTable, snaps: list[dict] | None = None) -> dict:
         files_rewritten += s.get("files_rewritten", 0)
 
     total_rows = sum(e.get("row_count", 0) for e in files)
+    # merge-on-read tombstones (r15): total_rows counts PHYSICAL data
+    # rows; position_delete_rows is the active tombstone count — visible
+    # rows = total_rows - live tombstones. After a partial (scoped)
+    # compact a surviving delete file may hold positions for already-
+    # rewritten files, so this is an upper bound on pending tombstones;
+    # a full compact returns it to 0 and total_rows to exact-visible.
+    dels = table.delete_files() if snaps else []
+    position_delete_rows = sum(d.get("row_count", 0) for d in dels)
     max_event_ts = max((e["max_ts"] for e in files if "max_ts" in e), default=None)
     latest = snaps[-1] if snaps else None
 
@@ -60,6 +68,8 @@ def table_stats(table: EventTable, snaps: list[dict] | None = None) -> dict:
         "file_count": len(files),
         "total_bytes": sum(e.get("file_size_bytes", 0) for e in files),
         "total_rows": total_rows,
+        "position_delete_files": len(dels),
+        "position_delete_rows": position_delete_rows,
         "files_rewritten_total": files_rewritten,
         "watermarks": {} if latest is None else dict(latest.get("watermarks", {})),
         "partition_count": len(latest.get("watermarks", {})) if latest else 0,
