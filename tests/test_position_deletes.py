@@ -422,3 +422,31 @@ def test_table_stats_reports_tombstones(spark, table):
     s2 = table_stats(table)
     assert s2["position_delete_rows"] == 0
     assert s2["total_rows"] == s0["total_rows"] - r["rows_removed"]
+
+
+@pytest.mark.parametrize("backend_name", ["posix", "objectstore"])
+def test_mor_delete_lifecycle_on_both_backends(spark, tmp_path, backend_name):
+    """The merge-on-read lifecycle (delete commit -> stacked delete ->
+    consuming compact) over BOTH commit backends — the delete-file
+    promote and the delete-delta snapshot publish must hold under
+    object-store semantics (no rename, conditional PUT) exactly as under
+    POSIX."""
+    from zombi_spark.table.commit_backend import (
+        ObjectStoreCommitBackend,
+        PosixCommitBackend,
+    )
+
+    backend = (
+        PosixCommitBackend() if backend_name == "posix" else ObjectStoreCommitBackend()
+    )
+    t = EventTable(spark, str(tmp_path), "events", backend=backend)
+    t.append(prepare_events(_batch(spark, 0, 12)))
+    r1 = t.delete_where("sequence % 4 = 0", mode="merge-on-read")
+    r2 = t.delete_where("sequence = 1", mode="merge-on-read")
+    assert (r1["rows_removed"], r2["rows_removed"]) == (3, 1)
+    assert len(t.delete_files()) == 2
+    want = [s for s in range(1, 13) if s % 4 != 0 and s != 1]
+    assert sorted(x.sequence for x in t.read().collect()) == want
+    t.compact(min_input_files=1, rewrite_all=True)
+    assert t.delete_files() == []
+    assert sorted(x.sequence for x in t.read().collect()) == want
