@@ -56,7 +56,15 @@ def with_shingles(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFr
     toks = F.split(F.col(text_col), " ")
     if n == 1:
         return docs.withColumn("shingles", toks)
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    # array_join(slice(...)) rather than a concat_ws over n chained
+    # element_at calls: identical strings (split yields no null elements;
+    # both functions skip nulls), but the element_at chain is 3.7× slower
+    # at steady state AND trips a HotSpot deopt cliff on warm-up — the
+    # same n=8 plan measured 0.9s / 14.8s / 0.9s across consecutive
+    # identical runs (330s of executor CPU on the slow run, near-zero GC),
+    # while this form is stable from run one (0.24s). Guide §1/§4:
+    # per-element work inside the interpreted HOF lambda must be minimal.
+    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")
     return docs.withColumn(
         "shingles",
         F.when(
