@@ -450,3 +450,55 @@ def test_mor_delete_lifecycle_on_both_backends(spark, tmp_path, backend_name):
     t.compact(min_input_files=1, rewrite_all=True)
     assert t.delete_files() == []
     assert sorted(x.sequence for x in t.read().collect()) == want
+
+
+def test_mor_delete_under_percent_escaped_path(spark, tmp_path):
+    """Tables rooted at paths needing URI escaping (spaces, '+', '%'):
+    _metadata.file_path arrives percent-encoded, the manifests hold raw
+    abspaths — the probe must percent-decode (with '+' kept literal, the
+    urllib-unquote rule) or delete_where fails its diverged-path guard."""
+    root = tmp_path / "ware house+v1" / "100%"
+    root.mkdir(parents=True)
+    t = EventTable(spark, str(root), "events")
+    t.append(prepare_events(_batch(spark, 0, 12)))
+    r = t.delete_where("sequence % 3 = 0", mode="merge-on-read")
+    assert r["rows_removed"] == 4 and r["files_rewritten"] == 0
+    assert sorted(x.sequence for x in t.read().collect()) == [
+        s for s in range(12) if s % 3 != 0
+    ]
+    # copy-on-write shares the probe; it must also survive the path
+    r2 = t.delete_where("sequence = 1", mode="copy-on-write")
+    assert r2["rows_removed"] == 1
+    assert sorted(x.sequence for x in t.read().collect()) == [
+        s for s in range(2, 12) if s % 3 != 0
+    ]
+
+
+def test_tombstone_broadcast_gate_is_bytes_based(spark, table):
+    """The delete side broadcasts only while the recorded delete-file
+    bytes stay under the cap: each tombstone row carries a full data-file
+    path string, so a row-count cap alone could admit a multi-hundred-MB
+    broadcast. Over the cap, the anti-join falls back to a shuffle and
+    results are unchanged."""
+    table.delete_where("sequence % 5 = 0", mode="merge-on-read")
+    dels = table.delete_files()
+    expected = sorted(x.sequence for x in table.read().collect())
+
+    small = table._apply_position_deletes(
+        table._read_file_list([e["file_path"] for e in table.scan_files()]), dels
+    )
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+
+    fat = [dict(d, file_size_bytes=65 * 1024 * 1024) for d in dels]
+    fallback = table._apply_position_deletes(
+        table._read_file_list([e["file_path"] for e in table.scan_files()]), fat
+    )
+    # over the cap the FORCED hint is gone (Spark may still pick
+    # broadcast from its own size estimate — that's its call, made from
+    # real sizes, not ours made from a row count): the optimized plan
+    # carries no broadcast join hint
+    logical = fallback._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical
+    small_logical = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in small_logical
+    assert sorted(x.sequence for x in fallback.collect()) == expected

@@ -615,7 +615,14 @@ class ZombiBatchReader(DataSourceReader):
 
     def partitions(self):
         table = _table_for(self._path)
-        entries = table.scan_files(version=self._version)
+        # pin the version ONCE before planning: resolving it separately for
+        # scan_files and the delete set races a concurrent compact/delete
+        # (data files of version X paired with tombstones of X+1 would
+        # resurrect rows a compact consumed)
+        version = (
+            self._version if self._version is not None else table.latest_version()
+        )
+        entries = table.scan_files(version=version)
         kept = [e for e in entries if _entry_admits(e, self._constraints)]
         self.last_plan = {"files_total": len(entries), "files_kept": len(kept)}
         parts = _pack_partitions(kept, self._max_bytes, self._min_partitions)
@@ -623,9 +630,6 @@ class ZombiBatchReader(DataSourceReader):
         # merge-on-read: ship each task only the delete files whose
         # referenced data files intersect its slices (pruning stays an
         # optimization — a position for an unread file matches nothing)
-        version = (
-            self._version if self._version is not None else table.latest_version()
-        )
         dels = table._active_delete_files(version) if version is not None else []
         if dels:
             for p in parts:

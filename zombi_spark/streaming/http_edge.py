@@ -641,21 +641,26 @@ class _Handler(BaseHTTPRequestHandler):
                             self._send_json(body_, status)
                             return
                     mode = str(spec.get("mode", "copy-on-write"))
-                    try:
-                        report = ing.table.delete_where(
-                            pred,
-                            ts_min=int(spec["ts_min"]) if "ts_min" in spec else None,
-                            ts_max=int(spec["ts_max"]) if "ts_max" in spec else None,
-                            topic=str(spec["topic"]) if "topic" in spec else None,
-                            partition=int(spec["partition"]) if "partition" in spec else None,
-                            mode=mode,
+                    # validate the client-supplied mode HERE (explicit
+                    # whitelist) instead of substring-matching exception
+                    # text after the fact — an unrelated ValueError whose
+                    # message happens to contain "mode" must stay a 500
+                    if mode not in ("copy-on-write", "merge-on-read"):
+                        status, body_ = _err(
+                            400,
+                            f"unknown delete mode {mode!r}: expected "
+                            "'copy-on-write' or 'merge-on-read'",
                         )
-                    except ValueError as exc:
-                        if "mode" not in str(exc):
-                            raise
-                        status, body_ = _err(400, str(exc))
                         self._send_json(body_, status)
                         return
+                    report = ing.table.delete_where(
+                        pred,
+                        ts_min=int(spec["ts_min"]) if "ts_min" in spec else None,
+                        ts_max=int(spec["ts_max"]) if "ts_max" in spec else None,
+                        topic=str(spec["topic"]) if "topic" in spec else None,
+                        partition=int(spec["partition"]) if "partition" in spec else None,
+                        mode=mode,
+                    )
                     self._send_json({"table": table, "mode": mode, **report})
                 finally:
                     ing.maintenance_lock.release()

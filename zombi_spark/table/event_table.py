@@ -829,16 +829,35 @@ class EventTable:
         position-delete anti-join applied when ``dels`` is non-empty —
         the shared kernel for reads (which drop the helper columns) and
         delete/compact planning (which group on them)."""
+        # _metadata.file_path is a URI: strip the scheme AND percent-decode
+        # (paths with spaces etc. arrive as %20; delete files record raw
+        # abspaths). A literal '+' in a filename must survive, but
+        # url_decode follows URLDecoder's form-encoding rule (+ → space),
+        # so pre-escape it — this matches Python's urllib unquote.
         probe = df.withColumn(
             "_zdel_file",
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+            F.url_decode(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+                    r"\+",
+                    "%2B",
+                )
+            ),
         ).withColumn("_zdel_pos", F.col("_metadata.row_index"))
         if not dels:
             return probe
         dd = self.spark.read.parquet(*[d["file_path"] for d in dels]).select(
             F.col("file_path").alias("_zdel_file"), F.col("pos").alias("_zdel_pos")
         )
-        if sum(d.get("row_count", 0) for d in dels) <= 4_000_000:
+        # broadcast gate on BYTES, not rows: each tombstone row carries a
+        # full data-file path string, so a row cap alone can admit a
+        # multi-hundred-MB broadcast (driver-memory risk, guide §5). The
+        # on-disk delete parquet is a sound proxy for the built relation's
+        # scale; entries without a recorded size estimate conservatively.
+        est_bytes = sum(
+            d.get("file_size_bytes", d.get("row_count", 0) * 64) for d in dels
+        )
+        if est_bytes <= 64 * 1024 * 1024:
             dd = F.broadcast(dd)
         return probe.join(dd, ["_zdel_file", "_zdel_pos"], "left_anti")
 
@@ -897,6 +916,12 @@ class EventTable:
         import json as _json
 
         view = view_name or self.name.replace("-", "_")
+        # pin the snapshot ONCE: letting scan_files and delete_files each
+        # resolve "latest" independently races a concurrent commit (data
+        # files of X with the delete set of X+1 resurrects compacted-away
+        # tombstoned rows)
+        if version is None:
+            version = self.latest_version()
         files = [e["file_path"] for e in self.scan_files(version=version)]
         if not files:
             # typed zero-row view: the empty snapshot must be
@@ -1898,21 +1923,24 @@ class EventTable:
 
         The window anchors on the table's max committed event time (not
         wall clock) so replays are deterministic."""
-        entries = self.scan_files()
+        # pin the snapshot ONCE for both the file scan and the delete set
+        # (independent "latest" resolutions race a concurrent commit)
+        version = self.latest_version()
+        entries = self.scan_files(version=version)
         if not entries:
             return self.read().select("topic", "partition", "idempotency_key").limit(0)
         if retention_hours is not None:
             known = [e["max_ts"] for e in entries if "max_ts" in e]
             if known:
                 cutoff = max(known) - retention_hours * 3_600_000
-                entries = self.scan_files(ts_min=cutoff)
+                entries = self.scan_files(ts_min=cutoff, version=version)
         files = [e["file_path"] for e in entries]
         probe = self._read_file_list(files)
         if files:
             # merge-on-read parity with copy-on-write: a taken-down row's
             # key leaves the idempotency history in both modes
             probe = self._apply_position_deletes(
-                probe, self._active_delete_files(self.latest_version())
+                probe, self._active_delete_files(version)
             )
         return probe.select("topic", "partition", "idempotency_key")
 

@@ -86,7 +86,18 @@ def read_via_iceberg_metadata(
         df = (
             df.withColumn(
                 "_zdel_file",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+                # strip scheme + percent-decode ('+' kept literal) so the
+                # URI form matches the raw abspaths delete files record —
+                # same normalization as EventTable._position_delete_probe
+                F.url_decode(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:(//)?", ""
+                        ),
+                        r"\+",
+                        "%2B",
+                    )
+                ),
             )
             .withColumn("_zdel_pos", F.col("_metadata.row_index"))
             .join(F.broadcast(dd), ["_zdel_file", "_zdel_pos"], "left_anti")
