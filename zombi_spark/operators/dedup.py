@@ -56,21 +56,63 @@ def with_shingles(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFr
     toks = F.split(F.col(text_col), " ")
     if n == 1:
         return docs.withColumn("shingles", toks)
-    # array_join(slice(...)) rather than a concat_ws over n chained
-    # element_at calls: identical strings (split yields no null elements;
-    # both functions skip nulls), but the element_at chain is 3.7× slower
-    # at steady state AND trips a HotSpot deopt cliff on warm-up — the
-    # same n=8 plan measured 0.9s / 14.8s / 0.9s across consecutive
-    # identical runs (330s of executor CPU on the slow run, near-zero GC),
-    # while this form is stable from run one (0.24s). Guide §1/§4:
-    # per-element work inside the interpreted HOF lambda must be minimal.
-    gram = lambda i: F.array_join(F.slice(toks, i, n), " ")
-    return docs.withColumn(
-        "shingles",
-        F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram),
-        ).otherwise(F.array().cast("array<string>")),
+    # Two measured pathologies shape this expression (guide §1/§4):
+    #   - array_join(slice(...)) rather than a concat_ws over n chained
+    #     element_at calls: identical strings (split yields no null
+    #     elements; both functions skip nulls), but the element_at chain
+    #     is 3.7× slower at steady state AND trips a HotSpot deopt cliff
+    #     on warm-up — the same n=8 plan measured 0.9s / 14.8s / 0.9s
+    #     across consecutive identical runs (330s of executor CPU on the
+    #     slow run, near-zero GC), while this form is stable from run one.
+    #   - the token array is MATERIALIZED in its own projection first:
+    #     inlining `split(text)` into the lambda re-splits the whole text
+    #     per gram (O(len²) per document — higher-order-function bodies
+    #     are evaluated interpreted, with no subexpression sharing against
+    #     the enclosing row), measured 4.1 s vs 2.9 s on the sf0.1 bigram
+    #     explode. Consumers that explode immediately should prefer
+    #     :func:`exploded_shingles` (codegen per-row gram, no interpreted
+    #     per-element lambda at all — 0.2 s on the same input).
+    tc = F.col("__zs_toks")
+    gram = lambda i: F.array_join(F.slice(tc, i, n), " ")
+    return (
+        docs.withColumn("__zs_toks", toks)
+        .withColumn(
+            "shingles",
+            F.when(
+                F.size(tc) >= n,
+                F.transform(F.sequence(F.lit(1), F.size(tc) - (n - 1)), gram),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .drop("__zs_toks")
+    )
+
+
+def exploded_shingles(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, gram) rows — one row per word-n-gram SLOT (duplicates kept),
+    in slot order per document. Row-for-row identical to exploding
+    :func:`with_shingles`, but built by exploding the position sequence
+    and cutting one gram per output row: the gram expression then runs in
+    whole-stage codegen instead of an interpreted higher-order lambda —
+    measured 20× (4.1 s → 0.2 s) on the sf0.1 bigram explode (guide §4.1:
+    prefer built-ins evaluated per row over interpreted HOF bodies).
+    Documents shorter than ``n`` tokens emit no rows, exactly like the
+    empty shingle array they would otherwise carry."""
+    toks = F.split(F.col(text_col), " ")
+    tc = F.col("__zs_toks")
+    return (
+        docs.select(F.col(id_col), toks.alias("__zs_toks"))
+        .where(F.size(tc) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.size(tc) - (n - 1))).alias("__zs_i"),
+            tc,
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.slice(tc, F.col("__zs_i"), n), " ").alias("gram"),
+        )
     )
 
 

@@ -121,11 +121,14 @@ def repetition_features(
     document length. Ties on the top gram break lexicographically (max
     over (count, gram) structs) so results are engine-portable.
     """
-    from zombi_spark.operators.dedup import with_shingles
+    from zombi_spark.operators.dedup import exploded_shingles
 
-    grams = with_shingles(docs.select(id_col, text_col), n=n, text_col=text_col)
+    # exploded_shingles, not explode(with_shingles(...)): row-identical,
+    # but the gram cut runs in codegen instead of an interpreted
+    # higher-order lambda — 20× on the sf0.1 explode (guide §4.1), which
+    # was the dominant cost of the pipeline quality stage
     counts = (
-        grams.select(id_col, F.explode("shingles").alias("gram"))
+        exploded_shingles(docs.select(id_col, text_col), n=n, text_col=text_col, id_col=id_col)
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("ct"))
     )

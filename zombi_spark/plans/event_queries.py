@@ -190,8 +190,13 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole meta subtree) — the reference's remove-leaf + prune rule,
     payload_extractor.rs:74-96,145-179."""
     from zombi_spark.ingest.extraction import FieldSpec, TableSchemaConfig, extract_payload
+    from zombi_spark.operators.skew import spread_narrow_scan
 
-    ev = zombi_events(spark, sf_dir)
+    # §2.5 input-skew guard: the JSON parse chain + the Arrow-batched
+    # overflow UDF otherwise run on the single scan partition (measured
+    # 1.57 s → 0.54 s, rows identical; the guard is a no-op once the
+    # scan has real splits)
+    ev = spread_narrow_scan(zombi_events(spark, sf_dir), "arrival")
     k_raw = F.get_json_object(F.col("payload_str"), "$.k")
     enriched = ev.select(
         "arrival",

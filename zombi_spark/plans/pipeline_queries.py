@@ -16,6 +16,7 @@ from zombi_spark.operators import multimodal as M
 from zombi_spark.operators import pii as PII
 from zombi_spark.operators import similarity as S
 from zombi_spark.operators import text_analysis as TA
+from zombi_spark.operators.skew import spread_narrow_scan
 from zombi_spark.plans.relational import _cents
 from zombi_spark.sources.tables import load_table, table_row_count
 
@@ -255,7 +256,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = session_cache(spark, "plans")
     key = (sf_dir, "ann_topk")
     if key not in cache:
-        emb = load_table(spark, sf_dir, "embeddings")
+        # §2.5: the per-row 256-dim quantize transform + per-pair cosine
+        # run above a single-partition scan
+        emb = spread_narrow_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
         queries = emb.where(F.col("vec_id") < 8)
         brute = S.brute_force_topk(emb, queries, k=5).select(
             F.lit("brute").alias("method"),
@@ -288,7 +291,7 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = session_cache(spark, "plans")
     key = (sf_dir, "ivf_ann")
     if key not in cache:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = spread_narrow_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
         centroids = S.prepare_centroids(
             emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
         )
@@ -332,7 +335,8 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # §2.5: per-row regex scoring above a single-partition scan
+    docs = spread_narrow_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(TA.lang_id(F.col("text")).alias("lang_guess"))
         .groupBy("lang_guess")
@@ -344,7 +348,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + token counts (whitespace and BPE-ish
     piece counts) — the full one-pass per-document feature projection."""
-    docs = load_table(spark, sf_dir, "documents")
+    # §2.5: the charset/token feature pass is per-row heavy
+    docs = spread_narrow_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return TA.quality_features(docs)
 
 
@@ -453,7 +458,11 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built once per (session, sf) by the registry's ``_memoized`` wrapper
     (no inner cache); the model frames persist so repeated EXECUTIONS
     re-score, not re-train — the call a real pipeline makes."""
-    docs = load_table(spark, sf_dir, "documents")
+    # §2.5 input-skew guard: the 1.5M-row trigram explode + two
+    # broadcast joins otherwise run on the single scan partition; the
+    # hash exchange is reused by the per-doc aggregate (measured
+    # 2.33 s → 1.11 s, rows identical)
+    docs = spread_narrow_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
     # the model is bounded by charset³ (a few thousand rows here) but
     # DERIVING it re-explodes the reference corpus — persist the tiny frames
@@ -533,7 +542,11 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(""))
     )
-    seeded = docs.select("doc_id", F.concat(F.col("text"), planted).alias("text"))
+    # §2.5: ten regexp passes per row above a single-partition scan
+    # (measured 1.42 s → 0.69 s in the 50-query A/B, rows identical)
+    seeded = spread_narrow_scan(
+        docs.select("doc_id", F.concat(F.col("text"), planted).alias("text")), "doc_id"
+    )
     scrubbed = PII.scrub_documents(seeded)
     return scrubbed.select(
         "doc_id",
@@ -651,7 +664,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache = session_cache(spark, "plans")
     key = (sf_dir, "semantic_dedup")
     if key not in cache:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = spread_narrow_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
         centroids = S.prepare_centroids(
             emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
         )
