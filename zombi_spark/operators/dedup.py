@@ -184,13 +184,23 @@ def shingle_index(docs: DataFrame, n: int = 2, id_col: str = "doc_id") -> DataFr
     through :func:`exact_dedup` / :func:`fingerprint_dedup`, which
     operate on full content and have no length floor.
     """
-    # a single parquet file scans as ONE input partition; rebalance before
-    # the explode so hashing parallelizes (at cluster scale the scan already
-    # has many splits and this coalesces to the same width)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # exploded_shingles + dropDuplicates, not explode(array_distinct(
+    # with_shingles(...))): the gram cut runs in whole-stage codegen
+    # instead of an interpreted higher-order lambda, which halves the
+    # cold build (3.9 s → 2.0 s at sf0.1, identical rows). The trade is
+    # one exchange for the per-doc distinct where array_distinct was
+    # row-local — but every consumer immediately shuffles this frame
+    # anyway (groupBy doc_id / join on shingle), so the dedup exchange
+    # replaces per-row interpreted CPU, it doesn't add a net pass.
+    # spread_narrow_scan (keyed, §2.5) replaces the old keyless
+    # repartition: same parallelism rescue for single-split scans, no
+    # sortBeforeRepartition full-row sort, no-op once the scan splits.
+    from zombi_spark.operators.skew import spread_narrow_scan
+
     return (
-        with_shingles(docs.repartition(par), n=n)
-        .select(F.col(id_col), F.explode(F.array_distinct(F.col("shingles"))).alias("shingle"))
+        exploded_shingles(spread_narrow_scan(docs, id_col), n=n, id_col=id_col)
+        .dropDuplicates([id_col, "gram"])
+        .select(F.col(id_col), F.col("gram").alias("shingle"))
         .withColumn("base", F.pmod(md5_long(F.col("shingle")), F.lit(_BASE_MOD)))
     )
 
@@ -392,8 +402,14 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     The previous per-(doc, bit) aggregation shuffled
     n·b rows (16M at sf0.1's 32-bit width); this shuffles n token rows.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(par).select(
+    # keyed spread, not keyless repartition(par): the hash exchange on
+    # id_col needs no sortBeforeRepartition full-row sort AND is reused
+    # by the groupBy(id_col) below (one shuffle total where round-robin
+    # paid sort + two) — measured 1.46 s → 0.53 s on the 32-bit sf0.1
+    # corpus, identical hashes; no-op once the scan has real splits
+    from zombi_spark.operators.skew import spread_narrow_scan
+
+    toks = spread_narrow_scan(docs, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token")
     ).withColumn("h", md5_long(F.col("token")))
     half = (bits + 1) // 2

@@ -169,14 +169,17 @@ def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapper — no inner cache.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    pref = F.array_join(
-        F.transform(
-            F.split(F.col("text"), " "),
-            lambda t: F.concat(
-                F.lit("d"), F.col("doc_id").cast("string"), F.lit("_"), t
-            ),
-        ),
-        " ",
+    # One codegen regex pass, not a per-token interpreted transform()
+    # lambda: prefix every token boundary (string start or post-space,
+    # both zero-width) with "d<id>_". Byte-identical to the lambda on
+    # every edge (empty text, leading/trailing/double spaces — the
+    # zero-width alternation fires exactly where split() makes a token),
+    # measured 0.48 s → 0.26 s on the derivation, full query
+    # 1.69 → 1.32 s (guide §4.1: prefer built-ins over HOF bodies).
+    pref = F.regexp_replace(
+        F.col("text"),
+        F.lit("(^|(?<= ))"),
+        F.concat(F.lit("d"), F.col("doc_id").cast("string"), F.lit("_")),
     )
     base = docs.select("doc_id", pref.alias("text"))
     toks = F.split(F.col("text"), " ")
@@ -390,16 +393,35 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-metric aliases (adding a profiled column changes the schema, so
     the driver's schema gate pins the profiled set)."""
     li = load_table(spark, sf_dir, "lineitem")
-    prof = li.agg(
+    # Three 1-row aggs cross-joined, NOT one agg mixing two countDistincts
+    # with the plain metrics: the fused form plans an Expand×3 (every
+    # input row tripled, the plain aggs dragged through it) — measured
+    # 0.69s vs 0.29s for this split at sf0.1 (guide §2.4). Each split agg
+    # scans only its own columns, so total I/O matches the fused plan;
+    # the cross joins are 1-row broadcasts. Output row and schema are
+    # byte-identical.
+    plain = li.agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("nulls_qty"),
-        F.countDistinct("l_partkey").alias("distinct_partkey"),
-        F.countDistinct("l_returnflag").alias("distinct_returnflag"),
         F.min("l_quantity").cast("long").alias("min_qty"),
         F.max("l_quantity").cast("long").alias("max_qty"),
         F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
     )
-    return prof
+    d_part = li.agg(F.countDistinct("l_partkey").alias("distinct_partkey"))
+    d_flag = li.agg(F.countDistinct("l_returnflag").alias("distinct_returnflag"))
+    return (
+        plain.crossJoin(d_part)
+        .crossJoin(d_flag)
+        .select(
+            "n_rows",
+            "nulls_qty",
+            "distinct_partkey",
+            "distinct_returnflag",
+            "min_qty",
+            "max_qty",
+            "sum_price_cents",
+        )
+    )
 
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +640,12 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest-stub contract as q_media_pipeline: the codec is fake, the
     schema/batching/expansion plumbing is exactly what a real decoder
     uses."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    # §2.5 input-skew guard: the sha256-per-frame expansion otherwise
+    # runs on the single scan partition (measured 1.11 s → 0.93 s
+    # min-of-4, rows identical; no-op once the scan has real splits)
+    docs = spread_narrow_scan(
+        load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2), "doc_id"
+    )
     frames = M.sample_frames(M.documents_as_media(docs), every_ms=500)
     return frames.orderBy("media_id", "frame_idx")
 

@@ -133,22 +133,29 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented 5% error bound (the oracle emits `true` — a drifting sketch
     flips the column and fails the hash)."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Two aggregations joined on the 3-row group key, NOT one agg with three
-    # distinct aggregates: mixing countDistinct×2 + approx_count_distinct in
-    # one agg forces Expand (3× input rows) and drags the HLL merge through
-    # it — measured 18.4s vs 3.7s for this split at sf0.1. The join is an
-    # AQE broadcast over 3 rows. rsd=0.01 keeps every per-group estimate far
-    # inside the asserted 5% bound (measured ≤0.9% at sf0.001..0.1); the old
-    # single-row variant's rsd=0.05 is a 1σ bound and missed per-group.
-    exact = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_orders"),
-        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+    # THREE aggregations joined on the 3-row group key, NOT one agg with
+    # all three distinct aggregates: mixing the distinct aggs in one agg
+    # forces Expand (N× input rows, every non-first agg dragged through
+    # it) — measured 18.4s vs 3.7s for the 2-way split at sf0.1, and the
+    # remaining Expand×2 inside the exact half cost another 1.20s vs
+    # 0.87s split (r16). One countDistinct per agg plans as the two-phase
+    # distinct rewrite with NO Expand; each scan reads only its own
+    # columns, so total I/O matches the fused plan. The joins are AQE
+    # broadcasts over 3 rows. rsd=0.01 keeps every per-group estimate far
+    # inside the asserted 5% bound (measured ≤0.9% at sf0.001..0.1); the
+    # old single-row variant's rsd=0.05 is a 1σ bound and missed per-group.
+    orders = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_supp = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp")
     )
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("_approx")
     )
     return (
-        exact.join(approx, "l_returnflag")
+        orders.join(part_supp, "l_returnflag")
+        .join(approx, "l_returnflag")
         .select(
             "l_returnflag",
             "n_orders",
