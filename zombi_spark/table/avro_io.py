@@ -55,49 +55,73 @@ def _encode_string(s: str) -> bytes:
 def encode_value(schema, value) -> bytes:
     """Encode ``value`` per ``schema`` (parsed Avro schema JSON: str for
     primitives, dict for record/array/map, list for union)."""
+    out = bytearray()
+    _encode_into(schema, value, out)
+    return bytes(out)
+
+
+def _encode_into(schema, value, out: bytearray) -> None:
+    """Append ``value``'s encoding to ``out`` — one growable buffer
+    threaded through the recursion instead of a bytes allocation +
+    concatenation per node (manifest commits encode tens of thousands
+    of nodes per append; measured ~2× on the commit's manifest write,
+    byte-identical output — pinned by the golden fixtures and the
+    JVM-Avro cross-decode)."""
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, dict):
         t = schema["type"]
     elif isinstance(schema, list):  # union: index + encoded branch
         idx = _union_branch(schema, value)
-        return encode_long(idx) + encode_value(schema[idx], value)
+        out += encode_long(idx)
+        _encode_into(schema[idx], value, out)
+        return
     else:
         raise TypeError(f"unsupported schema node: {schema!r}")
 
     if t == "null":
-        return b""
+        return
     if t == "boolean":
-        return b"\x01" if value else b"\x00"
+        out += b"\x01" if value else b"\x00"
+        return
     if t in ("int", "long"):
-        return encode_long(int(value))
+        out += encode_long(int(value))
+        return
     if t == "string":
-        return _encode_string(value)
+        b = value.encode("utf-8")
+        out += encode_long(len(b))
+        out += b
+        return
     if t == "bytes":
-        return _encode_bytes(bytes(value))
+        b = bytes(value)
+        out += encode_long(len(b))
+        out += b
+        return
     if t == "record":
-        out = bytearray()
         for f in schema["fields"]:
-            out += encode_value(f["type"], value[f["name"]])
-        return bytes(out)
+            _encode_into(f["type"], value[f["name"]], out)
+        return
     if t == "array":
         if not value:
-            return encode_long(0)
-        out = bytearray(encode_long(len(value)))
+            out += encode_long(0)
+            return
+        out += encode_long(len(value))
+        items_schema = schema["items"]
         for item in value:
-            out += encode_value(schema["items"], item)
+            _encode_into(items_schema, item, out)
         out += encode_long(0)
-        return bytes(out)
+        return
     if t == "map":
-        items = list(value.items())
-        if not items:
-            return encode_long(0)
-        out = bytearray(encode_long(len(items)))
-        for k, v in items:
+        if not value:
+            out += encode_long(0)
+            return
+        out += encode_long(len(value))
+        values_schema = schema["values"]
+        for k, v in value.items():
             out += _encode_string(k)
-            out += encode_value(schema["values"], v)
+            _encode_into(values_schema, v, out)
         out += encode_long(0)
-        return bytes(out)
+        return
     raise TypeError(f"unsupported Avro type: {t}")
 
 
@@ -124,7 +148,7 @@ def write_container(path: str, schema: dict, records: list, metadata: dict | Non
 
     body = bytearray()
     for rec in records:
-        body += encode_value(schema, rec)
+        _encode_into(schema, rec, body)
 
     out = bytearray(MAGIC)
     out += encode_long(len(meta))

@@ -66,6 +66,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zombi_spark.ingest.batch import EVENT_SCHEMA, validate_table_name
+from zombi_spark.table import fastjson
 
 _META_DIR = "_zombi_meta"
 _DATA_DIR = "data"
@@ -509,8 +510,7 @@ class EventTable:
         )
 
     def _read_snapshot(self, fname: str) -> dict:
-        with open(os.path.join(self.meta_path, fname)) as fh:
-            return json.load(fh)
+        return fastjson.load_from(os.path.join(self.meta_path, fname))
 
     def snapshots(self) -> list[dict]:
         """Snapshot log, oldest first (analogue of Iceberg ``t.snapshots``)."""
@@ -643,8 +643,7 @@ class EventTable:
             ] + (added_deletes or [])
         tmp = os.path.join(self.meta_path, f".snap-{version:08d}.{uuid.uuid4().hex[:8]}.json.tmp")
         final = os.path.join(self.meta_path, f"snap-{version:08d}.json")
-        with open(tmp, "w") as fh:
-            json.dump(snap, fh, indent=1)
+        fastjson.dump_to(tmp, snap)
         try:
             # the exclusive version claim: EEXIST means a concurrent
             # writer committed this version first (conditional PUT /
@@ -1508,15 +1507,26 @@ class EventTable:
                 return entry
             return _parquet_file_entry(dest, self.data_path)
 
-        from concurrent.futures import ThreadPoolExecutor
+        # Thread pool ONLY for the footer-stat route (stats is None):
+        # there each entry re-opens a parquet footer — real I/O that
+        # overlaps (measured 720 files: ~2s serial → ~0.3s at 16
+        # threads). With write-time stats the per-file work is just
+        # link+unlink + dict munging, and concurrent renames in sibling
+        # dirs CONTEND in the kernel on the target filesystem (720
+        # moves: 7 ms serial vs 135 ms at 16 threads) — stay serial.
+        if stats is None and len(plan) > 4:
+            from concurrent.futures import ThreadPoolExecutor
 
-        if len(plan) > 4:
             with ThreadPoolExecutor(max_workers=16) as pool:
                 return list(pool.map(_move, plan))
         return [_move(p) for p in plan]
 
     @staticmethod
     def _rmtree(root: str) -> None:
+        # deliberately serial: a threaded first-level fan-out (16 workers
+        # over the 30 date dirs) measured 800 ms vs 165 ms for this walk
+        # on the target filesystem — concurrent unlink/rmdir in sibling
+        # directories contends in the kernel here, it doesn't overlap
         for dirpath, _dirs, files in os.walk(root, topdown=False):
             for f in files:
                 os.remove(os.path.join(dirpath, f))
@@ -2519,8 +2529,7 @@ class EventTable:
             snap["delete_files"] = self._active_delete_files(snap["version"])
             snap["files"] = self._active_files(snap["version"])
             tmp = os.path.join(self.meta_path, f".{oldest_kept}.{uuid.uuid4().hex[:8]}.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(snap, fh, indent=1)
+            fastjson.dump_to(tmp, snap)
             # atomic rewrite (PUT semantics — replacing an EXISTING
             # snapshot file is the one place rewrite is intended)
             self.backend.swing(tmp, os.path.join(self.meta_path, oldest_kept))

@@ -221,8 +221,9 @@ def _write_next_metadata(mdir: str, meta: dict, backend=None) -> str:
     with the extra metadata versions the rewrite paths (expire,
     rewrite_manifests) mint and overwrite committed files in place."""
     tmp = os.path.join(mdir, f".metadata.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=1)
+    from zombi_spark.table import fastjson
+
+    fastjson.dump_to(tmp, meta)
     # EXCLUSIVE version claim: two concurrent writers both reading hint N
     # would otherwise both os.replace v{N+1} and the loser's metadata
     # version silently vanishes — os.link fails with EEXIST instead, and
