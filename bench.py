@@ -326,7 +326,7 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     scored = LM.score_documents(s5a, model).persist()
     floor = scored.approxQuantile("lm_logprob_e6", [0.1], 0.0)[0]
     s5 = ckpt(scored.where(F.col("lm_logprob_e6") >= int(floor)), "quality")
-    for frame in (scored, model["tri"], model["bi"], s5a):
+    for frame in (scored, model["tri"], model["bi"], model["gram_counts"], s5a):
         frame.unpersist()
     sources = [r.source for r in s5.select("source").distinct().collect()]
     weights = {s: (2.0 if s == "src0" else 1.0) for s in sources}

@@ -55,29 +55,42 @@ def train_char_trigram_model(
     'bi': DataFrame(ctx, n_ctx), 'vocab_size': V}. Two aggregates, both
     keyed on strings of length ≤ 3 — partial aggregation collapses them
     map-side, so the shuffle is O(distinct ngrams), not O(corpus)."""
+    # ONE corpus pass, not three: explode every char position once and
+    # cut the (up to) 3-char gram there — substr past the end simply
+    # truncates, so the position-i gram IS the trigram when i ≤ len−2,
+    # the tail bigram at i = len−1, and the tail char at i = len. From
+    # one gram-count aggregate (model-scale: ≤ charset³ + charset² +
+    # charset rows) all three model surfaces derive with EXACTLY the
+    # original counts: length-3 grams are the trigram counts, summing
+    # counts of grams with length ≥ 2 by their 2-char prefix reproduces
+    # the bigram counts (each position i ≤ len−1 contributes its bigram
+    # as that prefix exactly once), and distinct first chars are the
+    # vocab. The eager vocab count doubles as the persist() fault-in, so
+    # tri/bi are then cheap re-aggregates of the persisted model-scale
+    # frame instead of two more corpus explodes — measured 3.7-6.0 s →
+    # ~1.5 s on the sf0.1 pipeline quality stage (guide §1.2: remove
+    # whole passes before tuning inside one).
     lowered = F.lower(F.col(text_col))
-    tri = (
-        exploded_char_ngrams(reference_docs, lowered, 3)
-        .groupBy("gram")
-        .agg(F.count("*").alias("n_tri"))
-        .select(
-            F.substring("gram", 1, 2).alias("ctx"),
-            F.substring("gram", 3, 1).alias("nxt"),
-            "n_tri",
-        )
+    base = reference_docs.select(lowered.alias("_lt")).where(F.length("_lt") >= 1)
+    grams = base.select(
+        F.explode(F.sequence(F.lit(1), F.length("_lt"))).alias("_i"), "_lt"
+    ).select(F.col("_lt").substr(F.col("_i"), F.lit(3)).alias("gram"))
+    gcounts = grams.groupBy("gram").agg(F.count("*").alias("n")).persist()
+    tri = gcounts.where(F.length("gram") == 3).select(
+        F.substring("gram", 1, 2).alias("ctx"),
+        F.substring("gram", 3, 1).alias("nxt"),
+        F.col("n").alias("n_tri"),
     )
     bi = (
-        exploded_char_ngrams(reference_docs, lowered, 2)
-        .groupBy("gram")
-        .agg(F.count("*").alias("n_ctx"))
-        .withColumnRenamed("gram", "ctx")
+        gcounts.where(F.length("gram") >= 2)
+        .groupBy(F.substring("gram", 1, 2).alias("ctx"))
+        .agg(F.sum("n").alias("n_ctx"))
     )
-    vocab = (
-        exploded_char_ngrams(reference_docs, lowered, 1)
-        .agg(F.countDistinct("gram"))
-        .first()[0]
-    )
-    return {"tri": tri, "bi": bi, "vocab_size": int(vocab or 1)}
+    vocab = gcounts.select(F.substring("gram", 1, 1)).distinct().count()
+    # gram_counts rides along so callers that tear a model down can
+    # unpersist the backing frame (the model frames themselves are the
+    # public surface; this is charset³-bounded bookkeeping)
+    return {"tri": tri, "bi": bi, "vocab_size": int(vocab or 1), "gram_counts": gcounts}
 
 
 def score_documents(
@@ -101,7 +114,15 @@ def score_documents(
     float average is fine for filtering; it is just not a cross-engine
     hash target: float addition is order-sensitive and ``log`` is not
     IEEE-correctly-rounded.)"""
+    from zombi_spark.operators.skew import spread_narrow_scan
+
     V = model["vocab_size"]
+    # §2.5 input-skew guard: checkpointed pipeline stages re-read as one
+    # or two coalesced partitions, so the trigram explode + model joins
+    # would run on a sliver of the session's cores; keyed on id_col the
+    # exchange is reused by the per-doc aggregate below (no-op when the
+    # input already has real splits)
+    docs = spread_narrow_scan(docs, id_col)
     per_tri = exploded_char_ngrams(
         docs, F.lower(F.col(text_col)), 3, id_col
     ).select(
