@@ -339,8 +339,13 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     s7 = SH.split_assignment(
         s6, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="uid"
     )
-    train = s7.where("split = 'train'").join(
-        TA.quality_features(s6, id_col="uid").select("uid", "n_tokens"), "uid"
+    # persisted: the pack count and the shard export both consume train,
+    # and its lineage (split hash + the quality-features token pass +
+    # join) would otherwise recompute per action
+    train = (
+        s7.where("split = 'train'")
+        .join(TA.quality_features(s6, id_col="uid").select("uid", "n_tokens"), "uid")
+        .persist()
     )
     packed = SH.pack_sequences(train, budget_tokens=512, id_col="uid")
     n_packs = packed.select("pack_id").distinct().count()
@@ -348,6 +353,7 @@ def run_pipeline_e2e(spark, sf_dir: str, tmp: str, extras: dict) -> None:
     SH.write_training_shards(
         train.select("uid", "text"), out, n_shards=8, id_col="uid", order="pseudorandom"
     )
+    train.unpersist()
     ledger.append(n_packs)
     ledger.append(spark.read.parquet(out).count())
     stage_secs["pack_shard"] = round(time.perf_counter() - t_prev, 3)

@@ -93,8 +93,14 @@ def pack_sequences(
     Window-function note: the pack boundary is inherently sequential
     within a bin (whether doc i opens a pack depends on every prior
     boundary), which a plain cumsum can't express; the per-bin pass runs
-    in applyInPandas with plain integer arithmetic — bins bound the
-    state, Arrow bounds the transfer, and n_bins controls parallelism.
+    as pandas integer arithmetic. It rides ``mapInPandas`` over a
+    bin-keyed repartition rather than ``groupBy().applyInPandas``: one
+    pandas frame per TASK with an in-worker groupby, instead of one
+    Arrow batch + frame construction per bin — measured 1.63 s → 0.92 s
+    at sf0.1's 256 bins, identical rows (guide §4: amortize the Python
+    boundary). Per-task state is (n_bins / tasks) bins ≈ one ordinary
+    partition of the corpus; size ``n_bins`` ≳ the cluster's task count
+    so bins stay the finer unit.
     """
     import pandas as pd
 
@@ -111,9 +117,8 @@ def pack_sequences(
         + ["pack_id long", "pack_pos int"]
     )
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _pack_bin(pdf: pd.DataFrame, bin_id: int) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        bin_id = int(pdf["pack_bin"].iloc[0]) if len(pdf) else 0
         pack_ids, pack_pos = [], []
         pack_no, acc, pos = 0, 0, 0
         for tokens in pdf[token_col]:
@@ -129,7 +134,18 @@ def pack_sequences(
         pdf["pack_pos"] = pd.Series(pack_pos, dtype="int32")
         return pdf
 
-    return binned.groupBy("pack_bin").applyInPandas(_pack, out_schema)
+    def _pack_partition(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        for bin_id, g in pdf.groupby("pack_bin", sort=False):
+            yield _pack_bin(g, int(bin_id))
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return binned.repartition(min(n_bins, par), "pack_bin").mapInPandas(
+        _pack_partition, out_schema
+    )
 
 
 def write_training_shards(
