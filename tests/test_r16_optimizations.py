@@ -110,3 +110,28 @@ def test_spread_narrow_scan_fires_only_below_parallelism(spark):
     assert spread_narrow_scan(wide, "doc_id") is wide
     # rows unchanged either way
     assert sorted(map(tuple, spread.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_brute_force_topk_arrow_kernel_matches_column_path(spark):
+    """The Q>=32 Arrow GEMM path must be bit-identical to the Column
+    HOF path — including NULL vectors, the zero-vector NULL cosine,
+    ties, and self-exclusion."""
+    import random
+
+    from zombi_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(16)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(8)]) for i in range(200)]
+    rows[7] = (7, [0.0] * 8)  # zero vector
+    rows[11] = (11, None)  # null vector
+    rows[13] = (13, rows[12][1])  # exact tie pair
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.where("vec_id < 40")  # 40 >= _IVF_ARROW_MIN_CELLS
+    col = brute_force_topk(corpus, queries, k=6, use_arrow=False)
+    arw = brute_force_topk(corpus, queries, k=6, use_arrow=True)
+    assert col.schema == arw.schema
+    assert sorted(map(tuple, col.collect())) == sorted(map(tuple, arw.collect()))
+    # the auto gate: small query sets stay on the Column path (no
+    # MapInPandas node), large ones switch
+    small_auto = brute_force_topk(corpus, queries.where("vec_id < 8"), k=3)
+    assert "mapInPandas" not in small_auto._jdf.queryExecution().analyzed().toString()

@@ -117,11 +117,32 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
-    queries is broadcast (small by contract); ranking ties break on
-    neighbor id, so the result set is unique and oracle-checkable.
+    queries is small by contract; ranking ties break on neighbor id, so
+    the result set is unique and oracle-checkable.
+
+    Above ``_IVF_ARROW_MIN_CELLS`` queries, scoring switches to the
+    Arrow int64 GEMM kernel (the same bit-exact machinery as the C≥32
+    IVF paths, with the query set as the "centroid" matrix): the Column
+    formulation pays an interpreted HOF dot product PER (row, query)
+    PAIR — corpus×Q evaluations of ``aggregate(zip_with(...))`` — so
+    its cost grows with the pair count while the kernel pays one Arrow
+    transfer of the corpus plus a GEMM (measured at a 12k corpus:
+    Q=64 1.54 s Column vs 1.02 s kernel; Q=8 the Column path wins on
+    boundary overhead, hence the gate — same crossover logic as IVF).
+    Bit-identical by construction and by test: row norms come from the
+    same with_quantized Column, query norms from ``_ivf_kernel_arrays``
+    (pinned against the Column sqrt by the IVF parity suite), and the
+    cosine is ``_ivf_cos_rows``'s one-double-per-step expression with
+    the dead-score sentinel mapped back to the Column path's NULL.
+    NULL-vector rows/queries score NULL for every pair, exactly like the
+    Column expression. ``use_arrow`` overrides the auto-switch (parity
+    tests pin the two paths against each other). The auto/Arrow branch
+    collects the query frame at plan time (small by contract — the
+    Column path broadcast-collected it at execution time anyway).
     """
     from pyspark.sql import Window
 
@@ -131,13 +152,99 @@ def brute_force_topk(
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
     )
-    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        cosine_e6_prequantized(
-            F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
-        ).alias("cos_e6"),
-    )
+    qrows = None
+    if use_arrow is None:
+        qrows = q.collect()
+        use_arrow = len(qrows) >= _IVF_ARROW_MIN_CELLS
+    if not use_arrow:
+        scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id",
+            "neighbor_id",
+            cosine_e6_prequantized(
+                F.col("q_q"), F.col("c_q"), F.col("q_n"), F.col("c_n")
+            ).alias("cos_e6"),
+        )
+    else:
+        if qrows is None:
+            qrows = q.collect()
+        live = [(int(r["query_id"]), list(r["q_q"])) for r in qrows if r["q_q"] is not None]
+        null_qids = [int(r["query_id"]) for r in qrows if r["q_q"] is None]
+        spark = corpus.sparkSession
+        all_qids = spark.createDataFrame(
+            [(int(r["query_id"]),) for r in qrows], "query_id long"
+        )
+        schema = "query_id long, neighbor_id long, cos_e6 long"
+        c_live = c.where(F.col("c_q").isNotNull())
+        c_null = c.where(F.col("c_q").isNull()).select("neighbor_id")
+        parts = []
+        if live:
+
+            def _brute_rows(pdf, qids, qmat, qnorm):
+                import numpy as np
+                import pandas as pd
+
+                x = np.array(pdf["qvec"].tolist(), dtype=np.int64)
+                cos = _ivf_cos_rows(x, qmat, qnorm, pdf["vnorm"].to_numpy())
+                n, nq = cos.shape
+                return pd.DataFrame(
+                    {
+                        "query_id": np.tile(qids, n),
+                        "neighbor_id": np.repeat(pdf["neighbor_id"].to_numpy(), nq),
+                        "cos_e6": cos.ravel(),
+                    }
+                )
+
+            kern = _ivf_arrow_map(
+                c_live.select(
+                    "neighbor_id",
+                    F.col("c_q").alias("qvec"),
+                    F.col("c_n").alias("vnorm"),
+                ),
+                live,
+                schema,
+                _brute_rows,
+            )
+            # zero-norm pairs: the kernel's sentinel ← → the Column
+            # path's NULL (try_divide); real cos_e6 is in [-1e6, 1e6],
+            # never the sentinel
+            parts.append(
+                kern.withColumn(
+                    "cos_e6",
+                    F.when(
+                        F.col("cos_e6") != F.lit(_IVF_DEAD_SCORE), F.col("cos_e6")
+                    ),
+                )
+            )
+        if null_qids:
+            # NULL-vector queries: every pair scores NULL (Column
+            # semantics: NULL q_q nulls the whole cosine)
+            nq = spark.createDataFrame([(i,) for i in null_qids], "query_id long")
+            parts.append(
+                c.select("neighbor_id")
+                .crossJoin(F.broadcast(nq))
+                .select("query_id", "neighbor_id", F.lit(None).cast("long").alias("cos_e6"))
+            )
+        # NULL-vector corpus rows: NULL cosine against every LIVE query
+        # (the null-query arm above already covered null×null pairs)
+        if live:
+            lq = spark.createDataFrame([(i,) for i, _ in live], "query_id long")
+            parts.append(
+                c_null.crossJoin(F.broadcast(lq)).select(
+                    "query_id", "neighbor_id", F.lit(None).cast("long").alias("cos_e6")
+                )
+            )
+        if not parts:
+            # no queries at all: empty result, same schema as the
+            # Column path's empty join
+            parts.append(
+                all_qids.crossJoin(c.select("neighbor_id").limit(0)).select(
+                    "query_id", "neighbor_id", F.lit(None).cast("long").alias("cos_e6")
+                )
+            )
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
+        scored = scored.where(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_e6").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
