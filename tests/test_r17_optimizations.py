@@ -1,0 +1,177 @@
+"""Round-17 optimization pins: scale-safety hardenings and rewrites from
+the second optimization round, each proving the fast/guarded path computes
+exactly what the reference shape computed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from zombi_spark.operators import skew
+from zombi_spark.operators.similarity import brute_force_topk
+from zombi_spark.operators.skew import spread_narrow_scan
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc {i} text body") for i in range(40)], "doc_id long, text string"
+    )
+
+
+def test_spread_narrow_scan_byte_ceiling_skips_shuffle(spark, sf_dir, monkeypatch):
+    """A file scan whose optimized-plan size estimate is at/over
+    parallelism x maxPartitionBytes must come back untouched (identity)
+    WITHOUT the RDD partition probe — a huge scan is never round-tripped
+    through a shuffle purely for width. (Needs a parquet scan: in-memory
+    frames report the unknown-size sentinel and fall through to the
+    probe.)"""
+    from zombi_spark.sources.tables import load_table
+
+    narrow = load_table(spark, sf_dir, "documents").coalesce(1)
+    assert skew._plan_size_bytes(narrow)  # real file-based estimate
+    # simulate "huge scan": shrink the ceiling below any real estimate
+    monkeypatch.setattr(skew, "_max_partition_bytes", lambda s: 1)
+
+    def _boom(df):  # the probe must not run once the ceiling trips
+        raise AssertionError("RDD probe ran despite byte ceiling")
+
+    monkeypatch.setattr(skew, "_scan_partitions", _boom)
+    assert spread_narrow_scan(narrow, "doc_id") is narrow
+
+
+def test_spread_narrow_scan_unknown_stats_fall_through_to_probe(spark, monkeypatch):
+    """In-memory frames (LogicalRDD) report the Long.MaxValue unknown
+    sentinel — the guard must NOT mistake that for a huge scan: it falls
+    through to the precise probe and still rescues a narrow frame."""
+    narrow = _docs(spark).coalesce(1)
+    assert skew._plan_size_bytes(narrow) is None
+    monkeypatch.setattr(skew, "_max_partition_bytes", lambda s: 1)
+    par = spark.sparkContext.defaultParallelism
+    assert spread_narrow_scan(narrow, "doc_id").rdd.getNumPartitions() == par
+
+
+def test_spread_narrow_scan_probe_is_memoized(spark):
+    """The RDD partition probe runs once per (session, plan) — a second
+    guard call on the same plan hits the cache."""
+    narrow = _docs(spark).coalesce(1)
+    skew._PROBE_CACHE.clear()
+    spread_narrow_scan(narrow, "doc_id")
+    assert len(skew._PROBE_CACHE) == 1
+    # second call over the same plan: cache hit, no new RDD probe
+    cached = dict(skew._PROBE_CACHE)
+    spread_narrow_scan(narrow, "doc_id")
+    assert skew._PROBE_CACHE == cached
+
+
+def test_spread_narrow_scan_still_fires_below_parallelism(spark):
+    """The r16 contract is unchanged by the r17 probe rework."""
+    par = spark.sparkContext.defaultParallelism
+    docs = _docs(spark)
+    spread = spread_narrow_scan(docs.coalesce(1), "doc_id")
+    assert spread.rdd.getNumPartitions() == par
+    wide = docs.repartition(par, "doc_id")
+    assert spread_narrow_scan(wide, "doc_id") is wide
+    assert sorted(map(tuple, spread.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_brute_force_topk_rejects_corpus_sized_query_frame(spark, monkeypatch):
+    """The plan-time collect in the auto/Arrow branch is bounded: a query
+    frame over the documented cap raises cleanly instead of collecting it
+    to the driver."""
+    from zombi_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "_BRUTE_QUERY_ROW_CAP", 50)
+    big = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="query frame exceeds"):
+        brute_force_topk(big, big, k=3)
+
+
+def test_contamination_scores_filter_first_matches_distinct_index_reference(spark):
+    """r17 rewrite: broadcast-filter the raw gram slots before the
+    per-doc distinct (no corpus-scale dedup shuffle). Must be
+    row-identical to the r16 shape (distinct shingle index on both sides
+    joined on shingle) — duplicates inside docs, multi-item shared
+    shingles, and sub-n docs included."""
+    from zombi_spark.operators import decontaminate as DC
+    from zombi_spark.operators.dedup import shingle_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e a b c d e"),  # internal repetition
+            (2, "a b c d e"),                        # exactly n tokens
+            (3, "x y z"),                            # sub-n: no shingles
+            (4, "a b c d e f g h i j"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, "a b c d e f"), (102, "a b c d e"), (103, "q r s t u")],
+        "bench_id long, text string",
+    )
+    n = 5
+    ref_doc_sh = shingle_index(docs, n=n).select("doc_id", "shingle")
+    ref_bench_sh = shingle_index(bench, n=n, id_col="bench_id").select(
+        "bench_id", "shingle"
+    )
+    ref_sizes = ref_bench_sh.groupBy("bench_id").agg(F.count("*").alias("_n_item"))
+    ref = (
+        ref_doc_sh.join(ref_bench_sh, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("_n_shared"))
+        .join(ref_sizes, "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.floor(F.lit(1000) * F.col("_n_shared") / F.col("_n_item"))
+            .cast("long")
+            .alias("containment_pm"),
+        )
+    )
+    got = DC.contamination_scores(docs, bench, n=n)
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_fastjson_fallback_bytes_match_orjson():
+    """The stdlib fallback must emit byte-identical documents to the
+    orjson fast path for zombi's metadata shapes, and reject the shapes
+    orjson rejects (tuples, non-str keys) instead of silently coercing."""
+    import json
+
+    orjson = pytest.importorskip("orjson")
+    from zombi_spark.table.fastjson import _assert_contract
+
+    doc = {
+        "format-version": 2,
+        "snapshots": [
+            {"id": 7, "files": ["a.parquet", "b.parquet"], "rows": 123, "live": True},
+            {"id": 8, "files": [], "rows": 0, "live": False, "note": None},
+        ],
+        "unicode": "héllo — ünïcode",
+    }
+    fast = orjson.dumps(doc, option=orjson.OPT_INDENT_2)
+    slow = json.dumps(doc, indent=2, ensure_ascii=False, allow_nan=False).encode("utf-8")
+    assert fast == slow
+    with pytest.raises(TypeError, match="tuple"):
+        _assert_contract({"files": ("a", "b")})
+    with pytest.raises(TypeError, match="non-str"):
+        _assert_contract({1: "x"})
+
+
+def test_brute_force_topk_null_query_id_matches_column_path(spark):
+    """A query row with a NULL id emits no rows on the Column path (NULL
+    join condition); the Arrow kernel branch must agree instead of
+    raising."""
+    import random
+
+    rng = random.Random(17)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(6)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qrows = [(None, [0.5] * 6)] + rows[:40]
+    queries = spark.createDataFrame(qrows, "vec_id long, embedding array<double>")
+    col = brute_force_topk(corpus, queries, k=4, use_arrow=False)
+    arw = brute_force_topk(corpus, queries, k=4, use_arrow=True)
+    assert col.schema == arw.schema
+    assert sorted(map(tuple, col.collect())) == sorted(map(tuple, arw.collect()))

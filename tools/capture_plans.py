@@ -1,10 +1,11 @@
 """Capture .explain("formatted") for every declared query into
-plans/r16/<query>_<tag>.txt — the judge-facing plan evidence for the
+plans/<round>/<query>_<tag>.txt — the judge-facing plan evidence for the
 optimization rounds (guide §1: measure first; §7.2: read the plan).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
   tag    "before" / "after" (file suffix)
   query  optional subset; default = all 50 declared queries
+Round dir from $SPARK_GRAFT_PLAN_ROUND (default r17).
 """
 
 import os
@@ -20,7 +21,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")

@@ -35,13 +35,30 @@ def contamination_scores(
     ``1000 · |shingles(item) ∩ shingles(doc)| / |shingles(item)|``.
     Pairs with zero overlap are absent. Items shorter than ``n`` words
     produce no shingles and are never flagged (too short to attribute)."""
-    doc_sh = shingle_index(docs, n=n, id_col=id_col).select(id_col, "shingle")
     bench_sh = shingle_index(benchmark, n=n, id_col=bench_id_col).select(
         bench_id_col, "shingle"
     )
     sizes = bench_sh.groupBy(bench_id_col).agg(F.count("*").alias("_n_item"))
+    # Broadcast-filter BEFORE the per-doc distinct (r17, guide §2.3/§2.4):
+    # the old shape built the distinct (doc, shingle) index first, which
+    # shuffles the corpus' ENTIRE exploded n-gram stream just to dedup it
+    # — then threw almost all of it away in the broadcast join against
+    # the (tiny, ≪ corpus by construction) benchmark side. Joining the
+    # raw gram slots against the broadcast first means the only rows that
+    # ever reach an exchange are actual benchmark matches (≈ contaminated
+    # docs), and the dedup that makes each common shingle count once runs
+    # over that filtered stream. Identical counts: dropDuplicates on
+    # (doc, item, gram) leaves exactly one row per common shingle per
+    # pair, which is what joining two distinct sides produced.
+    from zombi_spark.operators.dedup import exploded_shingles
+    from zombi_spark.operators.skew import spread_narrow_scan
+
+    doc_grams = exploded_shingles(spread_narrow_scan(docs, id_col), n=n, id_col=id_col)
     overlap = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        doc_grams.join(
+            F.broadcast(bench_sh), doc_grams["gram"] == bench_sh["shingle"]
+        )
+        .dropDuplicates([id_col, bench_id_col, "gram"])
         .groupBy(id_col, bench_id_col)
         .agg(F.count("*").alias("_n_shared"))
     )

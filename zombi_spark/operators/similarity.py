@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 from zombi_spark.session import ensure_shuffle_width
 
+# brute_force_topk's auto/Arrow branch collects the query frame to the
+# driver at plan time ("small by contract" — every caller passes ≤64
+# rows). The cap turns a contract violation (a corpus-sized query frame)
+# into a clean error BEFORE the collect can OOM the driver: the probe
+# collects at most cap+1 rows.
+_BRUTE_QUERY_ROW_CAP = 65536
+
 
 def quantize(vec: F.Column) -> F.Column:
     """array<float> → array<long>, elementwise round(x*1e6)."""
@@ -142,7 +149,11 @@ def brute_force_topk(
     Column expression. ``use_arrow`` overrides the auto-switch (parity
     tests pin the two paths against each other). The auto/Arrow branch
     collects the query frame at plan time (small by contract — the
-    Column path broadcast-collected it at execution time anyway).
+    Column path broadcast-collected it at execution time anyway); the
+    collect is bounded by ``_BRUTE_QUERY_ROW_CAP`` and raises on a
+    corpus-sized query frame instead of OOMing the driver. Query rows
+    with a NULL id are dropped in the kernel branch to match the Column
+    path (its NULL join condition emits no rows for them).
     """
     from pyspark.sql import Window
 
@@ -152,9 +163,26 @@ def brute_force_topk(
     c = with_quantized(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("c_q"), F.col("vnorm").alias("c_n")
     )
+    def _collect_queries():
+        # bounded probe (never more than cap+1 rows reach the driver);
+        # a frame over the cap is a misuse of the "queries are small"
+        # contract — fail loudly instead of OOMing the driver
+        rows = q.limit(_BRUTE_QUERY_ROW_CAP + 1).collect()
+        if len(rows) > _BRUTE_QUERY_ROW_CAP:
+            raise ValueError(
+                f"brute_force_topk: query frame exceeds {_BRUTE_QUERY_ROW_CAP} rows — "
+                "queries are small by contract (the plan-time collect would "
+                "otherwise OOM the driver); use an ANN path for corpus-sized "
+                "query sets"
+            )
+        # NULL query ids: the Column path's join condition
+        # (neighbor_id != query_id) is NULL for them, emitting no rows —
+        # drop them here so the kernel branch agrees instead of raising
+        return [r for r in rows if r["query_id"] is not None]
+
     qrows = None
     if use_arrow is None:
-        qrows = q.collect()
+        qrows = _collect_queries()
         use_arrow = len(qrows) >= _IVF_ARROW_MIN_CELLS
     if not use_arrow:
         scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
@@ -166,7 +194,7 @@ def brute_force_topk(
         )
     else:
         if qrows is None:
-            qrows = q.collect()
+            qrows = _collect_queries()
         live = [(int(r["query_id"]), list(r["q_q"])) for r in qrows if r["q_q"] is not None]
         null_qids = [int(r["query_id"]) for r in qrows if r["q_q"] is None]
         spark = corpus.sparkSession

@@ -35,12 +35,87 @@ def spread_narrow_scan(df: DataFrame, *keys: str | Column, min_ratio: int = 4) -
     Scale-adaptive by construction: a production-scale table scans as many
     splits, ``partitions × min_ratio > parallelism`` holds, and no shuffle
     is ever added. ``keys`` must be high-cardinality (guide §2.5 synthetic
-    keys) — callers pass the row id / event id."""
+    keys) — callers pass the row id / event id.
+
+    Probe cost (r16 VERDICT #3): the precise partition count needs
+    ``df.rdd.getNumPartitions()``, which forces physical planning (and on
+    a DSv2 source plans input partitions a second time). Two mitigations:
+
+    - **byte ceiling first**: the optimized logical plan's ``sizeInBytes``
+      (no physical planning, no RDD) short-circuits the probe. A file
+      scan of ``B`` bytes splits into ≥ ``B / maxPartitionBytes`` tasks
+      (split size never exceeds ``maxPartitionBytes``), so once
+      ``B ≥ parallelism × maxPartitionBytes`` the guard can never fire —
+      return the frame untouched without planning it. This is also the
+      safety bound VERDICT asked for: a multi-TB scan that would plan
+      "narrow" for any reason is never round-tripped through a shuffle
+      purely for width.
+    - **probe memoized** per (session, analyzed-plan semanticHash), so a
+      re-built memoized query plan re-uses the prior probe instead of
+      re-materializing the RDD plan."""
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_ratio <= par:
+    est = _plan_size_bytes(df)
+    if est is not None and est >= par * _max_partition_bytes(df.sparkSession):
+        return df
+    if _scan_partitions(df) * min_ratio <= par:
         return df.repartition(par, *keys)
     return df
+
+
+#: Long.MaxValue — Spark's "size unknown" sentinel (spark.sql.defaultSizeInBytes
+#: default): LogicalRDD / in-memory frames report it, and plans that multiply
+#: an unknown stat saturate toward it. Treat anything at the sentinel as
+#: unknown and fall through to the precise probe.
+_UNKNOWN_SIZE = 2**63 - 1
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimized-plan size estimate in bytes (logical stats only — no
+    physical planning, no RDD materialization). None when unavailable or
+    unknown. File-relation scans — every production guard site — report
+    their true file byte total here."""
+    try:
+        sib = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(sib) if isinstance(sib, int) else int(str(sib))
+    except Exception:
+        return None
+    return None if est >= _UNKNOWN_SIZE else est
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        return int(raw)
+    except ValueError:
+        # "128MB"-style byte strings
+        jvm = spark.sparkContext._jvm
+        return int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+
+
+# (session id, analyzed-plan semanticHash) → planned partition count.
+# Bounded: evicts oldest entries past the cap (plans are per-query-
+# constructor, a handful per session).
+_PROBE_CACHE: dict[tuple[str, int], int] = {}
+_PROBE_CACHE_CAP = 256
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+        )
+    except Exception:
+        return df.rdd.getNumPartitions()
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    n = df.rdd.getNumPartitions()
+    if len(_PROBE_CACHE) >= _PROBE_CACHE_CAP:
+        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+    _PROBE_CACHE[key] = n
+    return n
 
 
 def salted_join(

@@ -487,9 +487,15 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_narrow_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     model = LM.train_char_trigram_model(docs.where(F.col("lang") == "en"))
     # the model is bounded by charset³ (a few thousand rows here) but
-    # DERIVING it re-explodes the reference corpus — persist the tiny frames
+    # DERIVING it re-explodes the reference corpus — persist the tiny frames,
+    # fault them in, then release the backing gram_counts cache (this query
+    # is memoized per session; without the unpersist the intermediate stays
+    # cached for the session lifetime — r16 ADVICE)
     model["tri"] = model["tri"].persist()
     model["bi"] = model["bi"].persist()
+    model["tri"].count()
+    model["bi"].count()
+    model["gram_counts"].unpersist()
     scored = LM.score_documents(docs, model, quantize_unit=1000)
     return scored.select("doc_id", "lang", "lm_logprob_q", "lm_trigrams").orderBy(
         "doc_id"
