@@ -155,6 +155,11 @@ def test_evict_grouping_cache_unpersists_base(spark):
     from zombi_spark.plans.relational import q_grouping_analytics
     from zombi_spark.plans.scalebench import evict_grouping_cache
 
+    # self-contained: an earlier module may have built the memoized plan
+    # and the between-modules cache release then unpinned its base —
+    # evict and rebuild so the pinned-while-cached assertion sees a
+    # fresh build
+    evict_grouping_cache(spark, SF)
     q_grouping_analytics(spark, SF).count()
     cache = session_cache(spark, "relational")
     held = cache.get((SF, "grouping_analytics", "held"))
