@@ -134,6 +134,58 @@ def test_contamination_scores_filter_first_matches_distinct_index_reference(spar
     assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
 
 
+def test_jaccard_verify_array_shape_matches_explode_join_reference(spark):
+    """r17 rewrite: per-doc shingle arrays + codegen array_intersect must
+    be row-identical (schema included) to the r16 exploded-shingle join
+    shape — zero-overlap pairs absent, full overlap exact, sub-n docs
+    never present, ids outside the pair set ignored."""
+    from zombi_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e"),          # exact dup of 1
+            (3, "c d e f g"),          # partial overlap with 1/2
+            (4, "x y z w v"),          # no overlap with anything
+            (5, "q"),                   # sub-n: no shingles
+            (6, "a b a b a b"),        # repeated grams
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 6), (3, 6)], "id_a long, id_b long"
+    )
+    idx = D.shingle_index(docs, n=2)
+    got = D.jaccard_verify(docs, pairs, shingle_n=2, shingles=idx, persist_candidates=False)
+
+    # reference: the r16 exploded-shingle join formulation
+    ids = pairs.select(F.col("id_a").alias("doc_id")).union(pairs.select("id_b")).distinct()
+    cand = idx.join(ids, "doc_id", "left_semi")
+    sizes = cand.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ia = cand.select(F.col("doc_id").alias("id_a"), "shingle")
+    ib = cand.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(ia, "id_a").join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    n_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ref = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_inter", n_union.alias("n_union"),
+            F.floor(F.lit(1000) * F.col("n_inter") / n_union).cast("long").alias("jaccard_pm"),
+        )
+    )
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # the planted edges behave: exact dup = 1000 pm, disjoint pair absent
+    rows = {(r.id_a, r.id_b): r.jaccard_pm for r in got.collect()}
+    assert rows[(1, 2)] == 1000
+    assert (1, 4) not in rows and (1, 5) not in rows
+
+
 def test_fastjson_fallback_bytes_match_orjson():
     """The stdlib fallback must emit byte-identical documents to the
     orjson fast path for zombi's metadata shapes, and reject the shapes
