@@ -95,9 +95,11 @@ def test_pq_encode_matches_numpy_reference(spark):
 
 
 def test_pq_training_is_deterministic(spark):
-    corpus = _clustered_corpus(spark, n=1200)
-    b1 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
-    b2 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    # determinism (b1 == b2) holds at any corpus size — sized for suite
+    # wall-clock, not coverage (r17)
+    corpus = _clustered_corpus(spark, n=600)
+    b1 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=2)
+    b2 = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=2)
     assert b1 == b2
     assert len(b1) == 8 and len(b1[0]) == 32 and len(b1[0][0][1]) == 8
 
@@ -133,9 +135,11 @@ def test_pq_index_partition_pruned_search_matches_full_scan(spark, tmp_path):
     import contextlib
     import io
 
-    corpus = _clustered_corpus(spark, n=2000)
+    # pruned == full-scan equality holds at any corpus size — sized for
+    # suite wall-clock, not coverage (r17)
+    corpus = _clustered_corpus(spark, n=1000)
     queries = corpus.where(F.col("vec_id") < 8)
-    books = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=16, iterations=2)
     # centroids: the 16 lowest-id vectors, one per blob (ids 0..15 cycle
     # through the blobs by construction)
     cents = S.prepare_centroids(corpus.where(F.col("vec_id") < 16))
@@ -209,9 +213,11 @@ def test_append_pq_index_equals_fresh_build(spark, tmp_path):
     remaining third with the SAME frozen centroids + books — every
     search result must equal a fresh full build's exactly (assignment
     and encoding are deterministic per (centroids, books))."""
-    corpus = _clustered_corpus(spark, n=1500)
+    # exactness (append == fresh rebuild) holds at any corpus size —
+    # sized for suite wall-clock, not coverage (r17)
+    corpus = _clustered_corpus(spark, n=800)
     queries = corpus.where(F.col("vec_id") < 8)
-    books = S.pq_train_codebooks(corpus, m=8, n_codes=32, iterations=3)
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=16, iterations=2)
     cents = S.prepare_centroids(corpus.where(F.col("vec_id") < 16))
 
     full_idx = str(tmp_path / "full")
