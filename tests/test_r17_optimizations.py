@@ -227,3 +227,58 @@ def test_brute_force_topk_null_query_id_matches_column_path(spark):
     arw = brute_force_topk(corpus, queries, k=4, use_arrow=True)
     assert col.schema == arw.schema
     assert sorted(map(tuple, col.collect())) == sorted(map(tuple, arw.collect()))
+
+
+def test_simhash_near_dup_bucket_arrays_match_self_join_reference(spark):
+    """The grouped-bucket pair generation must reproduce exactly the pair
+    set of the reference self-join shape (all ordered id_a < id_b pairs
+    sharing a chunk bucket, hamming-filtered, distinct) — including
+    multi-chunk collisions (exact dups agree on every chunk), planted
+    near-dups, and singleton buckets."""
+    from zombi_spark.operators.dedup import simhash, simhash_near_dup
+
+    rows = []
+    for i in range(120):
+        base = " ".join(f"w{i}_{j}" for j in range(30))
+        rows.append((i, base))
+        if i % 10 == 0:  # exact duplicate: hamming 0, collides on EVERY chunk
+            rows.append((i + 1000, base))
+        if i % 7 == 0:  # near duplicate: a couple of tokens changed
+            rows.append((i + 2000, base.replace(f"w{i}_3", "X").replace(f"w{i}_9", "Y")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sorted(map(tuple, simhash_near_dup(docs, bits=16, max_hamming=3).collect()))
+
+    # reference: the pre-r17 self-join shape, inlined
+    bits, max_hamming = 16, 3
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sh = simhash(docs, bits=bits, id_col="doc_id")
+    chunked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("chunk"),
+    ).withColumn(
+        "chunk_val",
+        F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {(1 << chunk_bits) - 1}"),
+    )
+    a = chunked.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
+    )
+    want = sorted(
+        map(
+            tuple,
+            a.join(b, ["chunk", "chunk_val"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming")
+            )
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0

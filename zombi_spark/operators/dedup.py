@@ -635,16 +635,36 @@ def simhash_near_dup(
         "chunk_val",
         F.expr(f"shiftright(simhash, chunk * {chunk_bits}) & {(1 << chunk_bits) - 1}"),
     )
-    a = chunked.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
+    # Grouped-bucket pair generation, NOT a self-join of `chunked` (r17):
+    # the self-join planned the whole simhash subtree (scan → tokenize →
+    # md5 → per-doc aggregate) TWICE — once per join side — and broadcast
+    # the full chunked corpus (n·(max_hamming+1) rows, an unbounded
+    # build side at corpus scale). One groupBy materializes each bucket's
+    # (id, simhash) set as an array row instead: the simhash subtree runs
+    # once, the only exchange is n·(max_hamming+1) narrow rows keyed by
+    # bucket, and the quadratic candidate volume (identical to the join's
+    # output) is generated per bucket in whole-stage codegen. Bucket
+    # width stays bounded by the same derivation that already calibrates
+    # it (`target_bucket_size`), so the per-bucket array is small by
+    # construction. Position-ordered pairs normalized via least/greatest
+    # reproduce exactly the join's id_a < id_b pair set (ids are unique
+    # within a bucket: one row per doc per chunk).
+    buckets = (
+        chunked.groupBy("chunk", "chunk_val")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("_id"), "simhash")).alias("xs"))
+        .where(F.size("xs") > 1)
     )
-    b = chunked.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
+    pairs = buckets.select(
+        "xs", F.posexplode("xs").alias("i", "x")
+    ).select(
+        F.col("x"), F.explode(F.expr("slice(xs, i + 2, size(xs) - i - 1)")).alias("y")
     )
     return (
-        a.join(b, ["chunk", "chunk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").cast("int").alias("hamming"))
+        pairs.select(
+            F.least("x._id", "y._id").alias("id_a"),
+            F.greatest("x._id", "y._id").alias("id_b"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").cast("int").alias("hamming"),
+        )
         # filter BEFORE the pair dedup: a pair can collide on several
         # chunks, but the distinct only needs to see pairs that survive
         # the radius — at the derived width that is ~5% of candidates,
