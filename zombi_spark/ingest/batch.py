@@ -98,24 +98,43 @@ def dedup_idempotency(
     ``EventTable.idempotency_history`` — retention-window file pruning +
     column pruning). ``existing`` is the legacy full-table form, kept for
     callers that already hold a scan.
-    """
-    keyed = batch.where(F.col("idempotency_key").isNotNull())
-    keyless = batch.where(F.col("idempotency_key").isNull())
 
-    w = Window.partitionBy("topic", "partition", "idempotency_key").orderBy("ingest_order")
-    first_wins = (
-        keyed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
-    )
+    Shuffle shape (r17, guide §2.4): ONE window partitioned by
+    (topic, partition) — the exact partitioning :func:`assign_sequences`
+    needs next, so the whole prepare pipeline plans a SINGLE exchange
+    (the old (t, p, key)-keyed window forced a second full-batch shuffle
+    before the sequence window; measured 2 Exchange → 1 on the write
+    path). Sorting the partition by (key, ingest_order) groups each
+    key's rows into a run; first-of-run — via a null-safe lag
+    inequality — IS ``row_number() == 1`` per (t, p, key), and NULL
+    keys are never deduped (the isNull arm keeps them all). The history
+    anti-join moved BEFORE the window: a key present in history kills
+    every batch row carrying it either way (first-wins keeps one, the
+    join removes it), and NULL-keyed rows pass through a left_anti on
+    the key untouched (NULL never equals a probe row) — so the old
+    keyed/keyless split is unnecessary.
+    """
     if history is None and existing is not None:
         history = existing.select("topic", "partition", "idempotency_key")
     if history is not None:
         probe = history.where(F.col("idempotency_key").isNotNull()).select(
             "topic", "partition", "idempotency_key"
         )
-        first_wins = first_wins.join(
+        batch = batch.join(
             probe, on=["topic", "partition", "idempotency_key"], how="left_anti"
         )
-    return first_wins.unionByName(keyless)
+    w = Window.partitionBy("topic", "partition").orderBy(
+        F.col("idempotency_key").asc_nulls_first(), F.col("ingest_order")
+    )
+    prev_key = F.lag("idempotency_key").over(w)
+    return (
+        batch.withColumn("_prev_key", prev_key)
+        .where(
+            F.col("idempotency_key").isNull()
+            | ~F.col("_prev_key").eqNullSafe(F.col("idempotency_key"))
+        )
+        .drop("_prev_key")
+    )
 
 
 def assign_sequences(
