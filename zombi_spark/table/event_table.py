@@ -1086,6 +1086,8 @@ class EventTable:
         target_file_bytes: int | None = None,
         key_ndv: int | None = None,
         rows_per_partition: int | None = None,
+        n_rows_total: int | None = None,
+        parts_est: int | None = None,
     ) -> list[dict]:
         """Write ``events`` into ``staging`` (hive layout), then move every
         parquet file into the data tree under a fresh unique name. Returns
@@ -1104,6 +1106,19 @@ class EventTable:
         leaves some files in the data tree but referenced by no snapshot —
         invisible to read() and reclaimed by remove_orphans()."""
         par = self.spark.sparkContext.defaultParallelism
+        # Size the write exchange to the BATCH, capped at the session's
+        # parallelism (scale-adaptive, not a local-mode constant): one
+        # task per ~20k rows floors a hot-hour batch's writer
+        # parallelism, parts_est keeps a wide-time-range backfill fanned
+        # out across hour dirs (each hour hashes to exactly one task at
+        # ANY count, so files-per-dir and file contents are identical —
+        # only how many tasks run changes). Callers that don't know the
+        # batch shape keep the full-width default.
+        if n_rows_total is not None or parts_est is not None:
+            want = max(
+                parts_est or 0, -(-(n_rows_total or 0) // 20_000), 1
+            )
+            par = min(par, want)
         cap = (
             self._target_records_per_file(target_file_bytes)
             if target_file_bytes is not None
@@ -1645,17 +1660,26 @@ class EventTable:
             if kndv_total == 0
             else max(1024, 2 * kndv_total // max(n_storage_parts, 1))
         )
-        rows_per_partition = sum(r["n_rows"] for r in pstats) // max(n_storage_parts, 1)
+        n_rows_total = sum(r["n_rows"] for r in pstats)
+        rows_per_partition = n_rows_total // max(n_storage_parts, 1)
         # explicit partition count inside _stage_and_move: with bare
         # repartition(cols), AQE coalesces a small batch's shuffle to ~1
         # partition and ONE task then writes every hour directory serially
         # (measured 11s for 744 dirs at sf0.1; ~32 tasks cut it to ~2s).
+        # parts_est (Σ per-producer storage-part NDV — an overestimate
+        # when producers share hours, which only errs toward more tasks)
+        # lets _stage_and_move size that count to the BATCH instead of
+        # pinning it at defaultParallelism: a wide backfill still fans
+        # out to every core, a small batch no longer launches one write
+        # task (and one Python worker, on the Arrow route) per core.
         added = self._stage_and_move(
             events,
             staging,
             target_file_bytes=target_file_bytes,
             key_ndv=key_ndv,
             rows_per_partition=rows_per_partition,
+            n_rows_total=n_rows_total,
+            parts_est=sum(r["nparts"] for r in pstats),
         )
         # Commit with bounded optimistic retry (the reference serializes
         # flush commits per topic with a mutex, iceberg_storage.rs:360-374;
