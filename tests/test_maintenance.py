@@ -365,7 +365,10 @@ def test_long_running_ingest_stays_bounded_without_manual_calls(spark, tmp_path)
     )
     total = 0
     peak_files = 0
-    for i in range(18):
+    # 12 iterations = ≥2 full compact cycles at trigger 6 — enough to
+    # show the steady state is a CYCLE, not a one-shot compact (18 was
+    # wall-clock the invariant doesn't need; sized per VERDICT r16 #1)
+    for i in range(12):
         t.append(_policy_batch(spark, i * 4, 4))
         total += 4
         peak_files = max(peak_files, len(t.files()))

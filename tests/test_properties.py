@@ -90,7 +90,12 @@ def test_write_path_invariants(sess, rows):
         assert r.event_date is not None
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+# 8 examples × up to 32 pairs each: the same (more, actually) random
+# pairs through the SAME invariants as the old 20×4, but the per-example
+# Spark round-trip — the test's entire wall-clock — runs 8 times not 20
+# (VERDICT r16 #1: fewer examples, same invariants; pair volume kept by
+# widening each example's batch)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     st.lists(
         st.tuples(
@@ -98,7 +103,7 @@ def test_write_path_invariants(sess, rows):
             st.lists(st.floats(-1, 1, allow_nan=False, width=32), min_size=8, max_size=8),
         ),
         min_size=1,
-        max_size=4,
+        max_size=32,
     )
 )
 def test_quantized_cosine_properties(sess, pairs):

@@ -84,14 +84,18 @@ def test_pipeline_e2e_ledger_is_deterministic(spark, tmp_path):
     anchor (three identical ledgers across r12's sf0.1 runs) — a stage
     that goes nondeterministic (seeded sampling replaced by rand(),
     unstable dedup winner, hash-order-dependent packing) must fail HERE,
-    not as an unexplained ledger drift in the next round's artifact."""
+    not as an unexplained ledger drift in the next round's artifact.
+
+    Compared against a GOLDEN ledger, not an in-session second run
+    (r17): the pinned constant catches everything a double-run did plus
+    cross-session/cross-change drift, at half the wall-clock. A
+    legitimate semantic change to a pipe stage must update this constant
+    deliberately — that review moment is the point of the anchor."""
     import bench
 
     e1: dict = {}
-    e2: dict = {}
     bench.run_pipeline_e2e(spark, "/root/testdata/sf0.01", str(tmp_path / "a"), e1)
-    bench.run_pipeline_e2e(spark, "/root/testdata/sf0.01", str(tmp_path / "b"), e2)
-    assert e1["pipeline_e2e_rows"] == e2["pipeline_e2e_rows"]
+    assert e1["pipeline_e2e_rows"] == [500, 500, 492, 489, 489, 426, 449, 208, 400]
     ledger = e1["pipeline_e2e_rows"]
     assert len(ledger) == 9 and ledger[0] > 0
     # rows are non-increasing through the filter stages (in → dedup →
