@@ -16,9 +16,11 @@ DataFrame transforms:
                                   high watermarks (INV-1, SPEC.md:746)
   5. partition-column derivation — parquet.rs:40-49
 
-Scale notes: step 4's window partitions by (topic, partition) — the same
-key the data is later stored under, so the shuffle is reused by the
-partitioned write. The watermark frame (A2: max sequence per partition) is
+Scale notes: steps 3 and 4 SHARE one (topic, partition) exchange — the
+dedup window sorts by (idempotency_key, ingest_order) so first-wins is a
+lag inequality, and the sequence window only re-sorts the same
+partitioning by ingest_order (r17; guide §2.4: two operations keyed the
+same way pay one shuffle). The watermark frame (A2: max sequence per partition) is
 tiny (one row per producer partition) and is broadcast, never shuffled.
 Dedup against history (step 3) is a left_anti join on
 (topic, partition, idempotency_key); the streaming path passes
